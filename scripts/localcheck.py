@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local differential check mimicking the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/localcheck.py [sfDir] [outDir] [only_query ...]
+
+Reads outDir/oracle_sql.json (written by graft.Verify), registers the
+fixture tables as DuckDB views over sfDir, runs each oracle SQL, and
+compares against the Spark result parquet in outDir/<name>/.
+Columns are sorted by name before comparison (as the driver does).
+"""
+import duckdb, sys, json, os, math
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = set(sys.argv[3:])
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    try:
+        spark_rows = con.execute(
+            f"SELECT * FROM '{out}/{name}/*.parquet'").fetchall()
+        spark_cols = [d[0] for d in con.description]
+        duck = con.execute(sql)
+        duck_cols = [d[0] for d in duck.description]
+        duck_rows = duck.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: exception {e}")
+        n_fail += 1
+        continue
+    status = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        status.append(f"schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    if len(spark_rows) != len(duck_rows):
+        status.append(f"rows: spark={len(spark_rows)} duck={len(duck_rows)}")
+    if not status:
+        sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
+        didx = [duck_cols.index(c) for c in sorted(duck_cols)]
+        mismatches = 0
+        first = None
+        for i, (sr, dr) in enumerate(zip(spark_rows, duck_rows)):
+            srow = [sr[j] for j in sidx]
+            drow = [dr[j] for j in didx]
+            for a, b in zip(srow, drow):
+                ok = (a == b)
+                if not ok and isinstance(a, float) and isinstance(b, float):
+                    ok = (math.isnan(a) and math.isnan(b)) or a == b
+                if not ok:
+                    mismatches += 1
+                    if first is None:
+                        first = (i, srow, drow)
+                    break
+        if mismatches:
+            status.append(f"{mismatches} row mismatches; first at row "
+                          f"{first[0]}: spark={first[1]} duck={first[2]}")
+    if status:
+        print(f"FAIL {name}: " + " | ".join(status))
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(spark_rows)} rows)")
+        n_pass += 1
+
+print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} oracles")
+sys.exit(1 if n_fail else 0)

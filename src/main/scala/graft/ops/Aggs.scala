@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import Tables.{Q, t}
+
+/** §2.4 Aggregation — the Reducer/Combiner surface of the reference
+  * re-expressed as Spark grouped aggregation (SURVEY §2.4).
+  *
+  * Every groupBy here plans as HashAggregateExec partial → exchange →
+  * final, i.e. the map-side Combiner the reference hand-writes is
+  * automatic. At 100 TB the shuffle carries only one row per group per
+  * partition — the right shape for a 1000-executor cluster.
+  */
+object Aggs {
+
+  /** Geometric mean as a typed Aggregator (custom-Reducer surface).
+    * Sum-of-logs buffer: associative + commutative, merge-friendly,
+    * so partial aggregation still applies across executors.
+    */
+  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), a: Double): (Double, Long) =
+      (b._1 + math.log(a), b._2 + 1L)
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Long)): Double =
+      if (r._2 == 0L) Double.NaN else math.exp(r._1 / r._2)
+    def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_global" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(avg($"l_quantity"), 2).as("avg_qty"),
+        round(min($"l_extendedprice"), 2).as("min_price"),
+        round(max($"l_extendedprice"), 2).as("max_price"))
+    }),
+
+    "q_agg_group" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+            .as("sum_disc_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")
+            * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+          round(avg($"l_quantity"), 2).as("avg_qty"),
+          round(avg($"l_extendedprice"), 2).as("avg_price"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    "q_agg_having" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "nation"), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_cust"),
+             round(avg($"c_acctbal"), 2).as("avg_bal"))
+        .filter($"n_cust" > 55 && $"avg_bal" > 0)
+        .orderBy($"n_name")
+    }),
+
+    "q_agg_distinct" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(countDistinct($"o_custkey").as("nd_cust"),
+             sum_distinct($"o_custkey").as("sd_cust"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // HLL++ sketch — no DuckDB oracle (sketch families differ);
+    // exactness asserted ±5% in AggsSpec instead (SURVEY §2.4).
+    "q_agg_approx" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").agg(
+        approx_count_distinct($"o_custkey").as("approx_nd_cust"))
+    }),
+
+    "q_agg_rollup" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "nation"), $"c_nationkey" === $"n_nationkey")
+        .join(t(s, d, "region"), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"),
+             grouping($"r_name").cast("int").as("g_r"),
+             grouping($"n_name").cast("int").as("g_n"))
+        .orderBy($"g_r", $"g_n", $"r_name".asc_nulls_first,
+                 $"n_name".asc_nulls_first)
+    }),
+
+    "q_agg_cube" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+             count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first,
+                 $"l_linestatus".asc_nulls_first)
+    }),
+
+    // Deliberately enters via spark.sql on a temp view — exercises the
+    // SQL parse→analyze path (SURVEY §3.2 EP1 note).
+    "q_agg_gsets" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "nation"), $"c_nationkey" === $"n_nationkey")
+        .createOrReplaceTempView("graft_cust_nat")
+      s.sql("""
+        SELECT c_mktsegment, n_name, count(*) AS n
+        FROM graft_cust_nat
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST
+      """)
+    }),
+
+    "q_agg_stats" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_quantity"), 2).as("sd_qty"),
+          round(var_samp($"l_quantity"), 2).as("var_qty"),
+          round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qe"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 2)
+            .as("covar_qe"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_agg_collect" -> ((s, d) => {
+      import s.implicits._
+      // collect_set order is nondeterministic; sort_array canonicalizes.
+      t(s, d, "documents")
+        .groupBy($"lang")
+        .agg(sort_array(collect_set($"source")).as("sources"))
+        .orderBy($"lang")
+    }),
+
+    "q_udaf_typed" -> ((s, d) => {
+      import s.implicits._
+      val gm = udaf(GeoMean)
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(round(gm($"l_extendedprice"), 2).as("geomean_price"))
+        .orderBy($"l_returnflag")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_global" -> """
+      SELECT count(*) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(AVG(l_quantity), 2) AS avg_qty,
+             ROUND(MIN(l_extendedprice), 2) AS min_price,
+             ROUND(MAX(l_extendedprice), 2) AS max_price
+      FROM lineitem""",
+
+    "q_agg_group" -> """
+      SELECT l_returnflag, l_linestatus,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             ROUND(AVG(l_quantity), 2) AS avg_qty,
+             ROUND(AVG(l_extendedprice), 2) AS avg_price,
+             ROUND(AVG(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_agg_having" -> """
+      SELECT n_name, count(*) AS n_cust,
+             ROUND(AVG(c_acctbal), 2) AS avg_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      HAVING count(*) > 55 AND ROUND(AVG(c_acctbal), 2) > 0
+      ORDER BY n_name""",
+
+    "q_agg_distinct" -> """
+      SELECT o_orderstatus,
+             count(DISTINCT o_custkey) AS nd_cust,
+             CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sd_cust
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "q_agg_rollup" -> """
+      SELECT r_name, n_name, count(*) AS n_cust,
+             CAST(GROUPING(r_name) AS INT) AS g_r,
+             CAST(GROUPING(n_name) AS INT) AS g_n
+      FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q_agg_cube" -> """
+      SELECT l_returnflag, l_linestatus,
+             ROUND(SUM(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_agg_gsets" -> """
+      SELECT c_mktsegment, n_name, count(*) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+      ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q_agg_stats" -> """
+      SELECT l_returnflag,
+             ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
+             ROUND(var_samp(l_quantity), 2) AS var_qty,
+             ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
+             ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qe
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q_agg_collect" -> """
+      SELECT lang, list_sort(list(DISTINCT source)) AS sources
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "q_udaf_typed" -> """
+      SELECT l_returnflag,
+             ROUND(EXP(SUM(LN(l_extendedprice)) / count(*)), 2) AS geomean_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+  )
+}
