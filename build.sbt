@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes straight to sbt's own stdout/stderr —
+// not through sbt's logger — so Bench's bare JSON line reaches stdout
+// unprefixed regardless of sbt log level (round-1: "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

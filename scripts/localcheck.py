@@ -45,15 +45,20 @@ for name, sql in sorted(oracle.items()):
     if not status:
         sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
         didx = [duck_cols.index(c) for c in sorted(duck_cols)]
+        # Sort both sides (as the driver's pandas compare does) so the
+        # check doesn't depend on positional order, and compare floats
+        # with a small relative tolerance to absorb last-ulp drift.
+        skey = lambda r: tuple((v is None, str(v)) for v in r)
+        srows = sorted(([r[j] for j in sidx] for r in spark_rows), key=skey)
+        drows = sorted(([r[j] for j in didx] for r in duck_rows), key=skey)
         mismatches = 0
         first = None
-        for i, (sr, dr) in enumerate(zip(spark_rows, duck_rows)):
-            srow = [sr[j] for j in sidx]
-            drow = [dr[j] for j in didx]
+        for i, (srow, drow) in enumerate(zip(srows, drows)):
             for a, b in zip(srow, drow):
                 ok = (a == b)
                 if not ok and isinstance(a, float) and isinstance(b, float):
-                    ok = (math.isnan(a) and math.isnan(b)) or a == b
+                    ok = ((math.isnan(a) and math.isnan(b))
+                          or math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9))
                 if not ok:
                     mismatches += 1
                     if first is None:

@@ -14,16 +14,28 @@ object SparkEntry {
     )
 
   /** Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001;
-    * driver smoke-checks rows>0. */
+    * driver smoke-checks rows>0. Fixture dir overridable via env so a
+    * relocated test-data mount doesn't break the smoke gate. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_agg_group")(spark, "/root/testdata/sf0.001")
+    queries("q_agg_group")(spark,
+      sys.env.getOrElse("GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.flatMap(_._1).toMap
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Key uniqueness asserted: a duplicate name across ops modules would
+    * otherwise silently shadow a query (and its oracle). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = modules.iterator.flatMap(_._1).toMap
+    require(merged.size == modules.map(_._1.size).sum,
+      "duplicate query name across ops modules")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    modules.iterator.flatMap(_._2).toMap
+  def oracleSql: Map[String, String] = {
+    val merged = modules.iterator.flatMap(_._2).toMap
+    require(merged.size == modules.map(_._2.size).sum,
+      "duplicate oracle name across ops modules")
+    merged
+  }
 }

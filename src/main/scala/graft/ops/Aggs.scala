@@ -113,16 +113,15 @@ object Aggs {
                  $"l_linestatus".asc_nulls_first)
     }),
 
-    // Deliberately enters via spark.sql on a temp view — exercises the
-    // SQL parse→analyze path (SURVEY §3.2 EP1 note).
+    // Deliberately enters via spark.sql — exercises the SQL
+    // parse→analyze path (SURVEY §3.2 EP1 note). Reads parquet inline
+    // rather than via a temp view so the query mutates no session state
+    // and is safe under concurrent execution.
     "q_agg_gsets" -> ((s, d) => {
-      import s.implicits._
-      t(s, d, "customer")
-        .join(t(s, d, "nation"), $"c_nationkey" === $"n_nationkey")
-        .createOrReplaceTempView("graft_cust_nat")
-      s.sql("""
+      s.sql(s"""
         SELECT c_mktsegment, n_name, count(*) AS n
-        FROM graft_cust_nat
+        FROM parquet.`$d/customer.parquet` c
+          JOIN parquet.`$d/nation.parquet` n ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
         ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST
       """)
@@ -144,9 +143,12 @@ object Aggs {
     "q_agg_collect" -> ((s, d) => {
       import s.implicits._
       // collect_set order is nondeterministic; sort_array canonicalizes.
+      // Serialized to a string because the driver's pandas-based hash
+      // compare cannot hash array cells (round-1 failure).
       t(s, d, "documents")
         .groupBy($"lang")
-        .agg(sort_array(collect_set($"source")).as("sources"))
+        .agg(array_join(sort_array(collect_set($"source")), "|")
+          .as("sources"))
         .orderBy($"lang")
     }),
 
@@ -234,7 +236,8 @@ object Aggs {
       ORDER BY l_returnflag""",
 
     "q_agg_collect" -> """
-      SELECT lang, list_sort(list(DISTINCT source)) AS sources
+      SELECT lang,
+             array_to_string(list_sort(list(DISTINCT source)), '|') AS sources
       FROM documents
       GROUP BY lang
       ORDER BY lang""",

@@ -18,6 +18,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4's reader
+      // rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
+      // via the legacy conf, then truncate to microseconds — exactly
+      // what DuckDB does when it reads the same file, so the two
+      // engines agree to the microsecond.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
 }
