@@ -10,6 +10,8 @@ import graft.ops._
 object SparkEntry {
   private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] =
     Seq(
+      (Scans.queries, Scans.oracle),
+      (Exprs.queries, Exprs.oracle),
       (Aggs.queries, Aggs.oracle),
     )
 

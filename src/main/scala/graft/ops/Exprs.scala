@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import Tables.{Q, t}
+
+/** §2.2 Projection, filter, scalar expressions — the Mapper-side
+  * record-munging surface of the reference (SURVEY §2.2).
+  *
+  * Everything here is a built-in Catalyst expression (codegen'd,
+  * whole-stage fused); the one Scala UDF (`q_udf_scalar`) is the
+  * contract's custom-Mapper row, kept trivially simple so the oracle
+  * can re-express it in SQL. All queries are embarrassingly parallel
+  * scan→project→sort pipelines — no shuffle except the final order.
+  */
+object Exprs {
+
+  val queries: Map[String, Q] = Map(
+    // Conjunctive pushable predicates: timestamp range + IN + numeric
+    // + prefix LIKE, all of which reach the parquet reader as
+    // PushedFilters (row-group min/max + dictionary skipping at scale).
+    "q_filter_pred" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter(
+          $"l_shipdate".between(
+            lit("1996-01-01").cast("timestamp"),
+            lit("1997-12-31").cast("timestamp"))
+            && $"l_returnflag".isin("A", "R")
+            && $"l_quantity" > 25
+            && $"l_linestatus".like("F%"))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+                $"l_returnflag", $"l_linestatus", $"l_shipdate")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // Regex grep (distributed-grep pattern). rlike is partial-match,
+    // same as DuckDB regexp_matches.
+    "q_filter_regex" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .filter($"p_name".rlike("(?i)(ring|widget)"))
+        .select($"p_partkey", $"p_name", $"p_type")
+        .orderBy($"p_partkey")
+    }),
+
+    "q_expr_string" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select(
+        $"c_custkey",
+        lower($"c_name").as("lo"),
+        upper($"c_mktsegment").as("up"),
+        substring($"c_name", 1, 8).as("sub8"),
+        length($"c_name").cast("long").as("len"),
+        concat_ws("-", $"c_mktsegment", $"c_name").as("cat"),
+        regexp_replace($"c_name", "Customer#", "C").as("repl"),
+        lpad($"c_custkey".cast("string"), 12, "0").as("pad"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Spark dayofweek is 1=Sunday; DuckDB's is 0=Sunday — oracle adds 1.
+    "q_expr_date" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").select(
+        $"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("dom"),
+        date_trunc("month", $"o_orderdate").as("mon_start"),
+        datediff(lit("2000-01-01").cast("date"), $"o_orderdate")
+          .as("days_to_y2k"),
+        last_day($"o_orderdate").as("eom"),
+        dayofweek($"o_orderdate").as("dow"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // sqrt/ln args are strictly positive (prices >= 900); l_quantity is
+    // integral 1..50 so the mod is computed on BIGINT in both engines.
+    "q_expr_math" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_orderkey" < 500)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          round(abs($"l_discount" - 0.05), 2).as("abs_d"),
+          ceil($"l_quantity").as("ceil_q"),
+          floor($"l_quantity").as("floor_q"),
+          round(sqrt($"l_extendedprice"), 4).as("sqrt_p"),
+          round(log(lit(1) + $"l_extendedprice"), 4).as("ln_p"),
+          round(pow($"l_quantity", 2), 2).as("pow_q"),
+          ($"l_quantity".cast("long") % 7).as("mod_q"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    "q_expr_case" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").select(
+        $"o_orderkey",
+        when($"o_totalprice" < 100000, "low")
+          .when($"o_totalprice" < 300000, "mid")
+          .otherwise("high").as("bucket"),
+        coalesce(nullif($"o_orderstatus", lit("P")), lit("X")).as("st"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "q_expr_json" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select($"event_id",
+                get_json_object($"props", "$.k").cast("long").as("k"))
+        .filter($"k" >= 50)
+        .orderBy($"event_id")
+    }),
+
+    // Float components are widened to DOUBLE before any arithmetic in
+    // BOTH engines (exact widening) — SURVEY §2 determinism rule 5.
+    "q_expr_array" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings").select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        round(element_at($"embedding", 1).cast("double"), 4).as("first_val"),
+        round(sqrt(aggregate($"embedding", lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+          .as("l2norm"))
+        .orderBy($"vec_id")
+    }),
+
+    // The custom-Mapper surface: a Scala UDF registered with the
+    // session. Body is deliberately trivial (lowercase, strip
+    // non-alpha, collapse spaces) so the oracle can reconstruct it in
+    // SQL. Token count of the normalized text per doc.
+    "q_udf_scalar" -> ((s, d) => {
+      import s.implicits._
+      val tokNorm = udf((text: String) =>
+        text.toLowerCase.replaceAll("[^a-z ]", " ")
+          .replaceAll(" +", " ").trim)
+      s.udf.register("tok_norm", tokNorm)
+      t(s, d, "documents")
+        .select($"doc_id",
+          when(length(tokNorm($"text")) === 0, 0L)
+            .otherwise(size(split(tokNorm($"text"), " ")).cast("long"))
+            .as("n_tokens"))
+        .orderBy($"doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_filter_pred" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             l_returnflag, l_linestatus, l_shipdate
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+        AND l_returnflag IN ('A', 'R')
+        AND l_quantity > 25
+        AND l_linestatus LIKE 'F%'
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q_filter_regex" -> """
+      SELECT p_partkey, p_name, p_type
+      FROM part
+      WHERE regexp_matches(p_name, '(?i)(ring|widget)')
+      ORDER BY p_partkey""",
+
+    "q_expr_string" -> """
+      SELECT c_custkey,
+             lower(c_name) AS lo,
+             upper(c_mktsegment) AS up,
+             substring(c_name, 1, 8) AS sub8,
+             length(c_name) AS len,
+             concat_ws('-', c_mktsegment, c_name) AS cat,
+             replace(c_name, 'Customer#', 'C') AS repl,
+             lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS pad
+      FROM customer
+      ORDER BY c_custkey""",
+
+    "q_expr_date" -> """
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INT) AS y,
+             CAST(month(o_orderdate) AS INT) AS m,
+             CAST(day(o_orderdate) AS INT) AS dom,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+             CAST(datediff('day', o_orderdate, DATE '2000-01-01') AS INT)
+               AS days_to_y2k,
+             last_day(o_orderdate) AS eom,
+             CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+      FROM orders
+      ORDER BY o_orderkey""",
+
+    "q_expr_math" -> """
+      SELECT l_orderkey, l_linenumber,
+             ROUND(ABS(l_discount - 0.05), 2) AS abs_d,
+             CAST(CEIL(l_quantity) AS BIGINT) AS ceil_q,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS floor_q,
+             ROUND(SQRT(l_extendedprice), 4) AS sqrt_p,
+             ROUND(LN(1 + l_extendedprice), 4) AS ln_p,
+             ROUND(POWER(l_quantity, 2), 2) AS pow_q,
+             CAST(l_quantity AS BIGINT) % 7 AS mod_q
+      FROM lineitem
+      WHERE l_orderkey < 500
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q_expr_case" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice < 100000 THEN 'low'
+                  WHEN o_totalprice < 300000 THEN 'mid'
+                  ELSE 'high' END AS bucket,
+             COALESCE(NULLIF(o_orderstatus, 'P'), 'X') AS st
+      FROM orders
+      ORDER BY o_orderkey""",
+
+    "q_expr_json" -> """
+      SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+      FROM events
+      WHERE CAST(props->>'$.k' AS BIGINT) >= 50
+      ORDER BY event_id""",
+
+    "q_expr_array" -> """
+      SELECT vec_id,
+             CAST(len(embedding) AS INT) AS dim,
+             ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+             ROUND(SQRT(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2norm
+      FROM embeddings
+      ORDER BY vec_id""",
+
+    "q_udf_scalar" -> """
+      SELECT doc_id,
+             CASE WHEN length(norm) = 0 THEN 0
+                  ELSE len(string_split(norm, ' ')) END AS n_tokens
+      FROM (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents)
+      ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import Tables.{Q, t}
+
+/** §2.1 Scans, sources, sinks — the identity-Mapper / counting-job
+  * surface of the reference (SURVEY §2.1).
+  *
+  * Scale notes: both queries are scan-shaped. `q_scan_project` selects
+  * 4 of lineitem's 11 columns behind a key predicate, so at 100 TB the
+  * parquet reader prunes ~2/3 of the bytes (ReadSchema) and skips row
+  * groups via min/max on l_orderkey (PushedFilters). `q_scan_count`
+  * is pure parquet-footer metadata per table — no data bytes move.
+  */
+object Scans {
+
+  val queries: Map[String, Q] = Map(
+    // Projection + derived column + pushable key filter. The filter
+    // and the 4-column ReadSchema both reach the parquet scan (plan-
+    // shape asserted in ScansSpec). Per-row rounding of a 2-decimal
+    // product lands on exact .xx5 ties, where Spark (shortest-repr
+    // HALF_UP) and DuckDB (binary round) disagree — so round via
+    // floor(x*100+0.5)/100, which is bit-identical IEEE math in both.
+    "q_scan_project" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_orderkey" < 100)
+        .select(
+          $"l_orderkey", $"l_linenumber", $"l_quantity",
+          (floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100
+            + 0.5) / 100).as("disc_price"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // Row counts of all ten fixture tables in ONE lazy job: a global
+    // count aggregate per table, unioned. count(*) resolves from
+    // parquet footers; nothing is shuffled but ten 1-row partials.
+    "q_scan_count" -> ((s, d) => {
+      import s.implicits._
+      Tables.names
+        .map(n => t(s, d, n).agg(count(lit(1)).as("n"))
+          .select(lit(n).as("tbl"), $"n"))
+        .reduce(_.unionByName(_))
+        .orderBy($"tbl")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100
+               AS disc_price
+      FROM lineitem
+      WHERE l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q_scan_count" -> Tables.names
+      .map(n => s"SELECT '$n' AS tbl, count(*) AS n FROM $n")
+      .mkString("SELECT tbl, n FROM (", " UNION ALL ", ") ORDER BY tbl"),
+  )
+}
