@@ -12,6 +12,7 @@ object SparkEntry {
     Seq(
       (Scans.queries, Scans.oracle),
       (Exprs.queries, Exprs.oracle),
+      (Joins.queries, Joins.oracle),
       (Aggs.queries, Aggs.oracle),
     )
 

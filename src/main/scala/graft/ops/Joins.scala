@@ -1,0 +1,244 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables.{Q, t}
+
+/** §2.3 Joins — the reference's repartition-join / replicated-join /
+  * semi-join / theta-join vocabulary re-expressed declaratively
+  * (SURVEY §2.3). Spark picks the physical strategy; we only hint
+  * where the contract demands it (`q_join_broadcast`).
+  *
+  * Scale notes: dims (region/nation/part/supplier/customer) broadcast
+  * at real scale, so the fact-side scan never shuffles for those.
+  * Fact-fact joins (range/asof over events) key their shuffle on
+  * user_id; AQE's skew-join splitting covers hot users. The as-of
+  * join is a single window pass — one shuffle on (user), no
+  * per-row probing.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // Reduce-side repartition join → Spark picks broadcast-hash here
+    // (customer is small); at 100 TB with a huge build side it
+    // degrades gracefully to sort-merge on the equi key.
+    "q_join_inner" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey", "inner")
+        .select($"o_orderkey", $"c_name", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // Map-side replicated join: explicit broadcast() hint (the
+    // reference ships the small table in the distributed cache).
+    "q_join_broadcast" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_type")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+          .as("revenue"))
+        .orderBy($"p_type")
+    }),
+
+    // TPC-H-Q3-shaped chained join. Small per-order groups sum exact
+    // 4-decimal values, so round via the tie-proof floor form.
+    "q_join_multiway" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey")
+        .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg((floor(sum($"l_extendedprice" * (lit(1) - $"l_discount"))
+          * 100 + 0.5) / 100).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    "q_join_left" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Outer join manufacturing nulls on both sides (events has user 0
+    // and beyond-customer users at larger SFs; customers without
+    // events null out the right side).
+    "q_join_outer_full" -> ((s, d) => {
+      import s.implicits._
+      val perUser = t(s, d, "events")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+      t(s, d, "customer")
+        .join(perUser, $"c_custkey" === $"user_id", "full_outer")
+        .select(coalesce($"c_custkey", $"user_id").as("key"),
+                $"c_name", $"n_events")
+        .orderBy($"key".asc_nulls_first)
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem").filter($"l_quantity" > 45),
+          $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .join(t(s, d, "lineitem"), $"p_partkey" === $"l_partkey",
+          "left_anti")
+        .select($"p_partkey", $"p_name")
+        .orderBy($"p_partkey")
+    }),
+
+    // Equi key + theta residual: Spark hashes on the nationkey and
+    // applies the acctbal inequality as a post-join filter — the
+    // declarative form of the reference's 1-Bucket-Theta scheme.
+    "q_join_theta" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "supplier")
+        .join(t(s, d, "customer"),
+          $"s_nationkey" === $"c_nationkey" && $"s_acctbal" > $"c_acctbal")
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_pairs"),
+             round(avg($"s_acctbal" - $"c_acctbal"), 2).as("avg_gap"))
+        .select($"s_nationkey".as("nationkey"), $"n_pairs", $"avg_gap")
+        .orderBy($"nationkey")
+    }),
+
+    // Band self-join: equi on user_id, residual 5-minute window.
+    // Timestamps are µs-truncated identically in both engines, so the
+    // interval arithmetic is exact.
+    "q_join_range" -> ((s, d) => {
+      import s.implicits._
+      val e1 = t(s, d, "events").select($"user_id", $"ts").alias("e1")
+      val e2 = t(s, d, "events").select($"user_id", $"ts").alias("e2")
+      e1.join(e2,
+          col("e1.user_id") === col("e2.user_id")
+            && col("e2.ts") > col("e1.ts")
+            && col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("e1.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"user_id")
+    }),
+
+    // As-of join emulated with one window pass: union-tag purchases
+    // and signups, carry the last signup id forward within each user's
+    // time-ordered stream (signup sorts before purchase at equal ts so
+    // "prior-or-equal" is inclusive), keep purchases. One shuffle on
+    // user_id — the scalable shape; cross-checked against DuckDB's
+    // native ASOF LEFT JOIN.
+    "q_join_asof" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .filter($"event_type".isin("purchase", "signup"))
+        .select($"event_id", $"ts", $"user_id", $"event_type")
+        .withColumn("tag", when($"event_type" === "signup", 0).otherwise(1))
+        .withColumn("sid", when($"event_type" === "signup", $"event_id"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"tag", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("signup_event_id", last($"sid", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"signup_event_id")
+        .orderBy($"event_id")
+    }),
+
+    "q_join_cross" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "region").select($"r_name")
+        .crossJoin(t(s, d, "part").select($"p_type").distinct())
+        .orderBy($"r_name", $"p_type")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" -> """
+      SELECT o_orderkey, c_name, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""",
+
+    "q_join_broadcast" -> """
+      SELECT p_type,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type
+      ORDER BY p_type""",
+
+    "q_join_multiway" -> """
+      SELECT l_orderkey, o_orderdate,
+             FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+               / 100 AS revenue
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""",
+
+    "q_join_left" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey""",
+
+    "q_join_outer_full" -> """
+      SELECT COALESCE(c_custkey, user_id) AS key, c_name, n_events
+      FROM customer
+        FULL OUTER JOIN (
+          SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        ) e ON c_custkey = user_id
+      ORDER BY key NULLS FIRST""",
+
+    "q_join_semi" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      ORDER BY o_orderkey""",
+
+    "q_join_anti" -> """
+      SELECT p_partkey, p_name
+      FROM part
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      ORDER BY p_partkey""",
+
+    "q_join_theta" -> """
+      SELECT s_nationkey AS nationkey, count(*) AS n_pairs,
+             ROUND(AVG(s_acctbal - c_acctbal), 2) AS avg_gap
+      FROM supplier JOIN customer
+        ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+      GROUP BY s_nationkey
+      ORDER BY nationkey""",
+
+    "q_join_range" -> """
+      SELECT e1.user_id AS user_id, count(*) AS n_pairs
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id
+       AND e2.ts > e1.ts
+       AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+      GROUP BY e1.user_id
+      ORDER BY user_id""",
+
+    "q_join_asof" -> """
+      SELECT p.event_id, s.event_id AS signup_event_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""",
+
+    "q_join_cross" -> """
+      SELECT r_name, p_type
+      FROM region CROSS JOIN (SELECT DISTINCT p_type FROM part)
+      ORDER BY r_name, p_type""",
+  )
+}
