@@ -13,6 +13,8 @@ object SparkEntry {
       (Scans.queries, Scans.oracle),
       (Exprs.queries, Exprs.oracle),
       (Joins.queries, Joins.oracle),
+      (Windows.queries, Windows.oracle),
+      (SetOps.queries, SetOps.oracle),
       (Aggs.queries, Aggs.oracle),
     )
 

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables.{Q, t}
+
+/** §2.5 Window functions — the reference's secondary-sort /
+  * composite-key surface (SURVEY §2.5): rank families, neighbor
+  * access (lag/lead), sliding and running frames.
+  *
+  * Scale notes: every window partitions by a real key (segment,
+  * customer, user), so the single shuffle is keyed and parallel —
+  * the classic MR secondary sort with the sort pushed inside the
+  * partition. The one global window (`q_win_ntile`) is inherently a
+  * total order; at 100 TB that row would move to approx percentiles
+  * (percentile_approx) — kept exact here because the contract's
+  * oracle demands exact ranks.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+    "q_win_rank" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      t(s, d, "customer")
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter($"rk" <= 5)
+        .orderBy($"c_mktsegment", $"rn")
+    }),
+
+    // Per-group top-k via row_number filter — Spark rewrites this to a
+    // per-partition top-k (WindowGroupLimit) rather than a full sort.
+    "q_win_topk_group" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          row_number().over(w).as("rn"))
+        .filter($"rn" <= 3)
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    // Neighbor access. Seconds are compared at whole-second epoch on
+    // both engines (events.ts is ns-origin; SURVEY §7.3 risk 2).
+    "q_win_lag" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .withColumn("es", unix_timestamp($"ts"))
+        .select($"user_id", $"event_id",
+          ($"es" - lag($"es", 1).over(w)).as("secs_since_prev"),
+          lead($"event_type", 1).over(w).as("next_type"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // 4-row moving average: the avg of ≤4 two-decimal values is an
+    // exact 4-decimal value → .xx5 rounding ties are real; use the
+    // bit-identical floor form on both engines.
+    "q_win_frame_rows" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+      t(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          (floor(avg($"o_totalprice").over(w) * 100 + 0.5) / 100)
+            .as("mavg_price"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }),
+
+    "q_win_running" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          (floor(sum($"o_totalprice").over(w) * 100 + 0.5) / 100)
+            .as("running_rev"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }),
+
+    "q_win_ntile" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"c_acctbal", $"c_custkey")
+      t(s, d, "customer")
+        .select($"c_custkey",
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cdist"))
+        .orderBy($"c_custkey")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" -> """
+      SELECT * FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER w AS rn,
+               rank() OVER w AS rk,
+               dense_rank() OVER w AS drk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+      ) WHERE rk <= 5
+      ORDER BY c_mktsegment, rn""",
+
+    "q_win_topk_group" -> """
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn <= 3
+      ORDER BY o_custkey, rn""",
+
+    "q_win_lag" -> """
+      SELECT user_id, event_id,
+             es - lag(es, 1) OVER w AS secs_since_prev,
+             lead(event_type, 1) OVER w AS next_type
+      FROM (SELECT user_id, event_id, ts, event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
+    "q_win_frame_rows" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             FLOOR(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100 + 0.5)
+               / 100 AS mavg_price
+      FROM orders
+      ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "q_win_running" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             FLOOR(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+               + 0.5) / 100 AS running_rev
+      FROM orders
+      ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "q_win_ntile" -> """
+      SELECT c_custkey,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             ROUND(percent_rank() OVER w, 4) AS pct_rank,
+             ROUND(cume_dist() OVER w, 4) AS cdist
+      FROM customer
+      WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey""",
+  )
+}
