@@ -16,6 +16,9 @@ object SparkEntry {
       (Windows.queries, Windows.oracle),
       (SetOps.queries, SetOps.oracle),
       (Aggs.queries, Aggs.oracle),
+      (Streamy.queries, Streamy.oracle),
+      (TextOps.queries, TextOps.oracle),
+      (SimOps.queries, SimOps.oracle),
     )
 
   /** Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001;

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import Tables.{Q, t}
+
+/** §2.7 event-time semantics over `events` (SURVEY §2.7). Written with
+  * the operators whose semantics are identical in batch and Structured
+  * Streaming (`window`, `session_window`, `withWatermark`); the oracle
+  * exercises them in batch, the streaming-only behaviors (watermark
+  * late-drop, incremental session merge) are covered by MemoryStream
+  * tests in StreamySpec.
+  *
+  * Scale notes (100 TB): every query shuffles once, keyed on the
+  * (window, key) grouping — partial+final HashAggregate. Tumbling and
+  * sliding windows are stateless per-row expansions (a sliding event
+  * belongs to exactly windowLength/slide windows); session windows
+  * shuffle on user_id and merge per key. In a live stream the
+  * 10-minute watermark bounds all state.
+  */
+object Streamy {
+
+  val queries: Map[String, Q] = Map(
+    // 1-hour tumbling windows per event_type. Identical code streams
+    // with `.withWatermark("ts", "10 minutes")` prepended.
+    "q_stream_tumble" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select($"w.start".as("window_start"), $"event_type",
+          $"n", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    }),
+
+    // Sliding 1h windows every 15 min: each event lands in 4 windows.
+    "q_stream_slide" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(window($"ts", "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("window_start"), $"n")
+        .orderBy($"window_start")
+    }),
+
+    // Session windows per user, 30-minute gap. A new session starts
+    // when an event arrives >= 30 min after the previous one (Spark's
+    // session interval is [start, last_ts + gap), end-exclusive).
+    "q_stream_session" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+             round(sum($"value"), 2).as("sum_value"))
+        .select($"user_id", $"w.start".as("session_start"),
+          $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
+    // Watermark/late-data surface: in batch `withWatermark` is a no-op
+    // (this row is rows-only checked); the 10-minute late-drop
+    // behavior itself is asserted with MemoryStream in StreamySpec.
+    "q_stream_late" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("window_start"), $"n")
+        .orderBy($"window_start")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // time_bucket's default origin (2000-01-03) is hour-aligned, so
+    // 1-hour buckets coincide with Spark's epoch-aligned windows.
+    "q_stream_tumble" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      FROM events
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type""",
+
+    // Each event belongs to the 4 sliding windows whose starts are
+    // its 15-min bucket minus {0,1,2,3} slides.
+    "q_stream_slide" -> """
+      SELECT window_start, count(*) AS n FROM (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - m * INTERVAL '15 minutes' AS window_start
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m))
+      GROUP BY window_start
+      ORDER BY window_start""",
+
+    // Gaps-and-islands: new-session flag on gap >= 30 min (matching
+    // Spark's end-exclusive [start, last+gap) session interval),
+    // running sum → session id → group.
+    "q_stream_session" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, MIN(ts) AS session_start,
+             count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+  )
+}

@@ -1,0 +1,251 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables.{Q, t}
+
+/** §2.8 text-analysis + dedup extensions over `documents` — the
+  * LLM-training-data-pipeline surface mandated by BASELINE.json:6
+  * (SURVEY §2.8): wordcount (the MapReduce flagship), bigrams
+  * (Generator/UDTF surface), tf-idf, lexicon sentiment, per-language
+  * stats, exact dedup, and MinHash+LSH near-dup detection.
+  *
+  * Scale notes (100 TB):
+  *  - Tokenization is `split` + `explode`/`posexplode` — codegen'd,
+  *    embarrassingly parallel, no driver-side state.
+  *  - Every aggregation is a hash-agg with map-side partial; the only
+  *    shuffles are on (token)/(lang,…) keys, which Catalyst plans as
+  *    partial+final HashAggregate.
+  *  - `q_dedup_exact` uses window row_number (deterministic survivor
+  *    — min doc_id), NOT dropDuplicates (nondet survivor). Shuffles
+  *    once on the dedup key: scale-safe.
+  *  - `q_dedup_minhash` is the bucketed LSH shape: signatures via
+  *    fixed-seed xxhash64 (no nondeterminism), candidates come from a
+  *    band-bucket self-JOIN (never an all-pairs crossJoin), then exact
+  *    Jaccard verifies candidates only. At cluster scale, hot buckets
+  *    (a band value shared by millions of docs) are the known risk —
+  *    mitigate with bucket-size caps / salting before the pair join;
+  *    at fixture scale buckets are bounded by per-language doc counts.
+  */
+object TextOps {
+
+  /** (doc_id, lang, tokens) — single-space tokenization is exact for
+    * the fixture corpus (FIXTURES.md: text is space-separated tokens). */
+  private def toks(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "documents").select($"doc_id", $"lang",
+      split($"text", " ").as("tok"))
+  }
+
+  /** MinHash bands: b=16 bands of r=1 row each. r=1 keeps recall at
+    * threshold 0.6 effectively 1 ((1-s)^16 ≤ 4.3e-7 per pair at
+    * s=0.6) so the exact-Jaccard-verified output equals the oracle's
+    * brute-force answer; production at lower-overlap corpora would
+    * trade r up for precision. Deterministic: xxhash64 with the band
+    * index as an explicit seed column. */
+  private val NumBands = 16
+
+  val queries: Map[String, Q] = Map(
+    // THE MapReduce flagship: tokenize → explode → count → top-20.
+    "q_text_wordcount" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select(explode(split($"text", " ")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token")
+        .limit(20)
+    }),
+
+    // Bigrams per language, top-10 per lang. posexplode + lead() is
+    // the Generator + secondary-sort surface; `concat` (null-strict in
+    // Spark) drops each doc's final token pairing naturally.
+    "q_text_ngram" -> ((s, d) => {
+      import s.implicits._
+      val tk = t(s, d, "documents").select($"doc_id", $"lang",
+        posexplode(split($"text", " ")).as(Seq("pos", "token")))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val bi = tk.withColumn("nxt", lead($"token", 1).over(w))
+        .where($"nxt".isNotNull)
+        .select($"lang", concat($"token", lit(" "), $"nxt").as("bigram"))
+      val cnt = bi.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+      val rw = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+      cnt.withColumn("rn", row_number().over(rw)).where($"rn" <= 10)
+        .select($"lang", $"bigram", $"n")
+        .orderBy($"lang", $"n".desc, $"bigram")
+    }),
+
+    // tf-idf, corpus restricted to doc_id < 50 (bounded at every sf).
+    // score = tf * ln(N/df); ranked on the ROUNDED score so a last-ulp
+    // ln() difference between engines cannot flip the top-5 cutoff.
+    "q_text_tfidf" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").where($"doc_id" < 50)
+      val tf = docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      val n = docs.agg(countDistinct($"doc_id").as("n_docs"))
+      val scored = tf.join(dfc, "term").crossJoin(broadcast(n))
+        .withColumn("score", round($"tf" *
+          log($"n_docs".cast("double") / $"df".cast("double")), 4))
+      val rw = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      scored.withColumn("rn", row_number().over(rw)).where($"rn" <= 5)
+        .select($"doc_id", $"term", $"score")
+        .orderBy($"doc_id", $"score".desc, $"term")
+    }),
+
+    // Lexicon sentiment (EDBT'16 topic, PAPERS.md:4): fixed pos/neg
+    // token lists, per-doc score = (pos-neg)/n_tokens, averaged per
+    // language. Pure higher-order functions — no explode, no UDF.
+    "q_text_sentiment" -> ((s, d) => {
+      import s.implicits._
+      val sent = t(s, d, "documents").select($"lang",
+        ((expr("size(filter(split(text,' '), x -> x IN ('fast','small')))")
+            .cast("double")
+          - expr("size(filter(split(text,' '), x -> x IN ('slow','dup')))"))
+          / size(split($"text", " "))).as("sent"))
+      sent.groupBy($"lang").agg(round(avg($"sent"), 4).as("avg_sent"))
+        .orderBy($"lang")
+    }),
+
+    "q_text_lang_stats" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          round(avg($"n_chars"), 2).as("avg_chars"),
+          max($"n_chars").as("max_chars"),
+          countDistinct($"source").as("n_sources"))
+        .orderBy($"lang")
+    }),
+
+    // Exact dedup on (lang, source) keeping min doc_id — window
+    // row_number, NOT dropDuplicates (nondeterministic survivor).
+    "q_dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      t(s, d, "documents").select($"doc_id", $"lang", $"source")
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // MinHash + LSH near-dup: signature → band buckets → candidate
+    // pairs via bucket join → exact-Jaccard verification ≥ 0.6.
+    // The verified output is exact, so the oracle brute-forces Jaccard
+    // within (lang) blocks and must match row-for-row.
+    "q_dedup_minhash" -> ((s, d) => {
+      import s.implicits._
+      val tk = toks(s, d).select($"doc_id", $"lang",
+        array_distinct($"tok").as("tok"))
+      val sigCols = (0 until NumBands).map(i =>
+        array_min(transform($"tok", x => xxhash64(lit(i), x))).as(s"h$i"))
+      val sig = tk.select(($"doc_id" +: $"lang" +: sigCols): _*)
+      val bands = sig.select($"doc_id", $"lang",
+        posexplode(array((0 until NumBands).map(i => col(s"h$i")): _*))
+          .as(Seq("band", "hval")))
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.lang" === $"b.lang" && $"a.band" === $"b.band" &&
+          $"a.hval" === $"b.hval" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+      val ta = tk.select($"doc_id".as("doc_a"), $"tok".as("tok_a"))
+      val tb = tk.select($"doc_id".as("doc_b"), $"tok".as("tok_b"))
+      cand.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("inter",
+          size(array_intersect($"tok_a", $"tok_b")).cast("double"))
+        .withColumn("jac",
+          $"inter" / (size($"tok_a") + size($"tok_b") - $"inter"))
+        .where($"jac" >= 0.6)
+        .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_wordcount" -> """
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+      ORDER BY n DESC, token
+      LIMIT 20""",
+
+    // `||` (null-propagating), NOT concat (DuckDB concat ignores NULLs
+    // and would fabricate a dangling 'token ' bigram per document).
+    "q_text_ngram" -> """
+      WITH tk AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      bi AS (
+        SELECT lang,
+               token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM tk),
+      cnt AS (
+        SELECT lang, bigram, count(*) AS n FROM bi
+        WHERE bigram IS NOT NULL GROUP BY lang, bigram)
+      SELECT lang, bigram, n FROM (
+        SELECT lang, bigram, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+        FROM cnt)
+      WHERE rn <= 10
+      ORDER BY lang, n DESC, bigram""",
+
+    "q_text_tfidf" -> """
+      WITH docs AS (SELECT * FROM documents WHERE doc_id < 50),
+      tfc AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs)
+        GROUP BY doc_id, term),
+      dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY term),
+      nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+      scored AS (
+        SELECT t.doc_id, t.term,
+               ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 4) AS score
+        FROM tfc t JOIN dfc d USING (term) CROSS JOIN nn n)
+      SELECT doc_id, term, score FROM (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        FROM scored)
+      WHERE rn <= 5
+      ORDER BY doc_id, score DESC, term""",
+
+    "q_text_sentiment" -> """
+      SELECT lang, ROUND(AVG(sent), 4) AS avg_sent FROM (
+        SELECT lang,
+               (CAST(len(list_filter(string_split(text, ' '), x -> x IN ('fast','small'))) AS DOUBLE)
+                - len(list_filter(string_split(text, ' '), x -> x IN ('slow','dup'))))
+               / len(string_split(text, ' ')) AS sent
+        FROM documents)
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "q_text_lang_stats" -> """
+      SELECT lang, count(*) AS n_docs,
+             ROUND(AVG(n_chars), 2) AS avg_chars,
+             MAX(n_chars) AS max_chars,
+             count(DISTINCT source) AS n_sources
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "q_dedup_exact" -> """
+      SELECT doc_id, lang, source FROM documents
+      QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+      ORDER BY doc_id""",
+
+    // Brute-force exact Jaccard within (lang) blocks — the LSH path's
+    // verified output must equal this or the LSH missed a pair.
+    "q_dedup_minhash" -> """
+      WITH tk AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tok
+        FROM documents)
+      SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+               / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) AS jac
+        FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      WHERE jac >= 0.6
+      ORDER BY doc_a, doc_b""",
+  )
+}
