@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.Row
+import SparkTestBase.{microDir, sf0001}
+
+/** Operator edge-case tests on the handcrafted micro-fixture
+  * (SURVEY §5.2) plus invariants the DuckDB oracle can't express
+  * (the ±5% HLL bound for the no-oracle q_agg_approx row).
+  */
+class OpsSpec extends GraftSuite {
+
+  test("q_join_left counts 0 for a customer with no orders") {
+    val rows = q("q_join_left", microDir).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("q_join_anti returns exactly the never-sold parts") {
+    val keys = q("q_join_anti", microDir).collect().map(_.getLong(0)).toSeq
+    assert(keys === Seq(3L))
+  }
+
+  test("q_join_outer_full manufactures nulls on both sides") {
+    val rows = q("q_join_outer_full", microDir).collect()
+    // user 99 has events but no customer row → null c_name
+    val u99 = rows.find(_.getLong(0) == 99L).get
+    assert(u99.isNullAt(1) && u99.getLong(2) == 1L)
+    // customer 1 has no events → null n_events
+    val c1 = rows.find(_.getLong(0) == 1L).get
+    assert(c1.getString(1) == "Alice" && c1.isNullAt(2))
+  }
+
+  test("q_join_asof matches a purchase to its most recent prior signup, null if none") {
+    val rows = q("q_join_asof", microDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows === Map(2L -> Some(1L), 5L -> None))
+  }
+
+  test("q_win_lag yields null for each partition's first event") {
+    val rows = q("q_win_lag", microDir).collect()
+    val first7 = rows.filter(_.getLong(0) == 7L).head
+    assert(first7.isNullAt(2), "first event of a user has no previous gap")
+    val second7 = rows.filter(_.getLong(0) == 7L)(1)
+    assert(second7.getLong(2) == 10L)
+  }
+
+  test("q_dedup_exact keeps the minimum doc_id per (lang, source)") {
+    val ids = q("q_dedup_exact", microDir).collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(0L, 2L), "survivor must be min doc_id, deterministic")
+  }
+
+  test("q_dedup_minhash finds the exact-duplicate pair with jaccard 1.0") {
+    val rows = q("q_dedup_minhash", microDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((0L, 1L, 1.0)))
+  }
+
+  test("q_stream_session splits on the 30-minute gap, merges within it") {
+    val rows = q("q_stream_session", microDir).collect()
+      .filter(_.getLong(0) == 7L)
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2)))
+    assert(rows === Seq(("2024-01-01 10:00:00.0", 2L),
+                        ("2024-01-01 10:40:00.0", 2L)))
+  }
+
+  test("q_sim_cosine_topk ranks by dot product on unit vectors") {
+    val rows = q("q_sim_cosine_topk", microDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(rows === Seq(1L -> 0.6, 2L -> 0.0))
+  }
+
+  test("q_text_wordcount counts and orders (n desc, token)") {
+    val top = q("q_text_wordcount", microDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(top.take(3) === Seq("fast" -> 2L, "fox" -> 2L, "the" -> 2L))
+    assert(top.map(_._2) === top.map(_._2).sorted.reverse)
+  }
+
+  test("q_agg_approx HLL++ estimate is within ±5% of the exact count") {
+    import spark.implicits._
+    val approx = q("q_agg_approx", sf0001).collect()(0).getLong(0)
+    val exact = ops.Tables.t(spark, sf0001, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("q_win_rank rank values never exceed group size and start at 1") {
+    val rows = q("q_win_rank", sf0001).collect()
+    assert(rows.nonEmpty)
+    val bySegment = rows.groupBy(_.getString(0))
+    bySegment.foreach { case (_, rs) =>
+      val rns = rs.map(_.getInt(3)).sorted.toSeq // col 3 = rn
+      assert(rns === (1 to rns.size).toSeq, "row_number must be dense from 1")
+    }
+  }
+
+  test("q_topk_global equals the prefix of the full sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val topk = q("q_topk_global", sf0001).collect().toSeq
+    val full = ops.Tables.t(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      .limit(10).collect().toSeq
+    assert(topk === full)
+  }
+
+  test("q_sim_pairs canonicalizes label pairs (lo <= hi) and bounds sims") {
+    val rows = q("q_sim_pairs", microDir).collect()
+    assert(rows.nonEmpty, "micro vectors contain a pair above threshold")
+    rows.foreach { r =>
+      assert(r.getInt(0) <= r.getInt(1))
+      val avg = r.getDouble(3)
+      assert(avg >= 0.35 && avg <= 1.0)
+    }
+  }
+
+  test("q_text_sentiment scores stay within [-1, 1]") {
+    q("q_text_sentiment", sf0001).collect().foreach { r =>
+      val v = r.getDouble(1)
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+
+  test("empty-input grouping yields an empty result, not a crash") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // documents filtered to nothing → wordcount pipeline on empty input
+    val empty = ops.Tables.t(spark, microDir, "documents")
+      .where($"doc_id" < 0)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").count()
+    assert(empty.collect().isEmpty)
+  }
+}

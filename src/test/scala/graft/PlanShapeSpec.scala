@@ -1,0 +1,65 @@
+package graft
+
+import SparkTestBase.sf0001
+
+/** Plan-shape assertions (SURVEY §5.4): lock in the §4 claims that
+  * Catalyst produces the physical shapes the 100-TB design relies on —
+  * broadcast for dim joins, pushed filters at the parquet scan, pruned
+  * read schemas, partial+final hash aggregation, and sort+limit fusion.
+  */
+class PlanShapeSpec extends GraftSuite {
+
+  private def plan(name: String): String =
+    q(name, sf0001).queryExecution.executedPlan.toString
+
+  test("q_join_broadcast plans a BroadcastHashJoin (hint honored)") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_filter_pred pushes predicates to the parquet scan") {
+    val p = plan("q_filter_pred")
+    // node toString elides long filter lists — assert on the visible
+    // prefix, which already proves predicates reached the reader
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("IsNotNull(l_quantity)"), "numeric pred must reach the reader")
+  }
+
+  test("q_scan_project prunes the read schema to referenced columns") {
+    val p = plan("q_scan_project")
+    // lineitem has 11 columns; the query touches 6 — the scan must not
+    // read the rest (l_tax is the canary).
+    assert(!p.contains("l_tax"), "unreferenced column read from parquet")
+    assert(p.contains("PushedFilters: ["))
+  }
+
+  test("q_agg_group aggregates partial then final (map-side combine)") {
+    val occurrences = "HashAggregate".r.findAllIn(plan("q_agg_group")).size
+    assert(occurrences >= 2, s"expected partial+final HashAggregate, saw $occurrences")
+  }
+
+  test("q_topk_global fuses sort+limit into TakeOrderedAndProject") {
+    assert(plan("q_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_sort_multi fuses sort+limit into TakeOrderedAndProject") {
+    assert(plan("q_sort_multi").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_sim_cosine_topk broadcasts the query vector, never shuffles the corpus side") {
+    val p = plan("q_sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_dedup_minhash generates candidates via bucket join, not a cartesian product") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"),
+      "LSH candidate generation must stay a keyed bucket join")
+  }
+
+  test("q_join_inner keys both sides on the equi-join columns") {
+    val p = plan("q_join_inner")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+  }
+}

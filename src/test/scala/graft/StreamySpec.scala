@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming-only semantics (SURVEY §5.5): the behaviors the batch
+  * oracle can never see — watermark late-data dropping for
+  * q_stream_late's 10-minute watermark, and session merging across
+  * micro-batches. Uses MemoryStream exactly as the §2.7 queries would
+  * run under Structured Streaming.
+  */
+class StreamySpec extends GraftSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("10-minute watermark drops events later than the watermark (q_stream_late)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"n")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val query = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append).option("checkpointLocation", dir).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1.0),
+                    (ts("2024-01-01 10:05:00"), 2.0))
+      query.processAllAvailable()
+      // advance event time → watermark becomes 11:50, closing 10:00-11:00
+      input.addData((ts("2024-01-01 12:00:00"), 3.0))
+      query.processAllAvailable()
+      // LATE: behind the watermark — must be dropped, not re-counted
+      input.addData((ts("2024-01-01 10:30:00"), 4.0))
+      query.processAllAvailable()
+      // close the 12:00 window too
+      input.addData((ts("2024-01-01 14:00:00"), 5.0))
+      query.processAllAvailable()
+      val out = s.table("late_test").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(out("2024-01-01 10:00:00.0") == 2L,
+        "late event must not be added to the closed window")
+      assert(out("2024-01-01 12:00:00.0") == 1L)
+    } finally query.stop()
+  }
+
+  test("session windows merge events across micro-batches until the gap exceeds 30 min") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"), $"n_events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck2").toString
+    val query = agg.writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append).option("checkpointLocation", dir).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 7L))
+      query.processAllAvailable()
+      // second batch, 10 min later: same session, must merge
+      input.addData((ts("2024-01-01 10:10:00"), 7L))
+      query.processAllAvailable()
+      // 40-min gap then far-future event to finalize everything
+      input.addData((ts("2024-01-01 10:50:00"), 7L))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), 7L))
+      query.processAllAvailable()
+      val sessions = s.table("session_test").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getLong(2))).sorted.toSeq
+      assert(sessions.contains(("2024-01-01 10:00:00.0", 2L)),
+        "cross-batch events 10 min apart must merge into one session")
+      assert(sessions.contains(("2024-01-01 10:50:00.0", 1L)),
+        "a 40-min gap must start a new session")
+    } finally query.stop()
+  }
+
+  test("q_stream_tumble batch result equals the same pipeline under streaming") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // batch answer on the micro fixture
+    val batch = q("q_stream_tumble", SparkTestBase.microDir).collect()
+      .map(_.toString).sorted.toSeq
+    // stream the same rows through the identical operator chain
+    val ev = ops.Tables.t(s, SparkTestBase.microDir, "events")
+      .select($"ts", $"event_type", $"value")
+      .as[(Timestamp, String, Double)].collect().toSeq
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "event_type", "value")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+    val query = agg.writeStream.format("memory").queryName("tumble_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(ev: _*)
+      query.processAllAvailable()
+      val streamed = s.table("tumble_test").collect()
+        .map(_.toString).sorted.toSeq
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+}
