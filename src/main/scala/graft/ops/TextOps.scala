@@ -29,14 +29,6 @@ import Tables.{Q, t}
   */
 object TextOps {
 
-  /** (doc_id, lang, tokens) — single-space tokenization is exact for
-    * the fixture corpus (FIXTURES.md: text is space-separated tokens). */
-  private def toks(s: org.apache.spark.sql.SparkSession, d: String) = {
-    import s.implicits._
-    t(s, d, "documents").select($"doc_id", $"lang",
-      split($"text", " ").as("tok"))
-  }
-
   /** MinHash bands: b=16 bands of r=1 row each. r=1 keeps recall at
     * threshold 0.6 effectively 1 ((1-s)^16 ≤ 4.3e-7 per pair at
     * s=0.6) so the exact-Jaccard-verified output equals the oracle's
@@ -129,14 +121,23 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
-    // MinHash + LSH near-dup: signature → band buckets → candidate
-    // pairs via bucket join → exact-Jaccard verification ≥ 0.6.
-    // The verified output is exact, so the oracle brute-forces Jaccard
+    // MinHash + LSH near-dup: shingle → signature → band buckets →
+    // candidate pairs via bucket join → exact-Jaccard verify ≥ 0.6.
+    // Sets are 3-token shingles, not unigrams: on a small shared
+    // vocabulary, unigram Jaccard marks 75% of same-language pairs as
+    // "near-dups" (measured at sf0.01), which makes LSH prune nothing;
+    // shingles keep only genuinely duplicated passages. The verified
+    // output is exact, so the oracle brute-forces shingle Jaccard
     // within (lang) blocks and must match row-for-row.
     "q_dedup_minhash" -> ((s, d) => {
       import s.implicits._
-      val tk = toks(s, d).select($"doc_id", $"lang",
-        array_distinct($"tok").as("tok"))
+      val words = t(s, d, "documents")
+        .select($"doc_id", $"lang", split($"text", " ").as("w"))
+      val tk = words.where(size($"w") >= 3)
+        .select($"doc_id", $"lang",
+          array_distinct(transform(sequence(lit(0), size($"w") - 3),
+            i => concat_ws(" ", element_at($"w", i + 1),
+              element_at($"w", i + 2), element_at($"w", i + 3)))).as("tok"))
       val sigCols = (0 until NumBands).map(i =>
         array_min(transform($"tok", x => xxhash64(lit(i), x))).as(s"h$i"))
       val sig = tk.select(($"doc_id" +: $"lang" +: sigCols): _*)
@@ -234,12 +235,23 @@ object TextOps {
       QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
       ORDER BY doc_id""",
 
-    // Brute-force exact Jaccard within (lang) blocks — the LSH path's
-    // verified output must equal this or the LSH missed a pair.
+    // Brute-force exact shingle-set Jaccard within (lang) blocks — the
+    // LSH path's verified output must equal this or the LSH missed a
+    // pair. `||` propagates NULL, so each doc's last two positions
+    // produce no shingle (same as the Spark side's sequence bound).
     "q_dedup_minhash" -> """
-      WITH tk AS (
-        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tok
-        FROM documents)
+      WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      sh AS (
+        SELECT doc_id, lang,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      tk AS (
+        SELECT doc_id, lang, list(DISTINCT shingle) AS tok
+        FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang)
       SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
