@@ -19,6 +19,7 @@ object SparkEntry {
       (Streamy.queries, Streamy.oracle),
       (TextOps.queries, TextOps.oracle),
       (SimOps.queries, SimOps.oracle),
+      (ExtOps.queries, ExtOps.oracle),
     )
 
   /** Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001;

@@ -83,7 +83,7 @@ object Aggs {
     }),
 
     // HLL++ sketch — no DuckDB oracle (sketch families differ);
-    // exactness asserted ±5% in AggsSpec instead (SURVEY §2.4).
+    // exactness asserted ±5% in OpsSpec instead (SURVEY §2.4).
     "q_agg_approx" -> ((s, d) => {
       import s.implicits._
       t(s, d, "orders").agg(

@@ -1,0 +1,436 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables.{Q, t}
+
+/** §2.9 (round-2 additions): the remaining training-data-pipeline
+  * operator families the north star mandates beyond SURVEY §2.8 —
+  * language ID, quality scoring, BPE-ish token counting, document
+  * fingerprinting, SimHash near-dup, exact n-gram-Jaccard dedup,
+  * embedding-cosine near-dup, IVF-style ANN, and binary/multimodal
+  * column plumbing.
+  *
+  * Cross-engine hashing: wherever a query needs a hash both engines
+  * can compute bit-identically, it uses the first 15 hex chars of
+  * md5 (a 60-bit value, in-range for signed BIGINT): Spark
+  * `conv(substring(md5(x),1,15),16,10)` ≡ DuckDB
+  * `CAST('0x' || substring(md5(x),1,15) AS BIGINT)` (verified
+  * including multi-byte UTF-8). Rolling-hash folds stay mod 1e9+7 so
+  * DuckDB's checked BIGINT arithmetic can never overflow.
+  *
+  * Scale notes (100 TB): every pairwise operator is blocked (lang /
+  * label / bounded id range) or bucketed — never an unbounded
+  * cross join; the IVF query demonstrates the ANN scale path (probe
+  * one cell, not the corpus); fingerprint/simhash/quality are
+  * single-pass, shuffle-free per-row pipelines ending in one keyed
+  * aggregation.
+  */
+object ExtOps {
+
+  private val P = 1000000007L
+
+  /** 60-bit md5-derived token hash, identical in DuckDB. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die"),
+    "en" -> Seq("the", "of", "and"),
+    "es" -> Seq("el", "los", "y"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("的", "是"))
+
+  private val StopWords =
+    Seq("the", "a", "of", "and", "le", "el", "der", "und")
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ",", ")")
+
+  /** 60 per-bit sign sums → SimHash. Generated for both engines so the
+    * bit logic stays literally identical. */
+  private val SimBits = 60
+
+  val queries: Map[String, Q] = Map(
+    // n-gram-heuristic language ID: count marker-token hits per
+    // language profile, predict the argmax (ties → first profile in
+    // fixed order), 'und' when nothing matches. Confusion counts.
+    "q_text_langid" -> ((s, d) => {
+      import s.implicits._
+      val scored = LangMarkers.foldLeft(
+        t(s, d, "documents").withColumn("tok", split($"text", " "))) {
+        case (df, (l, ms)) => df.withColumn(s"s_$l",
+          expr(s"size(filter(tok, x -> x IN ${inList(ms)}))"))
+      }
+      val sCols = LangMarkers.map { case (l, _) => col(s"s_$l") }
+      val pred = LangMarkers.foldRight(lit("und"): Column) {
+        case ((l, _), other) =>
+          when(col(s"s_$l") === greatest(sCols: _*) &&
+            greatest(sCols: _*) > 0, l).otherwise(other)
+      }
+      scored.withColumn("pred_lang", pred)
+        .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"pred_lang")
+    }),
+
+    // Quality score per doc: stopword ratio + length credit +
+    // distinct-token ratio, aggregated per language.
+    "q_text_quality" -> ((s, d) => {
+      import s.implicits._
+      val perDoc = t(s, d, "documents")
+        .withColumn("tok", split($"text", " "))
+        .withColumn("n_tok", size($"tok").cast("double"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(tok, x -> x IN ${inList(StopWords)}))")
+            / $"n_tok")
+        .withColumn("distinct_ratio",
+          size(array_distinct($"tok")) / $"n_tok")
+        .withColumn("quality", round(
+          $"stop_ratio" * 0.4 +
+            least($"n_tok", lit(200.0)) / 200.0 * 0.3 +
+            $"distinct_ratio" * 0.3, 4))
+      perDoc.groupBy($"lang").agg(
+          round(avg($"quality"), 4).as("avg_q"),
+          round(min($"quality"), 4).as("min_q"),
+          round(max($"quality"), 4).as("max_q"))
+        .orderBy($"lang")
+    }),
+
+    // Token counting: word tokens via a regex tokenizer plus a BPE-ish
+    // subword estimate (ceil(len/4) per word, integer arithmetic so
+    // both engines agree exactly).
+    "q_text_tokens" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("tok",
+          expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)"))
+        .withColumn("n_words", size($"tok").cast("long"))
+        .withColumn("n_bpe", expr(
+          "aggregate(tok, 0L, (a, w) -> a + (length(w) + 3) div 4)"))
+        .groupBy($"lang").agg(
+          sum($"n_words").as("sum_words"),
+          sum($"n_bpe").as("sum_bpe"),
+          round(avg($"n_words"), 2).as("avg_words"))
+        .orderBy($"lang")
+    }),
+
+    // Document fingerprint: order-sensitive polynomial rolling hash
+    // over the token stream (mod 1e9+7), plus the same hash over the
+    // first-8-token prefix — a cheap shift-detection pair.
+    "q_text_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val hashed = t(s, d, "documents").where($"doc_id" < 200)
+        .withColumn("tokh", expr(
+          "transform(split(text, ' '), t -> " +
+            s"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % $P)"))
+      hashed.select($"doc_id",
+          expr(s"aggregate(tokh, 0L, (a, b) -> (a * 31 + b) % $P)").as("fp"),
+          expr(s"aggregate(slice(tokh, 1, 8), 0L, (a, b) -> (a * 31 + b) % $P)")
+            .as("fp_prefix8"))
+        .orderBy($"doc_id")
+    }),
+
+    // SimHash near-dup: per-bit sign votes over the distinct-token
+    // set → 60-bit signature; pairs within (lang, doc_id<500 block)
+    // at Hamming distance ≤ 3. Both engines build the identical
+    // signature from the md5-derived hash.
+    "q_dedup_simhash" -> ((s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents").where($"doc_id" < 500)
+        .select($"doc_id", $"lang",
+          explode(array_distinct(split($"text", " "))).as("tk"))
+        .withColumn("h", h60($"tk"))
+      val bitSums = (0 until SimBits).map(j =>
+        sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"s$j"))
+      val sig = tok.groupBy($"doc_id", $"lang")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select($"doc_id", $"lang",
+          (0 until SimBits).map(j =>
+            when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+      val a = sig.select($"doc_id".as("doc_a"), $"lang".as("lang_a"),
+        $"simhash".as("sh_a"))
+      val b = sig.select($"doc_id".as("doc_b"), $"lang".as("lang_b"),
+        $"simhash".as("sh_b"))
+      a.join(b, $"lang_a" === $"lang_b" && $"doc_a" < $"doc_b")
+        .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+        .where($"hamming" <= 3)
+        .select($"doc_a", $"doc_b", $"hamming".cast("int").as("hamming"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Exact n-gram Jaccard dedup (the LSH-free path, for corpora small
+    // enough to verify every in-block pair): bigram shingles, blocked
+    // on (lang, doc_id<1000), threshold 0.5.
+    "q_dedup_ngram" -> ((s, d) => {
+      import s.implicits._
+      val words = t(s, d, "documents").where($"doc_id" < 1000)
+        .select($"doc_id", $"lang", split($"text", " ").as("w"))
+      val tk = words.where(size($"w") >= 2)
+        .select($"doc_id", $"lang",
+          array_distinct(transform(sequence(lit(0), size($"w") - 2),
+            i => concat_ws(" ", element_at($"w", i + 1),
+              element_at($"w", i + 2)))).as("tok"))
+      val a = tk.select($"doc_id".as("doc_a"), $"lang".as("lang_a"),
+        $"tok".as("tok_a"))
+      val b = tk.select($"doc_id".as("doc_b"), $"lang".as("lang_b"),
+        $"tok".as("tok_b"))
+      a.join(b, $"lang_a" === $"lang_b" && $"doc_a" < $"doc_b")
+        .withColumn("inter",
+          size(array_intersect($"tok_a", $"tok_b")).cast("double"))
+        .withColumn("jac",
+          $"inter" / (size($"tok_a") + size($"tok_b") - $"inter"))
+        .where($"jac" >= 0.5)
+        .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Embedding-cosine near-dup: label-blocked pair scan, keep-lowest-
+    // id survivor policy, per-label survivor/dropped counts.
+    "q_dedup_embed" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "embeddings")
+        .select($"vec_id", $"label", $"embedding")
+      val a = e.select($"vec_id".as("va"), $"label".as("la"),
+        $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("vb"), $"label".as("lb"),
+        $"embedding".as("eb"))
+      val dropped = a.join(b, $"la" === $"lb" && $"va" < $"vb")
+        .withColumn("sim", round(aggregate(
+          zip_with($"ea", $"eb", (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v), 4))
+        .where($"sim" >= 0.4)
+        .select($"vb".as("vec_id")).distinct()
+      e.join(dropped.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
+        .groupBy($"label").agg(
+          count(lit(1)).as("n_vectors"),
+          sum(when($"is_dup".isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy($"label")
+    }),
+
+    // IVF-style ANN: coarse cells = argmax-dot assignment against a
+    // deterministic centroid set (vec_id < 8); probing searches ONLY
+    // the query's cell — the path that scales to 10^9 vectors, vs the
+    // brute-force baseline q_sim_cosine_topk.
+    "q_sim_ann_ivf" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val dots = emb.crossJoin(broadcast(cents))
+        .withColumn("cdot", round(aggregate(
+          zip_with($"embedding", $"ce",
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v), 4))
+      val w = Window.partitionBy($"vec_id")
+        .orderBy($"cdot".desc, $"cid")
+      val cells = dots.withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"vec_id", $"label", $"embedding", $"cid".as("cell"))
+      val qcell = cells.where($"vec_id" === 0)
+        .select($"cell".as("qc"), $"embedding".as("qe"))
+      cells.crossJoin(broadcast(qcell))
+        .where($"cell" === $"qc" && $"vec_id" =!= 0)
+        .withColumn("sim", round(aggregate(
+          zip_with($"embedding", $"qe",
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v), 4))
+        .select($"vec_id", $"cell", $"sim")
+        .orderBy($"sim".desc, $"vec_id")
+        .limit(10)
+    }),
+
+    // Multimodal/binary plumbing: treat the payload as an opaque
+    // binary column with typed metadata; "decode" and "frame-sample"
+    // are deterministic byte probes (head / middle / tail) standing in
+    // for codec calls that aren't on this box — the schema, batch
+    // shape, and per-row plumbing are the real thing.
+    "q_multimodal_meta" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").where($"doc_id" < 200)
+        .withColumn("blob", encode($"text", "UTF-8"))
+        .select($"doc_id", $"lang",
+          octet_length($"blob").as("n_bytes"),
+          expr("ascii(substring(text, 1, 1))").as("head_byte"),
+          expr("ascii(substring(text, cast(length(text) / 2 as int) + 1, 1))")
+            .as("mid_byte"),
+          expr("ascii(substring(text, length(text), 1))").as("tail_byte"),
+          round((octet_length($"blob") % 256) / 255.0, 4).as("fake_feature"))
+        .orderBy($"doc_id")
+    }),
+  )
+
+  /** DuckDB SimHash signature CTE, generated with the same bit logic
+    * as the Spark side. */
+  private def simhashSql: String = {
+    val sums = (0 until SimBits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n               ")
+    val bits = (0 until SimBits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tk
+        FROM documents WHERE doc_id < 500),
+      hashed AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substring(md5(tk), 1, 15)) AS BIGINT) AS h
+        FROM tok),
+      sums AS (
+        SELECT doc_id, lang,
+               $sums
+        FROM hashed GROUP BY doc_id, lang),
+      sig AS (
+        SELECT doc_id, lang, $bits AS simhash
+        FROM sums)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY doc_a, doc_b"""
+  }
+
+  val oracle: Map[String, String] = {
+    val langCase = {
+      val maxExpr = "GREATEST(" +
+        LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val whens = LangMarkers.map { case (l, _) =>
+        s"WHEN s_$l = $maxExpr AND $maxExpr > 0 THEN '$l'"
+      }.mkString("\n                    ")
+      s"CASE $whens ELSE 'und' END"
+    }
+    val langScores = LangMarkers.map { case (l, ms) =>
+      s"len(list_filter(string_split(text, ' '), x -> x IN ${inList(ms)})) AS s_$l"
+    }.mkString(",\n               ")
+
+    Map(
+      "q_text_langid" -> s"""
+        WITH scored AS (
+          SELECT lang,
+               $langScores
+          FROM documents)
+        SELECT lang, $langCase AS pred_lang, count(*) AS n
+        FROM scored
+        GROUP BY lang, pred_lang
+        ORDER BY lang, pred_lang""",
+
+      "q_text_quality" -> s"""
+        WITH per_doc AS (
+          SELECT lang, ROUND(
+              CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ${inList(StopWords)})) AS DOUBLE)
+                / len(string_split(text, ' ')) * 0.4
+            + LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE), 200.0)
+                / 200.0 * 0.3
+            + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) * 0.3, 4) AS quality
+          FROM documents)
+        SELECT lang, ROUND(AVG(quality), 4) AS avg_q,
+               ROUND(MIN(quality), 4) AS min_q,
+               ROUND(MAX(quality), 4) AS max_q
+        FROM per_doc GROUP BY lang ORDER BY lang""",
+
+      "q_text_tokens" -> """
+        WITH per_doc AS (
+          SELECT lang,
+                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_words,
+                 list_sum(list_transform(
+                   regexp_extract_all(lower(text), '[a-z]+|[0-9]+'),
+                   w -> (strlen(w) + 3) // 4)) AS n_bpe
+          FROM documents)
+        SELECT lang, SUM(n_words) AS sum_words, SUM(n_bpe) AS sum_bpe,
+               ROUND(AVG(n_words), 2) AS avg_words
+        FROM per_doc GROUP BY lang ORDER BY lang""",
+
+      "q_text_fingerprint" -> s"""
+        WITH hashed AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ' '), t ->
+                   CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % $P)
+                   AS tokh
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+               list_reduce(list_prepend(0::BIGINT, tokh),
+                 (a, b) -> (a * 31 + b) % $P) AS fp,
+               list_reduce(list_prepend(0::BIGINT, tokh[1:8]),
+                 (a, b) -> (a * 31 + b) % $P) AS fp_prefix8
+        FROM hashed
+        ORDER BY doc_id""",
+
+      "q_dedup_simhash" -> simhashSql,
+
+      "q_dedup_ngram" -> """
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents WHERE doc_id < 1000),
+        sh AS (
+          SELECT doc_id, lang,
+                 t || ' ' || lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS shingle
+          FROM tok),
+        tk AS (
+          SELECT doc_id, lang, list(DISTINCT shingle) AS tok
+          FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang)
+        SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                 / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
+                   AS jac
+          FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        WHERE jac >= 0.5
+        ORDER BY doc_a, doc_b""",
+
+      "q_dedup_embed" -> """
+        WITH dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) >= 0.4)
+        SELECT e.label, count(*) AS n_vectors,
+               SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped
+        FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+        GROUP BY e.label
+        ORDER BY e.label""",
+
+      "q_sim_ann_ivf" -> """
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        dots AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 ROUND(list_sum(list_transform(list_zip(e.embedding, c.ce),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS cdot
+          FROM embeddings e CROSS JOIN cents c),
+        cells AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT vec_id, embedding, cid, cdot,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cdot DESC, cid) AS rn
+            FROM dots) WHERE rn = 1),
+        qc AS (SELECT cell AS qcell, embedding AS qe FROM cells WHERE vec_id = 0)
+        SELECT v.vec_id, v.cell,
+               ROUND(list_sum(list_transform(list_zip(v.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS sim
+        FROM cells v CROSS JOIN qc q
+        WHERE v.cell = q.qcell AND v.vec_id <> 0
+        ORDER BY sim DESC, vec_id
+        LIMIT 10""",
+
+      "q_multimodal_meta" -> """
+        SELECT doc_id, lang,
+               CAST(strlen(text) AS INT) AS n_bytes,
+               ascii(substring(text, 1, 1)) AS head_byte,
+               ascii(substring(text, CAST(length(text) // 2 AS INT) + 1, 1))
+                 AS mid_byte,
+               ascii(substring(text, length(text), 1)) AS tail_byte,
+               ROUND((strlen(text) % 256) / 255.0, 4) AS fake_feature
+        FROM documents WHERE doc_id < 200
+        ORDER BY doc_id""",
+    )
+  }
+}
