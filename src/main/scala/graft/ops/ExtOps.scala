@@ -202,9 +202,8 @@ object ExtOps {
       val b = e.select($"vec_id".as("vb"), $"label".as("lb"),
         $"embedding".as("eb"))
       val dropped = a.join(b, $"la" === $"lb" && $"va" < $"vb")
-        .withColumn("sim", round(aggregate(
-          zip_with($"ea", $"eb", (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v), 4))
+        .withColumn("sim",
+          round(graft.functions.FloatDot.dotF($"ea", $"eb"), 4))
         .where($"sim" >= 0.4)
         .select($"vb".as("vec_id")).distinct()
       e.join(dropped.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
@@ -224,10 +223,8 @@ object ExtOps {
       val cents = emb.where($"vec_id" < 8)
         .select($"vec_id".as("cid"), $"embedding".as("ce"))
       val dots = emb.crossJoin(broadcast(cents))
-        .withColumn("cdot", round(aggregate(
-          zip_with($"embedding", $"ce",
-            (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v), 4))
+        .withColumn("cdot",
+          round(graft.functions.FloatDot.dotF($"embedding", $"ce"), 4))
       val w = Window.partitionBy($"vec_id")
         .orderBy($"cdot".desc, $"cid")
       val cells = dots.withColumn("rn", row_number().over(w))
@@ -237,10 +234,8 @@ object ExtOps {
         .select($"cell".as("qc"), $"embedding".as("qe"))
       cells.crossJoin(broadcast(qcell))
         .where($"cell" === $"qc" && $"vec_id" =!= 0)
-        .withColumn("sim", round(aggregate(
-          zip_with($"embedding", $"qe",
-            (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v), 4))
+        .withColumn("sim",
+          round(graft.functions.FloatDot.dotF($"embedding", $"qe"), 4))
         .select($"vec_id", $"cell", $"sim")
         .orderBy($"sim".desc, $"vec_id")
         .limit(10)

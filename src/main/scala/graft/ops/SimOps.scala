@@ -22,11 +22,12 @@ import Tables.{Q, t}
   */
 object SimOps {
 
-  /** Dot product of two (float-typed) vector columns in DOUBLE. */
+  /** Dot product of two (float-typed) vector columns in DOUBLE —
+    * the native codegen'd expression (graft.functions.FloatDot), not
+    * the interpreted aggregate(zip_with(...)) HOF form. */
   private def dot(a: org.apache.spark.sql.Column,
                   b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.FloatDot.dotF(a, b)
 
   val queries: Map[String, Q] = Map(
     // Top-10 neighbors of vec_id=0 by cosine (= dot on unit vectors).
@@ -76,9 +77,7 @@ object SimOps {
         .select($"vec_id", $"label", $"embedding")
       docs.join(emb, $"doc_id" === $"vec_id")
         .select($"doc_id", $"lang", $"n_chars", $"label",
-          round(sqrt(aggregate($"embedding", lit(0.0),
-            (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
-            .as("l2norm"))
+          round(sqrt(dot($"embedding", $"embedding")), 4).as("l2norm"))
         .orderBy($"doc_id")
     }),
   )
