@@ -177,11 +177,34 @@ object ExtOps {
           array_distinct(transform(sequence(lit(0), size($"w") - 2),
             i => xxhash64(concat_ws(" ", element_at($"w", i + 1),
               element_at($"w", i + 2))))).as("tok"))
-      val a = tk.select($"doc_id".as("doc_a"), $"lang".as("lang_a"),
-        $"tok".as("tok_a"))
-      val b = tk.select($"doc_id".as("doc_b"), $"lang".as("lang_b"),
-        $"tok".as("tok_b"))
-      a.join(b, $"lang_a" === $"lang_b" && $"doc_a" < $"doc_b")
+      // Triangle bucket-blocking: joining on `lang` alone gives at
+      // most 5 distinct shuffle keys (language count), so a cluster
+      // would run this on 5 skewed tasks. Docs hash into B buckets and
+      // each unordered bucket pair (bi <= bj) becomes part of the join
+      // key — B(B+1)/2 blocks per language, each row replicated B+1
+      // times, every doc pair produced exactly once (in the block that
+      // equals its normalized bucket pair). B follows the available
+      // parallelism (the result is B-invariant): a 1000-core cluster
+      // gets ~64²/2 blocks, local mode pays minimal replication.
+      val B = math.max(4, math.min(64, s.sparkContext.defaultParallelism))
+      val blocks = s.range(B.toLong * B).select(
+          ($"id" / B).cast("int").as("bi"),
+          ($"id" % B).cast("int").as("bj"))
+        .where($"bi" <= $"bj")
+      def rep(side: String) = tk
+        .withColumn("bk", ($"doc_id" % B).cast("int"))
+        .crossJoin(broadcast(blocks))
+        .where($"bk" === $"bi" || $"bk" === $"bj")
+        .select($"doc_id".as(s"doc_$side"), $"lang".as(s"lang_$side"),
+          $"tok".as(s"tok_$side"), $"bk".as(s"bk_$side"), $"bi", $"bj")
+      val a = rep("a")
+      val b = rep("b").withColumnRenamed("bi", "bi_b")
+        .withColumnRenamed("bj", "bj_b")
+      a.join(b,
+          $"lang_a" === $"lang_b" && $"bi" === $"bi_b" &&
+          $"bj" === $"bj_b" && $"doc_a" < $"doc_b" &&
+          least($"bk_a", $"bk_b") === $"bi" &&
+          greatest($"bk_a", $"bk_b") === $"bj")
         .withColumn("inter",
           size(array_intersect($"tok_a", $"tok_b")).cast("double"))
         .withColumn("jac",
