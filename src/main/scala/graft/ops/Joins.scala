@@ -116,15 +116,26 @@ object Joins {
     // Band self-join: equi on user_id, residual 5-minute window.
     // Timestamps are µs-truncated identically in both engines, so the
     // interval arithmetic is exact.
+    //
+    // The equi key is (user_id, 5-min time bucket), not user_id alone:
+    // keyed only on user, every event pair of a user meets in one
+    // sort-merge group — O(per-user²) comparisons and at most
+    // |users| shuffle keys. Bucketing bounds each group to a 5-minute
+    // slice; the left side probes its own bucket and the next one
+    // (a window can span a boundary), so every qualifying pair is seen
+    // exactly once and key cardinality scales with the time span.
     "q_join_range" -> ((s, d) => {
       import s.implicits._
-      val e1 = t(s, d, "events").select($"user_id", $"ts").alias("e1")
-      val e2 = t(s, d, "events").select($"user_id", $"ts").alias("e2")
+      val ev = t(s, d, "events").select($"user_id", $"ts")
+        .withColumn("bk", floor(unix_timestamp($"ts") / 300))
+      val e1 = ev.select($"user_id".as("u1"), $"ts".as("ts1"),
+          explode(array($"bk", $"bk" + 1)).as("bk"))
+      val e2 = ev.select($"user_id".as("u2"), $"ts".as("ts2"), $"bk")
       e1.join(e2,
-          col("e1.user_id") === col("e2.user_id")
-            && col("e2.ts") > col("e1.ts")
-            && col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTES"))
-        .groupBy(col("e1.user_id").as("user_id"))
+          $"u1" === $"u2" && e1("bk") === e2("bk")
+            && $"ts2" > $"ts1"
+            && $"ts2" <= $"ts1" + expr("INTERVAL 5 MINUTES"))
+        .groupBy($"u1".as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy($"user_id")
     }),
