@@ -82,6 +82,35 @@ class StreamySpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("file-source stream over a parquet directory matches the batch answer") {
+    val s = spark
+    import s.implicits._
+    // materialize a small event table as a parquet directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    val rows = Seq(
+      (ts("2024-01-01 10:10:00"), "click", 1.0),
+      (ts("2024-01-01 10:40:00"), "click", 2.0),
+      (ts("2024-01-01 11:20:00"), "view", 3.0))
+      .toDF("ts", "event_type", "value")
+    rows.write.mode("overwrite").parquet(dir)
+    val agg = s.readStream.schema(rows.schema).parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"event_type", $"n")
+    val query = agg.writeStream.format("memory").queryName("fs_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      query.processAllAvailable()
+      val streamed = s.table("fs_test").collect().map(_.toString).sorted.toSeq
+      val batch = rows.groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("window_start"), $"event_type", $"n")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
   test("q_stream_tumble batch result equals the same pipeline under streaming") {
     val s = spark
     import s.implicits._
