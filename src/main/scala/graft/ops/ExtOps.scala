@@ -150,12 +150,24 @@ object ExtOps {
           (0 until SimBits).map(j =>
             when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
             .reduce(_ + _).as("simhash"))
-      val a = sig.select($"doc_id".as("doc_a"), $"lang".as("lang_a"),
-        $"simhash".as("sh_a"))
-      val b = sig.select($"doc_id".as("doc_b"), $"lang".as("lang_b"),
-        $"simhash".as("sh_b"))
-      a.join(b, $"lang_a" === $"lang_b" && $"doc_a" < $"doc_b")
-        .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+      // Candidates come from a 4-band bucket join, not an all-pairs
+      // scan: 3 differing bits can touch at most 3 of the 4 15-bit
+      // bands (pigeonhole), so every pair within Hamming distance 3
+      // shares at least one exact band value — recall is GUARANTEED,
+      // not probabilistic. Verification is one xor+popcount on longs.
+      val bandCols = (0 until 4).map(k =>
+        shiftright($"simhash", k * 15).bitwiseAND(0x7FFF).as(s"b$k"))
+      val banded = sig.select(($"doc_id" +: $"lang" +: $"simhash" +: bandCols): _*)
+        .select($"doc_id", $"lang", $"simhash",
+          posexplode(array((0 until 4).map(k => col(s"b$k")): _*))
+            .as(Seq("band", "bval")))
+      val cand = banded.as("a").join(banded.as("b"),
+          $"a.lang" === $"b.lang" && $"a.band" === $"b.band" &&
+          $"a.bval" === $"b.bval" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          $"a.simhash".as("sh_a"), $"b.simhash".as("sh_b"))
+        .distinct()
+      cand.withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
         .where($"hamming" <= 3)
         .select($"doc_a", $"doc_b", $"hamming".cast("int").as("hamming"))
         .orderBy($"doc_a", $"doc_b")

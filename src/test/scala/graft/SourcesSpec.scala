@@ -38,6 +38,17 @@ class SourcesSpec extends GraftSuite {
       src.orderBy($"r_regionkey").collect().toSeq)
   }
 
+  test("ORC round-trip preserves rows and schema") {
+    import spark.implicits._
+    val dir = tmp("graft_orc")
+    val src = ops.Tables.t(spark, SparkTestBase.sf0001, "supplier")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === src.schema)
+    assert(back.orderBy($"s_suppkey").collect().toSeq ===
+      src.orderBy($"s_suppkey").collect().toSeq)
+  }
+
   test("df.observe exposes counter-style metrics without a second pass") {
     import spark.implicits._
     val observed = ops.Tables.t(spark, SparkTestBase.sf0001, "lineitem")

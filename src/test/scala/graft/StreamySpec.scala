@@ -111,6 +111,38 @@ class StreamySpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer matches session_window semantics") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[graft.streaming.SessEvent]
+    val sessions = graft.streaming.CustomSessions.sessionize(input.toDS())
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck3").toString
+    val query = sessions.writeStream.format("memory").queryName("fmgs_test")
+      .outputMode(OutputMode.Append).option("checkpointLocation", dir).start()
+    try {
+      import graft.streaming.SessEvent
+      input.addData(SessEvent(7L, ts("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      // 10 minutes later, separate micro-batch: must merge
+      input.addData(SessEvent(7L, ts("2024-01-01 10:10:00")))
+      query.processAllAvailable()
+      // 40-minute gap: new session (old one closes when watermark passes)
+      input.addData(SessEvent(7L, ts("2024-01-01 10:50:00")))
+      query.processAllAvailable()
+      // advance the watermark far enough to time out both sessions
+      input.addData(SessEvent(8L, ts("2024-01-01 15:00:00")))
+      query.processAllAvailable()
+      input.addData(SessEvent(8L, ts("2024-01-01 20:00:00")))
+      query.processAllAvailable()
+      val got = s.table("fmgs_test").collect()
+        .filter(_.getLong(0) == 7L)
+        .map(r => (r.getTimestamp(1).toString, r.getLong(2))).sorted.toSeq
+      assert(got === Seq(("2024-01-01 10:00:00.0", 2L),
+                         ("2024-01-01 10:50:00.0", 1L)))
+    } finally query.stop()
+  }
+
   test("q_stream_tumble batch result equals the same pipeline under streaming") {
     val s = spark
     import s.implicits._
