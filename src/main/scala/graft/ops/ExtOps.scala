@@ -131,6 +131,36 @@ object ExtOps {
         .orderBy($"doc_id")
     }),
 
+    // Winnowing (MOSS-style) fingerprints: min shingle-hash in each
+    // sliding window of 4 consecutive trigram shingles; the distinct
+    // window-minima form the doc's fingerprint set. Guarantees any
+    // shared run of ~6 tokens yields a shared fingerprint — the
+    // plagiarism/near-copy detection primitive.
+    "q_text_winnow" -> ((s, d) => {
+      import s.implicits._
+      val words = t(s, d, "documents").where($"doc_id" < 100)
+        .select($"doc_id", split($"text", " ").as("w"))
+      val sh = words.where(size($"w") >= 3)
+        .select($"doc_id", posexplode(
+          transform(sequence(lit(0), size($"w") - 3),
+            i => conv(substring(md5(concat_ws(" ",
+              element_at($"w", i + 1), element_at($"w", i + 2),
+              element_at($"w", i + 3))), 1, 15), 16, 10)
+              .cast("long") % P)).as(Seq("pos", "h")))
+      val part = Window.partitionBy($"doc_id")
+      val win = part.orderBy($"pos").rowsBetween(0, 3)
+      val fps = sh
+        .withColumn("n_sh", count(lit(1)).over(part))
+        .withColumn("wmin", min($"h").over(win))
+        .where($"pos" <= $"n_sh" - 4) // full windows only
+        .select($"doc_id", $"wmin").distinct()
+      fps.groupBy($"doc_id").agg(
+          count(lit(1)).as("n_fp"),
+          min($"wmin").as("min_fp"),
+          max($"wmin").as("max_fp"))
+        .orderBy($"doc_id")
+    }),
+
     // SimHash near-dup: per-bit sign votes over the distinct-token
     // set → 60-bit signature; pairs within (lang, doc_id<500 block)
     // at Hamming distance ≤ 3. Both engines build the identical
@@ -395,6 +425,34 @@ object ExtOps {
         ORDER BY doc_id""",
 
       "q_dedup_simhash" -> simhashSql,
+
+      "q_text_winnow" -> s"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents WHERE doc_id < 100),
+        sh AS (
+          SELECT doc_id, pos,
+                 CAST('0x' || substring(md5(
+                   t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w
+                 ), 1, 15) AS BIGINT) % $P AS h
+          FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        shn AS (SELECT * FROM sh WHERE h IS NOT NULL),
+        wins AS (
+          SELECT doc_id,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n_sh,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                   AS rpos,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          FROM shn),
+        fps AS (
+          SELECT DISTINCT doc_id, wmin FROM wins WHERE rpos <= n_sh - 4)
+        SELECT doc_id, count(*) AS n_fp, MIN(wmin) AS min_fp,
+               MAX(wmin) AS max_fp
+        FROM fps GROUP BY doc_id
+        ORDER BY doc_id""",
 
       "q_dedup_ngram" -> """
         WITH tok AS (

@@ -111,6 +111,28 @@ class StreamySpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups across batches with bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "doc_key")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_key")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck4").toString
+    val query = deduped.writeStream.format("memory").queryName("ddw_test")
+      .outputMode(OutputMode.Append).option("checkpointLocation", dir).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:30"), 1L))
+      query.processAllAvailable()
+      // same key in a LATER batch but within the watermark window: dropped
+      input.addData((ts("2024-01-01 10:05:00"), 1L), (ts("2024-01-01 10:05:00"), 2L))
+      query.processAllAvailable()
+      val out = s.table("ddw_test").collect().map(_.getLong(1)).sorted.toSeq
+      assert(out === Seq(1L, 2L), "each key must survive exactly once")
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window semantics") {
     val s = spark
     import s.implicits._
