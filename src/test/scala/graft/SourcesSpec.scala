@@ -62,6 +62,45 @@ class SourcesSpec extends GraftSuite {
     assert(metrics.getAs[Double]("qty_total") > 0.0)
   }
 
+  test("BinaryFrames.decodeFrames samples deterministic frames per payload") {
+    import spark.implicits._
+    val df = ops.Tables.t(spark, SparkTestBase.sf0001, "documents")
+      .where($"doc_id" < 10)
+      .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+    val frames = graft.sources.BinaryFrames.decodeFrames(df)
+    val rows = frames.collect()
+    assert(rows.length === 10 * graft.sources.BinaryFrames.FramesPerDoc)
+    // deterministic: second run identical
+    assert(frames.collect().toSeq === rows.toSeq)
+    rows.foreach { f =>
+      assert(f.frame_idx >= 0 && f.frame_idx < 4)
+      assert(f.byte_val >= 0 && f.byte_val <= 255)
+      assert(f.feat >= 0.0 && f.feat <= 1.0)
+    }
+    // frame 0 is the first payload byte = first text character
+    val first = rows.filter(f => f.doc_id == 0L && f.frame_idx == 0).head
+    val firstChar = ops.Tables.t(spark, SparkTestBase.sf0001, "documents")
+      .where($"doc_id" === 0).select(ascii(substring($"text", 1, 1)))
+      .collect()(0).getInt(0)
+    assert(first.byte_val === firstChar)
+  }
+
+  test("winnowing fingerprints are content-determined: same text, same summary") {
+    import spark.implicits._
+    val dir = tmp("graft_winnow")
+    val t0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((0L, t0, "en", "s0", 10L),
+        (1L, t0, "en", "s1", 10L), // identical content, different metadata
+        (2L, "nothing in common with those docs at all here", "en", "s2", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = q("q_text_winnow", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(fps(0L) === fps(1L), "identical text must fingerprint identically")
+    assert(fps(0L) !== fps(2L), "different text must fingerprint differently")
+  }
+
   test("accumulator counts filtered records exactly once per pass") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("bad_rows")
