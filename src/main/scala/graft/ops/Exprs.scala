@@ -118,7 +118,12 @@ object Exprs {
       t(s, d, "embeddings").select(
         $"vec_id",
         size($"embedding").as("dim"),
-        round(element_at($"embedding", 1).cast("double"), 4).as("first_val"),
+        // floor form, not ROUND: embedding components sit exactly on
+        // .xxxx5 ties at larger SFs, where Spark's HALF_UP and
+        // DuckDB's rounding disagree; identical double arithmetic on
+        // both sides is tie-proof (same trick as q_win_frame_rows).
+        (floor(element_at($"embedding", 1).cast("double") * 10000 + 0.5)
+          / 10000).as("first_val"),
         round(sqrt(aggregate($"embedding", lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
           .as("l2norm"))
@@ -218,7 +223,7 @@ object Exprs {
     "q_expr_array" -> """
       SELECT vec_id,
              CAST(len(embedding) AS INT) AS dim,
-             ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+             FLOOR(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) / 10000 AS first_val,
              ROUND(SQRT(list_sum(list_transform(embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2norm
       FROM embeddings

@@ -63,7 +63,11 @@ object SimOps {
         .where($"sim" >= 0.35)
         .groupBy(least($"label_a", $"label_b").as("label_lo"),
                  greatest($"label_a", $"label_b").as("label_hi"))
-        .agg(count(lit(1)).as("n"), round(avg($"sim"), 4).as("avg_sim"))
+        // floor form: the average of rounded sims can land exactly on
+        // a .xxxx5 tie (seen at sf0.1), where cross-engine ROUND
+        // semantics diverge; identical double ops are tie-proof.
+        .agg(count(lit(1)).as("n"),
+             (floor(avg($"sim") * 10000 + 0.5) / 10000).as("avg_sim"))
         .orderBy($"label_lo", $"label_hi")
     }),
 
@@ -103,7 +107,7 @@ object SimOps {
         FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT LEAST(label_a, label_b) AS label_lo,
              GREATEST(label_a, label_b) AS label_hi,
-             count(*) AS n, ROUND(AVG(sim), 4) AS avg_sim
+             count(*) AS n, FLOOR(AVG(sim) * 10000 + 0.5) / 10000 AS avg_sim
       FROM pairs
       WHERE sim >= 0.35
       GROUP BY label_lo, label_hi
