@@ -40,6 +40,23 @@ for name, sql in sorted(oracle.items()):
     status = []
     if sorted(spark_cols) != sorted(duck_cols):
         status.append(f"schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    else:
+        # The driver's pandas hash is dtype-sensitive: DuckDB returns
+        # HUGEINT for SUM(int) which pandas widens to float64, and that
+        # hash-mismatches Spark's int64 even when values are equal
+        # (CORRECTNESS_r02: q_text_tokens, q_dedup_embed). Int-width
+        # differences (int32 vs int64) are tolerated by the driver.
+        try:
+            sdt = dict(con.execute(
+                f"SELECT * FROM '{out}/{name}/*.parquet'").df().dtypes.astype(str))
+            ddt = dict(con.execute(sql).df().dtypes.astype(str))
+            kind = lambda t: "int" if "int" in t else ("float" if "float" in t else t)
+            for c in sdt:
+                if c in ddt and kind(sdt[c]) != kind(ddt[c]):
+                    status.append(f"dtype {c}: spark={sdt[c]} duck={ddt[c]}"
+                                  " (CAST the oracle, e.g. SUM→BIGINT)")
+        except Exception:
+            pass
     if len(spark_rows) != len(duck_rows):
         status.append(f"rows: spark={len(spark_rows)} duck={len(duck_rows)}")
     if not status:

@@ -43,13 +43,24 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench.json"), line + "\n")
+    def render(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    // Full precision to the plain file; a COMPACT line to stdout: the
+    // driver keeps only the last ~2000 chars of stdout (BENCH_r02's
+    // "tail" is exactly 2000 chars, truncated mid-line → "parsed":
+    // null), so the stdout line must fit in that window together with
+    // sbt's "[success] Total time" trailer. 3-decimal secs keep ~68
+    // queries at ~1.6 KB; degrade to 2 decimals if we ever outgrow it.
+    Files.writeString(Paths.get("bench.json"), render(_.toString) + "\n")
+    def fixed(d: Int)(v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+    val line3 = render(fixed(3))
+    val line = if (line3.length <= 1800) line3 else render(fixed(2))
     spark.stop()
     // After spark.stop() so no executor log lines trail it on stdout.
     System.out.println(line)

@@ -405,7 +405,9 @@ object ExtOps {
                    regexp_extract_all(lower(text), '[a-z]+|[0-9]+'),
                    w -> (strlen(w) + 3) // 4)) AS n_bpe
           FROM documents)
-        SELECT lang, SUM(n_words) AS sum_words, SUM(n_bpe) AS sum_bpe,
+        SELECT lang,
+               CAST(SUM(n_words) AS BIGINT) AS sum_words,
+               CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
                ROUND(AVG(n_words), 2) AS avg_words
         FROM per_doc GROUP BY lang ORDER BY lang""",
 
@@ -485,7 +487,8 @@ object ExtOps {
           WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) >= 0.4)
         SELECT e.label, count(*) AS n_vectors,
-               SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped
+               CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped
         FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
         GROUP BY e.label
         ORDER BY e.label""",
