@@ -3,19 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FloatDot
+import graft.functions.{FloatDot, MinHashSig, ShingleHash}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
-  * registers the native `float_dot` expression so the SQL entry path
-  * can use it too (`SELECT float_dot(a, b)`). The Column-API helper
-  * `FloatDot.dotF` works without this registration.
+  * registers the native expressions (`float_dot`, `shingle_hash`,
+  * `minhash_sig`) so the SQL entry path can use them too. The
+  * Column-API helpers work without this registration only for
+  * `float_dot` (via FloatDot.dotF); `expr("shingle_hash(...)")` needs
+  * the session extension installed, which every engine session does.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("float_dot"),
-      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+    def reg(name: String, cls: Class[_], f: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), f))
+    reg("float_dot", classOf[FloatDot], c => FloatDot(c(0), c(1)))
+    reg("shingle_hash", classOf[ShingleHash], c => ShingleHash(c(0), c(1)))
+    reg("minhash_sig", classOf[MinHashSig], c => MinHashSig(c(0), c(1)))
   }
 }

@@ -171,15 +171,13 @@ object ExtOps {
         .select($"doc_id", $"lang",
           explode(array_distinct(split($"text", " "))).as("tk"))
         .withColumn("h", h60($"tk"))
-      val bitSums = (0 until SimBits).map(j =>
-        sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"s$j"))
+      // One-pass typed aggregate (long[60] vote buffer) instead of 60
+      // sum(when(bit_j)) columns: identical integer math, but the
+      // 60-column HashAggregate was the bench's largest janino compile
+      // (~1.7 s cold at sf0.1) — see graft.functions.SimHashAggregator.
+      val simhashAgg = udaf(new graft.functions.SimHashAggregator(SimBits))
       val sig = tok.groupBy($"doc_id", $"lang")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select($"doc_id", $"lang",
-          (0 until SimBits).map(j =>
-            when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
+        .agg(simhashAgg($"h").as("simhash"))
       // Candidates come from a 4-band bucket join, not an all-pairs
       // scan: 3 differing bits can touch at most 3 of the 4 15-bit
       // bands (pigeonhole), so every pair within Hamming distance 3
@@ -211,14 +209,13 @@ object ExtOps {
       val words = t(s, d, "documents").where($"doc_id" < 1000)
         .select($"doc_id", $"lang", split($"text", " ").as("w"))
       // Shingles are hashed to 64-bit longs before the pair join:
-      // intersection/union sizes are unchanged (xxhash64 is injective
+      // intersection/union sizes are unchanged (the hash is injective
       // on these sets for all practical purposes) while the join moves
       // compact primitive arrays instead of ~1 KB string payloads.
+      // Hashing runs in the native codegen'd `shingle_hash` kernel —
+      // see graft.functions.Shingles for why not the HOF form.
       val tk = words.where(size($"w") >= 2)
-        .select($"doc_id", $"lang",
-          array_distinct(transform(sequence(lit(0), size($"w") - 2),
-            i => xxhash64(concat_ws(" ", element_at($"w", i + 1),
-              element_at($"w", i + 2))))).as("tok"))
+        .select($"doc_id", $"lang", expr("shingle_hash(w, 2)").as("tok"))
       // Triangle bucket-blocking: joining on `lang` alone gives at
       // most 5 distinct shuffle keys (language count), so a cluster
       // would run this on 5 skewed tasks. Docs hash into B buckets and

@@ -136,18 +136,17 @@ object TextOps {
       // Shingles are hashed to 64-bit longs immediately: signature
       // minhashing and the exact-verify intersections only need set
       // identity, and primitive long arrays keep the verify join's
-      // shuffle payload ~10× smaller than shingle strings.
+      // shuffle payload ~10× smaller than shingle strings. The
+      // hashing runs in the native codegen'd `shingle_hash` kernel
+      // (graft.functions.Shingles) — the HOF form it replaces was
+      // interpreted and cost ~1.5 s per self-join side at sf0.1.
       val tk = words.where(size($"w") >= 3)
         .select($"doc_id", $"lang",
-          array_distinct(transform(sequence(lit(0), size($"w") - 3),
-            i => xxhash64(concat_ws(" ", element_at($"w", i + 1),
-              element_at($"w", i + 2), element_at($"w", i + 3))))).as("tok"))
-      val sigCols = (0 until NumBands).map(i =>
-        array_min(transform($"tok", x => xxhash64(lit(i), x))).as(s"h$i"))
-      val sig = tk.select(($"doc_id" +: $"lang" +: sigCols): _*)
+          expr("shingle_hash(w, 3)").as("tok"))
+      val sig = tk.select($"doc_id", $"lang",
+        expr(s"minhash_sig(tok, $NumBands)").as("sig"))
       val bands = sig.select($"doc_id", $"lang",
-        posexplode(array((0 until NumBands).map(i => col(s"h$i")): _*))
-          .as(Seq("band", "hval")))
+        posexplode($"sig").as(Seq("band", "hval")))
       val cand = bands.as("a").join(bands.as("b"),
           $"a.lang" === $"b.lang" && $"a.band" === $"b.band" &&
           $"a.hval" === $"b.hval" && $"a.doc_id" < $"b.doc_id")
