@@ -60,6 +60,22 @@ object Shingles {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(sh, u))
   }
 
+  /** Intersection size of two SORTED, DISTINCT long arrays (the shape
+    * `shingle_hash` emits) by linear merge — no per-call hash-set
+    * allocation like `array_intersect`, and no intermediate array since
+    * the dedup verifies only need the count. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** MinHash signature: for band b, min over `hashes` of
     * XXH64(hash, seed=42+b). Empty input → empty array (callers treat
     * the doc as candidate-less rather than colliding all empties on a
@@ -108,6 +124,36 @@ case class ShingleHash(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShingleHash =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `sorted_intersect_count(a array<bigint>, b array<bigint>)` → `int`:
+  * |a ∩ b| for sorted distinct inputs. Callers must pass arrays in the
+  * `shingle_hash` shape; unsorted input silently undercounts. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got $l and $r")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Shingles.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Shingles.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
 }
 

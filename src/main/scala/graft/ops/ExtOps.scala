@@ -245,7 +245,7 @@ object ExtOps {
           least($"bk_a", $"bk_b") === $"bi" &&
           greatest($"bk_a", $"bk_b") === $"bj")
         .withColumn("inter",
-          size(array_intersect($"tok_a", $"tok_b")).cast("double"))
+          expr("sorted_intersect_count(tok_a, tok_b)").cast("double"))
         .withColumn("jac",
           $"inter" / (size($"tok_a") + size($"tok_b") - $"inter"))
         .where($"jac" >= 0.5)

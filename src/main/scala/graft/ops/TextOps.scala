@@ -156,7 +156,7 @@ object TextOps {
       val tb = tk.select($"doc_id".as("doc_b"), $"tok".as("tok_b"))
       cand.join(ta, "doc_a").join(tb, "doc_b")
         .withColumn("inter",
-          size(array_intersect($"tok_a", $"tok_b")).cast("double"))
+          expr("sorted_intersect_count(tok_a, tok_b)").cast("double"))
         .withColumn("jac",
           $"inter" / (size($"tok_a") + size($"tok_b") - $"inter"))
         .where($"jac" >= 0.6)
