@@ -20,6 +20,7 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracle),
       (SimOps.queries, SimOps.oracle),
       (ExtOps.queries, ExtOps.oracle),
+      (PipeOps.queries, PipeOps.oracle),
     )
 
   /** Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001;

@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables.{Q, t}
+
+/** §2.10 (round-3 additions): pipeline-infrastructure operators a
+  * 100 TB training-data build needs around the core engine —
+  * reproducible sampling/splits, text canonicalization before dedup,
+  * exact quantiles, skew-mitigated joins, and pivot/struct shaping.
+  *
+  * Scale notes (100 TB):
+  *  - Sampling/splits are PER-ROW hash decisions (md5-60bit of the
+  *    stable key) — no shuffle, no driver state, and the assignment is
+  *    reproducible across runs/engines/cluster sizes, which is the
+  *    property a training pipeline actually needs (re-running the
+  *    split tomorrow on 3× the cluster must not move documents
+  *    between train and test).
+  *  - The stratified sample bounds output per stratum via a window
+  *    top-k; the shuffle key is the stratum. With few huge strata,
+  *    pre-thin each partition to its local top-k (partial top-k is
+  *    already what TakeOrderedAndProject does globally) or salt.
+  *  - `q_join_skew_salt` is the canonical hot-key treatment: the
+  *    probe side salts each ROW (hash of its unique id mod S) while
+  *    the build side replicates S ways, so one hot key fans across S
+  *    reducers instead of one straggler. S follows cluster width;
+  *    results are S-invariant (asserted by the plain-join oracle).
+  *  - Exact interpolated percentiles sort within each group — fine on
+  *    bounded groups; at unbounded cardinality switch to
+  *    approx_percentile (t-digest-style mergeable sketch), the same
+  *    trade q_agg_approx documents for distinct counts.
+  */
+object PipeOps {
+
+  /** 60-bit md5-derived hash of a string column, bit-identical in
+    * DuckDB: CAST('0x'||substring(md5(x),1,15) AS BIGINT). */
+  private def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Tie-proof 4-decimal rounding (BUILD_NOTES: Spark HALF_UP vs
+    * DuckDB binary round diverge on .xxxx5; floor form is identical
+    * IEEE math in both engines). */
+  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1e4 + 0.5) / 1e4
+
+  private val SaltBuckets = 8
+
+  val queries: Map[String, Q] = Map(
+    // Reproducible train/val/test split: bucket = md5-60bit(doc_id)
+    // mod 100, 80/10/10. Per-row decision — no shuffle until the
+    // audit aggregation, and stable under any repartitioning.
+    "q_sample_hash" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("bucket", h60($"doc_id".cast("string")) % 100)
+        .withColumn("split",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "val").otherwise("test"))
+        .groupBy($"lang", $"split").agg(
+          count(lit(1)).as("n_docs"),
+          round(avg($"n_chars"), 2).as("avg_chars"))
+        .orderBy($"lang", $"split")
+    }),
+
+    // Deterministic stratified sample: 20 docs per language, chosen
+    // by hash order (not "first 20 in storage order", which changes
+    // with file layout). Window top-k per stratum.
+    "q_sample_stratified" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang")
+        .orderBy(h60($"doc_id".cast("string")), $"doc_id")
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w)).where($"rn" <= 20)
+        .select($"doc_id", $"lang")
+        .orderBy($"lang", $"doc_id")
+    }),
+
+    // Canonicalize-then-dedup audit: lowercase, strip non-alnum,
+    // collapse whitespace — the normalization every dedup pass runs
+    // first so near-identical texts ("Fast key!" vs "fast key")
+    // collapse to one exact key. Reports per-lang unique/dupe counts.
+    "q_text_normalize" -> ((s, d) => {
+      import s.implicits._
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+      t(s, d, "documents").withColumn("norm", norm)
+        .groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"norm").as("n_unique"),
+          (count(lit(1)) - countDistinct($"norm")).as("n_dupes"))
+        .orderBy($"lang")
+    }),
+
+    // Exact interpolated percentiles per group (linear interpolation
+    // at p*(n-1) — same definition as DuckDB quantile_cont).
+    "q_agg_quantile" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").groupBy($"l_returnflag").agg(
+          r4(percentile($"l_extendedprice", lit(0.5))).as("p50"),
+          r4(percentile($"l_extendedprice", lit(0.9))).as("p90"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Skew-mitigated repartition join: events.user_id is a hot-key
+    // domain (15 users at sf0.001 — a plain shuffle join runs on ~15
+    // straggler tasks no matter how wide the cluster). Probe rows salt
+    // by hash(event_id) mod S; the dim side replicates S ways; the
+    // join key becomes (key, salt). Result is identical to the plain
+    // join — the oracle IS the plain join.
+    "q_join_skew_salt" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .withColumn("salt", pmod(hash($"event_id"), lit(SaltBuckets)))
+      val salts = s.range(SaltBuckets).select($"id".cast("int").as("salt_d"))
+      val dim = t(s, d, "customer")
+        .select($"c_custkey", $"c_mktsegment")
+        .crossJoin(salts)
+      ev.join(dim,
+          $"user_id" === $"c_custkey" && $"salt" === $"salt_d")
+        .groupBy($"c_mktsegment").agg(
+          count(lit(1)).as("n_events"),
+          (floor(sum($"value") * 100 + 0.5) / 100).as("sum_value"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // Pivot: order counts per market segment × order status. The
+    // Spark side is a real RelationalGroupedDataset.pivot (one
+    // shuffle, pivot columns resolved at plan time via the explicit
+    // value list — never the two-pass distinct scan).
+    "q_agg_pivot" -> ((s, d) => {
+      import s.implicits._
+      val j = t(s, d, "orders").join(
+        broadcast(t(s, d, "customer").select($"c_custkey", $"c_mktsegment")),
+        $"o_custkey" === $"c_custkey")
+      j.groupBy($"c_mktsegment")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"c_mktsegment",
+          coalesce($"F", lit(0L)).as("n_f"),
+          coalesce($"O", lit(0L)).as("n_o"),
+          coalesce($"P", lit(0L)).as("n_p"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // Nested-type grouping key: group by a struct column (year,
+    // quarter) — exercises struct construction, struct equality in
+    // the shuffle/agg key, and field extraction from the key.
+    "q_expr_struct" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy(struct(
+          year($"o_orderdate").as("y"),
+          quarter($"o_orderdate").as("q")).as("yq"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum($"o_totalprice") * 100 + 0.5) / 100).as("sum_price"))
+        .select($"yq.y".as("y"), $"yq.q".as("q"), $"n", $"sum_price")
+        .orderBy($"y", $"q")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_hash" -> """
+      WITH b AS (
+        SELECT lang, n_chars,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 100 AS bucket
+        FROM documents)
+      SELECT lang,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             ROUND(AVG(n_chars), 2) AS avg_chars
+      FROM b
+      GROUP BY lang, split
+      ORDER BY lang, split""",
+
+    "q_sample_stratified" -> """
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 20
+      ORDER BY lang, doc_id""",
+
+    "q_text_normalize" -> """
+      WITH n AS (
+        SELECT lang,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             count(DISTINCT norm) AS n_unique,
+             count(*) - count(DISTINCT norm) AS n_dupes
+      FROM n GROUP BY lang ORDER BY lang""",
+
+    "q_agg_quantile" -> """
+      SELECT l_returnflag,
+             FLOOR(quantile_cont(l_extendedprice, 0.5) * 1e4 + 0.5) / 1e4 AS p50,
+             FLOOR(quantile_cont(l_extendedprice, 0.9) * 1e4 + 0.5) / 1e4 AS p90
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // The plain join — salting must be result-invariant.
+    "q_join_skew_salt" -> """
+      SELECT c_mktsegment, count(*) AS n_events,
+             FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q_agg_pivot" -> """
+      SELECT c_mktsegment,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q_expr_struct" -> """
+      SELECT CAST(year(o_orderdate) AS INT) AS y,
+             CAST(quarter(o_orderdate) AS INT) AS q,
+             count(*) AS n,
+             FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+      FROM orders
+      GROUP BY y, q
+      ORDER BY y, q""",
+  )
+}

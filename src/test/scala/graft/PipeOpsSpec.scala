@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import SparkTestBase.{microDir, sf0001}
+
+/** §2.10 pipeline-infrastructure operators: split/sample laws, salt-
+  * join result-invariance and plan shape, pivot/quantile/normalize
+  * semantics on the handcrafted micro fixture.
+  */
+class PipeOpsSpec extends GraftSuite {
+
+  test("q_sample_hash is a partition: every doc lands in exactly one split") {
+    import spark.implicits._
+    val perSplit = q("q_sample_hash", sf0001)
+      .agg(sum($"n_docs")).collect()(0).getLong(0)
+    val total = ops.Tables.t(spark, sf0001, "documents").count()
+    assert(perSplit === total)
+    // Split fractions near 80/10/10: md5 is uniform, 500 docs → the
+    // train share must be nowhere near the 'everything in one split'
+    // failure mode. Loose bounds on purpose (n=500).
+    val train = q("q_sample_hash", sf0001).where($"split" === "train")
+      .agg(sum($"n_docs")).collect()(0).getLong(0)
+    assert(train > total * 0.7 && train < total * 0.9,
+      s"train split $train/$total outside [0.7, 0.9]")
+  }
+
+  test("q_sample_hash assignment is stable under repartitioning and re-runs") {
+    val a = q("q_sample_hash", sf0001).collect().map(_.toString).toSeq
+    spark.conf.set("spark.sql.shuffle.partitions", "9")
+    val b =
+      try q("q_sample_hash", sf0001).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert(a === b)
+  }
+
+  test("q_sample_stratified caps every stratum at 20 and draws a true subset") {
+    import spark.implicits._
+    val s = q("q_sample_stratified", sf0001)
+    val perLang = s.groupBy($"lang").count()
+      .where($"count" > 20).count()
+    assert(perLang === 0)
+    val docs = ops.Tables.t(spark, sf0001, "documents")
+      .select($"doc_id", $"lang")
+    assert(s.join(docs, Seq("doc_id", "lang"), "left_anti").count() === 0,
+      "sample must be a subset of the corpus")
+  }
+
+  test("q_join_skew_salt equals the plain unsalted join") {
+    import spark.implicits._
+    val salted = q("q_join_skew_salt", sf0001)
+    val ev = ops.Tables.t(spark, sf0001, "events")
+    val cust = ops.Tables.t(spark, sf0001, "customer")
+    val plain = ev.join(cust, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment").agg(
+        count(lit(1)).as("n_events"),
+        (floor(sum($"value") * 100 + 0.5) / 100).as("sum_value"))
+      .orderBy($"c_mktsegment")
+    assert(salted.collect().map(_.toString).toSeq ===
+      plain.collect().map(_.toString).toSeq)
+  }
+
+  test("q_join_skew_salt joins on (key, salt), spreading hot keys") {
+    val joins = q("q_join_skew_salt", sf0001).queryExecution.executedPlan
+      .toString.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(joins.contains("salt"),
+      s"join keys must include the salt column:\n$joins")
+  }
+
+  test("q_agg_pivot counts by explicit value list (micro: statuses F/O)") {
+    // micro orders: cust1(BUILDING) has O+F, cust2(AUTOMOBILE) has F.
+    val rows = q("q_agg_pivot", microDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      ("AUTOMOBILE", 1L, 0L, 0L),
+      ("BUILDING", 1L, 1L, 0L)))
+  }
+
+  test("q_agg_quantile: singleton groups return the value itself (micro)") {
+    val rows = q("q_agg_quantile", microDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows === Seq(("A", 100.0, 100.0), ("N", 50.0, 50.0),
+      ("R", 300.0, 300.0)))
+  }
+
+  test("q_text_normalize collapses the micro fixture's exact-dup pair") {
+    val rows = q("q_text_normalize", microDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(("en", 2L, 1L, 1L), ("fr", 1L, 1L, 0L)))
+  }
+
+  test("q_expr_struct groups by the (year, quarter) struct key (micro)") {
+    val rows = q("q_expr_struct", microDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (1996, 1, 1L, 100.0), (1996, 2, 1L, 200.0), (1997, 1, 1L, 300.0)))
+  }
+}
