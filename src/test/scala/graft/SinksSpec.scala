@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import SparkTestBase.sf0001
+
+/** Sink-side discipline for cluster-scale output (SURVEY §2.1 sinks):
+  * partitioned layout with partition-pruned read-back, bucketed tables
+  * that make the downstream join shuffle-free, and file-count control.
+  * These are the write-path properties that decide whether a 100 TB
+  * dataset is queryable afterwards.
+  */
+class SinksSpec extends GraftSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("partitionBy(lang) write prunes partitions on read-back") {
+    import spark.implicits._
+    val dir = tmp("graft_part") + "/docs"
+    ops.Tables.t(spark, sf0001, "documents")
+      .write.partitionBy("lang").parquet(dir)
+    // Layout: one lang=<v> directory per language.
+    val langDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
+    assert(langDirs.length >= 2)
+    // Read back with a partition predicate: the scan must report the
+    // filter as a PartitionFilter (pruned at planning, no data read
+    // from other languages), not a post-scan Filter.
+    val back = spark.read.parquet(dir).where($"lang" === "en")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"),
+      s"lang predicate must prune partitions:\n$scan")
+    assert(back.count() ===
+      ops.Tables.t(spark, sf0001, "documents").where($"lang" === "en").count())
+  }
+
+  test("bucketed tables co-locate the join: no Exchange between scans") {
+    import spark.implicits._
+    try {
+      ops.Tables.t(spark, sf0001, "orders")
+        .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("graft_orders_b")
+      ops.Tables.t(spark, sf0001, "customer")
+        .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("graft_cust_b")
+      // Disable broadcast so the planner must choose between shuffle
+      // and bucket co-location — the whole point of bucketing.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_orders_b")
+        .join(spark.table("graft_cust_b"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment").count()
+      val plan = j.queryExecution.executedPlan.toString
+      val joinSection = plan.linesIterator
+        .dropWhile(l => !l.contains("SortMergeJoin")).mkString("\n")
+      assert(plan.contains("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cust_b")
+    }
+  }
+
+  test("maxRecordsPerFile bounds output file size") {
+    import spark.implicits._
+    val dir = tmp("graft_files") + "/li"
+    ops.Tables.t(spark, sf0001, "lineitem")
+      .repartition(1) // single task → file count driven by the option
+      .write.option("maxRecordsPerFile", 1000).parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 6, // 6000 rows / 1000 per file
+      s"expected >=6 files, got ${files.length}")
+    assert(spark.read.parquet(dir).count() === 6000)
+  }
+
+  test("dynamic partition overwrite replaces only touched partitions") {
+    import spark.implicits._
+    val dir = tmp("graft_dyn") + "/docs"
+    val docs = ops.Tables.t(spark, sf0001, "documents")
+      .select($"doc_id", $"lang")
+    docs.write.partitionBy("lang").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // Overwrite ONLY lang=en with a single sentinel row; other
+      // languages must survive untouched.
+      Seq((-1L, "en")).toDF("doc_id", "lang")
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      val after = spark.read.parquet(dir)
+      assert(after.where($"lang" === "en").count() === 1)
+      assert(after.where($"lang" =!= "en").count() ===
+        docs.where($"lang" =!= "en").count())
+      assert(after.count() < before)
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    }
+  }
+}

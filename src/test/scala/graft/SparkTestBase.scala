@@ -19,6 +19,10 @@ object SparkTestBase {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // Static conf: bucketed-table tests need a writable catalog
+      // location that never pollutes the repo working tree.
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
