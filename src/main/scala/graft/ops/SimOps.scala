@@ -29,6 +29,48 @@ object SimOps {
                   b: org.apache.spark.sql.Column) =
     graft.functions.FloatDot.dotF(a, b)
 
+  // ---- random-hyperplane LSH (q_sim_ann_lsh) -------------------------
+  // H sign bits over deterministic hyperplanes. Components use the
+  // repo's cross-engine md5-60bit formula (SURVEY §2.9): uniformly in
+  // [-1, 1] with 3 decimal digits, then narrowed to FLOAT so both
+  // engines multiply the exact same widened doubles. The same numeric
+  // literals are embedded in the Spark expression AND the DuckDB
+  // oracle, so equivalence is by construction, not by reproducing
+  // hash functions across engines.
+  private val LshBits = 6
+  private val EmbDim = 64
+
+  private def md560(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private val lshPlanes: Seq[Seq[Float]] =
+    (0 until LshBits).map { i =>
+      (0 until EmbDim).map { j =>
+        ((md560(s"p${i}_$j") % 2001L - 1000L) / 1000.0).toFloat
+      }
+    }
+
+  /** Spark-side bucket id: sum of sign bits weighted 2^i; every dot is
+    * the codegen'd float_dot against a constant-folded literal array. */
+  private val lshBucketSpark: String =
+    lshPlanes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")")
+      s"${1 << i} * (CASE WHEN float_dot(embedding, $arr) >= 0D THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB-side bucket id — identical component literals, REAL-cast so
+    * the FLOAT→DOUBLE widening matches Spark bit for bit. */
+  private val lshBucketDuck: String =
+    lshPlanes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(f => s"CAST($f AS REAL)").mkString("[", ", ", "]")
+      s"${1 << i} * (CASE WHEN list_sum(list_transform(list_zip(embedding, $arr), " +
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+
   val queries: Map[String, Q] = Map(
     // Top-10 neighbors of vec_id=0 by cosine (= dot on unit vectors).
     // Ranked on the ROUNDED similarity so a last-ulp summation-order
@@ -69,6 +111,31 @@ object SimOps {
         .agg(count(lit(1)).as("n"),
              (floor(avg($"sim") * 10000 + 0.5) / 10000).as("avg_sim"))
         .orderBy($"label_lo", $"label_hi")
+    }),
+
+    // LSH-bucketed ANN — the second scale path next to q_sim_ann_ivf
+    // (the brief names both). Signature = 6 random-hyperplane sign
+    // bits (map-only, codegen'd); candidates = the query's bucket plus
+    // its 6 Hamming-1 neighbors (multi-probe LSH), so the corpus side
+    // is pruned to ~7/64 of the buckets and NEVER pairwise-joined.
+    // At 10^9 vectors: signatures are one narrow map pass, the probe
+    // set stays 7 rows (broadcast), and the candidate scan reads only
+    // the probed buckets (bucket becomes a partition key).
+    "q_sim_ann_lsh" -> ((s, d) => {
+      import s.implicits._
+      val sigs = t(s, d, "embeddings")
+        .withColumn("bucket", expr(lshBucketSpark))
+      val qrow = sigs.where($"vec_id" === 0)
+        .select($"bucket".as("qb"), $"embedding".as("qe"))
+      val probes = qrow.select(
+        explode(array($"qb" +: (0 until LshBits).map(i =>
+          $"qb".bitwiseXOR(lit(1 << i))): _*)).as("pb"), $"qe")
+      sigs.where($"vec_id" =!= 0)
+        .join(broadcast(probes), $"bucket" === $"pb")
+        .select($"vec_id", $"bucket",
+          round(dot($"embedding", $"qe"), 4).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+        .limit(10)
     }),
 
     // documents ⋈ embeddings on doc_id = vec_id: one row mixing text
@@ -112,6 +179,22 @@ object SimOps {
       WHERE sim >= 0.35
       GROUP BY label_lo, label_hi
       ORDER BY label_lo, label_hi""",
+
+    "q_sim_ann_lsh" -> s"""
+      WITH sigs AS (
+        SELECT vec_id, embedding, ($lshBucketDuck) AS bucket FROM embeddings),
+      q AS (SELECT bucket AS qb, embedding AS qe FROM sigs WHERE vec_id = 0),
+      probes AS (
+        SELECT unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+                       xor(qb, 8), xor(qb, 16), xor(qb, 32)]) AS pb, qe
+        FROM q)
+      SELECT s.vec_id, s.bucket,
+             ROUND(list_sum(list_transform(list_zip(s.embedding, p.qe),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), 4) AS sim
+      FROM sigs s JOIN probes p ON s.bucket = p.pb
+      WHERE s.vec_id <> 0
+      ORDER BY sim DESC, vec_id
+      LIMIT 10""",
 
     "q_multimodal_join" -> """
       SELECT d.doc_id, d.lang, d.n_chars, e.label,

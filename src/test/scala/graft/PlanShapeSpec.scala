@@ -57,6 +57,19 @@ class PlanShapeSpec extends GraftSuite {
       "LSH candidate generation must stay a keyed bucket join")
   }
 
+  test("q_sim_ann_lsh probes buckets via broadcast hash join, codegen'd signatures") {
+    val p = plan("q_sim_ann_lsh")
+    // Candidate lookup must be an equi-join on the bucket id with the
+    // 7-row probe side broadcast — never a pairwise/nested-loop scan.
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucket probing must stay an equi-join")
+    // Signature bits run through the native float_dot expression
+    // (whole-stage codegen), not interpreted HOFs.
+    assert(p.contains("float_dot"), "signatures must use the codegen'd kernel")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q_join_inner keys both sides on the equi-join columns") {
     val p = plan("q_join_inner")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
