@@ -56,6 +56,30 @@ object Streamy {
         .orderBy($"user_id", $"session_start")
     }),
 
+    // Stream-stream interval join (attribution): each purchase joins
+    // to same-user clicks within the preceding 30 minutes, rolled up
+    // per purchase day. The identical plan streams with a watermark on
+    // both sides — the time-range predicate is exactly what bounds the
+    // join state Spark keeps per key (≤ 30 min of clicks per user).
+    // avg delay = exact BIGINT sums divided once in double, identical
+    // operand order in both engines (no per-row float accumulation).
+    "q_stream_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val clicks = ev.where($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts".as("cts"))
+      val purchases = ev.where($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"ts".as("pts"), $"event_id".as("pid"))
+      purchases.join(clicks, $"cu" === $"pu" &&
+          $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES") && $"cts" <= $"pts")
+        .groupBy(to_date($"pts").as("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct($"pid").as("n_purchases"),
+             (floor(sum(unix_micros($"pts") - unix_micros($"cts"))
+               / count(lit(1)) / 1e6 * 100 + 0.5) / 100).as("avg_delay_s"))
+        .orderBy($"day")
+    }),
+
     // Watermark/late-data surface: in batch `withWatermark` is a no-op
     // (this row is rows-only checked); the 10-minute late-drop
     // behavior itself is asserted with MemoryStream in StreamySpec.
@@ -89,6 +113,21 @@ object Streamy {
         FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m))
       GROUP BY window_start
       ORDER BY window_start""",
+
+    "q_stream_join" -> """
+      WITH c AS (SELECT user_id AS cu, ts AS cts FROM events
+                 WHERE event_type = 'click'),
+           p AS (SELECT user_id AS pu, ts AS pts, event_id AS pid
+                 FROM events WHERE event_type = 'purchase')
+      SELECT CAST(pts AS DATE) AS day,
+             count(*) AS n_pairs,
+             count(DISTINCT pid) AS n_purchases,
+             FLOOR(SUM(epoch_us(pts) - epoch_us(cts))
+               / count(*) / 1e6 * 100 + 0.5) / 100 AS avg_delay_s
+      FROM p JOIN c ON cu = pu
+        AND cts >= pts - INTERVAL 30 MINUTE AND cts <= pts
+      GROUP BY day
+      ORDER BY day""",
 
     // Gaps-and-islands: new-session flag on gap >= 30 min (matching
     // Spark's end-exclusive [start, last+gap) session interval),

@@ -165,6 +165,41 @@ class StreamySpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches pairs across micro-batches (q_stream_join)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val clickIn = MemoryStream[(Timestamp, Long)]
+    val purchIn = MemoryStream[(Timestamp, Long)]
+    val clicks = clickIn.toDF().toDF("cts", "cu")
+      .withWatermark("cts", "10 minutes")
+    val purchases = purchIn.toDF().toDF("pts", "pu")
+      .withWatermark("pts", "10 minutes")
+    val joined = purchases.join(clicks, $"cu" === $"pu" &&
+        $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES") && $"cts" <= $"pts")
+      .select($"pu", $"pts", $"cts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck5").toString
+    val query = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append).option("checkpointLocation", dir).start()
+    try {
+      // click arrives in batch 1; matching purchase in batch 2 —
+      // the join must hold click state across micro-batches.
+      clickIn.addData((ts("2024-01-01 10:00:00"), 7L))
+      query.processAllAvailable()
+      purchIn.addData((ts("2024-01-01 10:20:00"), 7L))
+      query.processAllAvailable()
+      // out-of-interval click (40 min before) and wrong-user purchase:
+      // neither may produce a pair.
+      clickIn.addData((ts("2024-01-01 11:00:00"), 9L))
+      purchIn.addData((ts("2024-01-01 11:40:00"), 9L))
+      query.processAllAvailable()
+      val out = s.table("ssj_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).toString)).sorted.toSeq
+      assert(out === Seq((7L, "2024-01-01 10:00:00.0")),
+        s"exactly the in-interval same-user pair must match, got $out")
+    } finally query.stop()
+  }
+
   test("q_stream_tumble batch result equals the same pipeline under streaming") {
     val s = spark
     import s.implicits._
