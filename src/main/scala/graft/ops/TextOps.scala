@@ -66,6 +66,34 @@ object TextOps {
         .orderBy($"lang", $"n".desc, $"bigram")
     }),
 
+    // Character-bigram LM quality score (KenLM-style filter,
+    // simplified): model P(c2|c1) from corpus bigram counts, each doc
+    // scored by mean ln-probability of its bigrams, per-lang stats.
+    // Two corpus passes; the model (≤ |alphabet|² rows) broadcasts to
+    // the scoring join, so at 100 TB the score pass is map-side only —
+    // the canonical shape for model-based quality filtering.
+    "q_text_charlm" -> ((s, d) => {
+      import s.implicits._
+      val occ = t(s, d, "documents")
+        .select($"doc_id", $"lang", lower($"text").as("t"))
+        .select($"doc_id", $"lang", explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+          .as("bg"))
+      val model = occ.groupBy($"bg").agg(count(lit(1)).as("n_bg"))
+        .withColumn("c1", substring($"bg", 1, 1))
+      val prefix = model.groupBy($"c1").agg(sum($"n_bg").as("n_c1"))
+      val probs = model.join(prefix, "c1").select($"bg", $"n_bg", $"n_c1")
+      val scored = occ.join(broadcast(probs), "bg")
+        .groupBy($"doc_id", $"lang")
+        .agg(avg(log($"n_bg" / $"n_c1")).as("score"))
+      scored.groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          (floor(avg($"score") * 10000 + 0.5) / 10000).as("avg_lm"),
+          (floor(min($"score") * 10000 + 0.5) / 10000).as("min_lm"),
+          (floor(max($"score") * 10000 + 0.5) / 10000).as("max_lm"))
+        .orderBy($"lang")
+    }),
+
     // tf-idf, corpus restricted to doc_id < 50 (bounded at every sf).
     // score = tf * ln(N/df); ranked on the ROUNDED score so a last-ulp
     // ln() difference between engines cannot flip the top-5 cutoff.
@@ -194,6 +222,29 @@ object TextOps {
         FROM cnt)
       WHERE rn <= 10
       ORDER BY lang, n DESC, bigram""",
+
+    "q_text_charlm" -> """
+      WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      occ AS (
+        SELECT doc_id, lang, substring(t, i, 2) AS bg FROM (
+          SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i FROM d)),
+      model AS (SELECT bg, count(*) AS n_bg FROM occ GROUP BY bg),
+      pref AS (
+        SELECT substring(bg, 1, 1) AS c1, CAST(SUM(n_bg) AS BIGINT) AS n_c1
+        FROM model GROUP BY c1),
+      scored AS (
+        SELECT o.doc_id, o.lang, AVG(ln(CAST(m.n_bg AS DOUBLE) / p.n_c1)) AS score
+        FROM occ o
+        JOIN model m ON o.bg = m.bg
+        JOIN pref p ON substring(o.bg, 1, 1) = p.c1
+        GROUP BY o.doc_id, o.lang)
+      SELECT lang, count(*) AS n_docs,
+             FLOOR(AVG(score) * 10000 + 0.5) / 10000 AS avg_lm,
+             FLOOR(MIN(score) * 10000 + 0.5) / 10000 AS min_lm,
+             FLOOR(MAX(score) * 10000 + 0.5) / 10000 AS max_lm
+      FROM scored
+      GROUP BY lang
+      ORDER BY lang""",
 
     "q_text_tfidf" -> """
       WITH docs AS (SELECT * FROM documents WHERE doc_id < 50),

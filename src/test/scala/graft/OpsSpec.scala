@@ -131,6 +131,25 @@ class OpsSpec extends GraftSuite {
     assert(rows(0L) !== rows(2L), "different text, different fingerprint")
   }
 
+  test("q_text_charlm scores match a hand-computed bigram model") {
+    val s = spark
+    import s.implicits._
+    // corpus bigrams: "aaa" → {aa, aa}, "aab" → {aa, ab}
+    // model: P(a→a) = 3/4, P(a→b) = 1/4
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    Seq((1L, "a", "aaa"), (2L, "b", "aab"))
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def f4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val sA = math.log(0.75)                      // both bigrams P=3/4
+    val sB = (math.log(0.75) + math.log(0.25)) / 2
+    val rows = q("q_text_charlm", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(rows === Seq(("a", 1L, f4(sA), f4(sA), f4(sA)),
+                        ("b", 1L, f4(sB), f4(sB), f4(sB))))
+  }
+
   test("q_dedup_simhash pairs identical docs at hamming 0") {
     val rows = q("q_dedup_simhash", microDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
