@@ -59,8 +59,12 @@ object Bench {
     Files.writeString(Paths.get("bench.json"), render(_.toString) + "\n")
     def fixed(d: Int)(v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
-    val line3 = render(fixed(3))
-    val line = if (line3.length <= 1800) line3 else render(fixed(2))
+    // Last resort drops the per-query map (full precision always lives
+    // in bench.json) — a parseable total beats an unparseable detail.
+    val noMap =
+      s"""{"metric":"total","value":${fixed(3)(total)},"unit":"sec","queries":{},"errors":$errJson,"sf":"$sfDir"}"""
+    val line = Seq(render(fixed(3)), render(fixed(2)), render(fixed(1)), noMap)
+      .find(_.length <= 1800).getOrElse(noMap)
     spark.stop()
     // After spark.stop() so no executor log lines trail it on stdout.
     System.out.println(line)
