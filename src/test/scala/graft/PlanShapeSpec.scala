@@ -57,6 +57,17 @@ class PlanShapeSpec extends GraftSuite {
       "LSH candidate generation must stay a keyed bucket join")
   }
 
+  test("q_win_topk_group prunes to top-k per group BEFORE the shuffle (WindowGroupLimit)") {
+    val p = plan("q_win_topk_group")
+    // Spark's InferWindowGroupLimit turns the rn<=k filter into a
+    // Partial WindowGroupLimit below the Exchange: each map task ships
+    // at most k rows per group instead of the whole group — the
+    // difference between shuffling 100 TB and shuffling k·|groups|.
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "partial (pre-shuffle) + final stages expected")
+  }
+
   test("q_sim_ann_lsh probes buckets via broadcast hash join, codegen'd signatures") {
     val p = plan("q_sim_ann_lsh")
     // Candidate lookup must be an equi-join on the bucket id with the
