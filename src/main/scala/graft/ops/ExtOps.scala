@@ -52,6 +52,29 @@ object ExtOps {
     * bit logic stays literally identical. */
   private val SimBits = 60
 
+  /** Embedding near-dup pair graph (label-blocked, rounded sim ≥ 0.4,
+    * va < vb) — shared by q_dedup_embed and q_dedup_cluster. */
+  private def embedPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val e = t(s, d, "embeddings").select($"vec_id", $"label", $"embedding")
+    val a = e.select($"vec_id".as("va"), $"label".as("la"),
+      $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("vb"), $"label".as("lb"),
+      $"embedding".as("eb"))
+    a.join(b, $"la" === $"lb" && $"va" < $"vb")
+      .withColumn("sim",
+        round(graft.functions.FloatDot.dotF($"ea", $"eb"), 4))
+      .where($"sim" >= 0.4)
+  }
+
+  /** The same pair graph in DuckDB SQL (oracle side). */
+  private val embedPairsSql: String = """
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) >= 0.4"""
+
   val queries: Map[String, Q] = Map(
     // n-gram-heuristic language ID: count marker-token hits per
     // language profile, predict the argmax (ties → first profile in
@@ -259,20 +282,56 @@ object ExtOps {
       import s.implicits._
       val e = t(s, d, "embeddings")
         .select($"vec_id", $"label", $"embedding")
-      val a = e.select($"vec_id".as("va"), $"label".as("la"),
-        $"embedding".as("ea"))
-      val b = e.select($"vec_id".as("vb"), $"label".as("lb"),
-        $"embedding".as("eb"))
-      val dropped = a.join(b, $"la" === $"lb" && $"va" < $"vb")
-        .withColumn("sim",
-          round(graft.functions.FloatDot.dotF($"ea", $"eb"), 4))
-        .where($"sim" >= 0.4)
+      val dropped = embedPairs(s, d)
         .select($"vb".as("vec_id")).distinct()
       e.join(dropped.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
         .groupBy($"label").agg(
           count(lit(1)).as("n_vectors"),
           sum(when($"is_dup".isNotNull, 1L).otherwise(0L)).as("n_dropped"))
         .orderBy($"label")
+    }),
+
+    // Duplicate-CLUSTER resolution: the near-dup pair graph collapsed
+    // to connected components (a pair list alone over-drops when A~B
+    // and B~C but the pipeline keeps one doc per GROUP). The pair
+    // graph is label-BLOCKED — edges never cross labels — so every
+    // component lives inside one block and CC distributes over
+    // blocks: one shuffle keyed on label, exact union-find within
+    // each block's (bounded) edge list. This is the blocked-CC shape
+    // dedup pipelines use at 100 TB (LSH/blocking keys guarantee
+    // bounded blocks); only an UNblocked graph would need iterative
+    // min-label propagation. The DuckDB oracle computes the exact
+    // transitive closure, so any containment error fails the
+    // differential. Output: per-cluster canonical (min) id, size.
+    "q_dedup_cluster" -> ((s, d) => {
+      import s.implicits._
+      embedPairs(s, d)
+        .select($"la".as("label"), $"va", $"vb")
+        .as[(Int, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val es = it.map(e => (e._2, e._3)).toArray
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            val p = parent.getOrElse(x, x)
+            if (p == x) x
+            else { val r = find(p); parent(x) = r; r }
+          }
+          es.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            // union by min id keeps the canonical root deterministic
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          es.flatMap { case (a, b) => Seq(a, b) }.distinct
+            .groupBy(find)
+            .map { case (root, members) =>
+              (root, members.length.toLong, members.max)
+            }
+        }
+        .toDF("cluster", "n_members", "max_member")
+        .orderBy($"cluster")
     }),
 
     // IVF-style ANN: coarse cells = argmax-dot assignment against a
@@ -476,19 +535,33 @@ object ExtOps {
         WHERE jac >= 0.5
         ORDER BY doc_a, doc_b""",
 
-      "q_dedup_embed" -> """
-        WITH dropped AS (
-          SELECT DISTINCT b.vec_id
-          FROM embeddings a JOIN embeddings b
-            ON a.label = b.label AND a.vec_id < b.vec_id
-          WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) >= 0.4)
+      "q_dedup_embed" -> s"""
+        WITH pairs AS ($embedPairsSql),
+        dropped AS (SELECT DISTINCT vb AS vec_id FROM pairs)
         SELECT e.label, count(*) AS n_vectors,
                CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_dropped
         FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
         GROUP BY e.label
         ORDER BY e.label""",
+
+      // Exact transitive closure via recursive CTE — if the Spark
+      // side's propagation-round bound were ever insufficient, this
+      // differential fails rather than agreeing.
+      "q_dedup_cluster" -> s"""
+        WITH RECURSIVE pairs AS ($embedPairsSql),
+        edges AS (SELECT va, vb FROM pairs
+                  UNION ALL SELECT vb, va FROM pairs),
+        reach(id, m) AS (
+          SELECT va, va FROM edges
+          UNION
+          SELECT e.vb, r.m FROM reach r JOIN edges e ON e.va = r.id),
+        comp AS (SELECT id, MIN(m) AS cluster FROM reach GROUP BY id)
+        SELECT cluster, count(*) AS n_members,
+               MAX(id) AS max_member
+        FROM comp
+        GROUP BY cluster
+        ORDER BY cluster""",
 
       "q_sim_ann_ivf" -> """
         WITH cents AS (

@@ -74,18 +74,29 @@ object TextOps {
     // the canonical shape for model-based quality filtering.
     "q_text_charlm" -> ((s, d) => {
       import s.implicits._
-      val occ = t(s, d, "documents")
+      // Occurrences collapse to per-doc bigram COUNTS first (one
+      // explode + one keyed agg); the model derives from the counts
+      // and the score is the count-weighted mean — so the corpus is
+      // tokenized once, not once per pass, and the scoring join
+      // carries |distinct bigrams per doc| rows, not |chars|.
+      // The count table feeds BOTH the model build and the scoring
+      // join (a diamond); column pruning specializes the two branches
+      // so Catalyst can't ReusedExchange them — materialize the shared
+      // stage once instead of tokenizing the corpus twice.
+      val bgc = t(s, d, "documents")
         .select($"doc_id", $"lang", lower($"text").as("t"))
         .select($"doc_id", $"lang", explode(expr(
           "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
           .as("bg"))
-      val model = occ.groupBy($"bg").agg(count(lit(1)).as("n_bg"))
+        .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
+      val model = bgc.groupBy($"bg").agg(sum($"c").as("n_bg"))
         .withColumn("c1", substring($"bg", 1, 1))
       val prefix = model.groupBy($"c1").agg(sum($"n_bg").as("n_c1"))
       val probs = model.join(prefix, "c1").select($"bg", $"n_bg", $"n_c1")
-      val scored = occ.join(broadcast(probs), "bg")
+      val scored = bgc.join(broadcast(probs), "bg")
         .groupBy($"doc_id", $"lang")
-        .agg(avg(log($"n_bg" / $"n_c1")).as("score"))
+        .agg((sum($"c" * log($"n_bg" / $"n_c1")) / sum($"c")).as("score"))
       scored.groupBy($"lang").agg(
           count(lit(1)).as("n_docs"),
           (floor(avg($"score") * 10000 + 0.5) / 10000).as("avg_lm"),
@@ -225,16 +236,21 @@ object TextOps {
 
     "q_text_charlm" -> """
       WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
-      occ AS (
-        SELECT doc_id, lang, substring(t, i, 2) AS bg FROM (
-          SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i FROM d)),
-      model AS (SELECT bg, count(*) AS n_bg FROM occ GROUP BY bg),
+      bgc AS (
+        SELECT doc_id, lang, bg, count(*) AS c FROM (
+          SELECT doc_id, lang, substring(t, i, 2) AS bg FROM (
+            SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i FROM d))
+        GROUP BY doc_id, lang, bg),
+      model AS (
+        SELECT bg, CAST(SUM(c) AS BIGINT) AS n_bg FROM bgc GROUP BY bg),
       pref AS (
         SELECT substring(bg, 1, 1) AS c1, CAST(SUM(n_bg) AS BIGINT) AS n_c1
         FROM model GROUP BY c1),
       scored AS (
-        SELECT o.doc_id, o.lang, AVG(ln(CAST(m.n_bg AS DOUBLE) / p.n_c1)) AS score
-        FROM occ o
+        SELECT o.doc_id, o.lang,
+               SUM(o.c * ln(CAST(m.n_bg AS DOUBLE) / p.n_c1))
+                 / CAST(SUM(o.c) AS BIGINT) AS score
+        FROM bgc o
         JOIN model m ON o.bg = m.bg
         JOIN pref p ON substring(o.bg, 1, 1) = p.c1
         GROUP BY o.doc_id, o.lang)

@@ -73,6 +73,21 @@ object Windows {
         .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
     }),
 
+    // Time-based RANGE frame: trailing-hour event count per user,
+    // reduced to each user's peak (the "burst detection" primitive).
+    // Ordering key is whole epoch seconds (truncation in both
+    // engines), so RANGE peers are identical cross-engine.
+    "q_win_range_time" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("trail", count(lit(1)).over(w))
+        .groupBy($"user_id").agg(max($"trail").as("peak_1h"))
+        .orderBy($"user_id")
+    }),
+
     "q_win_running" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey")
@@ -137,6 +152,17 @@ object Windows {
                / 100 AS mavg_price
       FROM orders
       ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "q_win_range_time" -> """
+      WITH x AS (
+        SELECT user_id,
+               count(*) OVER (PARTITION BY user_id
+                 ORDER BY (epoch_us(ts) // 1000000)
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS trail
+        FROM events)
+      SELECT user_id, max(trail) AS peak_1h
+      FROM x GROUP BY user_id
+      ORDER BY user_id""",
 
     "q_win_running" -> """
       SELECT o_custkey, o_orderkey, o_orderdate,
