@@ -15,6 +15,11 @@ import graft.functions.{FloatDot, MinHashSig, ShingleHash, SortedIntersectCount}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rule: declarative aggregate(zip_with(...)) dot products
+    // run through the codegen'd kernel (strict mode — never changes a
+    // result). Disable per-session via spark.sql.optimizer.excludedRules
+    // = "graft.plans.DotKernelRule".
+    ext.injectOptimizerRule(_ => graft.plans.DotKernelRule)
     def reg(name: String, cls: Class[_], f: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), f))

@@ -18,10 +18,19 @@ import org.apache.spark.sql.types._
   * expression participates in whole-stage codegen as a tight primitive
   * loop over the two `ArrayData` buffers — the preferred extension
   * path when built-ins can't express the hot inner loop efficiently.
-  * Null elements contribute 0, deterministically, in both the
-  * interpreted and generated paths.
+  *
+  * Two null disciplines:
+  *  - `strict = false` (the `float_dot` SQL function): null elements
+  *    contribute 0 and length mismatch truncates to the shorter side.
+  *  - `strict = true` (planted by [[graft.plans.DotKernelRule]]): the
+  *    result is NULL on any null element or length mismatch — exactly
+  *    the `aggregate(zip_with(a,b,(x,y)->x*y), 0D, +)` semantics
+  *    (zip_with pads the shorter side with null, the null product
+  *    poisons the fold), so the optimizer rewrite never changes a
+  *    query's result.
   */
-case class FloatDot(left: Expression, right: Expression)
+case class FloatDot(left: Expression, right: Expression,
+    strict: Boolean = false)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -34,17 +43,23 @@ case class FloatDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean =
+    strict || left.nullable || right.nullable
+
   override def prettyName: String = "float_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (strict && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
       if (!x.isNullAt(i) && !y.isNullAt(i)) {
         s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      } else if (strict) {
+        return null
       }
       i += 1
     }
@@ -56,16 +71,36 @@ case class FloatDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
-      s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
-         |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
-         |  }
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
+      if (!strict) {
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+           |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+           |  }
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      } else {
+        // nullable is true in strict mode, so ev.isNull is assignable.
+        s"""
+           |if ($x.numElements() != $y.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $x.numElements();
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+           |      ${ev.isNull} = true;
+           |      break;
+           |    }
+           |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+           |  }
+           |  ${ev.value} = $s;
+           |}
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(

@@ -9,16 +9,64 @@ import org.apache.spark.sql.functions._
   */
 class FloatDotSpec extends GraftSuite {
 
+  private val RuleName = "graft.plans.DotKernelRule"
+
+  /** The declarative dot-product idiom DotKernelRule targets. */
+  private def hofDot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def withRuleExcluded[T](body: => T): T = {
+    spark.conf.set("spark.sql.optimizer.excludedRules", RuleName)
+    try body
+    finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("float_dot equals the aggregate(zip_with(...)) HOF on fixture vectors") {
     import spark.implicits._
     val emb = ops.Tables.t(spark, SparkTestBase.sf0001, "embeddings")
-    val diff = emb.select(
-        FloatDot.dotF($"embedding", $"embedding").as("native"),
-        aggregate(zip_with($"embedding", $"embedding",
-          (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v).as("hof"))
-      .where(abs($"native" - $"hof") > 1e-12)
-    assert(diff.count() === 0, "native and HOF sums must agree exactly")
+    // exclude the rewrite rule so the HOF arm stays genuinely interpreted
+    withRuleExcluded {
+      val diff = emb.select(
+          FloatDot.dotF($"embedding", $"embedding").as("native"),
+          hofDot($"embedding", $"embedding").as("hof"))
+        .where(abs($"native" - $"hof") > 1e-12)
+      assert(diff.count() === 0, "native and HOF sums must agree exactly")
+    }
+  }
+
+  test("DotKernelRule plants the strict kernel for the declarative HOF form") {
+    import spark.implicits._
+    val emb = ops.Tables.t(spark, SparkTestBase.sf0001, "embeddings")
+    val rewritten = emb.select($"vec_id",
+      hofDot($"embedding", $"embedding").as("d"))
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("float_dot"), s"rule must plant the kernel:\n$plan")
+    // identical results with and without the rewrite, on real vectors
+    val got = rewritten.orderBy($"vec_id").collect().map(_.getDouble(1))
+    val want = withRuleExcluded {
+      emb.select($"vec_id", hofDot($"embedding", $"embedding").as("d"))
+        .orderBy($"vec_id").collect().map(_.getDouble(1))
+    }
+    assert(got === want, "rewrite must be value-identical (same fold order)")
+  }
+
+  test("strict kernel preserves HOF null semantics on ragged inputs") {
+    import spark.implicits._
+    val df = Seq(
+        (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)), // aligned → 11.0
+        (2L, Seq(1.0f, 2.0f), Seq(3.0f)))       // ragged  → NULL
+      .toDF("id", "a", "b")
+      // keep the expression out of ConvertToLocalRelation's eager
+      // evaluation so the executed plan actually shows the kernel
+      .repartition(2)
+      .select($"id", hofDot($"a", $"b").as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("float_dot"), "rule must fire on ragged-capable input")
+    val rows = df.orderBy($"id").collect()
+    assert(rows(0).getDouble(1) === 11.0)
+    assert(rows(1).isNullAt(1), "length mismatch must stay NULL, as the HOF")
   }
 
   test("float_dot skips null elements and nulls out on null arrays") {
