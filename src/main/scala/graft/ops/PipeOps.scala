@@ -91,6 +91,32 @@ object PipeOps {
         .orderBy($"lang")
     }),
 
+    // Train/eval contamination audit (decontamination): a test-split
+    // doc whose fingerprint also occurs in the train split is leaked
+    // eval data. The fingerprint is the md5-60bit of the first 8
+    // normalized tokens — the cheap prefix screen real pipelines run
+    // before n-gram overlap (whole-text hashing finds only verbatim
+    // copies: 500/500 unique on this corpus). Split assignment uses
+    // the same cross-engine hash, so the audit is reproducible under
+    // any repartitioning; the probe is a keyed join on the 60-bit
+    // fingerprint (train side de-duplicated first), the shape that
+    // scales to a full-corpus decontamination pass.
+    "q_pipe_contamination" -> ((s, d) => {
+      import s.implicits._
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+      val base = t(s, d, "documents")
+        .withColumn("bucket", h60($"doc_id".cast("string")) % 100)
+        .withColumn("fp", h60(array_join(slice(split(norm, " "), 1, 8), " ")))
+      val trainFps = base.where($"bucket" < 80).select($"fp").distinct()
+      base.where($"bucket" >= 90)
+        .join(trainFps.withColumn("leak", lit(1)), Seq("fp"), "left")
+        .groupBy($"lang").agg(
+          count(lit(1)).as("n_test"),
+          sum(when($"leak".isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+        .orderBy($"lang")
+    }),
+
     // Exact interpolated percentiles per group (linear interpolation
     // at p*(n-1) — same definition as DuckDB quantile_cont).
     "q_agg_quantile" -> ((s, d) => {
@@ -173,6 +199,25 @@ object PipeOps {
       FROM b
       GROUP BY lang, split
       ORDER BY lang, split""",
+
+    "q_pipe_contamination" -> """
+      WITH b AS (
+        SELECT lang,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 100 AS bucket,
+               CAST('0x' || substring(md5(array_to_string(list_slice(
+                 string_split(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+                 1, 8), ' ')), 1, 15) AS BIGINT) AS fp
+        FROM documents),
+      tr AS (SELECT DISTINCT fp FROM b WHERE bucket < 80)
+      SELECT te.lang, count(*) AS n_test,
+             CAST(SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_leaked
+      FROM (SELECT * FROM b WHERE bucket >= 90) te
+      LEFT JOIN tr ON te.fp = tr.fp
+      GROUP BY te.lang
+      ORDER BY te.lang""",
 
     "q_sample_stratified" -> """
       SELECT doc_id, lang FROM (

@@ -200,6 +200,28 @@ class StreamySpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("stream-static broadcast join enriches a stream against a dimension") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dim = Seq((7L, "gold"), (9L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Timestamp, Long)]
+    val joined = input.toDF().toDF("ts", "user_id")
+      .join(broadcast(dim), "user_id") // inner: unknown users drop out
+    val query = joined.writeStream.format("memory").queryName("ssd_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 7L),
+        (ts("2024-01-01 10:01:00"), 9L),
+        (ts("2024-01-01 10:02:00"), 5L)) // no dim row → dropped
+      query.processAllAvailable()
+      val out = s.table("ssd_test").collect()
+        .map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+      assert(out === Seq((7L, "gold"), (9L, "basic")).sortBy(_._1))
+    } finally query.stop()
+  }
+
   test("q_stream_tumble batch result equals the same pipeline under streaming") {
     val s = spark
     import s.implicits._
