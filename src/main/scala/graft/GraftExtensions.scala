@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatDot, MinHashSig, ShingleHash, SortedIntersectCount}
+import graft.functions.{CharBigramCounts, FloatDot, MinHashSig, ShingleHash, SortedIntersectCount}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
@@ -28,5 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("minhash_sig", classOf[MinHashSig], c => MinHashSig(c(0), c(1)))
     reg("sorted_intersect_count", classOf[SortedIntersectCount],
       c => SortedIntersectCount(c(0), c(1)))
+    reg("char_bigram_counts", classOf[CharBigramCounts],
+      c => CharBigramCounts(c(0)))
   }
 }

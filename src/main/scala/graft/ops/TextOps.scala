@@ -79,16 +79,18 @@ object TextOps {
       // and the score is the count-weighted mean — so the corpus is
       // tokenized once, not once per pass, and the scoring join
       // carries |distinct bigrams per doc| rows, not |chars|.
-      // The count table feeds BOTH the model build and the scoring
-      // join (a diamond); column pruning specializes the two branches
-      // so Catalyst can't ReusedExchange them — materialize the shared
-      // stage once instead of tokenizing the corpus twice.
+      // Per-doc counts come straight from the codegen'd kernel (one
+      // JVM pass per document, one row per DISTINCT bigram) — the
+      // declarative per-character explode + re-aggregate walked an
+      // interpreted HOF over |chars| rows. The count table feeds BOTH
+      // the model build and the scoring join (a diamond); column
+      // pruning specializes the two branches so Catalyst can't
+      // ReusedExchange them — materialize the shared stage once.
       val bgc = t(s, d, "documents")
         .select($"doc_id", $"lang", lower($"text").as("t"))
-        .select($"doc_id", $"lang", explode(expr(
-          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
-          .as("bg"))
-        .groupBy($"doc_id", $"lang", $"bg").agg(count(lit(1)).as("c"))
+        .select($"doc_id", $"lang",
+          explode(expr("char_bigram_counts(t)")).as("e"))
+        .select($"doc_id", $"lang", $"e.bg".as("bg"), $"e.c".as("c"))
         .localCheckpoint(eager = false)
       val model = bgc.groupBy($"bg").agg(sum($"c").as("n_bg"))
         .withColumn("c1", substring($"bg", 1, 1))

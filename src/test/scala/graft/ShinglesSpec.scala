@@ -143,4 +143,34 @@ class ShinglesSpec extends GraftSuite {
     assert(plan.contains("minhash_sig"))
     assert(plan.contains("sorted_intersect_count"))
   }
+
+  test("char_bigram_counts equals the per-character explode + count form") {
+    val rows = spark.sql(
+      "SELECT e.bg, e.c FROM (SELECT explode(char_bigram_counts('abab')) AS e)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("ab", 2L), ("ba", 1L)), "sorted distinct bigrams with counts")
+    assert(spark.sql("SELECT size(char_bigram_counts('x'))")
+      .collect()(0).getInt(0) === 0, "single char → no bigrams")
+    assert(spark.sql("SELECT size(char_bigram_counts(''))")
+      .collect()(0).getInt(0) === 0)
+    assert(spark.sql("SELECT char_bigram_counts(CAST(NULL AS STRING))")
+      .collect()(0).isNullAt(0))
+  }
+
+  test("bigram-count stage runs the native kernel inside codegen") {
+    // q_text_charlm's count stage sits behind a lazy localCheckpoint,
+    // so its executed plan shows only ScanExistingRDD — assert on the
+    // same pre-checkpoint fragment the query builds.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val frag = ops.Tables.t(s, SparkTestBase.sf0001, "documents")
+      .select($"doc_id", lower($"text").as("t"))
+      .select($"doc_id", explode(expr("char_bigram_counts(t)")).as("e"))
+    val plan = frag.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Generate explode(char_bigram_counts"),
+      s"kernel stage must be codegen'd:\n$plan")
+    assert(frag.count() > 0)
+  }
 }
