@@ -53,6 +53,30 @@ class AdaptiveSpec extends GraftSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    val s = spark
+    import s.implicits._
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // fixture scans are far below the 10 GB production threshold —
+      // drop it so the rewrite can demonstrate itself here
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = ops.Tables.t(s, SparkTestBase.sf0001, "lineitem")
+      val pt = ops.Tables.t(s, SparkTestBase.sf0001, "part")
+        .where($"p_size" === 5)
+      val j = li.join(pt, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_size").count()
+      // InjectRuntimeFilter plants a bloom probe from the selective
+      // (filtered) side onto the big side's scan — at 100 TB this is
+      // what turns a full fact scan into a semi-pruned one.
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected a runtime bloom probe on the fact side:\n$plan")
+      assert(j.count() > 0)
+    }
+  }
+
   test("AQE coalesces undersized post-shuffle partitions") {
     val s = spark
     import s.implicits._

@@ -40,6 +40,27 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("char_bigram_counts law: equals naive sliding-window counting") {
+    val s = spark
+    import s.implicits._
+    val strGen = Gen.listOfN(30, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    val strs = (0 until 8).flatMap(i =>
+      strGen(Gen.Parameters.default, Seed(i.toLong * 104729)).toSeq) :+ "" :+ "q"
+    val got = strs.toDF("t")
+      .selectExpr("t", "char_bigram_counts(t) AS e").collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getString(0), x.getLong(1))).toSeq).toMap
+    strs.foreach { t =>
+      val want = t.sliding(2).filter(_.length == 2).toSeq
+        .groupBy(identity).map { case (bg, o) => (bg, o.size.toLong) }
+        .toSeq.sortBy(_._1)
+      assert(got(t) === want, s"mismatch for input '$t'")
+      assert(got(t).map(_._2).sum === math.max(0, t.length - 1).toLong,
+        "multiplicities must sum to len-1")
+    }
+  }
+
   test("top-k is the prefix of the total sort") {
     val s = spark
     import s.implicits._
