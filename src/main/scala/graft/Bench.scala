@@ -48,7 +48,10 @@ object Bench {
     def render(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      // the total is what the acceptance gate reads — keep it at full
+      // 3-decimal precision even when per-query values degrade
+      val tot = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     }
     // Full precision to the plain file; a COMPACT line to stdout: the
     // driver keeps only the last ~2000 chars of stdout (BENCH_r02's
