@@ -21,6 +21,7 @@ object SparkEntry {
       (SimOps.queries, SimOps.oracle),
       (ExtOps.queries, ExtOps.oracle),
       (PipeOps.queries, PipeOps.oracle),
+      (SubOps.queries, SubOps.oracle),
     )
 
   /** Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001;

@@ -160,6 +160,20 @@ object Aggs {
         .agg(round(gm($"l_extendedprice"), 2).as("geomean_price"))
         .orderBy($"l_returnflag")
     }),
+
+    // Equi-width histogram: bucket = floor(qty/5). The bucketing is a
+    // per-row projection, so this is a plain one-shuffle groupBy —
+    // the distributed histogram pattern that replaces collecting
+    // values to a driver. min/max per bucket are exact (order-free).
+    "q_agg_histogram" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy(floor($"l_quantity" / 5).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min($"l_quantity"), 2).as("min_qty"),
+          round(max($"l_quantity"), 2).as("max_qty"))
+        .orderBy($"bucket")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -248,5 +262,14 @@ object Aggs {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    "q_agg_histogram" -> """
+      SELECT CAST(FLOOR(l_quantity / 5) AS INT) AS bucket,
+             count(*) AS n,
+             ROUND(MIN(l_quantity), 2) AS min_qty,
+             ROUND(MAX(l_quantity), 2) AS max_qty
+      FROM lineitem
+      GROUP BY bucket
+      ORDER BY bucket""",
   )
 }

@@ -168,6 +168,28 @@ object PipeOps {
         .orderBy($"c_mktsegment")
     }),
 
+    // Deterministic source-weighted mixture — the data-mixing step of
+    // an LLM training build: each source gets a sampling rate (here by
+    // source index mod 4: 100/50/25/10 %), and a row is kept iff its
+    // domain-separated hash lands under the rate. Per-row decision, no
+    // shuffle until the audit agg, reproducible across runs and
+    // cluster widths — rerunning the mix never swaps documents.
+    "q_pipe_mix" -> ((s, d) => {
+      import s.implicits._
+      val srcnum = substring($"source", 4, 10).cast("int")
+      val rate = when(srcnum % 4 === 0, 100)
+        .when(srcnum % 4 === 1, 50)
+        .when(srcnum % 4 === 2, 25).otherwise(10)
+      t(s, d, "documents")
+        .withColumn("kept",
+          h60(concat(lit("mix:"), $"doc_id".cast("string"))) % 100 < rate)
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"kept", $"n_chars").otherwise(0L)).as("chars_kept"))
+        .orderBy($"source")
+    }),
+
     // Nested-type grouping key: group by a struct column (year,
     // quarter) — exercises struct construction, struct equality in
     // the shuffle/agg key, and field extraction from the key.
@@ -264,6 +286,23 @@ object PipeOps {
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
+
+    "q_pipe_mix" -> """
+      WITH b AS (
+        SELECT source, n_chars,
+               CASE CAST(substring(source, 4) AS INT) % 4
+                 WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25
+                 ELSE 10 END AS rate,
+               CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                 1, 15) AS BIGINT) % 100 AS h
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN h < rate THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_kept
+      FROM b
+      GROUP BY source
+      ORDER BY source""",
 
     "q_expr_struct" -> """
       SELECT CAST(year(o_orderdate) AS INT) AS y,

@@ -1,0 +1,123 @@
+package graft.ops
+
+import Tables.Q
+
+/** §2.11 Subqueries — IN / EXISTS / NOT IN / correlated scalar, the
+  * declarative face of the semi/anti/outer-join family (§2.3). The
+  * reference's MapReduce idiom for these is a reduce-side existence
+  * check on the joined key; here the queries are written as ANSI
+  * subqueries and Catalyst's RewritePredicateSubquery +
+  * decorrelation rules turn them into the SAME physical joins a
+  * hand-written plan would use — asserted in SubOpsSpec.
+  *
+  * Scale notes (100 TB):
+  *  - IN/EXISTS/NOT IN decorrelate to LeftSemi/LeftAnti joins keyed on
+  *    the correlation column — one keyed shuffle, or zero when the
+  *    subquery side fits the broadcast threshold (customer/orders dims
+  *    here; asserted in SubOpsSpec). Never a per-row re-execution.
+  *  - The correlated scalar COUNT decorrelates to an aggregate +
+  *    left outer join; the empty-group corner (no matching orders must
+  *    read as 0, not NULL) is the classic decorrelation bug — the
+  *    sf0.1 fixture contains a zero-order customer, so the DuckDB
+  *    differential exercises it for real.
+  *  - NOT IN is only a plain anti join because o_custkey is non-null;
+  *    over a nullable key it becomes a null-aware anti join, which
+  *    Spark executes as a broadcast-only plan — worth knowing before
+  *    writing NOT IN over nullable columns at 100 TB.
+  */
+object SubOps {
+
+  val queries: Map[String, Q] = Map(
+    // Uncorrelated IN: orders from BUILDING-segment customers.
+    // Subquery side is a filtered dim → broadcast semi join.
+    "q_sub_in" -> ((s, d) => {
+      s.sql(s"""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM parquet.`$d/orders.parquet`
+        WHERE o_custkey IN (SELECT c_custkey FROM parquet.`$d/customer.parquet`
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+    }),
+
+    // Correlated EXISTS: customers with at least one urgent order,
+    // counted per segment. Decorrelates to a semi join on custkey.
+    "q_sub_exists" -> ((s, d) => {
+      s.sql(s"""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM parquet.`$d/customer.parquet` c
+        WHERE EXISTS (SELECT 1 FROM parquet.`$d/orders.parquet` o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """)
+    }),
+
+    // NOT IN over a non-null key: customers with no urgent order →
+    // anti join on custkey.
+    "q_sub_notin" -> ((s, d) => {
+      s.sql(s"""
+        SELECT c_mktsegment, count(*) AS n_quiet
+        FROM parquet.`$d/customer.parquet`
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM parquet.`$d/orders.parquet`
+                                WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """)
+    }),
+
+    // Correlated scalar COUNT: per-customer order count as a scalar
+    // subquery, keeping only quiet customers (≤ 3 orders). A customer
+    // with NO orders must surface as n_orders = 0 — the decorrelated
+    // outer-join aggregate must coalesce the empty group to 0.
+    "q_sub_scalar" -> ((s, d) => {
+      s.sql(s"""
+        SELECT c_custkey, n_orders FROM (
+          SELECT c_custkey,
+                 (SELECT count(*) FROM parquet.`$d/orders.parquet` o
+                  WHERE o.o_custkey = c.c_custkey) AS n_orders
+          FROM parquet.`$d/customer.parquet` c)
+        WHERE n_orders <= 3
+        ORDER BY c_custkey
+      """)
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sub_in" -> """
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q_sub_exists" -> """
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q_sub_notin" -> """
+      SELECT c_mktsegment, count(*) AS n_quiet
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q_sub_scalar" -> """
+      SELECT c_custkey, n_orders FROM (
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c)
+      WHERE n_orders <= 3
+      ORDER BY c_custkey""",
+  )
+}

@@ -88,6 +88,35 @@ class PipeOpsSpec extends GraftSuite {
     assert(rows.toSeq === Seq(("en", 2L, 1L, 1L), ("fr", 1L, 1L, 0L)))
   }
 
+  test("q_pipe_mix keeps every doc of a rate-100 source and a subset elsewhere") {
+    // sf0.001: sources src0..src19, 25 docs each; rate is 100/50/25/10
+    // by source index mod 4 — index%4==0 sources must keep all docs,
+    // others at most their share's worth (hash-thinned, never more
+    // than n_docs), and kept chars can't exceed kept docs * max chars.
+    val rows = q("q_pipe_mix", SparkTestBase.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.size === 20)
+    rows.foreach { case (src, nDocs, nKept) =>
+      val idx = src.drop(3).toInt
+      if (idx % 4 == 0) assert(nKept === nDocs, s"$src: rate-100 must keep all")
+      else assert(nKept <= nDocs, s"$src: kept more than present")
+    }
+    // the mix must actually thin: total kept strictly below total docs
+    assert(rows.map(_._3).sum < rows.map(_._2).sum)
+  }
+
+  test("q_agg_histogram buckets partition the rows and bound the values") {
+    val rows = q("q_agg_histogram", SparkTestBase.sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = q("q_scan_count", SparkTestBase.sf0001).collect()
+      .find(_.getString(0) == "lineitem").get.getLong(1)
+    assert(rows.map(_._2).sum === total, "histogram must partition all rows")
+    rows.foreach { case (b, _, mn, mx) =>
+      assert(mn >= b * 5.0 && mx < (b + 1) * 5.0,
+        s"bucket $b holds values outside [${b * 5}, ${b * 5 + 5})")
+    }
+  }
+
   test("q_expr_struct groups by the (year, quarter) struct key (micro)") {
     val rows = q("q_expr_struct", microDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

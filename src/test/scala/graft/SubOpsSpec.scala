@@ -1,0 +1,52 @@
+package graft
+
+import SparkTestBase.{microDir, sf0001}
+
+/** §2.11 subquery family: decorrelation plan shapes (the 100-TB claim
+  * is that ANSI subqueries cost exactly one keyed/broadcast join, never
+  * a per-row re-execution) plus the COUNT empty-group corner on the
+  * micro-fixture.
+  */
+class SubOpsSpec extends GraftSuite {
+
+  private def plan(name: String): String =
+    q(name, sf0001).queryExecution.executedPlan.toString
+
+  test("q_sub_in rewrites IN to a broadcast LeftSemi join") {
+    val p = plan("q_sub_in")
+    assert(p.contains("LeftSemi"), "IN subquery must become a semi join")
+    assert(p.contains("BroadcastHashJoin"), "filtered dim side must broadcast")
+  }
+
+  test("q_sub_exists decorrelates EXISTS to a LeftSemi join") {
+    assert(plan("q_sub_exists").contains("LeftSemi"))
+  }
+
+  test("q_sub_notin rewrites NOT IN (non-null key) to a LeftAnti join") {
+    assert(plan("q_sub_notin").contains("LeftAnti"))
+  }
+
+  test("q_sub_scalar decorrelates to outer join + aggregate, no residual subquery") {
+    val p = plan("q_sub_scalar")
+    assert(p.contains("LeftOuter"),
+      "scalar COUNT must become an outer join against a pre-aggregate")
+    assert(!p.contains("scalar-subquery"),
+      "no scalar subquery may survive to execution")
+  }
+
+  test("q_sub_scalar reads an orderless customer as 0, not NULL") {
+    // micro-fixture: customer 4 has no orders; counts are 1→2, 2→1,
+    // 3→0, 4→0 and all are ≤ 3 so every customer must appear.
+    val rows = q("q_sub_scalar", microDir).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("q_sub_notin keeps every customer when the subquery is empty on no urgent orders") {
+    // micro-fixture has exactly one 1-URGENT order (customer 1), so
+    // quiet customers are 2, 3, 4 → segments AUTOMOBILE×2, BUILDING×1.
+    val rows = q("q_sub_notin", microDir).collect()
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("AUTOMOBILE" -> 2L, "BUILDING" -> 1L))
+  }
+}
