@@ -16,19 +16,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    // Dev knob: extra confs as ;-separated k=v pairs, for A/B-ing
+    // scheduler/AQE settings without editing code. Driver sets none.
+    sys.env.get("GRAFT_BENCH_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm-up: JVM/codegen/parquet-footer costs must not be charged to
     // whichever query happens to run first (round-1: +7s on q_agg_stats).
     ops.Tables.names.foreach { n =>
-      try ops.Tables.t(spark, sfDir, n).count()
+      try {
+        val df = ops.Tables.t(spark, sfDir, n)
+        // Dev knob: pin base tables in the columnar in-memory cache
+        // during warm-up (A/B: how much of the total is parquet
+        // re-decode vs scheduling). Driver runs without it.
+        if (sys.env.contains("GRAFT_BENCH_CACHE")) df.cache()
+        df.count()
+      }
       catch { case _: Throwable => () }
     }
 

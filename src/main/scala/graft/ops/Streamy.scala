@@ -80,6 +80,25 @@ object Streamy {
         .orderBy($"day")
     }),
 
+    // Stream-static enrichment: the event stream joins a static dim
+    // (customer) that Spark re-broadcasts per micro-batch — no state,
+    // no watermark needed on the static side — then aggregates into
+    // 6-hour tumbling windows per market segment. The identical plan
+    // streams unchanged; StreamySpec runs the stream-static join shape
+    // against MemoryStream.
+    "q_stream_enrich" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .join(broadcast(t(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment")),
+          $"user_id" === $"c_custkey")
+        .groupBy(window($"ts", "6 hours").as("w"), $"c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select($"w.start".as("window_start"), $"c_mktsegment",
+          $"n", $"sum_value")
+        .orderBy($"window_start", $"c_mktsegment")
+    }),
+
     // Watermark/late-data surface: in batch `withWatermark` is a no-op
     // (this row is rows-only checked); the 10-minute late-drop
     // behavior itself is asserted with MemoryStream in StreamySpec.
@@ -113,6 +132,15 @@ object Streamy {
         FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m))
       GROUP BY window_start
       ORDER BY window_start""",
+
+    // 6-hour buckets stay aligned with Spark's epoch-origin windows:
+    // both origins are midnight UTC and 6 h divides a day.
+    "q_stream_enrich" -> """
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+             c_mktsegment, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY window_start, c_mktsegment
+      ORDER BY window_start, c_mktsegment""",
 
     "q_stream_join" -> """
       WITH c AS (SELECT user_id AS cu, ts AS cts FROM events

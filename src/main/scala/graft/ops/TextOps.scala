@@ -151,6 +151,29 @@ object TextOps {
         .orderBy($"lang")
     }),
 
+    // Heavy-hitter vocabulary (θ = 1%) via sketch-then-verify: pass 1
+    // runs the Misra-Gries mergeable sketch (k = 128, so k+1 > 1/θ and
+    // the candidate set provably contains every θ-heavy word no matter
+    // how rows are partitioned); pass 2 exactly recounts only the ≤ k
+    // candidates (broadcast semi join) and applies the threshold. The
+    // output is therefore EXACT — the sketch only bounds what pass 2
+    // must count, which is what makes heavy-hitters tractable when the
+    // key domain (a 100-TB corpus vocabulary) can't be fully grouped.
+    "q_text_heavy" -> ((s, d) => {
+      import s.implicits._
+      val mg = udaf(new graft.functions.MisraGries(128))
+      val toks = t(s, d, "documents")
+        .select(explode(split($"text", " ")).as("w"))
+      val sketch = toks.agg(mg($"w").as("cands"), count(lit(1)).as("tot"))
+      val cands = sketch.select(explode(split($"cands", "\u0001")).as("w"),
+        $"tot")
+      toks.join(broadcast(cands), Seq("w"))
+        .groupBy($"w", $"tot").agg(count(lit(1)).as("n"))
+        .where($"n" >= ceil($"tot" * 0.01))
+        .select($"w", $"n")
+        .orderBy($"w")
+    }),
+
     // Exact dedup on (lang, source) keeping min doc_id — window
     // row_number, NOT dropDuplicates (nondeterministic survivor).
     "q_dedup_exact" -> ((s, d) => {
@@ -301,6 +324,16 @@ object TextOps {
       FROM documents
       GROUP BY lang
       ORDER BY lang""",
+
+    "q_text_heavy" -> """
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      tot AS (SELECT count(*) AS tot FROM toks)
+      SELECT w, count(*) AS n
+      FROM toks CROSS JOIN tot
+      GROUP BY w, tot
+      HAVING count(*) >= CEIL(tot * 0.01)
+      ORDER BY w""",
 
     "q_dedup_exact" -> """
       SELECT doc_id, lang, source FROM documents

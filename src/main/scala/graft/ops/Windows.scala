@@ -100,6 +100,22 @@ object Windows {
         .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
     }),
 
+    // Value-navigation family: first/last/nth over the full partition
+    // frame — "compare each order to the customer's first, latest and
+    // second order" without a self-join. One keyed shuffle.
+    "q_win_nth" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_totalprice").over(w).as("first_price"),
+          last($"o_totalprice").over(w).as("last_price"),
+          nth_value($"o_totalprice", 2).over(w).as("second_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     "q_win_ntile" -> ((s, d) => {
       import s.implicits._
       val w = Window.orderBy($"c_acctbal", $"c_custkey")
@@ -172,6 +188,18 @@ object Windows {
                + 0.5) / 100 AS running_rev
       FROM orders
       ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "q_win_nth" -> """
+      SELECT o_custkey, o_orderkey,
+             first_value(o_totalprice) OVER w AS first_price,
+             last_value(o_totalprice) OVER w AS last_price,
+             nth_value(o_totalprice, 2) OVER w AS second_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""",
 
     "q_win_ntile" -> """
       SELECT c_custkey,

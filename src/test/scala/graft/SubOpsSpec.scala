@@ -42,6 +42,29 @@ class SubOpsSpec extends GraftSuite {
       Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("q_win_nth navigates to first/last/second order per customer (micro)") {
+    // customer 1 has orders 1 (100.0) then 2 (200.0); customer 2 has
+    // only order 3 (300.0) so its second_price must be NULL.
+    val rows = q("q_win_nth", microDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(rows === Seq(
+      (1L, 1L, 100.0, 200.0, Some(200.0)),
+      (1L, 2L, 100.0, 200.0, Some(200.0)),
+      (2L, 3L, 300.0, 300.0, None)))
+  }
+
+  test("q_text_heavy recounts candidates via a broadcast join, never a full re-group") {
+    val p = q("q_text_heavy", sf0001).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "verify pass must broadcast the <= k candidates")
+  }
+
+  test("q_stream_enrich broadcasts the static dim side") {
+    val p = q("q_stream_enrich", sf0001).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q_sub_notin keeps every customer when the subquery is empty on no urgent orders") {
     // micro-fixture has exactly one 1-URGENT order (customer 1), so
     // quiet customers are 2, 3, 4 → segments AUTOMOBILE×2, BUILDING×1.
