@@ -100,4 +100,41 @@ class SinksSpec extends GraftSuite {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     }
   }
+
+  test("z-order write bounds BOTH dimensions per file; linear sort only one") {
+    import spark.implicits._
+    import graft.functions.ZOrder.zval
+    // Lay the same lineitem projection out twice — linear (orderkey)
+    // vs z-order(orderkey, partkey) — splitting the sorted stream into
+    // many small files. Per-file min-max ranges then stand in for the
+    // footer stats a scan would prune on.
+    val src = ops.Tables.t(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_linenumber")
+    def layout(sortCols: Seq[org.apache.spark.sql.Column]): Array[(Long, Long, Long, Long)] = {
+      val dir = tmp("graft_zorder") + "/li"
+      src.coalesce(1).sortWithinPartitions(sortCols: _*)
+        .write.option("maxRecordsPerFile", 250).parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min($"l_orderkey"), max($"l_orderkey"),
+                 min($"l_partkey"), max($"l_partkey")).collect()(0)
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    }
+    val lin = layout(Seq($"l_orderkey", $"l_linenumber"))
+    val zed = layout(Seq(
+      zval($"l_orderkey", $"l_partkey", 16), $"l_orderkey", $"l_linenumber"))
+    assert(lin.length > 8 && zed.length > 8, "need enough files to measure pruning")
+    // 2-D box predicate: bottom quarter of each dimension. A file is
+    // "hit" when its [min,max] box intersects the predicate box.
+    val (okMax, pkMax) = (lin.map(_._2).max, lin.map(_._4).max)
+    def hits(fs: Array[(Long, Long, Long, Long)]): Int =
+      fs.count { case (okMin, okMx, pkMin, pkMx) =>
+        okMin <= okMax / 4 && pkMin <= pkMax / 4 }
+    val (hLin, hZed) = (hits(lin), hits(zed))
+    assert(hZed < hLin,
+      s"z-order must prune more files on a 2-D box: z=$hZed linear=$hLin of ${lin.length}")
+  }
 }

@@ -38,6 +38,35 @@ class SourcesSpec extends GraftSuite {
       src.orderBy($"r_regionkey").collect().toSeq)
   }
 
+  test("corrupt JSON records are quarantined, not fatal (PERMISSIVE) — and FAILFAST throws") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmp("graft_badjson")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "also ok"}
+        |{"id": 3, "v": BROKEN
+        |""".stripMargin)
+    // A 100-TB ingest can't die on one bad row: PERMISSIVE parses the
+    // good rows and captures the raw bad line in _corrupt_record for a
+    // quarantine sink.
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("_corrupt_record", StringType)))
+    val rows = spark.read.schema(schema).json(dir).cache()
+    try {
+      assert(rows.where($"_corrupt_record".isNull).count() === 2)
+      val bad = rows.where($"_corrupt_record".isNotNull).collect()
+      assert(bad.length === 1 && bad(0).getString(2).contains("BROKEN"))
+      // FAILFAST is the opt-in strict mode for validated inputs.
+      val strict = intercept[org.apache.spark.SparkException] {
+        spark.read.schema(StructType(schema.dropRight(1)))
+          .option("mode", "FAILFAST").json(dir).collect()
+      }
+      assert(strict.getMessage.toLowerCase.contains("malformed") ||
+        Option(strict.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+    } finally rows.unpersist()
+  }
+
   test("ORC round-trip preserves rows and schema") {
     import spark.implicits._
     val dir = tmp("graft_orc")
