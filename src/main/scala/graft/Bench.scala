@@ -22,6 +22,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Unfiltered count/min/max answer from parquet footers instead
+      // of row scans (Spark only rewrites when exact); measured 4x on
+      // q_scan_count. At 100 TB this is "count a table in metadata
+      // time" — same setting a production deployment would pin.
+      .config("spark.sql.parquet.aggregatePushdown", "true")
     // Dev knob: extra confs as ;-separated k=v pairs, for A/B-ing
     // scheduler/AQE settings without editing code. Driver sets none.
     sys.env.get("GRAFT_BENCH_CONF").foreach(_.split(";").filter(_.nonEmpty)

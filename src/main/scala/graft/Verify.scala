@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Same engine posture as Bench: footer-metadata answers for
+      // unfiltered count/min/max (exact-only rewrite).
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

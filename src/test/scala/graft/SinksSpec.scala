@@ -101,6 +101,32 @@ class SinksSpec extends GraftSuite {
     }
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    val dir = tmp("graft_dpp") + "/orders"
+    ops.Tables.t(spark, sf0001, "orders")
+      .write.partitionBy("o_orderstatus").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // The status filter lives on the DIM side only — static pruning
+    // can't see it; DPP must push the broadcast result into the fact
+    // scan's partition filters at runtime. This is the 100-TB
+    // star-join shape: fact partitioned on the join key's domain.
+    // The dim must be a FILE source with a surviving filter predicate:
+    // a filtered LocalRelation constant-folds away and DPP's
+    // selective-predicate check never fires.
+    val dimDir = tmp("graft_dpp_dim") + "/dim"
+    Seq(("F", "finished"), ("X", "unused"))
+      .toDF("status", "label").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where($"label" === "finished")
+    val joined = fact.join(dim, $"o_orderstatus" === $"status")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n$plan")
+    assert(joined.count() ===
+      ops.Tables.t(spark, sf0001, "orders")
+        .where($"o_orderstatus" === "F").count())
+  }
+
   test("z-order write bounds BOTH dimensions per file; linear sort only one") {
     import spark.implicits._
     import graft.functions.ZOrder.zval
