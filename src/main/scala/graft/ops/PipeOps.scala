@@ -168,6 +168,35 @@ object PipeOps {
         .orderBy($"c_mktsegment")
     }),
 
+    // SCD-1 upsert (MERGE without a table format): a deterministic
+    // change-batch (every 7th customer re-priced +10%, three inserts)
+    // merges into the dim via ONE full-outer join on the key,
+    // change-side wins per column — the canonical one-shuffle merge
+    // when the store is plain parquet. Output is the post-merge audit.
+    // At 100 TB: both sides hash-partition on the key; with a bucketed
+    // base table the shuffle drops to the (small) change side only.
+    "q_pipe_upsert" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "customer")
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      val changes = base.where($"c_custkey" % 7 === 0)
+        .select($"c_custkey",
+          $"c_mktsegment",
+          (floor($"c_acctbal" * 1.1 * 100 + 0.5) / 100).as("c_acctbal"))
+        .unionByName(Seq(
+          (-1L, "NEW", 0.0), (-2L, "NEW", 10.5), (-3L, "NEW", 99.99))
+          .toDF("c_custkey", "c_mktsegment", "c_acctbal"))
+        .select($"c_custkey".as("k"), $"c_mktsegment".as("seg"),
+          $"c_acctbal".as("bal"))
+      base.join(changes, $"c_custkey" === $"k", "full_outer")
+        .select(coalesce($"k", $"c_custkey").as("key"),
+          coalesce($"seg", $"c_mktsegment").as("seg"),
+          coalesce($"bal", $"c_acctbal").as("bal"))
+        .groupBy($"seg").agg(count(lit(1)).as("n"),
+          (floor(sum($"bal") * 100 + 0.5) / 100).as("sum_bal"))
+        .orderBy($"seg")
+    }),
+
     // Deterministic source-weighted mixture — the data-mixing step of
     // an LLM training build: each source gets a sampling rate (here by
     // source index mod 4: 100/50/25/10 %), and a row is kept iff its
@@ -286,6 +315,26 @@ object PipeOps {
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
+
+    "q_pipe_upsert" -> """
+      WITH changes AS (
+        SELECT c_custkey, c_mktsegment,
+               FLOOR(c_acctbal * 1.1 * 100 + 0.5) / 100 AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'NEW', 0.0),
+                              (CAST(-2 AS BIGINT), 'NEW', 10.5),
+                              (CAST(-3 AS BIGINT), 'NEW', 99.99))
+          AS v(c_custkey, c_mktsegment, c_acctbal)),
+      merged AS (
+        SELECT COALESCE(ch.c_custkey, c.c_custkey) AS key,
+               COALESCE(ch.c_mktsegment, c.c_mktsegment) AS seg,
+               COALESCE(ch.c_acctbal, c.c_acctbal) AS bal
+        FROM customer c FULL OUTER JOIN changes ch
+          ON c.c_custkey = ch.c_custkey)
+      SELECT seg, count(*) AS n,
+             FLOOR(SUM(bal) * 100 + 0.5) / 100 AS sum_bal
+      FROM merged GROUP BY seg ORDER BY seg""",
 
     "q_pipe_mix" -> """
       WITH b AS (

@@ -117,6 +117,16 @@ class PipeOpsSpec extends GraftSuite {
     }
   }
 
+  test("q_pipe_upsert: change rows win, inserts land, untouched rows survive (micro)") {
+    // micro customers: 1..4 with balances 100/200/200/50; none has
+    // custkey % 7 == 0, so the only changes are the three NEW inserts.
+    val rows = q("q_pipe_upsert", microDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows === Seq(
+      ("AUTOMOBILE", 2L, 400.0), ("BUILDING", 2L, 150.0),
+      ("NEW", 3L, 110.49)))
+  }
+
   test("q_expr_struct groups by the (year, quarter) struct key (micro)") {
     val rows = q("q_expr_struct", microDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

@@ -222,6 +222,41 @@ class StreamySpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("RocksDB state store provider sustains a streaming agg across batches") {
+    // At 100 TB of stream state, JVM-heap HDFSBackedStateStore OOMs;
+    // RocksDB keeps state off-heap/on-disk with incremental
+    // checkpoints. Pin that the provider actually runs and produces
+    // the same per-key counts across micro-batches.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Double)]
+      val agg = input.toDF().toDF("k", "v")
+        .groupBy($"k").agg(count(lit(1)).as("n"), round(sum($"v"), 2).as("sv"))
+      val query = agg.writeStream.format("memory").queryName("rocks_test")
+        .outputMode(OutputMode.Complete).start()
+      try {
+        input.addData(("a", 1.0), ("b", 2.0)); query.processAllAvailable()
+        input.addData(("a", 3.5), ("c", 1.0)); query.processAllAvailable()
+        val out = s.table("rocks_test").collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        assert(out === Map("a" -> ((2L, 4.5)), "b" -> ((1L, 2.0)),
+          "c" -> ((1L, 1.0))))
+        // the running query's state store must really be RocksDB
+        assert(query.lastProgress.stateOperators(0).customMetrics
+          .keySet.toString.contains("rocksdb"),
+          "state operator metrics must come from the RocksDB provider")
+      } finally query.stop()
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("q_stream_tumble batch result equals the same pipeline under streaming") {
     val s = spark
     import s.implicits._
