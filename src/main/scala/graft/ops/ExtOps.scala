@@ -362,6 +362,23 @@ object ExtOps {
         .limit(10)
     }),
 
+    // Frame sampling through the REAL imperative decode path
+    // (BinaryFrames.decodeFrames: binary column → mapPartitions codec
+    // stub → typed Dataset[Frame]): 4 evenly spaced byte probes per
+    // payload, a bounded feature per frame. The stub's byte math is
+    // SQL-expressible, so even the mapPartitions plumbing gets full
+    // differential coverage — when a production codec replaces the
+    // stub, only the per-frame body changes.
+    "q_multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      val blobs = t(s, d, "documents").where($"doc_id" < 200)
+        .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+      graft.sources.BinaryFrames.decodeFrames(blobs).toDF()
+        .select($"doc_id", $"frame_idx", $"byte_val",
+          (floor($"feat" * 1e4 + 0.5) / 1e4).as("feat"))
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // Multimodal/binary plumbing: treat the payload as an opaque
     // binary column with typed metadata; "decode" and "frame-sample"
     // are deterministic byte probes (head / middle / tail) standing in
@@ -585,6 +602,20 @@ object ExtOps {
         WHERE v.cell = q.qcell AND v.vec_id <> 0
         ORDER BY sim DESC, vec_id
         LIMIT 10""",
+
+      // The corpus is pure ASCII (strlen == byte length), so the
+      // stub's byte probe is substring+ascii; integer offset uses //
+      // to match Scala's integer division.
+      "q_multimodal_frames" -> """
+        SELECT doc_id, k AS frame_idx,
+               ascii(substring(text, CAST(strlen(text) * k // 4 AS INT) + 1, 1))
+                 AS byte_val,
+               FLOOR(ascii(substring(text,
+                 CAST(strlen(text) * k // 4 AS INT) + 1, 1)) / 255.0 * 1e4
+                 + 0.5) / 1e4 AS feat
+        FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        WHERE doc_id < 200 AND strlen(text) > 0
+        ORDER BY doc_id, frame_idx""",
 
       "q_multimodal_meta" -> """
         SELECT doc_id, lang,

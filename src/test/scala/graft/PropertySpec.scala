@@ -71,4 +71,40 @@ class PropertySpec extends GraftSuite {
       assert(topk.toSeq === sorted.take(5).toSeq)
     }
   }
+
+  test("zval law: Morton interleave is injective and matches bit-math reference") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.ZOrder.zval
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val pts = for (a <- 0L to 40L by 7; b <- 0L to 40L by 5) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .select($"a", $"b", zval($"a", $"b", 16).as("z")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    got.foreach { case ((a, b), z) =>
+      assert(z === ref(a, b), s"zval($a,$b)") }
+    assert(got.map(_._2).distinct.length === got.length, "zval must be injective")
+  }
+
+  test("upsert idempotence: applying the same change-batch twice equals once") {
+    val s = spark
+    import s.implicits._
+    def merge(base: org.apache.spark.sql.DataFrame,
+              ch: org.apache.spark.sql.DataFrame) =
+      base.join(ch.select($"k", $"v".as("cv")), $"id" === $"k", "full_outer")
+        .select(org.apache.spark.sql.functions.coalesce($"k", $"id").as("id"),
+          org.apache.spark.sql.functions.coalesce($"cv", $"v").as("v"))
+    cases(4).foreach { xs =>
+      val base = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val ch = xs.zipWithIndex.collect {
+        case (v, i) if i % 3 == 0 => (i.toLong, v + 1000)
+      }.toDF("k", "v")
+      val once = merge(base, ch)
+      val twice = merge(once, ch)
+      assert(twice.orderBy($"id").collect().toSeq ===
+        once.orderBy($"id").collect().toSeq)
+    }
+  }
 }

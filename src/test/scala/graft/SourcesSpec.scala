@@ -78,6 +78,22 @@ class SourcesSpec extends GraftSuite {
       src.orderBy($"s_suppkey").collect().toSeq)
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet file generations") {
+    import spark.implicits._
+    // Generation 1 lacks the column generation 2 adds — the normal
+    // life of a long-lived 100-TB dataset. mergeSchema must read both
+    // with the union schema, nulling the missing column.
+    val dir = tmp("graft_evolve")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/g=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$dir/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("g", "id", "score", "v"))
+    val rows = merged.orderBy($"id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")),
+      "old-generation rows must read the new column as null")
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) === 9.5)
+  }
+
   test("df.observe exposes counter-style metrics without a second pass") {
     import spark.implicits._
     val observed = ops.Tables.t(spark, SparkTestBase.sf0001, "lineitem")
