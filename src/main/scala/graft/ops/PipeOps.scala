@@ -219,6 +219,21 @@ object PipeOps {
         .orderBy($"source")
     }),
 
+    // Unpivot (melt) — the inverse reshaping of q_agg_pivot: three
+    // measure columns become (measure, val) rows, then a per-flag ×
+    // measure summary. Spark's native unpivot is a zero-shuffle
+    // row-expansion (like explode); the only shuffle is the audit agg.
+    "q_agg_unpivot" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .unpivot(Array($"l_returnflag"),
+          Array($"l_quantity", $"l_discount", $"l_tax"), "measure", "val")
+        .groupBy($"l_returnflag", $"measure").agg(
+          count(lit(1)).as("n"),
+          (floor(sum($"val") * 100 + 0.5) / 100).as("sum_val"))
+        .orderBy($"l_returnflag", $"measure")
+    }),
+
     // Nested-type grouping key: group by a struct column (year,
     // quarter) — exercises struct construction, struct equality in
     // the shuffle/agg key, and field extraction from the key.
@@ -315,6 +330,20 @@ object PipeOps {
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
+
+    "q_agg_unpivot" -> """
+      WITH m AS (
+        SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+          FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      SELECT l_returnflag, measure, count(*) AS n,
+             FLOOR(SUM(val) * 100 + 0.5) / 100 AS sum_val
+      FROM m
+      GROUP BY l_returnflag, measure
+      ORDER BY l_returnflag, measure""",
 
     "q_pipe_upsert" -> """
       WITH changes AS (

@@ -151,6 +151,25 @@ object TextOps {
         .orderBy($"lang")
     }),
 
+    // Inverted index — the other canonical MapReduce workload (SURVEY
+    // §0.3): token → sorted posting list of doc_ids + document
+    // frequency. One explode + distinct + one keyed agg; the posting
+    // list is serialized (driver compare can't hash arrays). At
+    // 100 TB posting lists for stopword-class tokens are the skew
+    // risk — production shards them (token, bucket); here df is
+    // bounded by the doc_id < 50 slice.
+    "q_text_invindex" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").where($"doc_id" < 50)
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+        .distinct()
+        .groupBy($"token").agg(
+          countDistinct($"doc_id").as("df"),
+          expr("concat_ws(',', transform(sort_array(collect_set(doc_id))," +
+            " x -> cast(x as string)))").as("postings"))
+        .orderBy($"token")
+    }),
+
     // Heavy-hitter vocabulary (θ = 1%) via sketch-then-verify: pass 1
     // runs the Misra-Gries mergeable sketch (k = 128, so k+1 > 1/θ and
     // the candidate set provably contains every θ-heavy word no matter
@@ -324,6 +343,17 @@ object TextOps {
       FROM documents
       GROUP BY lang
       ORDER BY lang""",
+
+    "q_text_invindex" -> """
+      WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id < 50)
+      SELECT token, count(DISTINCT doc_id) AS df,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+      FROM dt
+      GROUP BY token
+      ORDER BY token""",
 
     "q_text_heavy" -> """
       WITH toks AS (

@@ -176,6 +176,26 @@ class OpsSpec extends GraftSuite {
     assert(q("q_sim_ann_ivf", microDir).collect().isEmpty)
   }
 
+  test("q_text_invindex posts each token to its sorted doc list (micro)") {
+    // docs 0 and 1 share "the fast fox"; doc 2 is the french text.
+    val rows = q("q_text_invindex", microDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(rows("fast") === ((2L, "0,1")))
+    assert(rows("the") === ((2L, "0,1")))
+    assert(rows("chat") === ((1L, "2")))
+    assert(rows.size === 7) // the,fast,fox + le,chat,lent,slow
+  }
+
+  test("q_agg_unpivot emits one (flag, measure) row per combination (micro)") {
+    val rows = q("q_agg_unpivot", microDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // micro lineitem: one row per flag A/N/R, three measures each
+    assert(rows.size === 9)
+    assert(rows.forall(_._3 === 1L))
+    assert(rows.map(_._2).distinct.sorted ===
+      Seq("l_discount", "l_quantity", "l_tax"))
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
