@@ -257,6 +257,41 @@ class StreamySpec extends GraftSuite {
     }
   }
 
+  test("foreachBatch + overwrite-by-batchId sink is idempotent under batch replay") {
+    // Exactly-once file output without a transactional table format:
+    // partition the sink by batch_id and dynamically overwrite only
+    // that partition — replaying a batch after a failure rewrites the
+    // same partition instead of appending duplicates.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft_e1").toString + "/out"
+    val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    def writeBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(sink)
+    try {
+      val input = MemoryStream[(Long, Double)]
+      val query = input.toDF().toDF("id", "v").writeStream
+        .foreachBatch(writeBatch _)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_e1ck").toString)
+        .start()
+      try {
+        input.addData((1L, 1.0), (2L, 2.0)); query.processAllAvailable()
+        input.addData((3L, 3.0)); query.processAllAvailable()
+        assert(s.read.parquet(sink).count() === 3)
+        // simulate the failure-replay: batch 1 runs AGAIN
+        writeBatch(Seq((3L, 3.0)).toDF("id", "v"), 1L)
+        assert(s.read.parquet(sink).count() === 3,
+          "replaying a batch must not duplicate its rows")
+        // ...and an append-mode sink would have duplicated it
+        assert(s.read.parquet(sink).select($"id").distinct().count() === 3)
+      } finally query.stop()
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
   test("q_stream_tumble batch result equals the same pipeline under streaming") {
     val s = spark
     import s.implicits._
