@@ -161,6 +161,19 @@ object Aggs {
         .orderBy($"l_returnflag")
     }),
 
+    // Boolean aggregates: ALL/ANY per group — quorum checks
+    // ("every order shipped?", "any urgent?") without count detours.
+    // Partial-aggregable like any AND/OR fold.
+    "q_agg_bool" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").groupBy($"o_orderpriority").agg(
+          expr("bool_and(o_totalprice > 1000)").as("all_above_1k"),
+          expr("bool_or(o_orderstatus = 'P')").as("any_pending"),
+          expr("bool_and(o_custkey IS NOT NULL)").as("all_keyed"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Equi-width histogram: bucket = floor(qty/5). The bucketing is a
     // per-row projection, so this is a plain one-shuffle groupBy —
     // the distributed histogram pattern that replaces collecting
@@ -262,6 +275,16 @@ object Aggs {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    "q_agg_bool" -> """
+      SELECT o_orderpriority,
+             bool_and(o_totalprice > 1000) AS all_above_1k,
+             bool_or(o_orderstatus = 'P') AS any_pending,
+             bool_and(o_custkey IS NOT NULL) AS all_keyed,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
 
     "q_agg_histogram" -> """
       SELECT CAST(FLOOR(l_quantity / 5) AS INT) AS bucket,

@@ -131,6 +131,22 @@ object Exprs {
     }),
 
     // The custom-Mapper surface: a Scala UDF registered with the
+    // Bitwise surface: and/or/xor, shifts, popcount — the bit-packing
+    // toolkit flag fields and bloom/bitmap structures are built from.
+    // All codegen'd integer ops, embarrassingly parallel.
+    "q_expr_bitwise" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events").where($"event_id" < 500)
+        .select($"event_id",
+          $"event_id".bitwiseAND(255).as("lo"),
+          $"event_id".bitwiseOR(16).as("or16"),
+          $"event_id".bitwiseXOR($"user_id").as("x"),
+          shiftleft($"event_id", 3).as("shl"),
+          shiftright($"event_id", 2).as("shr"),
+          bit_count($"event_id").as("bits"))
+        .orderBy($"event_id")
+    }),
+
     // session. Body is deliberately trivial (lowercase, strip
     // non-alpha, collapse spaces) so the oracle can reconstruct it in
     // SQL. Token count of the normalized text per doc.
@@ -228,6 +244,19 @@ object Exprs {
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2norm
       FROM embeddings
       ORDER BY vec_id""",
+
+    // DuckDB bit_count returns TINYINT — cast to INT to match Spark.
+    "q_expr_bitwise" -> """
+      SELECT event_id,
+             event_id & 255 AS lo,
+             event_id | 16 AS or16,
+             xor(event_id, user_id) AS x,
+             event_id << 3 AS shl,
+             event_id >> 2 AS shr,
+             CAST(bit_count(event_id) AS INT) AS bits
+      FROM events
+      WHERE event_id < 500
+      ORDER BY event_id""",
 
     "q_udf_scalar" -> """
       SELECT doc_id,
