@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables.{Q, t}
 
@@ -86,6 +87,28 @@ object SimOps {
         .limit(10)
     }),
 
+    // k-NN JOIN: a BATCH of query vectors (vec_id < 20) each retrieves
+    // its top-3 corpus neighbors — the shape of dedup-against-seed-set
+    // and eval-set contamination checks, vs the single-query top-k
+    // above. The query batch broadcasts (corpus never shuffles for the
+    // join); the per-query ranking is a row_number window that Spark's
+    // WindowGroupLimit prunes to k per group BEFORE the shuffle — the
+    // map-side heap of a distributed k-NN join. Rank on the ROUNDED
+    // sim + vec_id so the cutoff is engine-invariant.
+    "q_sim_knn_join" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      emb.where($"vec_id" >= 20)
+        .crossJoin(broadcast(qs))
+        .select($"qid", $"vec_id", round(dot($"embedding", $"qe"), 4).as("sim"))
+        .withColumn("rn", row_number().over(w)).where($"rn" <= 3)
+        .select($"qid", $"vec_id", $"sim", $"rn")
+        .orderBy($"qid", $"rn")
+    }),
+
     // Pair similarity within the vec_id<200 block, counted per
     // (label_lo, label_hi). Threshold 0.35: SURVEY §2.8 wrote 0.8, but
     // the fixture's maximum pair similarity is 0.4372 (measured at
@@ -164,6 +187,22 @@ object SimOps {
       WHERE e.vec_id <> 0
       ORDER BY sim DESC, vec_id
       LIMIT 10""",
+
+    "q_sim_knn_join" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                 FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+      s AS (SELECT qid, c.vec_id,
+                   ROUND(list_sum(list_transform(list_zip(c.embedding, q.qe),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+                     AS sim
+            FROM c CROSS JOIN q),
+      r AS (SELECT qid, vec_id, sim,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, vec_id) AS rn
+            FROM s)
+      SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3
+      ORDER BY qid, rn""",
 
     "q_sim_pairs" -> """
       WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),

@@ -68,6 +68,14 @@ class PlanShapeSpec extends GraftSuite {
       "partial (pre-shuffle) + final stages expected")
   }
 
+  test("q_sim_knn_join broadcasts the query batch and heap-prunes per query pre-shuffle") {
+    val p = plan("q_sim_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch must broadcast, corpus must not shuffle for the join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must prune before the ranking shuffle (map-side heap)")
+  }
+
   test("q_sim_ann_lsh probes buckets via broadcast hash join, codegen'd signatures") {
     val p = plan("q_sim_ann_lsh")
     // Candidate lookup must be an equi-join on the bucket id with the
