@@ -257,6 +257,60 @@ class StreamySpec extends GraftSuite {
     }
   }
 
+  test("transformWithState keeps per-key running state across batches (Spark 4 API)") {
+    // The successor to [flat]mapGroupsWithState: typed per-key state
+    // handles (ValueState/ListState/Map), timers, TTL — and it only
+    // runs on the RocksDB provider, i.e. the off-heap state path.
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      class RunningTotal
+          extends StatefulProcessor[String, (String, Double), (String, Double)] {
+        @transient private var total: ValueState[Double] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          total = getHandle.getValueState[Double]("total",
+            Encs.scalaDouble, TTLConfig.NONE)
+        override def handleInputRows(key: String,
+            rows: Iterator[(String, Double)],
+            tv: TimerValues): Iterator[(String, Double)] = {
+          val sum = (if (total.exists()) total.get() else 0.0) +
+            rows.map(_._2).sum
+          total.update(sum)
+          Iterator.single((key, sum))
+        }
+      }
+      val input = MemoryStream[(String, Double)]
+      val out = input.toDS().groupByKey(_._1)
+        .transformWithState(new RunningTotal, TimeMode.None(),
+          OutputMode.Update())
+      val query = out.toDF("k", "total").writeStream.format("memory")
+        .queryName("tws_test").outputMode(OutputMode.Update)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_tws").toString)
+        .start()
+      try {
+        input.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+        query.processAllAvailable()
+        input.addData(("a", 4.0)) // must ADD to a's state from batch 0
+        query.processAllAvailable()
+        val rows = s.table("tws_test").collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toSet
+        assert(rows === Set(("a", 3.0), ("b", 5.0), ("a", 7.0)))
+      } finally query.stop()
+    } finally prev match {
+      case Some(p) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch + overwrite-by-batchId sink is idempotent under batch replay") {
     // Exactly-once file output without a transactional table format:
     // partition the sink by batch_id and dynamically overwrite only
