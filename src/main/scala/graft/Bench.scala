@@ -50,6 +50,22 @@ object Bench {
       }
       catch { case _: Throwable => () }
     }
+    // Exercise the physical-operator paths whose first use pays a
+    // one-time JIT/codegen-infrastructure cost that would otherwise be
+    // charged to whichever query hits them first: the typed-Aggregator
+    // ObjectHashAggregate path (q_text_heavy paid ~2s for it — it runs
+    // alphabetically before q_udaf_typed) and the window path. Tiny
+    // synthetic input: the cost being moved is compilation, not data.
+    locally {
+      import org.apache.spark.sql.functions.{udaf => mkUdaf, _}
+      import org.apache.spark.sql.expressions.Window
+      val mg = mkUdaf(new functions.MisraGries(8))
+      val tiny = spark.range(2000)
+        .select((col("id") % 50).cast("string").as("w"), col("id"))
+      tiny.agg(mg(col("w"))).count()
+      tiny.select(row_number().over(
+        Window.partitionBy(col("w")).orderBy(col("id"))).as("rn")).count()
+    }
     // JIT-warm the kernel statics that generated code dispatches to
     // (CharBigrams/Shingles): C2 compilation of their loops is a
     // one-time JVM cost — measured 3.3s -> 0.9s on q_text_charlm's

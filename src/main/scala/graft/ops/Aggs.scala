@@ -174,6 +174,24 @@ object Aggs {
         .orderBy($"o_orderpriority")
     }),
 
+    // Deterministic MODE per group: most frequent l_quantity, ties to
+    // the smallest value. Spark's built-in `mode()` (and DuckDB's) is
+    // explicitly nondeterministic on ties, so the engine's mode is the
+    // count + row_number composition — two keyed shuffles, both
+    // partial-aggregable, and the tie rule is part of the result.
+    "q_agg_mode" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag").orderBy($"n".desc, $"l_quantity")
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"l_returnflag",
+          round($"l_quantity", 2).as("mode_qty"), $"n")
+        .orderBy($"l_returnflag")
+    }),
+
     // Equi-width histogram: bucket = floor(qty/5). The bucketing is a
     // per-row projection, so this is a plain one-shuffle groupBy —
     // the distributed histogram pattern that replaces collecting
@@ -190,6 +208,16 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_mode" -> """
+      SELECT l_returnflag, mode_qty, n FROM (
+        SELECT l_returnflag, ROUND(l_quantity, 2) AS mode_qty, n,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY n DESC, l_quantity) AS rn
+        FROM (SELECT l_returnflag, l_quantity, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag, l_quantity))
+      WHERE rn = 1
+      ORDER BY l_returnflag""",
+
     "q_agg_global" -> """
       SELECT count(*) AS n,
              ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -147,6 +147,26 @@ object Exprs {
         .orderBy($"event_id")
     }),
 
+    // URL parsing surface (web-corpus ingestion needs host/path/param
+    // extraction before any domain-level filtering or dedup). The URL
+    // is synthesized deterministically from fixture columns — the
+    // corpus has no raw URLs — then taken apart with `parse_url`
+    // (codegen'd), which is the part under test; the oracle
+    // reconstructs each component from the same inputs.
+    "q_expr_url" -> ((s, d) => {
+      import s.implicits._
+      val url = concat(lit("https://"), $"source", lit(".example.org/"),
+        $"lang", lit("/doc?id="), $"doc_id", lit("&ref="), $"source")
+      t(s, d, "documents").where($"doc_id" < 200)
+        .withColumn("url", url)
+        .select($"doc_id",
+          parse_url($"url", lit("HOST")).as("host"),
+          parse_url($"url", lit("PATH")).as("path"),
+          parse_url($"url", lit("QUERY"), lit("id")).cast("long").as("qid"),
+          parse_url($"url", lit("QUERY"), lit("ref")).as("ref"))
+        .orderBy($"doc_id")
+    }),
+
     // session. Body is deliberately trivial (lowercase, strip
     // non-alpha, collapse spaces) so the oracle can reconstruct it in
     // SQL. Token count of the normalized text per doc.
@@ -166,6 +186,16 @@ object Exprs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_expr_url" -> """
+      SELECT doc_id,
+             source || '.example.org' AS host,
+             '/' || lang || '/doc' AS path,
+             doc_id AS qid,
+             source AS ref
+      FROM documents
+      WHERE doc_id < 200
+      ORDER BY doc_id""",
+
     "q_filter_pred" -> """
       SELECT l_orderkey, l_linenumber, l_quantity,
              l_returnflag, l_linestatus, l_shipdate

@@ -234,6 +234,54 @@ object PipeOps {
         .orderBy($"l_returnflag", $"measure")
     }),
 
+    // Sequence packing — the step that turns a filtered corpus into
+    // fixed-width training rows: documents are laid out in a
+    // deterministic hash order per lang, token counts accumulate, and
+    // each doc is assigned to the 2048-token bin where it STARTS
+    // (concat-then-chunk packing, so docs may straddle bins). One
+    // window per lang partition + one audit agg; the layout order is
+    // hash-derived, never storage order, so re-packing on a different
+    // cluster width yields identical bins.
+    "q_pipe_pack" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang")
+        .orderBy($"h", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select($"doc_id", $"lang",
+          size(split($"text", " ")).as("n_tok"),
+          h60($"doc_id".cast("string")).as("h"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("bin",
+          floor(($"cum" - $"n_tok") / 2048.0).cast("long"))
+        .groupBy($"lang", $"bin").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("n_tokens"))
+        .orderBy($"lang", $"bin")
+    }),
+
+    // Overlapping chunking (RAG/context-window prep): each doc's token
+    // stream becomes windows of ≤64 tokens at stride 48. The expansion
+    // is `explode(sequence(...))` — a zero-shuffle per-row generator,
+    // the same shape at 100 TB (chunk count is data-derived, never a
+    // driver-side loop). Bounded here to doc_id < 100 to keep the
+    // differential output small; the plan is identical unbounded.
+    "q_pipe_chunk" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").where($"doc_id" < 100)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .withColumn("n_tok", size($"w"))
+        .select($"doc_id", $"w", $"n_tok",
+          explode(sequence(lit(0),
+            floor(($"n_tok" - 1) / 48.0).cast("int"))).as("ci"))
+        .select($"doc_id",
+          $"ci".cast("long").as("chunk_id"),
+          ($"ci" * 48).cast("long").as("start"),
+          least($"n_tok" - $"ci" * 48, lit(64)).cast("long").as("chunk_tokens"),
+          element_at($"w", $"ci" * 48 + 1).as("first_token"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
     // Nested-type grouping key: group by a struct column (year,
     // quarter) — exercises struct construction, struct equality in
     // the shuffle/agg key, and field extraction from the key.
@@ -381,6 +429,40 @@ object PipeOps {
       FROM b
       GROUP BY source
       ORDER BY source""",
+
+    "q_pipe_pack" -> """
+      WITH b AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS h
+        FROM documents),
+      c AS (
+        SELECT lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM b)
+      SELECT lang, CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS bin,
+             count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM c
+      GROUP BY lang, bin
+      ORDER BY lang, bin""",
+
+    "q_pipe_chunk" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents WHERE doc_id < 100),
+      e AS (
+        SELECT doc_id, w, n_tok,
+               unnest(generate_series(0,
+                 CAST(FLOOR((n_tok - 1) / 48.0) AS BIGINT))) AS ci
+        FROM d)
+      SELECT doc_id, ci AS chunk_id, ci * 48 AS start,
+             LEAST(n_tok - ci * 48, 64) AS chunk_tokens,
+             w[CAST(ci * 48 + 1 AS INT)] AS first_token
+      FROM e
+      ORDER BY doc_id, chunk_id""",
 
     "q_expr_struct" -> """
       SELECT CAST(year(o_orderdate) AS INT) AS y,

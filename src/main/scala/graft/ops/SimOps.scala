@@ -161,6 +161,45 @@ object SimOps {
         .limit(10)
     }),
 
+    // Product-quantization ANN (the third scale path next to IVF and
+    // LSH): the 64-dim space splits into 4 subspaces of 16 dims; each
+    // subspace has an 8-entry codebook (deterministic: the first 8
+    // corpus vectors, the same convention q_sim_ann_ivf uses), and a
+    // corpus vector is encoded as its 4 argmax-dot codes. Query-time
+    // ADC (asymmetric distance computation) scores a vector as the sum
+    // of the QUERY's precomputed dot with each assigned centroid — at
+    // 10^9 vectors the corpus side stores 4 bytes of codes per vector
+    // and scoring is a 4-way lookup-table sum; no full vectors move.
+    // Subspace dots are floor-rounded to 6 decimals before the argmax
+    // (identical arithmetic both engines) so code assignment is
+    // tie-stable; ranking uses the rounded ADC score + vec_id.
+    "q_sim_ann_pq" -> ((s, d) => {
+      import s.implicits._
+      val M = 4; val SubDim = 16; val K = 8
+      val emb = t(s, d, "embeddings")
+      val subs = emb.select($"vec_id", explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"),
+            slice($"embedding", m * SubDim + 1, SubDim).as("sv"))): _*)).as("e"))
+        .select($"vec_id", $"e.m".as("m"), $"e.sv".as("sv"))
+      val cents = subs.where($"vec_id" < K)
+        .select($"vec_id".cast("int").as("cid"), $"m".as("cm"), $"sv".as("cv"))
+      val scored = subs.join(broadcast(cents), $"m" === $"cm")
+        .select($"vec_id", $"m", $"cid",
+          (floor(dot($"sv", $"cv") * 1e6 + 0.5) / 1e6).as("dp"))
+      val w = Window.partitionBy($"vec_id", $"m").orderBy($"dp".desc, $"cid")
+      val codes = scored
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"vec_id", $"m", $"cid".as("code"))
+      val qd = scored.where($"vec_id" === 0)
+        .select($"m".as("qm"), $"cid".as("qcid"), $"dp".as("qdp"))
+      codes.where($"vec_id" =!= 0)
+        .join(broadcast(qd), $"m" === $"qm" && $"code" === $"qcid")
+        .groupBy($"vec_id")
+        .agg((floor(sum($"qdp") * 10000 + 0.5) / 10000).as("adc_sim"))
+        .orderBy($"adc_sim".desc, $"vec_id")
+        .limit(10)
+    }),
+
     // documents ⋈ embeddings on doc_id = vec_id: one row mixing text
     // metadata with a vector statistic (L2 norm, ≈1.0 by construction).
     "q_multimodal_join" -> ((s, d) => {
@@ -233,6 +272,36 @@ object SimOps {
       FROM sigs s JOIN probes p ON s.bucket = p.pb
       WHERE s.vec_id <> 0
       ORDER BY sim DESC, vec_id
+      LIMIT 10""",
+
+    "q_sim_ann_pq" -> """
+      WITH subs AS (
+        SELECT vec_id, m,
+               list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)),
+      cents AS (
+        SELECT vec_id AS cid, m AS cm, sv AS cv FROM subs WHERE vec_id < 8),
+      scored AS (
+        SELECT s.vec_id, s.m, c.cid,
+               FLOOR(list_sum(list_transform(list_zip(s.sv, c.cv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS dp
+        FROM subs s JOIN cents c ON s.m = c.cm),
+      codes AS (
+        SELECT vec_id, m, cid AS code FROM (
+          SELECT vec_id, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY dp DESC, cid) AS rn
+          FROM scored)
+        WHERE rn = 1),
+      qd AS (SELECT m AS qm, cid AS qcid, dp AS qdp
+             FROM scored WHERE vec_id = 0)
+      SELECT c.vec_id,
+             FLOOR(SUM(qdp) * 10000 + 0.5) / 10000 AS adc_sim
+      FROM codes c JOIN qd ON c.m = qm AND c.code = qcid
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id
+      ORDER BY adc_sim DESC, vec_id
       LIMIT 10""",
 
     "q_multimodal_join" -> """

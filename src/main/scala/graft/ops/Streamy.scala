@@ -99,6 +99,25 @@ object Streamy {
         .orderBy($"window_start", $"c_mktsegment")
     }),
 
+    // Event dedup/throttle: at most one event per (user, type, day),
+    // keeping the earliest by (ts, event_id) — the batch-deterministic
+    // form of streaming dedup. The streaming analogue is
+    // `dropDuplicatesWithinWatermark` (first-ARRIVAL survivor, state
+    // bounded by the watermark — asserted in StreamySpec); batch picks
+    // the first-EVENT-TIME survivor via an explicit window order so
+    // the oracle is reproducible. One shuffle on the dedup key.
+    "q_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"event_type", $"day")
+        .orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .withColumn("day", to_date($"ts"))
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"user_id", $"event_type", $"day", $"event_id")
+        .orderBy($"user_id", $"event_type", $"day")
+    }),
+
     // Watermark/late-data surface: in batch `withWatermark` is a no-op
     // (this row is rows-only checked); the 10-minute late-drop
     // behavior itself is asserted with MemoryStream in StreamySpec.
@@ -156,6 +175,15 @@ object Streamy {
         AND cts >= pts - INTERVAL 30 MINUTE AND cts <= pts
       GROUP BY day
       ORDER BY day""",
+
+    "q_stream_dedup" -> """
+      SELECT user_id, event_type, day, event_id FROM (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS day, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type,
+                 CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+        FROM events)
+      WHERE rn = 1
+      ORDER BY user_id, event_type, day""",
 
     // Gaps-and-islands: new-session flag on gap >= 30 min (matching
     // Spark's end-exclusive [start, last+gap) session interval),

@@ -196,6 +196,33 @@ class OpsSpec extends GraftSuite {
       Seq("l_discount", "l_quantity", "l_tax"))
   }
 
+  test("q_agg_mode picks the most frequent value, ties to the smallest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mode").toString
+    // 5.0 and 3.0 both appear twice: the tie must resolve to 3.0
+    Seq(("A", 5.0), ("A", 5.0), ("A", 3.0), ("A", 3.0), ("A", 7.0))
+      .toDF("l_returnflag", "l_quantity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = q("q_agg_mode", dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getDouble(1) === 3.0 && r(0).getLong(2) === 2L)
+  }
+
+  test("q_sim_ann_pq returns a deterministic descending top-10 without the query") {
+    import spark.implicits._
+    val rows = q("q_sim_ann_pq", sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length === 10)
+    assert(!rows.map(_._1).contains(0L), "query vector must be excluded")
+    assert(rows.map(_._1).distinct.length === 10)
+    val sims = rows.map(_._2)
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+      "ADC scores must be non-increasing")
+    // quantized scores collide often; within a tie vec_id must ascend
+    assert(rows.zip(rows.tail).forall { case ((ia, sa), (ib, sb)) =>
+      sa > sb || ia < ib })
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -133,4 +133,49 @@ class PipeOpsSpec extends GraftSuite {
     assert(rows.toSeq === Seq(
       (1996, 1, 1L, 100.0), (1996, 2, 1L, 200.0), (1997, 1, 1L, 300.0)))
   }
+
+  test("q_pipe_pack conserves docs and tokens across bins") {
+    import spark.implicits._
+    val packed = q("q_pipe_pack", sf0001)
+    val docs = ops.Tables.t(spark, sf0001, "documents")
+    assert(packed.agg(sum($"n_docs")).collect()(0).getLong(0) === docs.count())
+    val totTok = docs
+      .select(sum(size(split($"text", " ")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(packed.agg(sum($"n_tokens")).collect()(0).getLong(0) === totTok)
+    // bins fill sequentially: ids are dense 0..max per lang
+    val holes = packed.groupBy($"lang")
+      .agg(min($"bin").as("lo"), max($"bin").as("hi"),
+        count(lit(1)).as("n"))
+      .where($"lo" =!= 0 || $"hi" =!= $"n" - 1)
+    assert(holes.count() === 0, "bin ids must be dense from 0 per lang")
+  }
+
+  test("q_pipe_pack layout is invariant under repartitioning") {
+    val a = q("q_pipe_pack", sf0001).collect().map(_.toString).toSeq
+    spark.conf.set("spark.sql.shuffle.partitions", "9")
+    val b =
+      try q("q_pipe_pack", sf0001).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert(a === b)
+  }
+
+  test("q_pipe_chunk: stride-48 starts, widths in [1,64], count = ceil(n/48), full coverage") {
+    import spark.implicits._
+    val ch = q("q_pipe_chunk", sf0001)
+    assert(ch.where($"start" % 48 =!= 0).count() === 0)
+    assert(ch.where($"chunk_tokens" < 1 || $"chunk_tokens" > 64).count() === 0)
+    val docs = ops.Tables.t(spark, sf0001, "documents").where($"doc_id" < 100)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    val per = ch.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max($"start" + $"chunk_tokens").as("covered"))
+    val j = per.join(docs, "doc_id")
+    assert(j.where($"n_chunks" =!= ceil($"n_tok" / 48.0).cast("long")).count() === 0,
+      "chunk count must be ceil(n_tok / stride)")
+    assert(j.where($"covered" =!= $"n_tok").count() === 0,
+      "the last chunk must reach the final token")
+    assert(docs.join(per, Seq("doc_id"), "left_anti").count() === 0,
+      "every doc (even a 1-token one) must produce at least one chunk")
+  }
 }

@@ -372,4 +372,30 @@ class StreamySpec extends GraftSuite {
       assert(streamed === batch)
     } finally query.stop()
   }
+
+  test("dropDuplicatesWithinWatermark suppresses cross-batch duplicates (q_stream_dedup)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dd = input.toDF().toDF("ts", "user_id", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck_dd").toString
+    val query = dd.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).option("checkpointLocation", dir).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 7L, "click"))
+      query.processAllAvailable()
+      // same key arriving in a LATER micro-batch, still within the
+      // watermark: the whole point of dedup state — must be suppressed
+      input.addData((ts("2024-01-01 10:05:00"), 7L, "click"),
+                    (ts("2024-01-01 10:06:00"), 8L, "view"))
+      query.processAllAvailable()
+      val out = s.table("dedup_test").collect()
+        .map(r => (r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(out === Seq((7L, "click"), (8L, "view")),
+        "cross-batch duplicate within the watermark must be dropped")
+    } finally query.stop()
+  }
 }
