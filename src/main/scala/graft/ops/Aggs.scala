@@ -192,6 +192,41 @@ object Aggs {
         .orderBy($"l_returnflag")
     }),
 
+    // EXACT distinct counting that stays partial-aggregable: custkeys
+    // set bits in per-bucket roaring-style bitmaps (Spark's bitmap_*
+    // aggregates), bucket bitmaps OR-merge map-side, and the final
+    // count is a sum of popcounts. At 100 TB this replaces the
+    // expand/rewrite shuffle of count(DISTINCT) with fixed-width
+    // bitmap buffers per (group, bucket) — the same trade a bitmap
+    // index materializes — while staying exact, unlike HLL.
+    "q_agg_bitmap" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_orderstatus",
+          expr("bitmap_bucket_number(o_custkey)").as("b"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+          .as("bm"))
+        .groupBy($"o_orderstatus")
+        .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_custkeys"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // Single-pass deterministic ARGMAX: the top-balance customer per
+    // segment via max(struct(bal, -key)) — struct ordering makes the
+    // tie rule (smallest key) part of the aggregate, so no window/
+    // second shuffle is needed and the agg stays partial-aggregable.
+    // The built-in max_by is nondeterministic on ties; this is not.
+    "q_agg_argmax" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(max(struct($"c_acctbal".as("bal"), (-$"c_custkey").as("nk")))
+          .as("mx"))
+        .select($"c_mktsegment", $"mx.bal".as("top_bal"),
+          (-$"mx.nk").as("top_custkey"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // Equi-width histogram: bucket = floor(qty/5). The bucketing is a
     // per-row projection, so this is a plain one-shuffle groupBy —
     // the distributed histogram pattern that replaces collecting
@@ -208,6 +243,22 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    // The bitmap path must agree with the plain exact distinct.
+    "q_agg_bitmap" -> """
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custkeys
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "q_agg_argmax" -> """
+      SELECT c_mktsegment, top_bal, top_custkey FROM (
+        SELECT c_mktsegment, c_acctbal AS top_bal, c_custkey AS top_custkey,
+               row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer)
+      WHERE rn = 1
+      ORDER BY c_mktsegment""",
+
     "q_agg_mode" -> """
       SELECT l_returnflag, mode_qty, n FROM (
         SELECT l_returnflag, ROUND(l_quantity, 2) AS mode_qty, n,

@@ -208,6 +208,26 @@ class OpsSpec extends GraftSuite {
     assert(r(0).getDouble(1) === 3.0 && r(0).getLong(2) === 2L)
   }
 
+  test("q_agg_argmax resolves the micro fixture's balance tie to the smaller custkey") {
+    // micro customers 2 and 3 both hold 200.0 in AUTOMOBILE
+    val rows = q("q_agg_argmax", microDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(rows === Seq(("AUTOMOBILE", 200.0, 2L), ("BUILDING", 100.0, 1L)))
+  }
+
+  test("q_agg_bitmap equals plain count(DISTINCT) per group") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bm = q("q_agg_bitmap", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = ops.Tables.t(spark, sf0001, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n"))
+      .orderBy($"o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bm === exact)
+  }
+
   test("q_sim_ann_pq returns a deterministic descending top-10 without the query") {
     import spark.implicits._
     val rows = q("q_sim_ann_pq", sf0001).collect()

@@ -94,4 +94,33 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"))
   }
+
+  test("q_agg_bitmap counts distinct without an Expand rewrite") {
+    val p = plan("q_agg_bitmap")
+    // count(DISTINCT) plans through an Expand; the bitmap path must
+    // stay plain partial+final hash aggregation over bitmap buffers.
+    assert(!p.contains("Expand"), s"bitmap distinct must not Expand:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q_agg_argmax is a single partial-aggregable max, not a window") {
+    val p = plan("q_agg_argmax")
+    assert(!p.contains("Window"), "argmax must not plan a window")
+    assert(p.contains("partial_max"), s"expected map-side partial max:\n$p")
+  }
+
+  test("q_pipe_chunk expands rows with a generator, no shuffle before it") {
+    val p = plan("q_pipe_chunk")
+    assert(p.contains("Generate"), "sequence explode must plan as Generate")
+    // the only Exchange allowed is the final presentation sort
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"chunk expansion must not shuffle:\n$p")
+  }
+
+  test("q_sim_ann_pq broadcasts codebook and ADC lookups, never shuffles full vectors for the joins") {
+    val p = plan("q_sim_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), s"codebook join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("float_dot"), "subspace dots must use the codegen'd kernel")
+  }
 }
