@@ -192,6 +192,21 @@ object Aggs {
         .orderBy($"l_returnflag")
     }),
 
+    // Mergeable-sketch surface beyond approx_count_distinct's opaque
+    // HLL++: explicit Apache DataSketches HLL objects. Per-group
+    // sketches are built independently (the pre-aggregated sketch
+    // TABLE a warehouse stores) then union-merged — register-wise max,
+    // so merging per-group sketches is lossless vs sketching the whole
+    // column (asserted exactly equal in OpsSpec). no-oracle: sketch
+    // internals aren't reproducible in DuckDB; rows-only + ±5% spec.
+    "q_agg_hll" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").groupBy($"o_orderstatus")
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+        .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as long)")
+          .as("est_custkeys"))
+    }),
+
     // EXACT distinct counting that stays partial-aggregable: custkeys
     // set bits in per-bucket roaring-style bitmaps (Spark's bitmap_*
     // aggregates), bucket bitmaps OR-merge map-side, and the final

@@ -147,6 +147,23 @@ object Exprs {
         .orderBy($"event_id")
     }),
 
+    // Error-safe (ANSI try_*) arithmetic: a 100-TB job must not die on
+    // one malformed row, and try_divide/try_element_at give NULL-on-
+    // error without disabling ANSI mode globally. Division hits a real
+    // zero (floor(qty)-25) and the array probe a real out-of-range
+    // index, so the NULL surface is non-vacuous; DuckDB's native
+    // semantics (x/0 → NULL, list[oob] → NULL) mirror try_* exactly.
+    "q_expr_try" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").where($"l_orderkey" < 300)
+        .select($"l_orderkey", $"l_linenumber",
+          (floor(expr("try_divide(l_extendedprice, floor(l_quantity) - 25)")
+            * 1e4 + 0.5) / 1e4).as("ratio"),
+          expr("try_element_at(array(l_returnflag, l_linestatus), l_linenumber)")
+            .as("flag_at"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // URL parsing surface (web-corpus ingestion needs host/path/param
     // extraction before any domain-level filtering or dedup). The URL
     // is synthesized deterministically from fixture columns — the
@@ -186,6 +203,15 @@ object Exprs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_expr_try" -> """
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(l_extendedprice / (FLOOR(l_quantity) - 25) * 1e4 + 0.5)
+               / 1e4 AS ratio,
+             ([l_returnflag, l_linestatus])[l_linenumber] AS flag_at
+      FROM lineitem
+      WHERE l_orderkey < 300
+      ORDER BY l_orderkey, l_linenumber""",
+
     "q_expr_url" -> """
       SELECT doc_id,
              source || '.example.org' AS host,

@@ -208,6 +208,22 @@ class OpsSpec extends GraftSuite {
     assert(r(0).getDouble(1) === 3.0 && r(0).getLong(2) === 2L)
   }
 
+  test("q_agg_hll: union of per-group sketches equals the direct sketch, both within ±5%") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val est = q("q_agg_hll", sf0001).collect()(0).getLong(0)
+    val orders = ops.Tables.t(spark, sf0001, "orders")
+    val exact = orders.select(countDistinct($"o_custkey")).collect()(0).getLong(0)
+    assert(math.abs(est - exact) <= 0.05 * exact,
+      s"HLL estimate $est vs exact $exact outside 5%")
+    // merging per-group sketches is register-wise max — lossless vs
+    // sketching the column directly
+    val direct = orders
+      .agg(expr("cast(hll_sketch_estimate(hll_sketch_agg(o_custkey)) as long)"))
+      .collect()(0).getLong(0)
+    assert(est === direct, "sketch merge must be lossless")
+  }
+
   test("q_agg_argmax resolves the micro fixture's balance tie to the smaller custkey") {
     // micro customers 2 and 3 both hold 200.0 in AUTOMOBILE
     val rows = q("q_agg_argmax", microDir).collect()
