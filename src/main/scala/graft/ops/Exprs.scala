@@ -147,6 +147,21 @@ object Exprs {
         .orderBy($"event_id")
     }),
 
+    // Semi-structured VARIANT type (Spark 4): JSON parsed once into
+    // the binary variant encoding, then typed path extraction — the
+    // columnar-friendly way to carry ragged metadata at 100 TB (vs
+    // get_json_object re-parsing the string per access, which
+    // q_expr_json covers). A missing path is NULL, not an error.
+    "q_expr_variant" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events").where($"event_id" < 500)
+        .select($"event_id",
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          expr("variant_get(parse_json(props), '$.missing', 'string')")
+            .as("miss"))
+        .orderBy($"event_id")
+    }),
+
     // Error-safe (ANSI try_*) arithmetic: a 100-TB job must not die on
     // one malformed row, and try_divide/try_element_at give NULL-on-
     // error without disabling ANSI mode globally. Division hits a real
@@ -203,6 +218,14 @@ object Exprs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_expr_variant" -> """
+      SELECT event_id,
+             CAST(props->>'$.k' AS BIGINT) AS k,
+             props->>'$.missing' AS miss
+      FROM events
+      WHERE event_id < 500
+      ORDER BY event_id""",
+
     "q_expr_try" -> """
       SELECT l_orderkey, l_linenumber,
              FLOOR(l_extendedprice / (FLOOR(l_quantity) - 25) * 1e4 + 0.5)

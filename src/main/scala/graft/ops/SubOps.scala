@@ -83,6 +83,26 @@ object SubOps {
         ORDER BY c_custkey
       """)
     }),
+
+    // LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    // declarative form of "top-2 orders per customer". Catalyst's
+    // lateral decorrelation rewrites it into the ranked-window join
+    // the hand-written q_win_topk_group plan uses (never a per-row
+    // re-execution of the inner query); DuckDB executes the identical
+    // LATERAL natively, so the differential crosses two independent
+    // decorrelation implementations.
+    "q_join_lateral" -> ((s, d) => {
+      s.sql(s"""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM parquet.`$d/customer.parquet`,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM parquet.`$d/orders.parquet`
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+      """)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -119,5 +139,14 @@ object SubOps {
         FROM customer c)
       WHERE n_orders <= 3
       ORDER BY c_custkey""",
+
+    "q_join_lateral" -> """
+      SELECT c_custkey, o_orderkey, o_totalprice
+      FROM customer,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+      WHERE c_mktsegment = 'BUILDING'
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
   )
 }

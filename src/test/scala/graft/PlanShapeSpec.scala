@@ -117,6 +117,14 @@ class PlanShapeSpec extends GraftSuite {
       s"chunk expansion must not shuffle:\n$p")
   }
 
+  test("q_join_lateral decorrelates to a ranked-window join, never per-row re-execution") {
+    val p = plan("q_join_lateral")
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral LIMIT must become a pre-shuffle group limit:\n$p")
+    assert(p.contains("Join"), "lateral must decorrelate into a join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_sim_ann_pq broadcasts codebook and ADC lookups, never shuffles full vectors for the joins") {
     val p = plan("q_sim_ann_pq")
     assert(p.contains("BroadcastHashJoin"), s"codebook join must broadcast:\n$p")
