@@ -234,6 +234,38 @@ object PipeOps {
         .orderBy($"l_returnflag", $"measure")
     }),
 
+    // Data-quality expectations (the Deequ/constraint-suite shape):
+    // each table is profiled in ONE pass — range violations, null
+    // counts, and FK orphans come out as conditional sums / one anti
+    // join, never one job per constraint. Two rows are hard
+    // constraints expected to hold (0 violations) and two are profile
+    // counts expected non-zero, so the audit is non-vacuous in both
+    // directions.
+    "q_pipe_expect" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val range = li.agg(
+          sum(when($"l_quantity" < 0 || $"l_quantity" > 60, 1L)
+            .otherwise(0L)).as("n"),
+          sum(when($"l_extendedprice" <= 0, 1L).otherwise(0L)).as("p"),
+          sum(when($"l_quantity" > 45, 1L).otherwise(0L)).as("hi"),
+          sum(when($"l_discount" > 0.05, 1L).otherwise(0L)).as("disc"))
+      val fk = t(s, d, "orders")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("orders_custkey_orphans").as("check_name"), $"n")
+      range.select(lit("lineitem_qty_in_range_viol").as("check_name"),
+          $"n")
+        .unionByName(range.select(
+          lit("lineitem_price_positive_viol").as("check_name"), $"p".as("n")))
+        .unionByName(range.select(
+          lit("profile_qty_above_45").as("check_name"), $"hi".as("n")))
+        .unionByName(range.select(
+          lit("profile_disc_above_5pct").as("check_name"), $"disc".as("n")))
+        .unionByName(fk)
+        .orderBy($"check_name")
+    }),
+
     // Sequence packing — the step that turns a filtered corpus into
     // fixed-width training rows: documents are laid out in a
     // deterministic hash order per lang, token counts accumulate, and
@@ -429,6 +461,34 @@ object PipeOps {
       FROM b
       GROUP BY source
       ORDER BY source""",
+
+    "q_pipe_expect" -> """
+      WITH r AS (
+        SELECT
+          CAST(SUM(CASE WHEN l_quantity < 0 OR l_quantity > 60
+            THEN 1 ELSE 0 END) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS p,
+          CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+            AS BIGINT) AS hi,
+          CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS disc
+        FROM lineitem),
+      fk AS (
+        SELECT count(*) AS n FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+      SELECT check_name, n FROM (
+        SELECT 'lineitem_qty_in_range_viol' AS check_name, n FROM r
+        UNION ALL
+        SELECT 'lineitem_price_positive_viol', p FROM r
+        UNION ALL
+        SELECT 'profile_qty_above_45', hi FROM r
+        UNION ALL
+        SELECT 'profile_disc_above_5pct', disc FROM r
+        UNION ALL
+        SELECT 'orders_custkey_orphans', n FROM fk)
+      ORDER BY check_name""",
 
     "q_pipe_pack" -> """
       WITH b AS (

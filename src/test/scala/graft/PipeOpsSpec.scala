@@ -134,6 +134,29 @@ class PipeOpsSpec extends GraftSuite {
       (1996, 1, 1L, 100.0), (1996, 2, 1L, 200.0), (1997, 1, 1L, 300.0)))
   }
 
+  test("q_pipe_expect: hard constraints hold, profile counts are non-vacuous") {
+    val m = q("q_pipe_expect", sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("lineitem_qty_in_range_viol") === 0L)
+    assert(m("lineitem_price_positive_viol") === 0L)
+    assert(m("orders_custkey_orphans") === 0L)
+    assert(m("profile_qty_above_45") > 0L, "profile row must be non-vacuous")
+    assert(m("profile_disc_above_5pct") > 0L)
+  }
+
+  test("Observation collects audit metrics during the pass, no second job") {
+    import org.apache.spark.sql.Observation
+    import spark.implicits._
+    val obs = Observation()
+    val li = ops.Tables.t(spark, sf0001, "lineitem")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(when($"l_quantity" > 60, 1L).otherwise(0L)).as("viol"))
+    val n = li.count()
+    val m = obs.get
+    assert(m("rows") === n, "observed row metric must match the action's count")
+    assert(m("viol") === 0L)
+  }
+
   test("q_pipe_pack conserves docs and tokens across bins") {
     import spark.implicits._
     val packed = q("q_pipe_pack", sf0001)
