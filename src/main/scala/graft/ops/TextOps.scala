@@ -193,6 +193,42 @@ object TextOps {
         .orderBy($"w")
     }),
 
+    // PMI collocation mining: which adjacent token pairs co-occur more
+    // than their unigram frequencies predict — the classic statistic
+    // for phrase/collocation extraction before tokenizer training.
+    // PMI = ln(P(ab) / (P(a)·P(b))) over the corpus bigram stream;
+    // pairs seen < 25 times are dropped (PMI is noise at low counts).
+    // Three keyed aggs + two broadcast joins of the (small) unigram
+    // table — at 100 TB the unigram model broadcasts and the bigram
+    // scoring stays map-side, the same shape as q_text_charlm. Ranked
+    // on floor-r4 PMI so a last-ulp ln() diff can't flip the cutoff.
+    "q_text_pmi" -> ((s, d) => {
+      import s.implicits._
+      val tk = t(s, d, "documents").select($"doc_id",
+        posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      val uni = tk.groupBy($"tok").agg(count(lit(1)).as("nu"))
+      val nTok = uni.agg(sum($"nu").as("n_total"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val bi = tk.withColumn("nxt", lead($"tok", 1).over(w))
+        .where($"nxt".isNotNull)
+        .groupBy($"tok", $"nxt").agg(count(lit(1)).as("nb"))
+        .where($"nb" >= 25)
+      val nBi = tk.groupBy($"doc_id").agg((count(lit(1)) - 1).as("nb_doc"))
+        .agg(sum($"nb_doc").as("b_total"))
+      bi.join(broadcast(uni.withColumnRenamed("tok", "t1")
+            .withColumnRenamed("nu", "nu1")), $"tok" === $"t1")
+        .join(broadcast(uni.withColumnRenamed("tok", "t2")
+            .withColumnRenamed("nu", "nu2")), $"nxt" === $"t2")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+        .select($"tok", $"nxt", $"nb",
+          (floor(log(($"nb" / $"b_total".cast("double")) /
+            (($"nu1" / $"n_total".cast("double")) *
+             ($"nu2" / $"n_total".cast("double")))) * 1e4 + 0.5) / 1e4)
+            .as("pmi"))
+        .orderBy($"pmi".desc, $"tok", $"nxt")
+        .limit(20)
+    }),
+
     // Exact dedup on (lang, source) keeping min doc_id — window
     // row_number, NOT dropDuplicates (nondeterministic survivor).
     "q_dedup_exact" -> ((s, d) => {
@@ -212,41 +248,64 @@ object TextOps {
     // shingles keep only genuinely duplicated passages. The verified
     // output is exact, so the oracle brute-forces shingle Jaccard
     // within (lang) blocks and must match row-for-row.
-    "q_dedup_minhash" -> ((s, d) => {
-      import s.implicits._
-      val words = t(s, d, "documents")
-        .select($"doc_id", $"lang", split($"text", " ").as("w"))
-      // Shingles are hashed to 64-bit longs immediately: signature
-      // minhashing and the exact-verify intersections only need set
-      // identity, and primitive long arrays keep the verify join's
-      // shuffle payload ~10× smaller than shingle strings. The
-      // hashing runs in the native codegen'd `shingle_hash` kernel
-      // (graft.functions.Shingles) — the HOF form it replaces was
-      // interpreted and cost ~1.5 s per self-join side at sf0.1.
-      val tk = words.where(size($"w") >= 3)
-        .select($"doc_id", $"lang",
-          expr("shingle_hash(w, 3)").as("tok"))
-      val sig = tk.select($"doc_id", $"lang",
-        expr(s"minhash_sig(tok, $NumBands)").as("sig"))
-      val bands = sig.select($"doc_id", $"lang",
-        posexplode($"sig").as(Seq("band", "hval")))
-      val cand = bands.as("a").join(bands.as("b"),
-          $"a.lang" === $"b.lang" && $"a.band" === $"b.band" &&
-          $"a.hval" === $"b.hval" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .distinct()
-      val ta = tk.select($"doc_id".as("doc_a"), $"tok".as("tok_a"))
-      val tb = tk.select($"doc_id".as("doc_b"), $"tok".as("tok_b"))
-      cand.join(ta, "doc_a").join(tb, "doc_b")
-        .withColumn("inter",
-          expr("sorted_intersect_count(tok_a, tok_b)").cast("double"))
-        .withColumn("jac",
-          $"inter" / (size($"tok_a") + size($"tok_b") - $"inter"))
-        .where($"jac" >= 0.6)
-        .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
-        .orderBy($"doc_a", $"doc_b")
-    }),
+    "q_dedup_minhash" -> ((s, d) => minhashPairs(s, d, BucketCap)),
   )
+
+  /** The maximum docs a single LSH bucket may contribute to the pair
+    * join. A band value shared by k docs produces k²/2 candidate
+    * pairs — ONE boilerplate passage shared by a million documents
+    * would otherwise materialize 5·10^11 pairs on one reducer. The cap
+    * bounds every bucket's pair fan-out at Cap²/2; recall only drops
+    * for pairs whose EVERY shared band is hot, which at b=16 r=1 means
+    * 16 independent hot collisions. 1000 is far above any fixture
+    * bucket (max observed: cluster-size ~tens), so the differential
+    * output is unchanged — the cap's bite is asserted separately in
+    * ShinglesSpec with cap=1. */
+  private val BucketCap = 1000
+
+  /** q_dedup_minhash body, parameterized by the hot-bucket cap so the
+    * pruning mechanism itself is testable. */
+  private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String, bucketCap: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val words = t(s, d, "documents")
+      .select($"doc_id", $"lang", split($"text", " ").as("w"))
+    // Shingles are hashed to 64-bit longs immediately: signature
+    // minhashing and the exact-verify intersections only need set
+    // identity, and primitive long arrays keep the verify join's
+    // shuffle payload ~10× smaller than shingle strings. The
+    // hashing runs in the native codegen'd `shingle_hash` kernel
+    // (graft.functions.Shingles) — the HOF form it replaces was
+    // interpreted and cost ~1.5 s per self-join side at sf0.1.
+    val tk = words.where(size($"w") >= 3)
+      .select($"doc_id", $"lang",
+        expr("shingle_hash(w, 3)").as("tok"))
+    val sig = tk.select($"doc_id", $"lang",
+      expr(s"minhash_sig(tok, $NumBands)").as("sig"))
+    // Hot-bucket cap: the size window shuffles on the SAME key the
+    // candidate self-join uses, so the join reuses its partitioning.
+    val bw = Window.partitionBy($"lang", $"band", $"hval")
+    val bands = sig.select($"doc_id", $"lang",
+        posexplode($"sig").as(Seq("band", "hval")))
+      .withColumn("bsz", count(lit(1)).over(bw))
+      .where($"bsz" <= bucketCap)
+      .drop("bsz")
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.lang" === $"b.lang" && $"a.band" === $"b.band" &&
+        $"a.hval" === $"b.hval" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val ta = tk.select($"doc_id".as("doc_a"), $"tok".as("tok_a"))
+    val tb = tk.select($"doc_id".as("doc_b"), $"tok".as("tok_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("inter",
+        expr("sorted_intersect_count(tok_a, tok_b)").cast("double"))
+      .withColumn("jac",
+        $"inter" / (size($"tok_a") + size($"tok_b") - $"inter"))
+      .where($"jac" >= 0.6)
+      .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_text_wordcount" -> """
@@ -364,6 +423,36 @@ object TextOps {
       GROUP BY w, tot
       HAVING count(*) >= CEIL(tot * 0.01)
       ORDER BY w""",
+
+    "q_text_pmi" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      uni AS (SELECT tok, count(*) AS nu FROM tk GROUP BY tok),
+      tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS n_total FROM uni),
+      bi AS (
+        SELECT tok, nxt, count(*) AS nb FROM (
+          SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM tk)
+        WHERE nxt IS NOT NULL
+        GROUP BY tok, nxt
+        HAVING count(*) >= 25),
+      btot AS (
+        SELECT CAST(SUM(nb_doc) AS BIGINT) AS b_total FROM (
+          SELECT doc_id, count(*) - 1 AS nb_doc FROM tk GROUP BY doc_id))
+      SELECT b.tok, b.nxt, b.nb,
+             FLOOR(LN((b.nb / CAST(bt.b_total AS DOUBLE)) /
+               ((u1.nu / CAST(t.n_total AS DOUBLE)) *
+                (u2.nu / CAST(t.n_total AS DOUBLE)))) * 1e4 + 0.5) / 1e4
+               AS pmi
+      FROM bi b
+        JOIN uni u1 ON b.tok = u1.tok
+        JOIN uni u2 ON b.nxt = u2.tok
+        CROSS JOIN tot t CROSS JOIN btot bt
+      ORDER BY pmi DESC, b.tok, b.nxt
+      LIMIT 20""",
 
     "q_dedup_exact" -> """
       SELECT doc_id, lang, source FROM documents

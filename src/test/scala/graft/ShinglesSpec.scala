@@ -173,4 +173,17 @@ class ShinglesSpec extends GraftSuite {
       s"kernel stage must be codegen'd:\n$plan")
     assert(frag.count() > 0)
   }
+
+  test("minhash hot-bucket cap prunes candidates without changing the default result") {
+    // micro docs 0 and 1 are exact duplicates: every band collides, so
+    // each of their 16 shared buckets has size 2. With the production
+    // cap (1000) the pair is found; with cap=1 every shared bucket is
+    // "hot" and the pair must be pruned — the documented recall trade
+    // that bounds a bucket's pair fan-out at cap²/2 at 100 TB.
+    val dflt = ops.TextOps.minhashPairs(spark, SparkTestBase.microDir, 1000)
+    assert(dflt.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((0L, 1L)))
+    val capped = ops.TextOps.minhashPairs(spark, SparkTestBase.microDir, 1)
+    assert(capped.count() === 0, "cap=1 must prune every multi-doc bucket")
+  }
 }
