@@ -207,19 +207,21 @@ object TextOps {
       val tk = t(s, d, "documents").select($"doc_id",
         posexplode(split($"text", " ")).as(Seq("pos", "tok")))
       val uni = tk.groupBy($"tok").agg(count(lit(1)).as("nu"))
-      val nTok = uni.agg(sum($"nu").as("n_total"))
+      // every doc emits len-1 bigrams, so the bigram denominator is
+      // n_total - n_docs — no third corpus pass needed
+      val nTok = uni.agg(sum($"nu").as("n_total")).crossJoin(
+          t(s, d, "documents").agg(count(lit(1)).as("n_docs")))
+        .select($"n_total", ($"n_total" - $"n_docs").as("b_total"))
       val w = Window.partitionBy($"doc_id").orderBy($"pos")
       val bi = tk.withColumn("nxt", lead($"tok", 1).over(w))
         .where($"nxt".isNotNull)
         .groupBy($"tok", $"nxt").agg(count(lit(1)).as("nb"))
         .where($"nb" >= 25)
-      val nBi = tk.groupBy($"doc_id").agg((count(lit(1)) - 1).as("nb_doc"))
-        .agg(sum($"nb_doc").as("b_total"))
       bi.join(broadcast(uni.withColumnRenamed("tok", "t1")
             .withColumnRenamed("nu", "nu1")), $"tok" === $"t1")
         .join(broadcast(uni.withColumnRenamed("tok", "t2")
             .withColumnRenamed("nu", "nu2")), $"nxt" === $"t2")
-        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+        .crossJoin(broadcast(nTok))
         .select($"tok", $"nxt", $"nb",
           (floor(log(($"nb" / $"b_total".cast("double")) /
             (($"nu1" / $"n_total".cast("double")) *
@@ -431,26 +433,26 @@ object TextOps {
                generate_subscripts(string_split(text, ' '), 1) AS pos
         FROM documents),
       uni AS (SELECT tok, count(*) AS nu FROM tk GROUP BY tok),
-      tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS n_total FROM uni),
+      tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS n_total,
+                     CAST(SUM(nu) AS BIGINT)
+                       - (SELECT count(*) FROM documents) AS b_total
+              FROM uni),
       bi AS (
         SELECT tok, nxt, count(*) AS nb FROM (
           SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
           FROM tk)
         WHERE nxt IS NOT NULL
         GROUP BY tok, nxt
-        HAVING count(*) >= 25),
-      btot AS (
-        SELECT CAST(SUM(nb_doc) AS BIGINT) AS b_total FROM (
-          SELECT doc_id, count(*) - 1 AS nb_doc FROM tk GROUP BY doc_id))
+        HAVING count(*) >= 25)
       SELECT b.tok, b.nxt, b.nb,
-             FLOOR(LN((b.nb / CAST(bt.b_total AS DOUBLE)) /
+             FLOOR(LN((b.nb / CAST(t.b_total AS DOUBLE)) /
                ((u1.nu / CAST(t.n_total AS DOUBLE)) *
                 (u2.nu / CAST(t.n_total AS DOUBLE)))) * 1e4 + 0.5) / 1e4
                AS pmi
       FROM bi b
         JOIN uni u1 ON b.tok = u1.tok
         JOIN uni u2 ON b.nxt = u2.tok
-        CROSS JOIN tot t CROSS JOIN btot bt
+        CROSS JOIN tot t
       ORDER BY pmi DESC, b.tok, b.nxt
       LIMIT 20""",
 
