@@ -279,6 +279,12 @@ object TextOps {
     // hashing runs in the native codegen'd `shingle_hash` kernel
     // (graft.functions.Shingles) — the HOF form it replaces was
     // interpreted and cost ~1.5 s per self-join side at sf0.1.
+    // tok feeds the signature pass AND both sides of the verify join
+    // (a 3-way diamond). Deliberately NOT materialized: checkpointing
+    // 500k shingle arrays costs more than re-running the codegen'd
+    // kernel per branch (measured 0.9 s → 1.4 s warm at sf0.1) —
+    // the opposite trade from q_text_charlm, whose count stage is
+    // small relative to its recompute.
     val tk = words.where(size($"w") >= 3)
       .select($"doc_id", $"lang",
         expr("shingle_hash(w, 3)").as("tok"))
