@@ -168,9 +168,39 @@ object Joins {
         .crossJoin(t(s, d, "part").select($"p_type").distinct())
         .orderBy($"r_name", $"p_type")
     }),
+
+    // Fuzzy (edit-distance) join — entity-resolution / source-name
+    // dedup: pairs of distinct sources within levenshtein 1, blocked
+    // by a length band so candidates never include pairs the metric
+    // can't accept (|len(a)-len(b)| ≤ 1 is a levenshtein lower bound).
+    // The distinct-source dim is tiny here and broadcasts; at 100 TB
+    // the band (plus a prefix block) IS the join key — edit distance
+    // only ever runs inside a block, never all-pairs.
+    "q_join_fuzzy" -> ((s, d) => {
+      import s.implicits._
+      val src = t(s, d, "documents").select($"source").distinct()
+      val a = src.select($"source".as("src_a"))
+      val b = src.select($"source".as("src_b"))
+      a.join(b, $"src_a" < $"src_b" &&
+          abs(length($"src_a") - length($"src_b")) <= 1 &&
+          levenshtein($"src_a", $"src_b") <= 1)
+        .select($"src_a", $"src_b",
+          levenshtein($"src_a", $"src_b").cast("long").as("dist"))
+        .orderBy($"src_a", $"src_b")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_fuzzy" -> """
+      WITH src AS (SELECT DISTINCT source FROM documents)
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
+      FROM src a JOIN src b
+        ON a.source < b.source
+       AND abs(length(a.source) - length(b.source)) <= 1
+       AND levenshtein(a.source, b.source) <= 1
+      ORDER BY src_a, src_b""",
+
     "q_join_inner" -> """
       SELECT o_orderkey, c_name, o_totalprice
       FROM orders JOIN customer ON o_custkey = c_custkey
