@@ -226,10 +226,14 @@ object Exprs {
       WHERE event_id < 500
       ORDER BY event_id""",
 
+    // NULL-on-zero written explicitly: DuckDB 1.0 returns NULL for
+    // double x/0 but 1.1+ returns IEEE inf, so the oracle must not
+    // lean on division-by-zero behavior.
     "q_expr_try" -> """
       SELECT l_orderkey, l_linenumber,
-             FLOOR(l_extendedprice / (FLOOR(l_quantity) - 25) * 1e4 + 0.5)
-               / 1e4 AS ratio,
+             CASE WHEN FLOOR(l_quantity) - 25 = 0 THEN NULL
+                  ELSE FLOOR(l_extendedprice / (FLOOR(l_quantity) - 25)
+                         * 1e4 + 0.5) / 1e4 END AS ratio,
              ([l_returnflag, l_linestatus])[l_linenumber] AS flag_at
       FROM lineitem
       WHERE l_orderkey < 300
