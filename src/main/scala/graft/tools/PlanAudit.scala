@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only audit: prints one line per declared query flagging the
+  * physical-plan patterns that become bottlenecks at cluster scale —
+  * CartesianProduct, BroadcastNestedLoopJoin, and a Window with no
+  * PARTITION BY (all-data-to-one-task).
+  *
+  * Expected flags (audited 112 queries; everything else is clean):
+  *  - BNLJ with a deliberately tiny broadcast side: q_join_cross
+  *    (5x6 cartesian semantics), q_join_fuzzy (20-row distinct dim),
+  *    q_join_skew_salt (dim x salt replication), q_sim_cosine_topk /
+  *    q_sim_knn_join / q_sim_ann_ivf / q_sim_pairs (1-20 row query
+  *    batch or centroid set vs streamed corpus), q_text_tfidf /
+  *    q_text_pmi (1-row scalar totals), q_dedup_ngram (broadcast
+  *    block table for triangle blocking; the pair join itself is
+  *    keyed).
+  *  - GlobalWindow: q_win_ntile only — an exact total order is the
+  *    contract (Windows.scala scaladoc names percentile_approx as the
+  *    100 TB replacement).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> p.contains("CartesianProduct"),
+          "BroadcastNestedLoopJoin" -> p.contains("BroadcastNestedLoopJoin"),
+          // a partitioned Window prints "Window [fns], [partCols], [order]";
+          // global = only one trailing group AND it is an ORDER spec
+          // (contains ASC/DESC) — a partition-only window (no order)
+          // also has one group but no sort direction in it
+          "GlobalWindow" -> p.linesIterator.exists { l =>
+            val t = l.trim.stripPrefix("+- ").stripPrefix(":- ")
+            t.startsWith("Window [") && {
+              val groups = "\\], \\[".r.findAllIn(t).size
+              groups < 2 && (t.contains(" ASC") || t.contains(" DESC"))
+            }
+          },
+        ).collect { case (f, true) => f }
+        println(s"[audit] $name: ${if (flags.isEmpty) "clean" else flags.mkString(",")}")
+      } catch { case e: Throwable =>
+        println(s"[audit] $name: ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}
