@@ -207,11 +207,15 @@ object Exprs {
       val tokNorm = udf((text: String) =>
         text.toLowerCase.replaceAll("[^a-z ]", " ")
           .replaceAll(" +", " ").trim)
+      // Registration IS the surface under test (SURVEY §2.2 mandates
+      // both call forms), so the query calls the REGISTERED name —
+      // re-registering the same pure function is idempotent.
       s.udf.register("tok_norm", tokNorm)
+      val norm = call_udf("tok_norm", $"text")
       t(s, d, "documents")
         .select($"doc_id",
-          when(length(tokNorm($"text")) === 0, 0L)
-            .otherwise(size(split(tokNorm($"text"), " ")).cast("long"))
+          when(length(norm) === 0, 0L)
+            .otherwise(size(split(norm, " ")).cast("long"))
             .as("n_tokens"))
         .orderBy($"doc_id")
     }),

@@ -31,9 +31,8 @@ object ExtOps {
 
   private val P = 1000000007L
 
-  /** 60-bit md5-derived token hash, identical in DuckDB. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Shared cross-engine md5-60bit hash — see Tables.h60. */
+  private def h60(c: Column): Column = Tables.h60(c)
 
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "und", "die"),
@@ -63,7 +62,7 @@ object ExtOps {
       $"embedding".as("eb"))
     a.join(b, $"la" === $"lb" && $"va" < $"vb")
       .withColumn("sim",
-        round(graft.functions.FloatDot.dotF($"ea", $"eb"), 4))
+        floor(graft.functions.FloatDot.dotF($"ea", $"eb") * 1e4 + 0.5) / 1e4)
       .where($"sim" >= 0.4)
   }
 
@@ -72,8 +71,8 @@ object ExtOps {
     SELECT a.vec_id AS va, b.vec_id AS vb
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) >= 0.4"""
+    WHERE FLOOR((list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) * 1e4 + 0.5) / 1e4 >= 0.4"""
 
   val queries: Map[String, Q] = Map(
     // n-gram-heuristic language ID: count marker-token hits per
@@ -146,7 +145,7 @@ object ExtOps {
       val hashed = t(s, d, "documents").where($"doc_id" < 200)
         .withColumn("tokh", expr(
           "transform(split(text, ' '), t -> " +
-            s"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % $P)"))
+            s"${Tables.h60Sql("t")} % $P)"))
       hashed.select($"doc_id",
           expr(s"aggregate(tokh, 0L, (a, b) -> (a * 31 + b) % $P)").as("fp"),
           expr(s"aggregate(slice(tokh, 1, 8), 0L, (a, b) -> (a * 31 + b) % $P)")
@@ -166,10 +165,9 @@ object ExtOps {
       val sh = words.where(size($"w") >= 3)
         .select($"doc_id", posexplode(
           transform(sequence(lit(0), size($"w") - 3),
-            i => conv(substring(md5(concat_ws(" ",
+            i => Tables.h60(concat_ws(" ",
               element_at($"w", i + 1), element_at($"w", i + 2),
-              element_at($"w", i + 3))), 1, 15), 16, 10)
-              .cast("long") % P)).as(Seq("pos", "h")))
+              element_at($"w", i + 3))) % P)).as(Seq("pos", "h")))
       val part = Window.partitionBy($"doc_id")
       val win = part.orderBy($"pos").rowsBetween(0, 3)
       val fps = sh
@@ -312,10 +310,20 @@ object ExtOps {
         .flatMapGroups { (_, it) =>
           val es = it.map(e => (e._2, e._3)).toArray
           val parent = scala.collection.mutable.Map.empty[Long, Long]
-          def find(x: Long): Long = {
-            val p = parent.getOrElse(x, x)
-            if (p == x) x
-            else { val r = find(p); parent(x) = r; r }
+          // Iterative find with path halving: a recursive find would
+          // recurse once per parent-chain link and a chain-ordered
+          // edge list builds O(n) chains — a 100k-member component in
+          // one block must not overflow the task stack.
+          def find(x0: Long): Long = {
+            var x = x0
+            var p = parent.getOrElse(x, x)
+            while (p != x) {
+              val gp = parent.getOrElse(p, p)
+              parent(x) = gp
+              x = gp
+              p = parent.getOrElse(x, x)
+            }
+            x
           }
           es.foreach { case (a, b) =>
             val (ra, rb) = (find(a), find(b))
@@ -345,7 +353,8 @@ object ExtOps {
         .select($"vec_id".as("cid"), $"embedding".as("ce"))
       val dots = emb.crossJoin(broadcast(cents))
         .withColumn("cdot",
-          round(graft.functions.FloatDot.dotF($"embedding", $"ce"), 4))
+          floor(graft.functions.FloatDot.dotF($"embedding", $"ce")
+            * 1e4 + 0.5) / 1e4)
       val w = Window.partitionBy($"vec_id")
         .orderBy($"cdot".desc, $"cid")
       val cells = dots.withColumn("rn", row_number().over(w))
@@ -356,7 +365,8 @@ object ExtOps {
       cells.crossJoin(broadcast(qcell))
         .where($"cell" === $"qc" && $"vec_id" =!= 0)
         .withColumn("sim",
-          round(graft.functions.FloatDot.dotF($"embedding", $"qe"), 4))
+          floor(graft.functions.FloatDot.dotF($"embedding", $"qe")
+            * 1e4 + 0.5) / 1e4)
         .select($"vec_id", $"cell", $"sim")
         .orderBy($"sim".desc, $"vec_id")
         .limit(10)
@@ -585,8 +595,8 @@ object ExtOps {
           SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
         dots AS (
           SELECT e.vec_id, e.embedding, c.cid,
-                 ROUND(list_sum(list_transform(list_zip(e.embedding, c.ce),
-                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS cdot
+                 FLOOR((list_sum(list_transform(list_zip(e.embedding, c.ce),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) * 1e4 + 0.5) / 1e4 AS cdot
           FROM embeddings e CROSS JOIN cents c),
         cells AS (
           SELECT vec_id, embedding, cid AS cell FROM (
@@ -596,8 +606,8 @@ object ExtOps {
             FROM dots) WHERE rn = 1),
         qc AS (SELECT cell AS qcell, embedding AS qe FROM cells WHERE vec_id = 0)
         SELECT v.vec_id, v.cell,
-               ROUND(list_sum(list_transform(list_zip(v.embedding, q.qe),
-                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS sim
+               FLOOR((list_sum(list_transform(list_zip(v.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) * 1e4 + 0.5) / 1e4 AS sim
         FROM cells v CROSS JOIN qc q
         WHERE v.cell = q.qcell AND v.vec_id <> 0
         ORDER BY sim DESC, vec_id

@@ -32,10 +32,9 @@ import Tables.{Q, t}
   */
 object PipeOps {
 
-  /** 60-bit md5-derived hash of a string column, bit-identical in
-    * DuckDB: CAST('0x'||substring(md5(x),1,15) AS BIGINT). */
+  /** Shared cross-engine md5-60bit hash — see Tables.h60. */
   private def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    Tables.h60(c)
 
   /** Tie-proof 4-decimal rounding (BUILD_NOTES: Spark HALF_UP vs
     * DuckDB binary round diverge on .xxxx5; floor form is identical

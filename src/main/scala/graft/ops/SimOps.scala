@@ -82,7 +82,8 @@ object SimOps {
       val q0 = emb.where($"vec_id" === 0).select($"embedding".as("qe"))
       emb.where($"vec_id" =!= 0)
         .crossJoin(broadcast(q0))
-        .select($"vec_id", round(dot($"embedding", $"qe"), 4).as("sim"))
+        .select($"vec_id",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
         .orderBy($"sim".desc, $"vec_id")
         .limit(10)
     }),
@@ -103,7 +104,8 @@ object SimOps {
       val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
       emb.where($"vec_id" >= 20)
         .crossJoin(broadcast(qs))
-        .select($"qid", $"vec_id", round(dot($"embedding", $"qe"), 4).as("sim"))
+        .select($"qid", $"vec_id",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
         .withColumn("rn", row_number().over(w)).where($"rn" <= 3)
         .select($"qid", $"vec_id", $"sim", $"rn")
         .orderBy($"qid", $"rn")
@@ -124,7 +126,7 @@ object SimOps {
       val b = e.select($"vec_id".as("vec_b"), $"label".as("label_b"),
         $"embedding".as("emb_b"))
       a.join(b, $"vec_a" < $"vec_b")
-        .withColumn("sim", round(dot($"emb_a", $"emb_b"), 4))
+        .withColumn("sim", floor(dot($"emb_a", $"emb_b") * 1e4 + 0.5) / 1e4)
         .where($"sim" >= 0.35)
         .groupBy(least($"label_a", $"label_b").as("label_lo"),
                  greatest($"label_a", $"label_b").as("label_hi"))
@@ -156,7 +158,7 @@ object SimOps {
       sigs.where($"vec_id" =!= 0)
         .join(broadcast(probes), $"bucket" === $"pb")
         .select($"vec_id", $"bucket",
-          round(dot($"embedding", $"qe"), 4).as("sim"))
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
         .orderBy($"sim".desc, $"vec_id")
         .limit(10)
     }),
@@ -210,7 +212,8 @@ object SimOps {
         .select($"vec_id", $"label", $"embedding")
       docs.join(emb, $"doc_id" === $"vec_id")
         .select($"doc_id", $"lang", $"n_chars", $"label",
-          round(sqrt(dot($"embedding", $"embedding")), 4).as("l2norm"))
+          (floor(sqrt(dot($"embedding", $"embedding")) * 1e4 + 0.5) / 1e4)
+            .as("l2norm"))
         .orderBy($"doc_id")
     }),
   )
@@ -220,8 +223,8 @@ object SimOps {
     "q_sim_cosine_topk" -> """
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
       SELECT e.vec_id,
-             ROUND(list_sum(list_transform(list_zip(e.embedding, q.qe),
-               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS sim
+             FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) * 1e4 + 0.5) / 1e4 AS sim
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> 0
       ORDER BY sim DESC, vec_id
@@ -232,8 +235,8 @@ object SimOps {
                  FROM embeddings WHERE vec_id < 20),
       c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
       s AS (SELECT qid, c.vec_id,
-                   ROUND(list_sum(list_transform(list_zip(c.embedding, q.qe),
-                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+                   FLOOR((list_sum(list_transform(list_zip(c.embedding, q.qe),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) * 1e4 + 0.5) / 1e4
                      AS sim
             FROM c CROSS JOIN q),
       r AS (SELECT qid, vec_id, sim,
@@ -247,8 +250,8 @@ object SimOps {
       WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),
       pairs AS (
         SELECT a.label AS label_a, b.label AS label_b,
-               ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS sim
+               FLOOR((list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) * 1e4 + 0.5) / 1e4 AS sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT LEAST(label_a, label_b) AS label_lo,
              GREATEST(label_a, label_b) AS label_hi,
@@ -267,8 +270,8 @@ object SimOps {
                        xor(qb, 8), xor(qb, 16), xor(qb, 32)]) AS pb, qe
         FROM q)
       SELECT s.vec_id, s.bucket,
-             ROUND(list_sum(list_transform(list_zip(s.embedding, p.qe),
-               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), 4) AS sim
+             FLOOR((list_sum(list_transform(list_zip(s.embedding, p.qe),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) * 1e4 + 0.5) / 1e4 AS sim
       FROM sigs s JOIN probes p ON s.bucket = p.pb
       WHERE s.vec_id <> 0
       ORDER BY sim DESC, vec_id
@@ -306,8 +309,8 @@ object SimOps {
 
     "q_multimodal_join" -> """
       SELECT d.doc_id, d.lang, d.n_chars, e.label,
-             ROUND(SQRT(list_sum(list_transform(e.embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2norm
+             FLOOR((SQRT(list_sum(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1e4 + 0.5) / 1e4 AS l2norm
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
       ORDER BY d.doc_id""",
   )

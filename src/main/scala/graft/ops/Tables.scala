@@ -18,29 +18,56 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** THE cross-engine hash of the whole differential: a 60-bit value
+    * from the first 15 hex chars of md5 (in-range for signed BIGINT),
+    * identical in DuckDB as `CAST('0x' || substring(md5(x), 1, 15) AS
+    * BIGINT)`. Defined ONCE — every split/mix/fingerprint query uses
+    * this helper (or [[h60Sql]] inside expr strings) so the formula
+    * can never drift between call sites. */
+  def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  }
+
+  /** [[h60]] spelled as a SQL fragment, for `expr(...)` lambdas. */
+  def h60Sql(x: String): String =
+    s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
+
   /** Base DataFrames are cached per (session, dir, table): a DataFrame
     * is an immutable plan, and rebuilding it per query repeats file
     * listing + parquet schema inference — pure fixed overhead that at
     * 81 declared queries dominated the bench total (sf0.001 ≈ sf0.1).
-    * The cache key includes the session so test sessions with
-    * different configs never share plans. */
+    * The outer map is weak-keyed on the session so a stopped session's
+    * plans can be GC'd (a long-lived JVM creating many short-lived
+    * test sessions must not pin them all); the inner map is the plain
+    * per-(dir, table) plan cache. */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, sfDir, name), { case (s, d, n) =>
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((sfDir, name), { case (d, n) =>
       if (n == "events") {
         // events.ts is parquet TIMESTAMP(NANOS) which Spark 4's reader
         // rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
         // via the legacy conf, then truncate to microseconds — exactly
         // what DuckDB does when it reads the same file, so the two
         // engines agree to the microsecond.
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         import org.apache.spark.sql.functions._
-        s.read.parquet(s"$d/$n.parquet")
+        spark.read.parquet(s"$d/$n.parquet")
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       } else {
-        s.read.parquet(s"$d/$n.parquet")
+        spark.read.parquet(s"$d/$n.parquet")
       }
     })
+  }
 }
