@@ -119,8 +119,9 @@ object TextOps {
       val dfc = tf.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
       val n = docs.agg(countDistinct($"doc_id").as("n_docs"))
       val scored = tf.join(dfc, "term").crossJoin(broadcast(n))
-        .withColumn("score", round($"tf" *
-          log($"n_docs".cast("double") / $"df".cast("double")), 4))
+        .withColumn("score", floor($"tf" *
+          log($"n_docs".cast("double") / $"df".cast("double"))
+          * 1e4 + 0.5) / 1e4)
       val rw = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
       scored.withColumn("rn", row_number().over(rw)).where($"rn" <= 5)
         .select($"doc_id", $"term", $"score")
@@ -383,7 +384,8 @@ object TextOps {
       nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
       scored AS (
         SELECT t.doc_id, t.term,
-               ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 4) AS score
+               FLOOR(t.tf * LN(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+                 * 1e4 + 0.5) / 1e4 AS score
         FROM tfc t JOIN dfc d USING (term) CROSS JOIN nn n)
       SELECT doc_id, term, score FROM (
         SELECT doc_id, term, score,
