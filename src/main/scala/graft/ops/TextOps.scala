@@ -194,6 +194,29 @@ object TextOps {
         .orderBy($"w")
     }),
 
+    // Zipf-law audit via the regression-aggregate family: fit
+    // ln(freq) ~ ln(rank) per language over the token frequency table
+    // (natural corpora slope ≈ -1; a synthetic or deduplicated corpus
+    // shows it differently). regr_slope/regr_r2 are single-pass
+    // partial-aggregable sums — the distributed least-squares shape.
+    // Outputs floor-r4: the regression value itself is sums-of-
+    // products whose summation order differs across engines by ulps.
+    "q_text_zipf" -> ((s, d) => {
+      import s.implicits._
+      val cnt = t(s, d, "documents")
+        .select($"lang", explode(split($"text", " ")).as("tok"))
+        .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"lang").orderBy($"n".desc, $"tok")
+      cnt.withColumn("rank", row_number().over(w))
+        .select($"lang", log($"rank".cast("double")).as("x"),
+          log($"n".cast("double")).as("y"))
+        .groupBy($"lang").agg(
+          count(lit(1)).as("n_types"),
+          (floor(expr("regr_slope(y, x)") * 1e4 + 0.5) / 1e4).as("slope"),
+          (floor(expr("regr_r2(y, x)") * 1e4 + 0.5) / 1e4).as("r2"))
+        .orderBy($"lang")
+    }),
+
     // PMI collocation mining: which adjacent token pairs co-occur more
     // than their unigram frequencies predict — the classic statistic
     // for phrase/collocation extraction before tokenizer training.
@@ -433,6 +456,25 @@ object TextOps {
       GROUP BY w, tot
       HAVING count(*) >= CEIL(tot * 0.01)
       ORDER BY w""",
+
+    "q_text_zipf" -> """
+      WITH cnt AS (
+        SELECT lang, tok, count(*) AS n FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        GROUP BY lang, tok),
+      ranked AS (
+        SELECT lang,
+               LN(CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+               LN(CAST(n AS DOUBLE)) AS y
+        FROM cnt)
+      SELECT lang, count(*) AS n_types,
+             FLOOR(regr_slope(y, x) * 1e4 + 0.5) / 1e4 AS slope,
+             FLOOR(regr_r2(y, x) * 1e4 + 0.5) / 1e4 AS r2
+      FROM ranked
+      GROUP BY lang
+      ORDER BY lang""",
 
     "q_text_pmi" -> """
       WITH tk AS (
