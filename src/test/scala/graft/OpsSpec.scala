@@ -208,6 +208,32 @@ class OpsSpec extends GraftSuite {
     assert(r(0).getDouble(1) === 3.0 && r(0).getLong(2) === 2L)
   }
 
+  test("q_text_zipf: frequency falls with rank (negative slope, sane r2)") {
+    val rows = q("q_text_zipf", sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, slope, r2) =>
+      assert(slope < 0, s"$lang: zipf slope must be negative, got $slope")
+      assert(r2 >= 0 && r2 <= 1, s"$lang: r2 out of range: $r2")
+    }
+  }
+
+  test("q_join_fuzzy: length-band blocking is lossless for threshold 1") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // pairs from the blocked query vs an unblocked brute-force join
+    val blocked = q("q_join_fuzzy", sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val src = ops.Tables.t(spark, sf0001, "documents")
+      .select($"source").distinct()
+    val brute = src.select($"source".as("a"))
+      .join(src.select($"source".as("b")), expr("a < b"))
+      .where(levenshtein($"a", $"b") <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked === brute,
+      "the |len diff| <= 1 band must never prune a distance-1 pair")
+  }
+
   test("q_agg_hll: union of per-group sketches equals the direct sketch, both within ±5%") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
