@@ -373,6 +373,42 @@ class StreamySpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("a stopped query resumes from its checkpoint with no loss or double-count") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    def agg = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val ck = java.nio.file.Files.createTempDirectory("graft_ck_resume").toString
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink (batch-id replay), matching the exactly-once
+    // pattern the sink-discipline test uses
+    val state = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    def start() = agg.writeStream
+      .outputMode(OutputMode.Update).option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => state(r.getLong(0)) = r.getLong(1))
+      }.start()
+    val q1 = start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 7L),
+                    (ts("2024-01-01 10:01:00"), 7L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(state(7L) === 2L)
+    // restart against the SAME checkpoint: committed state must carry
+    // over — the pre-stop rows count once, new rows accumulate on top
+    val q2 = start()
+    try {
+      input.addData((ts("2024-01-01 10:02:00"), 7L))
+      q2.processAllAvailable()
+      assert(state(7L) === 3L,
+        "restart must resume the count at 2, not reset or re-add")
+    } finally q2.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses cross-batch duplicates (q_stream_dedup)") {
     val s = spark
     import s.implicits._
