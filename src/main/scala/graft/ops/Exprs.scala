@@ -162,6 +162,24 @@ object Exprs {
         .orderBy($"event_id")
     }),
 
+    // XML ingestion: from_xml with an explicit schema — the third
+    // semi-structured path next to get_json_object (q_expr_json) and
+    // VARIANT (q_expr_variant). The document is synthesized from
+    // fixture columns (the corpus has no raw XML) and the parse is
+    // the surface under test; the oracle reconstructs the fields.
+    "q_expr_xml" -> ((s, d) => {
+      import s.implicits._
+      val xml = concat(lit("<doc><id>"), $"doc_id", lit("</id><lang>"),
+        $"lang", lit("</lang><n>"), $"n_chars", lit("</n></doc>"))
+      t(s, d, "documents").where($"doc_id" < 200)
+        .withColumn("xml", xml)
+        .withColumn("x",
+          expr("from_xml(xml, 'id BIGINT, lang STRING, n BIGINT')"))
+        .select($"doc_id", $"x.id".as("xid"), $"x.lang".as("xlang"),
+          $"x.n".as("xn"))
+        .orderBy($"doc_id")
+    }),
+
     // Error-safe (ANSI try_*) arithmetic: a 100-TB job must not die on
     // one malformed row, and try_divide/try_element_at give NULL-on-
     // error without disabling ANSI mode globally. Division hits a real
@@ -229,6 +247,12 @@ object Exprs {
       FROM events
       WHERE event_id < 500
       ORDER BY event_id""",
+
+    "q_expr_xml" -> """
+      SELECT doc_id, doc_id AS xid, lang AS xlang, n_chars AS xn
+      FROM documents
+      WHERE doc_id < 200
+      ORDER BY doc_id""",
 
     // NULL-on-zero written explicitly: DuckDB 1.0 returns NULL for
     // double x/0 but 1.1+ returns IEEE inf, so the oracle must not

@@ -32,6 +32,26 @@ class DeterminismSpec extends GraftSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("queries run concurrently on one session match their sequential results") {
+    // a multi-user engine executes plans concurrently — any hidden
+    // shared mutable state (temp views, registries, caches) between
+    // query closures would surface as cross-talk here
+    val names = Seq("q_agg_group", "q_agg_gsets", "q_udf_scalar",
+      "q_join_broadcast", "q_win_rank", "q_text_wordcount",
+      "q_sample_hash", "q_sub_in", "q_dedup_exact", "q_sim_cosine_topk")
+    val sequential = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).toSeq).toMap
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val concurrent = Await.result(
+      Future.sequence(names.map(n => Future(
+        n -> SparkEntry.queries(n)(spark, sf0001).collect().map(_.toString).toSeq))),
+      5.minutes).toMap
+    val diffs = names.filter(n => sequential(n) != concurrent(n))
+    assert(diffs.isEmpty, s"concurrent execution diverged for: ${diffs.mkString(", ")}")
+  }
+
   test("every query has an oracle or is a documented no-oracle row") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set("q_agg_approx", "q_stream_late", "q_agg_hll"),
