@@ -274,6 +274,36 @@ object ExtOps {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Exact substring-window dedup (the suffix-array dedup shape from
+    // "Deduplicating Training Data Makes Language Models Better"
+    // re-expressed for a shuffle engine): slide a 30-char window at
+    // stride 10 over each doc, a window text appearing in ≥ 2 distinct
+    // docs marks a duplicated span; report each affected doc's
+    // duplicated-window fraction. Window extraction is a zero-shuffle
+    // per-row generator; the only shuffles are keyed on the window
+    // text (count-distinct + the mark join) — at 100 TB the window
+    // column would be hashed first (same move as q_dedup_ngram) so the
+    // shuffle carries 8-byte keys instead of 30-char strings.
+    "q_dedup_substr" -> ((s, d) => {
+      import s.implicits._
+      val wins = t(s, d, "documents")
+        .where($"doc_id" < 1000 && length($"text") >= 30)
+        .select($"doc_id", explode(expr("""
+          transform(sequence(0, CAST(floor((length(text) - 30) / 10) AS INT)),
+                    i -> substring(text, i * 10 + 1, 30))""")).as("win"))
+      val dup = wins.groupBy($"win")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .where($"nd" >= 2).select($"win")
+      wins.join(dup.withColumn("hit", lit(1)), Seq("win"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_dup"),
+          (floor(sum(when($"hit".isNotNull, 1d).otherwise(0d))
+            / count(lit(1)) * 1e4 + 0.5) / 1e4).as("dup_frac"))
+        .where($"n_dup" > 0)
+        .orderBy($"doc_id")
+    }),
+
     // Embedding-cosine near-dup: label-blocked pair scan, keep-lowest-
     // id survivor policy, per-label survivor/dropped counts.
     "q_dedup_embed" -> ((s, d) => {
@@ -561,6 +591,25 @@ object ExtOps {
           FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         WHERE jac >= 0.5
         ORDER BY doc_a, doc_b""",
+
+      "q_dedup_substr" -> """
+        WITH wins AS (
+          SELECT doc_id, substr(text, CAST(i * 10 + 1 AS INT), 30) AS win
+          FROM documents,
+               UNNEST(generate_series(0,
+                 CAST(floor((strlen(text) - 30) / 10) AS BIGINT))) AS g(i)
+          WHERE doc_id < 1000 AND strlen(text) >= 30),
+        dup AS (SELECT win FROM wins
+                GROUP BY win HAVING count(DISTINCT doc_id) >= 2)
+        SELECT w.doc_id, count(*) AS n_windows,
+               CAST(SUM(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               FLOOR(SUM(CASE WHEN d.win IS NOT NULL THEN 1.0 ELSE 0 END)
+                     / count(*) * 1e4 + 0.5) / 1e4 AS dup_frac
+        FROM wins w LEFT JOIN dup d ON w.win = d.win
+        GROUP BY w.doc_id
+        HAVING SUM(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0 END) > 0
+        ORDER BY w.doc_id""",
 
       "q_dedup_embed" -> s"""
         WITH pairs AS ($embedPairsSql),

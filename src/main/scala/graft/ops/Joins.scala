@@ -169,6 +169,33 @@ object Joins {
         .orderBy($"r_name", $"p_type")
     }),
 
+    // TPC-H-Q5-shaped star join: one fact (lineitem) against four dims
+    // plus the local-supplier residual (s_nationkey = c_nationkey).
+    // All dims broadcast — at 100 TB the fact table is scanned once
+    // and never shuffles for the dim joins; the only shuffle is the
+    // final 25-key aggregate. The supplier join hashes on the suppkey
+    // equi pair and applies the nation equality as a residual filter.
+    "q_join_star" -> ((s, d) => {
+      import s.implicits._
+      val nations = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")
+          .filter($"r_name".isin("ASIA", "EUROPE"))),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      t(s, d, "customer")
+        .join(broadcast(nations), $"c_nationkey" === $"n_nationkey")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey")
+        .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(t(s, d, "supplier")),
+          $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+        .groupBy($"n_name")
+        .agg((floor(sum($"l_extendedprice" * (lit(1) - $"l_discount"))
+          * 100 + 0.5) / 100).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"revenue".desc, $"n_name")
+    }),
+
     // Fuzzy (edit-distance) join — entity-resolution / source-name
     // dedup: pairs of distinct sources within levenshtein 1, blocked
     // by a length band so candidates never include pairs the metric
@@ -200,6 +227,22 @@ object Joins {
        AND abs(length(a.source) - length(b.source)) <= 1
        AND levenshtein(a.source, b.source) <= 1
       ORDER BY src_a, src_b""",
+
+    "q_join_star" -> """
+      SELECT n_name,
+             FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+               / 100 AS revenue,
+             count(*) AS n_lines
+      FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey   = c_custkey
+        JOIN lineitem ON l_orderkey  = o_orderkey
+        JOIN supplier ON l_suppkey   = s_suppkey AND s_nationkey = c_nationkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
 
     "q_join_inner" -> """
       SELECT o_orderkey, c_name, o_totalprice

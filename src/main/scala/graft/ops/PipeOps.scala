@@ -218,6 +218,35 @@ object PipeOps {
         .orderBy($"source")
     }),
 
+    // Epoch oversampling (Llama-style source re-weighting): low-volume
+    // languages repeat up to a capped factor so the mixture approaches
+    // the largest stratum. The replication is MATERIALIZED on the
+    // Spark side — explode(sequence(1, factor)), a zero-shuffle
+    // per-row generator with fan-out bounded by the cap, never a skew
+    // amplifier — while the oracle derives the same totals
+    // arithmetically, cross-checking that replication is exact. The
+    // per-lang factor table is tiny and broadcasts; at 100 TB the
+    // upsample happens on the write path with no extra shuffle.
+    "q_pipe_oversample" -> ((s, d) => {
+      import s.implicits._
+      val counts = t(s, d, "documents").groupBy($"lang")
+        .agg(count(lit(1)).as("n_orig"))
+      val mx = counts.agg(max($"n_orig").as("mx"))
+      val fac = counts.crossJoin(broadcast(mx))
+        .withColumn("factor",
+          least(ceil($"mx" / $"n_orig".cast("double")).cast("long"), lit(4L)))
+        .select($"lang", $"n_orig", $"factor")
+      t(s, d, "documents").join(broadcast(fac), "lang")
+        .select($"lang", $"n_chars",
+          explode(expr("sequence(1, factor)")).as("rep"))
+        .groupBy($"lang").agg(
+          count(lit(1)).as("n_after"),
+          sum($"n_chars").as("chars_after"))
+        .join(broadcast(fac), "lang")
+        .select($"lang", $"n_orig", $"factor", $"n_after", $"chars_after")
+        .orderBy($"lang")
+    }),
+
     // Unpivot (melt) — the inverse reshaping of q_agg_pivot: three
     // measure columns become (measure, val) rows, then a per-flag ×
     // measure summary. Spark's native unpivot is a zero-shuffle
@@ -460,6 +489,25 @@ object PipeOps {
       FROM b
       GROUP BY source
       ORDER BY source""",
+
+    // n_after/chars_after derived arithmetically here vs materialized
+    // row replication on the Spark side — the differential proves the
+    // explode-based upsample is exact.
+    "q_pipe_oversample" -> """
+      WITH counts AS (
+        SELECT lang, count(*) AS n_orig,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_orig
+        FROM documents GROUP BY lang),
+      tgt AS (SELECT max(n_orig) AS mx FROM counts),
+      fac AS (
+        SELECT lang, n_orig, chars_orig,
+               LEAST(CAST(ceil(mx * 1.0 / n_orig) AS BIGINT), 4) AS factor
+        FROM counts, tgt)
+      SELECT lang, n_orig, factor,
+             CAST(n_orig * factor AS BIGINT) AS n_after,
+             CAST(chars_orig * factor AS BIGINT) AS chars_after
+      FROM fac
+      ORDER BY lang""",
 
     "q_pipe_expect" -> """
       WITH r AS (

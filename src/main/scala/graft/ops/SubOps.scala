@@ -84,6 +84,38 @@ object SubOps {
       """)
     }),
 
+    // TPC-H-Q21-shaped composition: a correlated EXISTS and a
+    // correlated NOT EXISTS over the SAME fact, both keyed on the
+    // outer line's orderkey (the NOT EXISTS additionally references
+    // the outer order's date). "Suppliers who were the only late
+    // shipper in a multi-supplier finished order" — Catalyst must
+    // decorrelate BOTH predicates into one semi and one anti join on
+    // l_orderkey; at 100 TB that is two keyed shuffles of the fact,
+    // never a per-row rescan. The outer fact⋈orders join shares the
+    // same key, so the exchanges line up.
+    "q_sub_decorr" -> ((s, d) => {
+      s.sql(s"""
+        SELECT s_name, count(*) AS n_waiting
+        FROM parquet.`$d/supplier.parquet`,
+             parquet.`$d/lineitem.parquet` l1,
+             parquet.`$d/orders.parquet`
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_name
+        ORDER BY n_waiting DESC, s_name
+        LIMIT 20
+      """)
+    }),
+
     // LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
     // declarative form of "top-2 orders per customer". Catalyst's
     // lateral decorrelation rewrites it into the ranked-window join
@@ -139,6 +171,24 @@ object SubOps {
         FROM customer c)
       WHERE n_orders <= 3
       ORDER BY c_custkey""",
+
+    "q_sub_decorr" -> """
+      SELECT s_name, count(*) AS n_waiting
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      GROUP BY s_name
+      ORDER BY n_waiting DESC, s_name
+      LIMIT 20""",
 
     "q_join_lateral" -> """
       SELECT c_custkey, o_orderkey, o_totalprice

@@ -255,6 +255,30 @@ object TextOps {
         .limit(20)
     }),
 
+    // One BPE merge iteration — the tokenizer-training primitive: count
+    // within-word adjacent character pairs weighted by word frequency,
+    // emit the top-10 merge candidates per language. Collapsing to the
+    // (lang, word) vocabulary FIRST is what makes this scale: pair
+    // extraction runs over distinct words (bounded by vocabulary size,
+    // ~Heaps' law), not over every token occurrence in the corpus, and
+    // both aggregations are partial-aggregable hash-aggs.
+    "q_text_bpe" -> ((s, d) => {
+      import s.implicits._
+      val words = t(s, d, "documents")
+        .select($"lang", explode(split($"text", " ")).as("word"))
+        .where(length($"word") >= 2)
+        .groupBy($"lang", $"word").agg(count(lit(1)).as("wc"))
+      val pairs = words
+        .select($"lang", $"wc", explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy($"lang", $"pair").agg(sum($"wc").as("n"))
+      val w = Window.partitionBy($"lang").orderBy($"n".desc, $"pair")
+      pairs.withColumn("rn", row_number().over(w)).where($"rn" <= 10)
+        .select($"lang", $"pair", $"n")
+        .orderBy($"lang", $"n".desc, $"pair")
+    }),
+
     // Exact dedup on (lang, source) keeping min doc_id — window
     // row_number, NOT dropDuplicates (nondeterministic survivor).
     "q_dedup_exact" -> ((s, d) => {
@@ -346,6 +370,27 @@ object TextOps {
       GROUP BY token
       ORDER BY n DESC, token
       LIMIT 20""",
+
+    // DuckDB SUM(BIGINT) yields HUGEINT (pandas → float64) — CAST back
+    // to BIGINT or the dtype skews against Spark's int64.
+    "q_text_bpe" -> """
+      WITH words AS (
+        SELECT lang, w AS word, count(*) AS wc
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+        WHERE strlen(w) >= 2
+        GROUP BY lang, w),
+      pairs AS (
+        SELECT lang, substr(word, CAST(i AS INT), 2) AS pair,
+               SUM(wc) AS n
+        FROM words, UNNEST(generate_series(1, strlen(word) - 1)) AS g(i)
+        GROUP BY lang, substr(word, CAST(i AS INT), 2))
+      SELECT lang, pair, CAST(n AS BIGINT) AS n
+      FROM (SELECT lang, pair, n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, pair) AS rn
+            FROM pairs)
+      WHERE rn <= 10
+      ORDER BY lang, n DESC, pair""",
 
     // `||` (null-propagating), NOT concat (DuckDB concat ignores NULLs
     // and would fabricate a dangling 'token ' bigram per document).

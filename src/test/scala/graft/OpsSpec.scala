@@ -285,6 +285,51 @@ class OpsSpec extends GraftSuite {
       sa > sb || ia < ib })
   }
 
+  test("q_text_bpe counts within-word pairs weighted by word frequency (micro)") {
+    // en vocabulary: the/fast/fox, each appearing in both duplicate
+    // docs (wc=2). Pairs th,he,fa,as,st,fo,ox — all with n=2, so the
+    // top-10 is all 7 pairs ordered alphabetically.
+    val en = q("q_text_bpe", microDir).collect()
+      .filter(_.getString(0) == "en")
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(en === Seq("as", "fa", "fo", "he", "ox", "st", "th").map(_ -> 2L))
+  }
+
+  test("q_dedup_substr marks only cross-doc duplicated windows") {
+    val rows = q("q_dedup_substr", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "sf0.001 must contain duplicated spans")
+    assert(rows.forall { case (id, nw, nd, frac) =>
+      id < 1000 && nd >= 1 && nd <= nw &&
+        math.abs(frac - math.floor(nd.toDouble / nw * 1e4 + 0.5) / 1e4) < 1e-12
+    })
+  }
+
+  test("q_pipe_oversample: factor law and exact materialized replication") {
+    val rows = q("q_pipe_oversample", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val mx = rows.map(_._2).max
+    rows.foreach { case (lang, n, factor, after) =>
+      assert(factor === math.min(math.ceil(mx.toDouble / n).toLong, 4L),
+        s"factor law broken for $lang")
+      assert(after === n * factor,
+        s"explode replication must be exact for $lang")
+    }
+  }
+
+  test("q_join_star broadcasts every dim and aggregates once") {
+    val df = q("q_join_star", sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "region/nation, supplier, and the factored dims must broadcast")
+    val rows = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.nonEmpty && rows.length <= 10,
+      "at most the 10 ASIA/EUROPE nations")
+    val revs = rows.map(_._2)
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "revenue must be non-increasing")
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -54,6 +54,14 @@ class SubOpsSpec extends GraftSuite {
       (2L, 3L, 300.0, 300.0, None)))
   }
 
+  test("q_sub_decorr turns EXISTS + NOT EXISTS into one semi and one anti join") {
+    val p = plan("q_sub_decorr")
+    assert(p.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+    assert(!p.toLowerCase.contains("exists-subquery"),
+      "no correlated subquery may survive to execution")
+  }
+
   test("q_text_heavy recounts candidates via a broadcast join, never a full re-group") {
     val p = q("q_text_heavy", sf0001).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
