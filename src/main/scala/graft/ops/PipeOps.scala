@@ -218,6 +218,29 @@ object PipeOps {
         .orderBy($"source")
     }),
 
+    // PII masking + pseudonymization — the data-governance pass a
+    // training pipeline runs before text leaves the trust boundary.
+    // `mask()` is the codegen'd structural redaction (upper→X,
+    // lower→x, digit→n, punctuation kept — shape survives, identity
+    // doesn't); the pseudonym is the domain-separated md5-60bit keyed
+    // hash, stable across runs so downstream joins still line up.
+    // Both are per-row map-only ops: zero shuffles before the audit
+    // aggregate, which checks every segment collapsed to ONE shape
+    // while pseudonyms stayed distinct.
+    "q_pipe_redact" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .withColumn("masked", mask($"c_name"))
+        .withColumn("pseudonym",
+          h60(concat(lit("pseud:"), $"c_name")))
+        .groupBy($"c_mktsegment").agg(
+          count(lit(1)).as("n"),
+          countDistinct($"masked").as("n_shapes"),
+          countDistinct($"pseudonym").as("n_pseudonyms"),
+          min($"masked").as("min_shape"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // Epoch oversampling (Llama-style source re-weighting): low-volume
     // languages repeat up to a capped factor so the mixture approaches
     // the largest stratum. The replication is MATERIALIZED on the
@@ -489,6 +512,25 @@ object PipeOps {
       FROM b
       GROUP BY source
       ORDER BY source""",
+
+    // Spark mask() reproduced as a regexp_replace chain (same three
+    // character classes, everything else untouched).
+    "q_pipe_redact" -> """
+      WITH m AS (
+        SELECT c_mktsegment,
+               regexp_replace(regexp_replace(regexp_replace(c_name,
+                 '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                 AS masked,
+               CAST('0x' || substring(md5('pseud:' || c_name), 1, 15)
+                 AS BIGINT) AS pseudonym
+        FROM customer)
+      SELECT c_mktsegment, count(*) AS n,
+             count(DISTINCT masked) AS n_shapes,
+             count(DISTINCT pseudonym) AS n_pseudonyms,
+             min(masked) AS min_shape
+      FROM m
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
 
     // n_after/chars_after derived arithmetically here vs materialized
     // row replication on the Spark side — the differential proves the

@@ -202,6 +202,31 @@ object SimOps {
         .limit(10)
     }),
 
+    // Per-label centroid + dot-to-centroid spread — the k-means E-step
+    // / embedding-outlier-audit shape. The centroid is computed
+    // positionally (posexplode → avg per (label, pos)): both
+    // aggregations are partial-aggregable, and the centroid table
+    // (|labels| × 64 rows) broadcasts to the scoring join, so at 10^9
+    // vectors the corpus is read twice and never shuffled whole —
+    // the explode fans out 64 narrow rows per vector but each carries
+    // only (id, label, pos, v). A vector far below its label's
+    // avg_dot band is the outlier a cleaning pipeline would drop.
+    "q_sim_centroid" -> ((s, d) => {
+      import s.implicits._
+      val ex = t(s, d, "embeddings")
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"vec_id", $"label", $"pos", $"v".cast("double").as("v"))
+      val cent = ex.groupBy($"label", $"pos").agg(avg($"v").as("c"))
+      val dots = ex.join(broadcast(cent), Seq("label", "pos"))
+        .groupBy($"vec_id", $"label").agg(sum($"v" * $"c").as("dotc"))
+      dots.groupBy($"label").agg(
+          count(lit(1)).as("n_vectors"),
+          (floor(avg($"dotc") * 1e4 + 0.5) / 1e4).as("avg_dot"),
+          (floor(min($"dotc") * 1e4 + 0.5) / 1e4).as("min_dot"),
+          (floor(max($"dotc") * 1e4 + 0.5) / 1e4).as("max_dot"))
+        .orderBy($"label")
+    }),
+
     // documents ⋈ embeddings on doc_id = vec_id: one row mixing text
     // metadata with a vector statistic (L2 norm, ≈1.0 by construction).
     "q_multimodal_join" -> ((s, d) => {
@@ -229,6 +254,25 @@ object SimOps {
       WHERE e.vec_id <> 0
       ORDER BY sim DESC, vec_id
       LIMIT 10""",
+
+    // Positions are 1-based here vs 0-based in Spark — irrelevant,
+    // since pos is only ever a within-engine join key.
+    "q_sim_centroid" -> """
+      WITH ex AS (
+        SELECT vec_id, label, CAST(i AS INT) AS pos,
+               CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+      cent AS (SELECT label, pos, AVG(v) AS c FROM ex GROUP BY label, pos),
+      dots AS (SELECT e.vec_id, e.label, SUM(e.v * c.c) AS dotc
+               FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+               GROUP BY e.vec_id, e.label)
+      SELECT label, count(*) AS n_vectors,
+             FLOOR(AVG(dotc) * 1e4 + 0.5) / 1e4 AS avg_dot,
+             FLOOR(MIN(dotc) * 1e4 + 0.5) / 1e4 AS min_dot,
+             FLOOR(MAX(dotc) * 1e4 + 0.5) / 1e4 AS max_dot
+      FROM dots
+      GROUP BY label
+      ORDER BY label""",
 
     "q_sim_knn_join" -> """
       WITH q AS (SELECT vec_id AS qid, embedding AS qe

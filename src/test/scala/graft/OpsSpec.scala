@@ -330,6 +330,29 @@ class OpsSpec extends GraftSuite {
       "revenue must be non-increasing")
   }
 
+  test("q_sim_centroid computes per-label centroids and dot spreads (micro)") {
+    // label 0: one vector (1,0,0,0) → centroid is itself, dot 1.0.
+    // label 1: (0.6,0.8,0,0) and (0,1,0,0) → centroid (0.3,0.9,0,0),
+    // dots 0.9 and 0.9 → avg = min = max = 0.9.
+    val rows = q("q_sim_centroid", microDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(rows === Seq((0, 1L, 1.0, 1.0, 1.0), (1, 2L, 0.9, 0.9, 0.9)))
+  }
+
+  test("q_pipe_redact leaves no letters or digits in any masked shape") {
+    val rows = q("q_pipe_redact", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, shapes, pseuds, shape) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(!shape.exists(c => c.isDigit || (c.isLetter && c != 'X' &&
+        c != 'x' && c != 'n')), s"unmasked chars in $shape")
+      assert(pseuds === n, "keyed pseudonyms must stay distinct per row")
+      assert(shapes >= 1 && shapes <= n)
+    }
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
