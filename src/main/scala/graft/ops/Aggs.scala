@@ -127,6 +127,30 @@ object Aggs {
       """)
     }),
 
+    // Higher central moments — skewness and excess kurtosis — derived
+    // from raw power sums with the SAME spelled-out formula in both
+    // engines (built-in skewness/kurtosis differ cross-engine in
+    // sample-vs-population convention, so neither is used). One pass,
+    // four partial-aggregable SUMs per group — the moment-sketch shape
+    // that survives any partitioning.
+    "q_agg_moments" -> ((s, d) => {
+      import s.implicits._
+      val x = $"l_quantity"
+      val base = t(s, d, "lineitem").groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+          sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      val m = $"s1" / $"n"
+      val skew = ($"s3" / $"n" - lit(3) * m * ($"s2" / $"n") + lit(2) * m * m * m) /
+        pow($"s2" / $"n" - m * m, 1.5)
+      val kurt = ($"s4" / $"n" - lit(4) * m * ($"s3" / $"n") +
+        lit(6) * m * m * ($"s2" / $"n") - lit(3) * m * m * m * m) /
+        pow($"s2" / $"n" - m * m, 2) - 3
+      base.select($"l_returnflag".as("flag"), $"n",
+          (floor(skew * 1e4 + 0.5) / 1e4).as("skewness"),
+          (floor(kurt * 1e4 + 0.5) / 1e4).as("ex_kurtosis"))
+        .orderBy($"flag")
+    }),
+
     "q_agg_stats" -> ((s, d) => {
       import s.implicits._
       t(s, d, "lineitem")
@@ -345,6 +369,25 @@ object Aggs {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
       ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q_agg_moments" -> """
+      WITH s AS (
+        SELECT l_returnflag AS flag, count(*) AS n,
+               SUM(l_quantity) AS s1,
+               SUM(l_quantity * l_quantity) AS s2,
+               SUM(l_quantity * l_quantity * l_quantity) AS s3,
+               SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT flag, n,
+             FLOOR((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                   / POWER(s2/n - (s1/n)*(s1/n), 1.5) * 1e4 + 0.5) / 1e4
+               AS skewness,
+             FLOOR(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                     - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                   / POWER(s2/n - (s1/n)*(s1/n), 2) - 3) * 1e4 + 0.5) / 1e4
+               AS ex_kurtosis
+      FROM s
+      ORDER BY flag""",
 
     "q_agg_stats" -> """
       SELECT l_returnflag,

@@ -218,6 +218,26 @@ object PipeOps {
         .orderBy($"source")
     }),
 
+    // Time-decay weighted engagement (half-life-style feature
+    // engineering): each user's events weighted by exp(-age/7d)
+    // against that user's newest event. Two partial-aggregable passes:
+    // the per-user max-ts table broadcasts back, the exp() weighting
+    // is map-side. Whole-microsecond age arithmetic (events.ts is
+    // µs-truncated identically in both engines) keeps the exponent
+    // bit-identical cross-engine.
+    "q_pipe_decay" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select($"user_id", $"ts", $"value")
+      val mx = ev.groupBy($"user_id").agg(max($"ts").as("tmax"))
+      ev.join(broadcast(mx), "user_id")
+        .groupBy($"user_id").agg(
+          count(lit(1)).as("n_events"),
+          (floor(sum($"value" * exp(expr(
+            "-(unix_micros(tmax) - unix_micros(ts)) / 86400000000.0 / 7")))
+            * 1e4 + 0.5) / 1e4).as("decayed"))
+        .orderBy($"user_id")
+    }),
+
     // PII masking + pseudonymization — the data-governance pass a
     // training pipeline runs before text leaves the trust boundary.
     // `mask()` is the codegen'd structural redaction (upper→X,
@@ -512,6 +532,16 @@ object PipeOps {
       FROM b
       GROUP BY source
       ORDER BY source""",
+
+    "q_pipe_decay" -> """
+      WITH mx AS (SELECT user_id, max(ts) AS tmax FROM events
+                  GROUP BY user_id)
+      SELECT e.user_id, count(*) AS n_events,
+             FLOOR(SUM(e.value * exp(-(epoch_us(tmax) - epoch_us(e.ts))
+                   / 86400000000.0 / 7)) * 1e4 + 0.5) / 1e4 AS decayed
+      FROM events e JOIN mx ON e.user_id = mx.user_id
+      GROUP BY e.user_id
+      ORDER BY e.user_id""",
 
     // Spark mask() reproduced as a regexp_replace chain (same three
     // character classes, everything else untouched).

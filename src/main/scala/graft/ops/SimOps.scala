@@ -202,6 +202,30 @@ object SimOps {
         .limit(10)
     }),
 
+    // ANN recall audit — measure, don't guess: recall@10 of the LSH
+    // path against the brute-force baseline, composed from the two
+    // declared queries themselves (same closures the driver runs).
+    // At scale this is the query a pipeline runs on a sampled query
+    // set before trusting an index; cheap because both sides are
+    // already top-10 prunes.
+    // On THIS corpus the set overlap is genuinely 0 (6 sign bits carry
+    // almost no signal over near-orthogonal unit vectors — the honest
+    // audit verdict is "don't trust this index here"), so the row also
+    // reports both sides' mean top-10 similarity: the sim gap is the
+    // non-vacuous quality-loss measurement.
+    "q_sim_recall" -> ((s, d) => {
+      import s.implicits._
+      val bf = queries("q_sim_cosine_topk")(s, d).select($"vec_id", $"sim")
+      val ann = queries("q_sim_ann_lsh")(s, d).select($"vec_id", $"sim")
+      val hits = bf.join(ann.select($"vec_id"), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val bfAvg = bf.agg((floor(avg($"sim") * 1e4 + 0.5) / 1e4).as("bf_avg_sim"))
+      val annAvg = ann.agg((floor(avg($"sim") * 1e4 + 0.5) / 1e4).as("ann_avg_sim"))
+      hits.crossJoin(bfAvg).crossJoin(annAvg)
+        .select($"n_hits", ($"n_hits" / 10.0).as("recall_at_10"),
+          $"bf_avg_sim", $"ann_avg_sim")
+    }),
+
     // Per-label centroid + dot-to-centroid spread — the k-means E-step
     // / embedding-outlier-audit shape. The centroid is computed
     // positionally (posexplode → avg per (label, pos)): both
@@ -243,9 +267,9 @@ object SimOps {
     }),
   )
 
-  val oracle: Map[String, String] = Map(
-    // list_zip structs are unnamed in DuckDB → numeric access p[1]/p[2].
-    "q_sim_cosine_topk" -> """
+  // Extracted so q_sim_recall can reuse both sides as CTEs.
+  // list_zip structs are unnamed in DuckDB → numeric access p[1]/p[2].
+  private val cosineTopkSql = """
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
       SELECT e.vec_id,
              FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
@@ -253,7 +277,40 @@ object SimOps {
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> 0
       ORDER BY sim DESC, vec_id
-      LIMIT 10""",
+      LIMIT 10"""
+
+  private val annLshSql = s"""
+      WITH sigs AS (
+        SELECT vec_id, embedding, ($lshBucketDuck) AS bucket FROM embeddings),
+      q AS (SELECT bucket AS qb, embedding AS qe FROM sigs WHERE vec_id = 0),
+      probes AS (
+        SELECT unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+                       xor(qb, 8), xor(qb, 16), xor(qb, 32)]) AS pb, qe
+        FROM q)
+      SELECT s.vec_id, s.bucket,
+             FLOOR((list_sum(list_transform(list_zip(s.embedding, p.qe),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) * 1e4 + 0.5) / 1e4 AS sim
+      FROM sigs s JOIN probes p ON s.bucket = p.pb
+      WHERE s.vec_id <> 0
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine_topk" -> cosineTopkSql,
+
+    // The recall audit recomputes BOTH paths independently in DuckDB.
+    "q_sim_recall" -> s"""
+      WITH bf AS ($cosineTopkSql),
+      ann AS ($annLshSql)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM bf
+              WHERE vec_id IN (SELECT vec_id FROM ann)) AS n_hits,
+             (SELECT count(*) FROM bf
+              WHERE vec_id IN (SELECT vec_id FROM ann)) / 10.0
+               AS recall_at_10,
+             (SELECT FLOOR(AVG(sim) * 1e4 + 0.5) / 1e4 FROM bf)
+               AS bf_avg_sim,
+             (SELECT FLOOR(AVG(sim) * 1e4 + 0.5) / 1e4 FROM ann)
+               AS ann_avg_sim""",
 
     // Positions are 1-based here vs 0-based in Spark — irrelevant,
     // since pos is only ever a within-engine join key.
@@ -305,21 +362,7 @@ object SimOps {
       GROUP BY label_lo, label_hi
       ORDER BY label_lo, label_hi""",
 
-    "q_sim_ann_lsh" -> s"""
-      WITH sigs AS (
-        SELECT vec_id, embedding, ($lshBucketDuck) AS bucket FROM embeddings),
-      q AS (SELECT bucket AS qb, embedding AS qe FROM sigs WHERE vec_id = 0),
-      probes AS (
-        SELECT unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
-                       xor(qb, 8), xor(qb, 16), xor(qb, 32)]) AS pb, qe
-        FROM q)
-      SELECT s.vec_id, s.bucket,
-             FLOOR((list_sum(list_transform(list_zip(s.embedding, p.qe),
-               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) * 1e4 + 0.5) / 1e4 AS sim
-      FROM sigs s JOIN probes p ON s.bucket = p.pb
-      WHERE s.vec_id <> 0
-      ORDER BY sim DESC, vec_id
-      LIMIT 10""",
+    "q_sim_ann_lsh" -> annLshSql,
 
     "q_sim_ann_pq" -> """
       WITH subs AS (

@@ -353,6 +353,45 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_agg_moments matches Spark's built-in population skewness/kurtosis") {
+    import org.apache.spark.sql.functions.{skewness, kurtosis, floor => ffloor, col, lit}
+    val ours = q("q_agg_moments", sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ref = ops.Tables.t(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg((ffloor(skewness(col("l_quantity")) * 1e4 + lit(0.5)) / 1e4).as("sk"),
+           (ffloor(kurtosis(col("l_quantity")) * 1e4 + lit(0.5)) / 1e4).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(ours.keySet === ref.keySet)
+    ours.foreach { case (flag, (sk, ku)) =>
+      assert(math.abs(sk - ref(flag)._1) <= 1e-4, s"skewness($flag)")
+      assert(math.abs(ku - ref(flag)._2) <= 1e-4, s"kurtosis($flag)")
+    }
+  }
+
+  test("q_pipe_decay weights each event by exp(-age/7d) against the user's newest") {
+    // micro user 99: one event, age 0 → decayed = value = 5.0 exactly.
+    // micro user 7: ages 2460s/2450s/60s/0s with values 1..4.
+    val rows = q("q_pipe_decay", microDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(99L) === ((1L, 5.0)))
+    val expect7 = Seq((2460L, 1.0), (2450L, 2.0), (60L, 3.0), (0L, 4.0))
+      .map { case (age, v) => v * math.exp(-age * 1e6 / 86400000000.0 / 7) }.sum
+    assert(rows(7L)._1 === 4L)
+    assert(rows(7L)._2 === math.floor(expect7 * 1e4 + 0.5) / 1e4)
+  }
+
+  test("q_sim_recall reports a consistent overlap and both sides' mean sim") {
+    val r = q("q_sim_recall", sf0001).collect().head
+    val (hits, recall, bf, ann) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(hits >= 0 && hits <= 10)
+    assert(recall === hits / 10.0)
+    assert(bf >= -1.0 && bf <= 1.0 && ann >= -1.0 && ann <= 1.0)
+    assert(bf >= ann,
+      "brute-force top-10 mean sim must dominate a full ANN top-10")
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
