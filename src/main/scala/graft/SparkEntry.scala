@@ -22,6 +22,7 @@ object SparkEntry {
       (ExtOps.queries, ExtOps.oracle),
       (PipeOps.queries, PipeOps.oracle),
       (SubOps.queries, SubOps.oracle),
+      (GraphOps.queries, GraphOps.oracle),
     )
 
   /** Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001;

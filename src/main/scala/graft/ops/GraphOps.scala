@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import Tables.{Q, t}
+
+/** Graph analytics over relationship edges derived from the fixtures —
+  * the iterative-computation surface. The reference's MapReduce idiom
+  * for these is job chaining with materialized intermediates (SURVEY
+  * §0.3, §3.1); here each iteration is one keyed join + aggregate and
+  * Catalyst fuses the per-iteration pipeline. The other graph operator
+  * in the engine is `q_dedup_cluster` (ExtOps): connected components
+  * by min-label propagation.
+  *
+  * Scale notes (100 TB): one iteration = one shuffle keyed on the
+  * vertex id, partial-aggregable (rank contributions combine
+  * map-side). A production run adds `localCheckpoint` every few
+  * iterations to cut lineage growth; 5 bounded iterations keep the
+  * declared query's plan finite and the oracle unrollable.
+  */
+object GraphOps {
+
+  /** Damping 0.85, 5 iterations — fixed so both engines unroll the
+    * same computation. */
+  private val Iters = 5
+
+  val queries: Map[String, Q] = Map(
+    // PageRank over the symmetrized customer—supplier trade graph
+    // (distinct (custkey, suppkey) pairs that share an order). Node
+    // ids are namespaced ('c…'/'s…') so the two key spaces can't
+    // collide. Every node has degree ≥ 1 by construction, so no
+    // dangling-mass term is needed and total rank stays 1.
+    "q_graph_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val e0 = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
+                concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+      val nn = deg.agg(count(lit(1)).as("n"))
+      var r = deg.crossJoin(broadcast(nn))
+        .select($"src".as("node"), (lit(1.0) / $"n").as("r"))
+      for (_ <- 1 to Iters) {
+        r = edges.join(r, $"src" === $"node")
+          .join(deg, "src")
+          .crossJoin(broadcast(nn))
+          .groupBy($"dst", $"n")
+          .agg((lit(0.15) / $"n" + lit(0.85) * sum($"r" / $"d")).as("r"))
+          .select($"dst".as("node"), $"r")
+      }
+      r.select($"node", (floor($"r" * 1e6 + 0.5) / 1e6).as("rank"))
+        .orderBy($"rank".desc, $"node")
+        .limit(20)
+    }),
+  )
+
+  /** The identical 5 iterations unrolled as generated CTEs — one
+    * source of truth for the per-iteration formula on the oracle
+    * side, so Spark's loop and DuckDB's unroll can't drift. */
+  val oracle: Map[String, String] = {
+    val iterCte = (k: Int) => s""",
+      r${k + 1} AS (
+        SELECT e.dst AS node, 0.15 / n + 0.85 * SUM(r$k.r / deg.d) AS r
+        FROM edges e JOIN r$k ON e.src = r$k.node
+        JOIN deg ON deg.src = e.src CROSS JOIN nn
+        GROUP BY e.dst, n)"""
+    Map(
+      "q_graph_pagerank" -> (s"""
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM deg),
+      r0 AS (SELECT src AS node, 1.0 / n AS r FROM deg, nn)""" +
+        (0 until Iters).map(iterCte).mkString + s"""
+      SELECT node, FLOOR(r * 1e6 + 0.5) / 1e6 AS rank
+      FROM r$Iters
+      ORDER BY rank DESC, node
+      LIMIT 20"""),
+    )
+  }
+}

@@ -218,6 +218,36 @@ object PipeOps {
         .orderBy($"source")
     }),
 
+    // Distribution-drift audit (PSI — population stability index):
+    // each language's n_chars distribution against the 'en' reference,
+    // over fixed-width 200-char buckets with +1 smoothing across the
+    // observed bucket grid (so an empty bucket on either side never
+    // yields ln(0)). PSI ≥ 0.2 is the conventional retrain/alarm
+    // threshold. Single pass to bucket counts; the per-lang share
+    // table is tiny and the reference side broadcasts — the same
+    // audit at 100 TB is one partial-aggregable count pass.
+    "q_pipe_drift" -> ((s, d) => {
+      import s.implicits._
+      val b = t(s, d, "documents")
+        .select($"lang", floor($"n_chars" / 200).cast("long").as("bucket"))
+      val grid = b.select($"lang").distinct()
+        .crossJoin(b.select($"bucket").distinct())
+      val cnt = grid.join(
+          b.groupBy($"lang", $"bucket").agg(count(lit(1)).as("c0")),
+          Seq("lang", "bucket"), "left")
+        .select($"lang", $"bucket", coalesce($"c0", lit(0L)).as("c"))
+      val tot = cnt.groupBy($"lang")
+        .agg(sum($"c").as("t"), count(lit(1)).as("nb"))
+      val sh = cnt.join(tot, "lang")
+        .select($"lang", $"bucket", (($"c" + 1.0) / ($"t" + $"nb")).as("p"))
+      val ref = sh.where($"lang" === "en").select($"bucket", $"p".as("pref"))
+      sh.where($"lang" =!= "en").join(broadcast(ref), "bucket")
+        .groupBy($"lang")
+        .agg((floor(sum(($"p" - $"pref") * log($"p" / $"pref"))
+          * 1e4 + 0.5) / 1e4).as("psi"))
+        .orderBy($"lang")
+    }),
+
     // Time-decay weighted engagement (half-life-style feature
     // engineering): each user's events weighted by exp(-age/7d)
     // against that user's newest event. Two partial-aggregable passes:
@@ -532,6 +562,29 @@ object PipeOps {
       FROM b
       GROUP BY source
       ORDER BY source""",
+
+    "q_pipe_drift" -> """
+      WITH b AS (SELECT lang, CAST(floor(n_chars / 200) AS BIGINT) AS bucket
+                 FROM documents),
+      grid AS (SELECT l.lang, g.bucket
+               FROM (SELECT DISTINCT lang FROM b) l
+               CROSS JOIN (SELECT DISTINCT bucket FROM b) g),
+      cnt AS (SELECT g.lang, g.bucket, count(b.lang) AS c
+              FROM grid g LEFT JOIN b
+                ON b.lang = g.lang AND b.bucket = g.bucket
+              GROUP BY g.lang, g.bucket),
+      tot AS (SELECT lang, SUM(c) AS t, count(*) AS nb FROM cnt
+              GROUP BY lang),
+      sh AS (SELECT c.lang, c.bucket, (c.c + 1.0) / (t.t + t.nb) AS p
+             FROM cnt c JOIN tot t ON c.lang = t.lang),
+      ref AS (SELECT bucket, p AS pref FROM sh WHERE lang = 'en')
+      SELECT s.lang,
+             FLOOR(SUM((s.p - r.pref) * ln(s.p / r.pref)) * 1e4 + 0.5)
+               / 1e4 AS psi
+      FROM sh s JOIN ref r ON s.bucket = r.bucket
+      WHERE s.lang <> 'en'
+      GROUP BY s.lang
+      ORDER BY s.lang""",
 
     "q_pipe_decay" -> """
       WITH mx AS (SELECT user_id, max(ts) AS tmax FROM events

@@ -392,6 +392,43 @@ class OpsSpec extends GraftSuite {
       "brute-force top-10 mean sim must dominate a full ANN top-10")
   }
 
+  test("q_graph_pagerank matches an independent in-memory reference") {
+    import org.apache.spark.sql.functions.{concat, lit, col}
+    val e0 = ops.Tables.t(spark, sf0001, "orders")
+      .join(ops.Tables.t(spark, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("s"),
+              concat(lit("s"), col("l_suppkey").cast("string")).as("d"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = e0 ++ e0.map(p => (p._2, p._1))
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val n = deg.size
+    var r = deg.map { case (k, _) => k -> 1.0 / n }
+    for (_ <- 1 to 5) {
+      r = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> (0.15 / n + 0.85 *
+          es.map { case (src, _) => r(src) / deg(src) }.sum)
+      }
+    }
+    val expect = r.toSeq
+      .map { case (k, v) => (k, math.floor(v * 1e6 + 0.5) / 1e6) }
+      .sortBy { case (k, v) => (-v, k) }.take(20)
+    val got = q("q_graph_pagerank", sf0001).collect()
+      .map(row => (row.getString(0), row.getDouble(1))).toSeq
+    assert(got === expect)
+  }
+
+  test("q_pipe_drift: PSI is non-negative and zero for an identical distribution") {
+    // micro: en and fr docs all land in bucket 0, so after smoothing
+    // both shares are exactly 1 → PSI must be exactly 0.
+    val micro = q("q_pipe_drift", microDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(micro === Seq(("fr", 0.0)))
+    val real = q("q_pipe_drift", sf0001).collect().map(_.getDouble(1))
+    assert(real.nonEmpty && real.forall(_ >= 0.0),
+      "every PSI term (p-q)ln(p/q) is non-negative")
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
