@@ -251,6 +251,40 @@ object SimOps {
         .orderBy($"label")
     }),
 
+    // One k-means iteration (assign + update + convergence measure):
+    // vectors assign to the argmax-dot seed centroid (the first 8
+    // corpus vectors — same convention as q_sim_ann_ivf, floor-r6 +
+    // cid tiebreak so assignment is tie-stable), new centroids are the
+    // positional member means, and `centroid_dot` (new·old) is the
+    // convergence signal a driver loop would test. Per-iteration cost
+    // at 10^9 vectors: one broadcast scoring pass + one keyed
+    // positional aggregate — no all-pairs anything.
+    "q_sim_kmeans" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where($"vec_id" < 8)
+        .select($"vec_id".cast("int").as("cid"), $"embedding".as("cv"))
+      val w = Window.partitionBy($"vec_id").orderBy($"dp".desc, $"cid")
+      val asn = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"embedding", $"cid",
+          (floor(dot($"embedding", $"cv") * 1e6 + 0.5) / 1e6).as("dp"))
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"vec_id", $"cid", $"embedding")
+      val newc = asn
+        .select($"cid", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cid", $"pos").agg(avg($"v".cast("double")).as("nv"))
+      val oldc = cents
+        .select($"cid", posexplode($"cv").as(Seq("pos", "ov")))
+        .select($"cid", $"pos", $"ov".cast("double").as("ov"))
+      val shift = newc.join(oldc, Seq("cid", "pos"))
+        .groupBy($"cid").agg(sum($"nv" * $"ov").as("dot_on"))
+      asn.groupBy($"cid").agg(count(lit(1)).as("n_members"))
+        .join(shift, "cid")
+        .select($"cid", $"n_members",
+          (floor($"dot_on" * 1e4 + 0.5) / 1e4).as("centroid_dot"))
+        .orderBy($"cid")
+    }),
+
     // documents ⋈ embeddings on doc_id = vec_id: one row mixing text
     // metadata with a vector statistic (L2 norm, ≈1.0 by construction).
     "q_multimodal_join" -> ((s, d) => {
@@ -330,6 +364,36 @@ object SimOps {
       FROM dots
       GROUP BY label
       ORDER BY label""",
+
+    "q_sim_kmeans" -> """
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                     FROM embeddings WHERE vec_id < 8),
+      asn AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   FLOOR(list_sum(list_transform(list_zip(e.embedding, c.cv),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cents c)
+        WHERE rn = 1),
+      ex AS (SELECT a.cid, CAST(i AS INT) AS pos,
+                    CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS v
+             FROM asn a JOIN embeddings e ON a.vec_id = e.vec_id,
+                  UNNEST(generate_series(1, len(e.embedding))) AS g(i)),
+      newc AS (SELECT cid, pos, AVG(v) AS nv FROM ex GROUP BY cid, pos),
+      oldc AS (SELECT cid, CAST(i AS INT) AS pos,
+                      CAST(cv[CAST(i AS INT)] AS DOUBLE) AS ov
+               FROM cents, UNNEST(generate_series(1, len(cv))) AS g(i)),
+      shift AS (SELECT n.cid, SUM(n.nv * o.ov) AS dot_on
+                FROM newc n JOIN oldc o
+                  ON n.cid = o.cid AND n.pos = o.pos
+                GROUP BY n.cid)
+      SELECT a.cid, count(*) AS n_members,
+             FLOOR(ANY_VALUE(s.dot_on) * 1e4 + 0.5) / 1e4 AS centroid_dot
+      FROM asn a JOIN shift s ON a.cid = s.cid
+      GROUP BY a.cid
+      ORDER BY a.cid""",
 
     "q_sim_knn_join" -> """
       WITH q AS (SELECT vec_id AS qid, embedding AS qe

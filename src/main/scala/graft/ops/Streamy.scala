@@ -22,6 +22,34 @@ object Streamy {
   val queries: Map[String, Q] = Map(
     // 1-hour tumbling windows per event_type. Identical code streams
     // with `.withWatermark("ts", "10 minutes")` prepended.
+    // Conversion funnel (the CEP "A then B within t" pattern): for
+    // each purchase, the user's most recent prior-or-equal signup
+    // (same one-window-pass as-of emulation as q_join_asof), counted
+    // as converted when the delay is ≤ 1 hour; daily totals. In a
+    // live stream the same semantics run as the bounded-state
+    // stream-stream interval join of q_stream_join — the 1-hour bound
+    // IS what caps the join state.
+    "q_stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .filter($"event_type".isin("purchase", "signup"))
+        .select($"event_id", $"ts", $"user_id", $"event_type")
+        .withColumn("tag", when($"event_type" === "signup", 0).otherwise(1))
+        .withColumn("sts", when($"event_type" === "signup", $"ts"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"tag", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_signup", last($"sts", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when($"last_signup".isNotNull &&
+            expr("unix_micros(ts) - unix_micros(last_signup)") <= 3600000000L,
+            1L).otherwise(0L)).as("n_converted"))
+        .orderBy($"day")
+    }),
+
     "q_stream_tumble" -> ((s, d) => {
       import s.implicits._
       t(s, d, "events")
@@ -135,6 +163,23 @@ object Streamy {
   val oracle: Map[String, String] = Map(
     // time_bucket's default origin (2000-01-03) is hour-aligned, so
     // 1-hour buckets coincide with Spark's epoch-aligned windows.
+    // DuckDB's native ASOF join independently cross-checks the window
+    // emulation, delay filter included.
+    "q_stream_funnel" -> """
+      WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      s AS (SELECT * FROM events WHERE event_type = 'signup'),
+      m AS (SELECT p.event_id, p.ts AS pts, s.ts AS sts
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND p.ts >= s.ts)
+      SELECT CAST(date_trunc('day', pts) AS TIMESTAMP) AS day,
+             count(*) AS n_purchases,
+             CAST(SUM(CASE WHEN sts IS NOT NULL
+                  AND epoch_us(pts) - epoch_us(sts) <= 3600000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      FROM m
+      GROUP BY 1
+      ORDER BY 1""",
+
     "q_stream_tumble" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value

@@ -255,6 +255,27 @@ object TextOps {
         .limit(20)
     }),
 
+    // Shannon entropy of each language's token distribution — the
+    // corpus-diversity metric a data-mixing pipeline tracks (a
+    // near-duplicated crawl slice shows as an entropy drop). Two
+    // partial-aggregable passes: token counts, then -Σ p·ln(p) per
+    // lang; the per-lang totals join is on the 5-key lang column.
+    "q_text_entropy" -> ((s, d) => {
+      import s.implicits._
+      val cnt = t(s, d, "documents")
+        .select($"lang", explode(split($"text", " ")).as("token"))
+        .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy($"lang").agg(sum($"c").as("t"))
+      cnt.join(tot, "lang")
+        .groupBy($"lang", $"t")
+        .agg(count(lit(1)).as("n_distinct"),
+          (floor(-sum(($"c" / $"t".cast("double"))
+            * log($"c" / $"t".cast("double"))) * 1e4 + 0.5) / 1e4)
+            .as("entropy"))
+        .select($"lang", $"t".as("n_tokens"), $"n_distinct", $"entropy")
+        .orderBy($"lang")
+    }),
+
     // One BPE merge iteration — the tokenizer-training primitive: count
     // within-word adjacent character pairs weighted by word frequency,
     // emit the top-10 merge candidates per language. Collapsing to the
@@ -370,6 +391,22 @@ object TextOps {
       GROUP BY token
       ORDER BY n DESC, token
       LIMIT 20""",
+
+    "q_text_entropy" -> """
+      WITH tok AS (
+        SELECT lang, u.w AS token FROM documents,
+               UNNEST(string_split(text, ' ')) AS u(w)),
+      cnt AS (SELECT lang, token, count(*) AS c FROM tok
+              GROUP BY lang, token),
+      tot AS (SELECT lang, SUM(c) AS t FROM cnt GROUP BY lang)
+      SELECT c.lang, CAST(t.t AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             FLOOR(-SUM((c.c / CAST(t.t AS DOUBLE))
+                   * ln(c.c / CAST(t.t AS DOUBLE))) * 1e4 + 0.5) / 1e4
+               AS entropy
+      FROM cnt c JOIN tot t ON c.lang = t.lang
+      GROUP BY c.lang, t.t
+      ORDER BY c.lang""",
 
     // DuckDB SUM(BIGINT) yields HUGEINT (pandas → float64) — CAST back
     // to BIGINT or the dtype skews against Spark's int64.

@@ -429,6 +429,32 @@ class OpsSpec extends GraftSuite {
       "every PSI term (p-q)ln(p/q) is non-negative")
   }
 
+  test("q_text_entropy equals ln(k) for uniform k-token distributions (micro)") {
+    // en: 6 tokens, 3 distinct, uniform → ln 3; fr: 4 distinct uniform → ln 4.
+    val rows = q("q_text_entropy", microDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(rows === Seq(("en", 6L, 3L, r4(math.log(3))),
+                        ("fr", 4L, 4L, r4(math.log(4)))))
+  }
+
+  test("q_stream_funnel counts a purchase converted only within the 1h window (micro)") {
+    // user 7 purchases 10s after signup (converted); user 99 purchases
+    // with no signup at all (not converted). Same day.
+    val rows = q("q_stream_funnel", microDir).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows === Seq(("2024-01-01 00:00:00.0", 2L, 1L)))
+  }
+
+  test("q_sim_kmeans on a corpus of its own centroids is a fixed point (micro)") {
+    // micro vec_ids 0..2 all serve as centroids; each unit vector's
+    // best centroid is itself, so every cluster has one member and
+    // new·old = 1.0 exactly.
+    val rows = q("q_sim_kmeans", microDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows === Seq((0, 1L, 1.0), (1, 1L, 1.0), (2, 1L, 1.0)))
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
