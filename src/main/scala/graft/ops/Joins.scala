@@ -169,6 +169,23 @@ object Joins {
         .orderBy($"r_name", $"p_type")
     }),
 
+    // Null-safe equality join (<=>): NULL keys MATCH each other, where
+    // a plain equi join silently drops them — the semantics gap that
+    // loses rows when a fact's dimension key is nullable. Nulls are
+    // manufactured with nullif ('P' → NULL) and the 3-row dim carries
+    // an explicit NULL key; every order must survive the join.
+    "q_join_nullsafe" -> ((s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders")
+        .select($"o_orderkey", expr("nullif(o_orderstatus, 'P')").as("st"))
+      val dim = Seq(("F", "finished"), ("O", "open"),
+          (null.asInstanceOf[String], "pending-unknown"))
+        .toDF("dst", "label")
+      o.join(broadcast(dim), $"st" <=> $"dst")
+        .groupBy($"label").agg(count($"o_orderkey").as("n"))
+        .orderBy($"label")
+    }),
+
     // TPC-H-Q5-shaped star join: one fact (lineitem) against four dims
     // plus the local-supplier residual (s_nationkey = c_nationkey).
     // All dims broadcast — at 100 TB the fact table is scanned once
@@ -227,6 +244,16 @@ object Joins {
        AND abs(length(a.source) - length(b.source)) <= 1
        AND levenshtein(a.source, b.source) <= 1
       ORDER BY src_a, src_b""",
+
+    "q_join_nullsafe" -> """
+      WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+                 FROM orders),
+      d AS (SELECT * FROM (VALUES ('F', 'finished'), ('O', 'open'),
+                                  (NULL, 'pending-unknown')) AS t(st, label))
+      SELECT d.label, count(o.o_orderkey) AS n
+      FROM o JOIN d ON o.st IS NOT DISTINCT FROM d.st
+      GROUP BY d.label
+      ORDER BY d.label""",
 
     "q_join_star" -> """
       SELECT n_name,

@@ -218,6 +218,26 @@ object PipeOps {
         .orderBy($"source")
     }),
 
+    // Incremental-ETL merge: the day's new partition is aggregated
+    // alone and MERGED with the pre-aggregated history — never a
+    // recompute over all history. Works because count/sum are
+    // mergeable partials (the same property the engine's partial+final
+    // HashAggregates rely on); the differential proves merged ==
+    // direct. At 100 TB this is the difference between a daily job
+    // reading one day and one reading three years.
+    "q_pipe_incremental" -> ((s, d) => {
+      import s.implicits._
+      val cut = lit("2024-01-20").cast("timestamp")
+      val ev = t(s, d, "events")
+      def part(p: org.apache.spark.sql.Column) = ev.where(p)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+      part($"ts" < cut).unionByName(part($"ts" >= cut))
+        .groupBy($"event_type")
+        .agg(sum($"n").as("n_events"), round(sum($"sv"), 2).as("sum_value"))
+        .orderBy($"event_type")
+    }),
+
     // Distribution-drift audit (PSI — population stability index):
     // each language's n_chars distribution against the 'en' reference,
     // over fixed-width 200-char buckets with +1 smoothing across the
@@ -562,6 +582,24 @@ object PipeOps {
       FROM b
       GROUP BY source
       ORDER BY source""",
+
+    // The oracle merges the same two partials — both engines prove
+    // partial-aggregate mergeability on the identical split.
+    "q_pipe_incremental" -> """
+      WITH old AS (
+        SELECT event_type, count(*) AS n, SUM(value) AS sv
+        FROM events WHERE ts < TIMESTAMP '2024-01-20'
+        GROUP BY event_type),
+      new AS (
+        SELECT event_type, count(*) AS n, SUM(value) AS sv
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+        GROUP BY event_type),
+      u AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+             ROUND(SUM(sv), 2) AS sum_value
+      FROM u
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     "q_pipe_drift" -> """
       WITH b AS (SELECT lang, CAST(floor(n_chars / 200) AS BIGINT) AS bucket

@@ -455,6 +455,29 @@ class OpsSpec extends GraftSuite {
     assert(rows === Seq((0, 1L, 1.0), (1, 1L, 1.0), (2, 1L, 1.0)))
   }
 
+  test("q_join_nullsafe keeps NULL-keyed rows a plain equi join would drop") {
+    import org.apache.spark.sql.functions.{expr, count, lit}
+    val total = ops.Tables.t(spark, sf0001, "orders").count()
+    val rows = q("q_join_nullsafe", sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum === total,
+      "every order must survive the null-safe join")
+    assert(rows.keySet === Set("finished", "open", "pending-unknown"))
+    assert(rows("pending-unknown") > 0, "the NULL bucket must be non-empty")
+  }
+
+  test("q_pipe_incremental merge equals the direct full aggregate") {
+    import org.apache.spark.sql.functions.{count, lit, round, sum, col}
+    val merged = q("q_pipe_incremental", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val direct = ops.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(merged === direct)
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
