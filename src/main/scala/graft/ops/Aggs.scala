@@ -127,6 +127,20 @@ object Aggs {
       """)
     }),
 
+    // TPC-H-Q13-shaped "group by an aggregate": per-customer order
+    // counts, then the distribution of those counts (how many
+    // customers placed k orders). Two chained keyed aggregations —
+    // the second groups the FIRST's output, so its input is already
+    // |customers|-sized, not |orders|-sized.
+    "q_agg_countdist" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey").agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"n_customers".desc, $"c_count".desc)
+    }),
+
     // Higher central moments — skewness and excess kurtosis — derived
     // from raw power sums with the SAME spelled-out formula in both
     // engines (built-in skewness/kurtosis differ cross-engine in
@@ -369,6 +383,16 @@ object Aggs {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
       ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q_agg_countdist" -> """
+      WITH co AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      SELECT c_count, count(*) AS n_customers
+      FROM co
+      GROUP BY c_count
+      ORDER BY n_customers DESC, c_count DESC""",
 
     "q_agg_moments" -> """
       WITH s AS (

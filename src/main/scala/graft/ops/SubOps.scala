@@ -84,6 +84,28 @@ object SubOps {
       """)
     }),
 
+    // TPC-H-Q22-shaped composition: an uncorrelated scalar aggregate
+    // subquery (the positive-balance average) feeding a filter, then a
+    // correlated NOT EXISTS — scalar-broadcast + anti join, the
+    // "compare to a global statistic, then exclude by existence"
+    // pattern. The scalar side is one row and broadcasts; the anti
+    // join keys on custkey.
+    "q_sub_avgfilter" -> ((s, d) => {
+      s.sql(s"""
+        SELECT c_mktsegment, count(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM parquet.`$d/customer.parquet` c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal)
+                           FROM parquet.`$d/customer.parquet`
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM parquet.`$d/orders.parquet` o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """)
+    }),
+
     // TPC-H-Q21-shaped composition: a correlated EXISTS and a
     // correlated NOT EXISTS over the SAME fact, both keyed on the
     // outer line's orderkey (the NOT EXISTS additionally references
@@ -171,6 +193,18 @@ object SubOps {
         FROM customer c)
       WHERE n_orders <= 3
       ORDER BY c_custkey""",
+
+    "q_sub_avgfilter" -> """
+      SELECT c_mktsegment, count(*) AS n_cust,
+             ROUND(SUM(c_acctbal), 2) AS total_bal
+      FROM customer c
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
 
     "q_sub_decorr" -> """
       SELECT s_name, count(*) AS n_waiting
