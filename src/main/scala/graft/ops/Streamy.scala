@@ -22,6 +22,28 @@ object Streamy {
   val queries: Map[String, Q] = Map(
     // 1-hour tumbling windows per event_type. Identical code streams
     // with `.withWatermark("ts", "10 minutes")` prepended.
+    // Behavioral sequence mining: event-type trigrams along each
+    // user's time-ordered stream, top-20 global patterns — the
+    // session-path feature a recommender/abuse pipeline extracts.
+    // One window pass partitioned on user_id (the same secondary-sort
+    // shape as q_win_lag), then a keyed count; `||` concat is
+    // null-strict so each stream's last two events drop naturally.
+    "q_stream_seq" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("e2", lead($"event_type", 1).over(w))
+        .withColumn("e3", lead($"event_type", 2).over(w))
+        .where($"e2".isNotNull && $"e3".isNotNull)
+        .select(concat($"event_type", lit(">"), $"e2", lit(">"), $"e3")
+          .as("trigram"))
+        .groupBy($"trigram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"trigram")
+        .limit(20)
+    }),
+
     // Conversion funnel (the CEP "A then B within t" pattern): for
     // each purchase, the user's most recent prior-or-equal signup
     // (same one-window-pass as-of emulation as q_join_asof), counted
@@ -163,6 +185,20 @@ object Streamy {
   val oracle: Map[String, String] = Map(
     // time_bucket's default origin (2000-01-03) is hour-aligned, so
     // 1-hour buckets coincide with Spark's epoch-aligned windows.
+    "q_stream_seq" -> """
+      WITH o AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+             count(*) AS n
+      FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY trigram
+      ORDER BY n DESC, trigram
+      LIMIT 20""",
+
     // DuckDB's native ASOF join independently cross-checks the window
     // emulation, delay filter included.
     "q_stream_funnel" -> """

@@ -478,6 +478,15 @@ class OpsSpec extends GraftSuite {
     assert(merged === direct)
   }
 
+  test("q_stream_seq extracts each user's ordered event-type trigrams (micro)") {
+    // user 7: signup→purchase→click→view yields exactly two trigrams;
+    // user 99's single event yields none.
+    val rows = q("q_stream_seq", microDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows === Seq(("purchase>click>view", 1L),
+                        ("signup>purchase>click", 1L)))
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
