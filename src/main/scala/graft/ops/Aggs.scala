@@ -127,6 +127,28 @@ object Aggs {
       """)
     }),
 
+    // Gini coefficient of order value per priority class — the
+    // inequality/concentration metric (is revenue dominated by a few
+    // whale orders?). Rank-weighted form over the sorted sequence:
+    // G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. One rank window per group
+    // (same secondary-sort shape as q_win_rank) + one keyed agg.
+    "q_agg_gini" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"c_seg").orderBy($"x", $"okey")
+      val r = t(s, d, "orders")
+        .select($"o_orderkey".as("okey"), $"o_totalprice".as("x"),
+          $"o_orderpriority".as("c_seg"))
+        .withColumn("i", row_number().over(w))
+      r.groupBy($"c_seg")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"i" * $"x").as("six"))
+        .select($"c_seg".as("priority"), $"n".as("n_orders"),
+          (floor((lit(2.0) * $"six" / ($"n" * $"sx")
+            - ($"n" + lit(1.0)) / $"n") * 1e4 + 0.5) / 1e4).as("gini"))
+        .orderBy($"priority")
+    }),
+
     // TPC-H-Q13-shaped "group by an aggregate": per-customer order
     // counts, then the distribution of those counts (how many
     // customers placed k orders). Two chained keyed aggregations —
@@ -383,6 +405,20 @@ object Aggs {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
       ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q_agg_gini" -> """
+      WITH r AS (
+        SELECT c_seg, x,
+               row_number() OVER (PARTITION BY c_seg ORDER BY x, okey) AS i
+        FROM (SELECT o_orderkey AS okey, o_totalprice AS x,
+                     o_orderpriority AS c_seg FROM orders)),
+      g AS (SELECT c_seg, count(*) AS n, SUM(x) AS sx, SUM(i * x) AS six
+            FROM r GROUP BY c_seg)
+      SELECT c_seg AS priority, CAST(n AS BIGINT) AS n_orders,
+             FLOOR((2.0 * six / (n * sx) - (n + 1.0) / n) * 1e4 + 0.5)
+               / 1e4 AS gini
+      FROM g
+      ORDER BY priority""",
 
     "q_agg_countdist" -> """
       WITH co AS (

@@ -218,6 +218,28 @@ object PipeOps {
         .orderBy($"source")
     }),
 
+    // Output-shard balance audit: docs hashed into 16 shards with the
+    // domain-separated cross-engine hash, then one row of balance
+    // stats (max/mean skew ratio). This is the write-side health check
+    // before a 100-TB job commits: a skew ratio near 1 means every
+    // output file is the same size; the hash assignment is the same
+    // partitioning a custom shard-by-key writer would use, and it is
+    // reproducible across engines and runs.
+    "q_pipe_shard" -> ((s, d) => {
+      import s.implicits._
+      val per = t(s, d, "documents")
+        .select((h60(concat(lit("shard:"), $"doc_id".cast("string")))
+          % 16).as("shard"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n"))
+      per.agg(
+          count(lit(1)).as("n_shards"),
+          min($"n").as("min_rows"),
+          max($"n").as("max_rows"),
+          (floor(max($"n") * 1.0 / (sum($"n") * 1.0 / count(lit(1)))
+            * 1e4 + 0.5) / 1e4).as("skew_ratio"))
+    }),
+
     // Incremental-ETL merge: the day's new partition is aggregated
     // alone and MERGED with the pre-aggregated history — never a
     // recompute over all history. Works because count/sum are
@@ -582,6 +604,21 @@ object PipeOps {
       FROM b
       GROUP BY source
       ORDER BY source""",
+
+    "q_pipe_shard" -> """
+      WITH s AS (
+        SELECT CAST('0x' || substring(md5('shard:'
+                 || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16
+                 AS shard,
+               n_chars
+        FROM documents),
+      per AS (SELECT shard, count(*) AS n FROM s GROUP BY shard)
+      SELECT CAST(count(*) AS BIGINT) AS n_shards,
+             CAST(MIN(n) AS BIGINT) AS min_rows,
+             CAST(MAX(n) AS BIGINT) AS max_rows,
+             FLOOR(MAX(n) * 1.0 / (SUM(n) * 1.0 / count(*)) * 1e4 + 0.5)
+               / 1e4 AS skew_ratio
+      FROM per""",
 
     // The oracle merges the same two partials — both engines prove
     // partial-aggregate mergeability on the identical split.

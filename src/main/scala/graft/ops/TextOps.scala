@@ -255,6 +255,27 @@ object TextOps {
         .limit(20)
     }),
 
+    // Vocabulary-coverage curve point: the fraction of all token
+    // occurrences covered by each language's top-10 vocabulary — the
+    // measurement behind tokenizer vocab-size decisions (head coverage
+    // vs tail). Rank window over the count table (vocabulary-sized,
+    // not corpus-sized) + one keyed agg.
+    "q_text_coverage" -> ((s, d) => {
+      import s.implicits._
+      val cnt = t(s, d, "documents")
+        .select($"lang", explode(split($"text", " ")).as("token"))
+        .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"lang").orderBy($"c".desc, $"token")
+      cnt.withColumn("rn", row_number().over(w))
+        .groupBy($"lang").agg(
+          sum($"c").as("total"),
+          sum(when($"rn" <= 10, $"c").otherwise(0L)).as("top10"))
+        .select($"lang", $"total".as("n_tokens"),
+          (floor($"top10" * 1.0 / $"total" * 1e4 + 0.5) / 1e4)
+            .as("coverage_top10"))
+        .orderBy($"lang")
+    }),
+
     // Shannon entropy of each language's token distribution — the
     // corpus-diversity metric a data-mixing pipeline tracks (a
     // near-duplicated crawl slice shows as an entropy drop). Two
@@ -391,6 +412,24 @@ object TextOps {
       GROUP BY token
       ORDER BY n DESC, token
       LIMIT 20""",
+
+    "q_text_coverage" -> """
+      WITH cnt AS (
+        SELECT lang, u.w AS token, count(*) AS c
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+        GROUP BY lang, u.w),
+      rk AS (SELECT lang, c,
+                    row_number() OVER (PARTITION BY lang
+                                       ORDER BY c DESC, token) AS rn
+             FROM cnt),
+      agg AS (SELECT lang, SUM(c) AS total,
+                     SUM(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS top10
+              FROM rk GROUP BY lang)
+      SELECT lang, CAST(total AS BIGINT) AS n_tokens,
+             FLOOR(top10 * 1.0 / total * 1e4 + 0.5) / 1e4
+               AS coverage_top10
+      FROM agg
+      ORDER BY lang""",
 
     "q_text_entropy" -> """
       WITH tok AS (

@@ -487,6 +487,38 @@ class OpsSpec extends GraftSuite {
                         ("signup>purchase>click", 1L)))
   }
 
+  test("q_agg_gini matches the rank-weighted formula computed in memory") {
+    import org.apache.spark.sql.functions.col
+    val vals = ops.Tables.t(spark, sf0001, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val expect = vals.groupBy(_._1).map { case (p, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val n = sorted.length
+      val six = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      p -> math.floor((2.0 * six / (n * sorted.sum) - (n + 1.0) / n)
+        * 1e4 + 0.5) / 1e4
+    }
+    val got = q("q_agg_gini", sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got === expect)
+  }
+
+  test("q_text_coverage is exactly 1.0 when the vocabulary fits in the top-10 (micro)") {
+    val rows = q("q_text_coverage", microDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows === Seq(("en", 6L, 1.0), ("fr", 4L, 1.0)))
+  }
+
+  test("q_pipe_shard reports a consistent balance audit") {
+    val r = q("q_pipe_shard", sf0001).collect().head
+    val (ns, mn, mx, skew) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(ns >= 1 && ns <= 16)
+    assert(mn >= 1 && mn <= mx)
+    assert(skew >= 1.0, "max/mean ratio is at least 1")
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
