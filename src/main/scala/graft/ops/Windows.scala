@@ -19,6 +19,24 @@ import Tables.{Q, t}
 object Windows {
 
   val queries: Map[String, Q] = Map(
+    // Longest consecutive-day activity streak per user — classic
+    // gaps-and-islands: distinct active days, then (day − row_number)
+    // is constant exactly along a consecutive run, so grouping on it
+    // labels islands with no self-join. One window pass + two keyed
+    // aggs, all partitioned on user_id.
+    "q_win_streak" -> ((s, d) => {
+      import s.implicits._
+      val days = t(s, d, "events")
+        .select($"user_id", to_date(date_trunc("day", $"ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      days.withColumn("grp", date_sub($"day", row_number().over(w)))
+        .groupBy($"user_id", $"grp").agg(count(lit(1)).as("len"))
+        .groupBy($"user_id")
+        .agg(max($"len").as("max_streak"), count(lit(1)).as("n_streaks"))
+        .orderBy($"user_id")
+    }),
+
     "q_win_rank" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"c_mktsegment")
@@ -129,6 +147,23 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_streak" -> """
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events),
+      isl AS (
+        SELECT user_id, day,
+               CAST(day - CAST(row_number() OVER (PARTITION BY user_id
+                 ORDER BY day) AS INT) AS DATE) AS grp
+        FROM days),
+      streaks AS (
+        SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, grp)
+      SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+             CAST(count(*) AS BIGINT) AS n_streaks
+      FROM streaks
+      GROUP BY user_id
+      ORDER BY user_id""",
+
     "q_win_rank" -> """
       SELECT * FROM (
         SELECT c_mktsegment, c_custkey, c_acctbal,

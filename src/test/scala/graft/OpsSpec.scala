@@ -519,6 +519,14 @@ class OpsSpec extends GraftSuite {
     assert(skew >= 1.0, "max/mean ratio is at least 1")
   }
 
+  test("q_win_streak labels islands without a self-join (micro)") {
+    // user 7's events all fall on 2024-01-01 → one streak of length 1;
+    // user 99 likewise.
+    val rows = q("q_win_streak", microDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows === Seq((7L, 1L, 1L), (99L, 1L, 1L)))
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
