@@ -218,6 +218,32 @@ object PipeOps {
         .orderBy($"source")
     }),
 
+    // Benford's-law first-digit audit over order values — the classic
+    // fabricated-data / generator-quality check: observed first-digit
+    // shares vs log10(1+1/d), with absolute deviation per digit (the
+    // fixture's uniform-ish price generator honestly FAILS Benford —
+    // that is the audit's finding, not a bug). Map-only digit
+    // extraction + one 9-key agg. NOTE: the double is floored BEFORE
+    // the integer cast on both sides — DuckDB's double→BIGINT cast
+    // rounds where Spark's truncates, a silent cross-engine trap.
+    "q_pipe_benford" -> ((s, d) => {
+      import s.implicits._
+      val c = t(s, d, "orders").where($"o_totalprice" >= 1)
+        .select(substring(floor($"o_totalprice").cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum($"n").as("tot"))
+      c.crossJoin(broadcast(tot))
+        .select($"digit", $"n",
+          (floor($"n" * 1.0 / $"tot" * 1e4 + 0.5) / 1e4).as("observed"),
+          (floor(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0))
+            * 1e4 + 0.5) / 1e4).as("benford"),
+          (floor(abs($"n" * 1.0 / $"tot"
+            - log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)))
+            * 1e4 + 0.5) / 1e4).as("abs_dev"))
+        .orderBy($"digit")
+    }),
+
     // Output-shard balance audit: docs hashed into 16 shards with the
     // domain-separated cross-engine hash, then one row of balance
     // stats (max/mean skew ratio). This is the write-side health check
@@ -604,6 +630,24 @@ object PipeOps {
       FROM b
       GROUP BY source
       ORDER BY source""",
+
+    // FLOOR before the BIGINT cast — DuckDB's double→int cast rounds,
+    // Spark's truncates.
+    "q_pipe_benford" -> """
+      WITH d AS (
+        SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1),
+      c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+      t AS (SELECT SUM(n) AS tot FROM c)
+      SELECT digit, CAST(n AS BIGINT) AS n,
+             FLOOR(n * 1.0 / tot * 1e4 + 0.5) / 1e4 AS observed,
+             FLOOR(ln(1.0 + 1.0 / digit) / ln(10.0) * 1e4 + 0.5) / 1e4
+               AS benford,
+             FLOOR(abs(n * 1.0 / tot - ln(1.0 + 1.0 / digit) / ln(10.0))
+               * 1e4 + 0.5) / 1e4 AS abs_dev
+      FROM c, t
+      ORDER BY digit""",
 
     "q_pipe_shard" -> """
       WITH s AS (

@@ -527,6 +527,19 @@ class OpsSpec extends GraftSuite {
     assert(rows === Seq((7L, 1L, 1L), (99L, 1L, 1L)))
   }
 
+  test("q_pipe_benford shares sum to 1 and reference probs match log10(1+1/d)") {
+    val rows = q("q_pipe_benford", sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet.subsetOf((1 to 9).toSet))
+    rows.foreach { case (d, _, _, benford) =>
+      val expect = math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0)
+        * 1e4 + 0.5) / 1e4
+      assert(benford === expect, s"reference prob for digit $d")
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) <= 2e-3,
+      "observed shares must sum to ~1 (rounding slack)")
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
