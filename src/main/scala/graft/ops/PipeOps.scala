@@ -653,8 +653,7 @@ object PipeOps {
       WITH s AS (
         SELECT CAST('0x' || substring(md5('shard:'
                  || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16
-                 AS shard,
-               n_chars
+                 AS shard
         FROM documents),
       per AS (SELECT shard, count(*) AS n FROM s GROUP BY shard)
       SELECT CAST(count(*) AS BIGINT) AS n_shards,

@@ -20,8 +20,6 @@ import Tables.{Q, t}
 object Streamy {
 
   val queries: Map[String, Q] = Map(
-    // 1-hour tumbling windows per event_type. Identical code streams
-    // with `.withWatermark("ts", "10 minutes")` prepended.
     // Behavioral sequence mining: event-type trigrams along each
     // user's time-ordered stream, top-20 global patterns — the
     // session-path feature a recommender/abuse pipeline extracts.
@@ -72,6 +70,8 @@ object Streamy {
         .orderBy($"day")
     }),
 
+    // 1-hour tumbling windows per event_type. Identical code streams
+    // with `.withWatermark("ts", "10 minutes")` prepended.
     "q_stream_tumble" -> ((s, d) => {
       import s.implicits._
       t(s, d, "events")

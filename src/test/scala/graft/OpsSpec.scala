@@ -388,8 +388,13 @@ class OpsSpec extends GraftSuite {
     assert(hits >= 0 && hits <= 10)
     assert(recall === hits / 10.0)
     assert(bf >= -1.0 && bf <= 1.0 && ann >= -1.0 && ann <= 1.0)
-    assert(bf >= ann,
-      "brute-force top-10 mean sim must dominate a full ANN top-10")
+    // Dominance of the brute-force mean only holds element-wise when
+    // the ANN side returned a FULL 10 rows (a 3-candidate ANN mean can
+    // legitimately beat a 10-row brute-force mean).
+    val annRows = SparkEntry.queries("q_sim_ann_lsh")(spark, sf0001).count()
+    if (annRows == 10)
+      assert(bf >= ann,
+        "brute-force top-10 mean sim must dominate a full ANN top-10")
   }
 
   test("q_graph_pagerank matches an independent in-memory reference") {
@@ -485,6 +490,15 @@ class OpsSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(rows === Seq(("purchase>click>view", 1L),
                         ("signup>purchase>click", 1L)))
+  }
+
+  test("q_agg_countdist partitions every customer into exactly one count bucket") {
+    val rows = q("q_agg_countdist", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val customers = ops.Tables.t(spark, sf0001, "customer").count()
+    assert(rows.map(_._2).sum === customers,
+      "bucket sizes must sum to the customer count")
+    assert(rows.map(_._1).distinct.length === rows.length, "buckets unique")
   }
 
   test("q_agg_gini matches the rank-weighted formula computed in memory") {

@@ -61,15 +61,6 @@ class SubOpsSpec extends GraftSuite {
       "no correlated subquery may survive to execution")
   }
 
-  test("q_agg_countdist partitions every customer into exactly one count bucket") {
-    val rows = q("q_agg_countdist", sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val customers = ops.Tables.t(spark, sf0001, "customer").count()
-    assert(rows.map(_._2).sum === customers,
-      "bucket sizes must sum to the customer count")
-    assert(rows.map(_._1).distinct.length === rows.length, "buckets unique")
-  }
-
   test("q_sub_decorr turns EXISTS + NOT EXISTS into one semi and one anti join") {
     val p = plan("q_sub_decorr")
     assert(p.contains("LeftSemi"), "EXISTS must become a semi join")
