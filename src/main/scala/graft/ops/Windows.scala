@@ -19,6 +19,26 @@ import Tables.{Q, t}
 object Windows {
 
   val queries: Map[String, Q] = Map(
+    // Cohort retention curve: each user's activity days expressed as
+    // offsets from their first-seen day, active-user counts per
+    // offset — the product-analytics retention matrix collapsed to
+    // its diagonal (one cohort in this fixture's 30-day span). Two
+    // keyed aggs on user_id plus a broadcastable cohort table; whole-
+    // microsecond day indexing is bit-identical cross-engine.
+    "q_win_retention" -> ((s, d) => {
+      import s.implicits._
+      val ud = t(s, d, "events")
+        .select($"user_id",
+          floor(expr("unix_micros(ts)") / 86400000000L).cast("long")
+            .as("day"))
+        .distinct()
+      val cohort = ud.groupBy($"user_id").agg(min($"day").as("cday"))
+      ud.join(broadcast(cohort), "user_id")
+        .groupBy(($"day" - $"cday").as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy($"day_offset")
+    }),
+
     // Longest consecutive-day activity streak per user — classic
     // gaps-and-islands: distinct active days, then (day − row_number)
     // is constant exactly along a consecutive run, so grouping on it
@@ -147,6 +167,19 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_retention" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        FROM events),
+      cohort AS (SELECT user_id, MIN(day) AS cday FROM ud
+                 GROUP BY user_id)
+      SELECT CAST(u.day - c.cday AS BIGINT) AS day_offset,
+             count(*) AS n_active
+      FROM ud u JOIN cohort c ON u.user_id = c.user_id
+      GROUP BY 1
+      ORDER BY 1""",
+
     "q_win_streak" -> """
       WITH days AS (
         SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

@@ -533,6 +533,13 @@ class OpsSpec extends GraftSuite {
     assert(skew >= 1.0, "max/mean ratio is at least 1")
   }
 
+  test("q_win_retention: offset 0 counts every user exactly once (micro)") {
+    // Both micro users are active only on their own first day.
+    val rows = q("q_win_retention", microDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows === Seq((0L, 2L)))
+  }
+
   test("q_win_streak labels islands without a self-join (micro)") {
     // user 7's events all fall on 2024-01-01 → one streak of length 1;
     // user 99 likewise.
