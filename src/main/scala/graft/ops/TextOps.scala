@@ -255,6 +255,34 @@ object TextOps {
         .limit(20)
     }),
 
+    // BM25 relevance scoring (k1=1.2, b=0.75) for a fixed query-term
+    // set — the search/retrieval scoring stage of a RAG pipeline.
+    // The tf table is filtered to the query terms BEFORE any join, so
+    // everything downstream of the corpus-wide doc-length pass is
+    // query-sized; df and the scalar (N, avgdl) stats broadcast.
+    "q_text_bm25" -> ((s, d) => {
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        avg($"len" * 1.0).as("avgdl"))
+      val tf = tok.where($"term".isin("fast", "small", "data"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfp = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfp), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy($"doc_id")
+        .agg(sum(log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+          * $"tf" * 2.2
+          / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"len" / $"avgdl")))
+          .as("score"))
+        .select($"doc_id", (floor($"score" * 1e4 + 0.5) / 1e4).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+    }),
+
     // Vocabulary-coverage curve point: the fraction of all token
     // occurrences covered by each language's top-10 vocabulary — the
     // measurement behind tokenizer vocab-size decisions (head coverage
@@ -411,6 +439,31 @@ object TextOps {
         SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       GROUP BY token
       ORDER BY n DESC, token
+      LIMIT 20""",
+
+    "q_text_bm25" -> """
+      WITH tok AS (
+        SELECT doc_id, u.w AS term FROM documents,
+               UNNEST(string_split(text, ' ')) AS u(w)),
+      dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n, AVG(len * 1.0) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             WHERE term IN ('fast', 'small', 'data')
+             GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id,
+               SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                   tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * len / avgdl)))
+                 AS score
+        FROM tf JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id)
+      SELECT doc_id, FLOOR(score * 1e4 + 0.5) / 1e4 AS bm25
+      FROM sc
+      ORDER BY bm25 DESC, doc_id
       LIMIT 20""",
 
     "q_text_coverage" -> """

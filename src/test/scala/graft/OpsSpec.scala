@@ -561,6 +561,18 @@ class OpsSpec extends GraftSuite {
       "observed shares must sum to ~1 (rounding slack)")
   }
 
+  test("q_text_bm25 matches a hand-computed score on the micro corpus") {
+    // Corpus: docs 0,1 = "the fast fox" (len 3), doc 2 = 4 tokens;
+    // only 'fast' of the query terms occurs → df=2, N=3, avgdl=10/3.
+    // Docs 0 and 1 tie exactly; doc 2 scores 0 (no terms).
+    val rows = q("q_text_bm25", microDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    val expect = math.floor(idf * 1 * 2.2
+      / (1 + 1.2 * (0.25 + 0.75 * 3 / (10.0 / 3))) * 1e4 + 0.5) / 1e4
+    assert(rows === Seq((0L, expect), (1L, expect)))
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
