@@ -169,6 +169,28 @@ object Joins {
         .orderBy($"r_name", $"p_type")
     }),
 
+    // Point-in-time feature join — the feature-store correctness
+    // shape: for each (sampled) purchase event, aggregate ONLY the
+    // orders that existed at the event's timestamp. Leaking future
+    // rows here is the classic train-time/serve-time skew bug; the
+    // `o_orderdate <= ts` bound inside the join condition is what a
+    // PIT-correct backfill enforces. Equi key on the customer, time
+    // bound as residual; per-entity history is bounded so the fan-out
+    // is |events|·|orders-per-customer|, never a cross join.
+    "q_join_pit" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "events")
+        .filter($"event_type" === "purchase" && $"event_id" % 7 === 0)
+        .select($"event_id", $"ts", $"user_id")
+      p.join(t(s, d, "orders"),
+          $"o_custkey" === $"user_id" && $"o_orderdate" <= $"ts", "left")
+        .groupBy($"event_id")
+        .agg(count($"o_orderkey").as("n_prior_orders"),
+          round(coalesce(sum($"o_totalprice"), lit(0)), 2)
+            .as("prior_value"))
+        .orderBy($"event_id")
+    }),
+
     // Null-safe equality join (<=>): NULL keys MATCH each other, where
     // a plain equi join silently drops them — the semantics gap that
     // loses rows when a fact's dimension key is nullable. Nulls are
@@ -244,6 +266,17 @@ object Joins {
        AND abs(length(a.source) - length(b.source)) <= 1
        AND levenshtein(a.source, b.source) <= 1
       ORDER BY src_a, src_b""",
+
+    "q_join_pit" -> """
+      WITH p AS (SELECT event_id, ts, user_id FROM events
+                 WHERE event_type = 'purchase' AND event_id % 7 = 0)
+      SELECT p.event_id,
+             CAST(count(o.o_orderkey) AS BIGINT) AS n_prior_orders,
+             ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS prior_value
+      FROM p LEFT JOIN orders o
+        ON o.o_custkey = p.user_id AND o.o_orderdate <= p.ts
+      GROUP BY p.event_id
+      ORDER BY p.event_id""",
 
     "q_join_nullsafe" -> """
       WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st

@@ -573,6 +573,24 @@ class OpsSpec extends GraftSuite {
     assert(rows === Seq((0L, expect), (1L, expect)))
   }
 
+  test("q_join_pit never counts an order from after the event (no future leak)") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("q_join_pit", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent recount of the PIT pairs
+    val ev = ops.Tables.t(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase" && col("event_id") % 7 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val pairs = ev.join(ops.Tables.t(spark, sf0001, "orders"),
+        col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
+      .groupBy(col("event_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (eid, n) =>
+      assert(n === pairs.getOrElse(eid, 0L), s"event $eid prior-order count")
+    }
+  }
+
   test("empty-input grouping yields an empty result, not a crash") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
