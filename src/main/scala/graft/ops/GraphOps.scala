@@ -71,6 +71,44 @@ object GraphOps {
         .orderBy($"rank".desc, $"node")
         .limit(20)
     }),
+
+    // Triangle counting over the high-volume co-purchase graph (parts
+    // that appear in the same order, both at l_quantity >= 45): the
+    // canonical two-round MapReduce graph kernel, here as one
+    // declarative three-way self-join. Edges are canonicalized
+    // p1 < p2, so each wedge (e1.p2 = e2.p1) enumerates every
+    // candidate exactly once and the closing edge probe counts each
+    // triangle once. Output: top-10 parts by triangle participation
+    // (each triangle credits all three corners).
+    //
+    // Scale note (100 TB): wedge count — not edge count — is the cost
+    // driver. Key-canonical orientation is enough on near-uniform
+    // degree graphs like this one; on skewed (power-law) graphs,
+    // orient each edge toward the higher-(degree, id) endpoint instead
+    // — same plan shape plus one broadcastable degree join — which
+    // bounds wedges at O(m^1.5) regardless of hub size.
+    "q_graph_triangles" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem").filter($"l_quantity" >= 45)
+        .select($"l_orderkey", $"l_partkey")
+      // Distinct canonical edges, materialized once: the triangle join
+      // references this table three times, and without the checkpoint
+      // the unrolled plan would rebuild the lineitem self-join per
+      // reference.
+      val e = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val tri = e.as("e1").join(e.as("e2"), $"e1.p2" === $"e2.p1")
+        .select($"e1.p1".as("ta"), $"e1.p2".as("tb"), $"e2.p2".as("tc"))
+        .join(e.as("e3"), $"ta" === $"e3.p1" && $"tc" === $"e3.p2")
+      tri.select(explode(array($"ta", $"tb", $"tc")).as("partkey"))
+        .groupBy($"partkey").agg(count(lit(1)).as("n_tri"))
+        .orderBy($"n_tri".desc, $"partkey")
+        .limit(10)
+    }),
   )
 
   /** The identical 5 iterations unrolled as generated CTEs — one
@@ -98,6 +136,24 @@ object GraphOps {
       FROM r$Iters
       ORDER BY rank DESC, node
       LIMIT 20"""),
+
+      "q_graph_triangles" -> """
+      WITH e AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45),
+      tri AS (
+        SELECT e1.p1 AS ta, e1.p2 AS tb, e2.p2 AS tc
+        FROM e e1 JOIN e e2 ON e2.p1 = e1.p2
+        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+      member AS (SELECT ta AS partkey FROM tri
+                 UNION ALL SELECT tb FROM tri
+                 UNION ALL SELECT tc FROM tri)
+      SELECT partkey, CAST(count(*) AS BIGINT) AS n_tri
+      FROM member GROUP BY partkey
+      ORDER BY n_tri DESC, partkey
+      LIMIT 10""",
     )
   }
 }

@@ -316,6 +316,66 @@ object PipeOps {
         .orderBy($"lang")
     }),
 
+    // A/B experiment readout: Welch's t-statistic on event value
+    // between a deterministic 50/50 user split (md5-60bit parity —
+    // the same reproducible-assignment primitive as q_sample_hash, so
+    // re-running on a different cluster never moves a user between
+    // arms). Variance comes from spelled-out power sums, not the
+    // built-in (sample/population conventions drift cross-engine —
+    // q_agg_moments' lesson). The fixture is an A/A test by
+    // construction, so honest t-stats hover near 0. One partial-
+    // aggregable pass to 10 stat rows; the arm join is trivial.
+    "q_pipe_abtest" -> ((s, d) => {
+      import s.implicits._
+      val st = t(s, d, "events")
+        .select($"event_type", $"value",
+          (h60($"user_id".cast("string")) % 2).as("grp"))
+        .groupBy($"event_type", $"grp")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum($"value").as("s1"), sum($"value" * $"value").as("s2"))
+        .select($"event_type", $"grp", $"n", ($"s1" / $"n").as("mean"),
+          (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1.0)).as("vr"))
+      val tr = st.where($"grp" === 1)
+        .select($"event_type", $"n".as("nt"), $"mean".as("mt"), $"vr".as("vt"))
+      val ct = st.where($"grp" === 0)
+        .select($"event_type", $"n".as("nc"), $"mean".as("mc"), $"vr".as("vc"))
+      tr.join(ct, "event_type")
+        .select($"event_type",
+          $"nt".cast("long").as("n_treat"), $"nc".cast("long").as("n_ctrl"),
+          (floor(($"mt" - $"mc") / sqrt($"vt" / $"nt" + $"vc" / $"nc")
+            * 1e4 + 0.5) / 1e4).as("t_stat"))
+        .orderBy($"event_type")
+    }),
+
+    // Robust outlier audit (Iglewicz–Hoaglin modified z-score): per
+    // event type, median and MAD of `value`, and the count of events
+    // whose 0.6745·|x−med|/MAD exceeds 3.5 — the data-quality gate
+    // that, unlike mean/stddev z-scores, is not dragged by the very
+    // outliers it hunts. Two exact-median passes + one broadcast-back
+    // scoring pass; the per-type stat table is group-cardinality-sized.
+    // At 100 TB with unbounded groups, swap the exact medians for
+    // approx_percentile's mergeable sketch (same trade q_agg_approx
+    // documents); the threshold margin (≥ 8.8e-5 at sf0.1) makes the
+    // flag decision float-safe cross-engine.
+    "q_pipe_outlier" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select($"event_type", $"value")
+      val med = ev.groupBy($"event_type").agg(median($"value").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy($"event_type", $"med")
+        .agg(median(abs($"value" - $"med")).as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy($"event_type", $"med", $"mad")
+        .agg(
+          count(when(lit(0.6745) * abs($"value" - $"med") / $"mad" > 3.5, 1))
+            .as("n_outlier"),
+          count(lit(1)).as("n"))
+        .select($"event_type", $"n_outlier", $"n",
+          (floor($"med" * 1e4 + 0.5) / 1e4).as("med"),
+          (floor($"mad" * 1e4 + 0.5) / 1e4).as("mad"))
+        .orderBy($"event_type")
+    }),
+
     // Time-decay weighted engagement (half-life-style feature
     // engineering): each user's events weighted by exp(-age/7d)
     // against that user's newest event. Two partial-aggregable passes:
@@ -703,6 +763,44 @@ object PipeOps {
       WHERE s.lang <> 'en'
       GROUP BY s.lang
       ORDER BY s.lang""",
+
+    "q_pipe_abtest" -> """
+      WITH b AS (
+        SELECT event_type, value,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 2 AS grp
+        FROM events),
+      st AS (
+        SELECT event_type, grp, CAST(count(*) AS DOUBLE) AS n,
+               SUM(value) AS s1, SUM(value * value) AS s2
+        FROM b GROUP BY event_type, grp),
+      m AS (SELECT event_type, grp, n, s1 / n AS mean,
+                   (s2 - s1 * s1 / n) / (n - 1.0) AS vr
+            FROM st)
+      SELECT t.event_type,
+             CAST(t.n AS BIGINT) AS n_treat, CAST(c.n AS BIGINT) AS n_ctrl,
+             FLOOR((t.mean - c.mean) / sqrt(t.vr / t.n + c.vr / c.n)
+               * 1e4 + 0.5) / 1e4 AS t_stat
+      FROM m t JOIN m c
+        ON t.event_type = c.event_type AND t.grp = 1 AND c.grp = 0
+      ORDER BY t.event_type""",
+
+    "q_pipe_outlier" -> """
+      WITH med AS (SELECT event_type, median(value) AS med
+                   FROM events GROUP BY event_type),
+      mad AS (SELECT e.event_type, med, median(abs(value - med)) AS mad
+              FROM events e JOIN med USING (event_type)
+              GROUP BY e.event_type, med)
+      SELECT e.event_type,
+             CAST(count(*) FILTER
+               (WHERE 0.6745 * abs(value - med) / mad > 3.5) AS BIGINT)
+               AS n_outlier,
+             CAST(count(*) AS BIGINT) AS n,
+             FLOOR(med * 1e4 + 0.5) / 1e4 AS med,
+             FLOOR(mad * 1e4 + 0.5) / 1e4 AS mad
+      FROM events e JOIN mad USING (event_type)
+      GROUP BY e.event_type, med, mad
+      ORDER BY e.event_type""",
 
     "q_pipe_decay" -> """
       WITH mx AS (SELECT user_id, max(ts) AS tmax FROM events

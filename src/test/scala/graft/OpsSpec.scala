@@ -423,6 +423,31 @@ class OpsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("q_graph_triangles matches an in-memory brute-force count") {
+    import org.apache.spark.sql.functions.col
+    val edges: Set[(Long, Long)] = ops.Tables.t(spark, sf0001, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+      .flatMap { g =>
+        val ps = g.map(_._2).toSeq
+        ps.flatMap(a => ps.filter(a < _).map(b => (a, b)))
+      }.toSet
+    val bySrc = edges.toSeq.groupBy(_._1)
+    val tris = edges.toSeq.flatMap { case (a, b) =>
+      bySrc.getOrElse(b, Nil).collect {
+        case (_, c) if edges((a, c)) => Seq(a, b, c)
+      }
+    }
+    val expect = tris.flatten.groupBy(identity)
+      .map { case (p, xs) => (p, xs.size.toLong) }.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = q("q_graph_triangles", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tris.nonEmpty && got === expect)
+  }
+
   test("q_pipe_drift: PSI is non-negative and zero for an identical distribution") {
     // micro: en and fr docs all land in bucket 0, so after smoothing
     // both shares are exactly 1 → PSI must be exactly 0.

@@ -183,6 +183,43 @@ class PipeOpsSpec extends GraftSuite {
     assert(a === b)
   }
 
+  test("q_pipe_abtest arms partition the events and the A/A t-stat is small") {
+    import spark.implicits._
+    val got = q("q_pipe_abtest", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val totals = ops.Tables.t(spark, sf0001, "events")
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (et, nt, nc, tstat) =>
+      assert(nt + nc === totals(et), s"$et arms must partition the events")
+      assert(nt > 0 && nc > 0)
+      // a deterministic hash split of an i.i.d. fixture is an A/A
+      // test: anything beyond |t| = 6 would mean the split is biased
+      assert(math.abs(tstat) < 6.0, s"$et A/A t-stat $tstat")
+    }
+  }
+
+  test("q_pipe_outlier matches an in-memory median/MAD recount") {
+    import spark.implicits._
+    val vals = ops.Tables.t(spark, sf0001, "events")
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val expect = vals.map { case (k, xs) =>
+      val m = med(xs); val ma = med(xs.map(x => math.abs(x - m)))
+      (k, xs.count(x => 0.6745 * math.abs(x - m) / ma > 3.5).toLong,
+        xs.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = q("q_pipe_outlier", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+  }
+
   test("q_pipe_chunk: stride-48 starts, widths in [1,64], count = ceil(n/48), full coverage") {
     import spark.implicits._
     val ch = q("q_pipe_chunk", sf0001)
