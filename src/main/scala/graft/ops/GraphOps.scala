@@ -109,6 +109,38 @@ object GraphOps {
         .orderBy($"n_tri".desc, $"partkey")
         .limit(10)
     }),
+
+    // Common-neighbor link prediction: Jaccard similarity of supplier
+    // customer-sets over high-value orders — "suppliers serving the
+    // same customers" is the bipartite co-occurrence shape behind
+    // related-item and entity-resolution candidates. Pairs are
+    // generated by a self-join keyed on the shared CUSTOMER, so the
+    // fan-out per customer is its supplier-set choose 2 — bounded by
+    // per-entity degree, never |S|². Degree tables are |S|-sized and
+    // broadcast. At 100 TB with hub customers, cap or sample each
+    // neighbor list before pairing (the q_dedup_minhash hot-bucket
+    // treatment) — recall loss is confined to the capped hubs.
+    "q_graph_jaccard" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "orders").where($"o_totalprice" > 300000)
+        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("sup"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val deg = e.groupBy($"sup").agg(count(lit(1)).as("dg"))
+      val pairs = e.as("a").join(e.as("b"),
+          $"a.c" === $"b.c" && $"a.sup" < $"b.sup")
+        .groupBy($"a.sup".as("s1"), $"b.sup".as("s2"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(broadcast(deg.select($"sup".as("s1"), $"dg".as("d1"))), "s1")
+        .join(broadcast(deg.select($"sup".as("s2"), $"dg".as("d2"))), "s2")
+        .select($"s1", $"s2", $"common",
+          (floor($"common" * 1.0 / ($"d1" + $"d2" - $"common") * 1e4 + 0.5)
+            / 1e4).as("jaccard"))
+        .orderBy($"jaccard".desc, $"s1", $"s2")
+        .limit(10)
+    }),
   )
 
   /** The identical 5 iterations unrolled as generated CTEs — one
@@ -153,6 +185,22 @@ object GraphOps {
       SELECT partkey, CAST(count(*) AS BIGINT) AS n_tri
       FROM member GROUP BY partkey
       ORDER BY n_tri DESC, partkey
+      LIMIT 10""",
+
+      "q_graph_jaccard" -> """
+      WITH e AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_totalprice > 300000),
+      deg AS (SELECT sup, count(*) AS dg FROM e GROUP BY sup),
+      p AS (SELECT a.sup AS s1, b.sup AS s2, count(*) AS common
+            FROM e a JOIN e b ON a.c = b.c AND a.sup < b.sup
+            GROUP BY a.sup, b.sup)
+      SELECT s1, s2, CAST(common AS BIGINT) AS common,
+             FLOOR(common * 1.0 / (d1.dg + d2.dg - common) * 1e4 + 0.5)
+               / 1e4 AS jaccard
+      FROM p JOIN deg d1 ON d1.sup = p.s1 JOIN deg d2 ON d2.sup = p.s2
+      ORDER BY jaccard DESC, s1, s2
       LIMIT 10""",
     )
   }

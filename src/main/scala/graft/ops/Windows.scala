@@ -19,6 +19,33 @@ import Tables.{Q, t}
 object Windows {
 
   val queries: Map[String, Q] = Map(
+    // Rolling z-score spike detection: each event scored against the
+    // mean/std of its user's previous ≤10 events (a trailing frame
+    // that EXCLUDES the current row — scoring a point against a
+    // window containing itself is the classic self-leak). Variance is
+    // spelled-out power sums over the frame (cross-engine-identical
+    // algebra; built-in stddev conventions drift), scored only when
+    // the frame holds ≥ 5 points. Top-20 spikes by z. One keyed
+    // window pass — the same secondary-sort shuffle as every window
+    // here; the frame is O(1) state per row at any scale.
+    "q_win_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val fr = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-10, -1)
+      val w = t(s, d, "events")
+        .select($"event_id", $"user_id", $"value",
+          count(lit(1)).over(fr).as("n"),
+          sum($"value").over(fr).as("s1"),
+          sum($"value" * $"value").over(fr).as("s2"))
+        .where($"n" >= 5 && ($"s2" - $"s1" * $"s1" / $"n") > 0)
+      w.select($"event_id", $"user_id", $"value",
+          (floor(($"value" - $"s1" / $"n")
+            / sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1))
+            * 1e4 + 0.5) / 1e4).as("z"))
+        .orderBy($"z".desc, $"event_id")
+        .limit(20)
+    }),
+
     // Cohort retention curve: each user's activity days expressed as
     // offsets from their first-seen day, active-user counts per
     // offset — the product-analytics retention matrix collapsed to
@@ -167,6 +194,23 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_anomaly" -> """
+      WITH w AS (
+        SELECT event_id, user_id, value,
+               count(*)         OVER fr AS n,
+               SUM(value)       OVER fr AS s1,
+               SUM(value*value) OVER fr AS s2
+        FROM events
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, value,
+             FLOOR((value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))
+               * 1e4 + 0.5) / 1e4 AS z
+      FROM w
+      WHERE n >= 5 AND (s2 - s1*s1/n) > 0
+      ORDER BY z DESC, event_id
+      LIMIT 20""",
+
     "q_win_retention" -> """
       WITH ud AS (
         SELECT DISTINCT user_id,

@@ -448,6 +448,52 @@ class OpsSpec extends GraftSuite {
     assert(tris.nonEmpty && got === expect)
   }
 
+  test("q_graph_jaccard matches an in-memory neighbor-set recount") {
+    import org.apache.spark.sql.functions.col
+    val e = ops.Tables.t(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .join(ops.Tables.t(spark, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySup = e.groupBy(_._2).map { case (s0, v) => s0 -> v.map(_._1).toSet }
+    val sups = bySup.keys.toSeq.sorted
+    val expect = sups.flatMap(a => sups.filter(a < _).map { b =>
+      val common = (bySup(a) & bySup(b)).size
+      (a, b, common.toLong, math.floor(common.toDouble /
+        (bySup(a).size + bySup(b).size - common) * 1e4 + 0.5) / 1e4)
+    }).filter(_._3 > 0)
+      .sortBy { case (a, b, _, j) => (-j, a, b) }.take(10)
+    val got = q("q_graph_jaccard", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expect)
+  }
+
+  test("q_win_anomaly scores against a frame that excludes the current row") {
+    import org.apache.spark.sql.functions.col
+    val hist = ops.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (u, v) => u -> v.sortBy(x => (x._2.getTime, x._3)) }
+    val got = q("q_win_anomaly", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.length === 20 && got.forall(_._3 > 0))
+    got.foreach { case (eid, uid, z) =>
+      val seq = hist(uid)
+      val i = seq.indexWhere(_._3 == eid)
+      val frame = seq.slice(math.max(0, i - 10), i).map(_._4)
+      val n = frame.length
+      assert(n >= 5, s"event $eid frame too small")
+      val m = frame.sum / n
+      val v = (frame.map(x => x * x).sum - frame.sum * frame.sum / n) / (n - 1)
+      val zr = math.floor((seq(i)._4 - m) / math.sqrt(v) * 1e4 + 0.5) / 1e4
+      assert(math.abs(zr - z) < 1e-9, s"event $eid z recount")
+    }
+  }
+
   test("q_pipe_drift: PSI is non-negative and zero for an identical distribution") {
     // micro: en and fr docs all land in bucket 0, so after smoothing
     // both shares are exactly 1 → PSI must be exactly 0.
