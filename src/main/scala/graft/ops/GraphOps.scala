@@ -141,6 +141,31 @@ object GraphOps {
         .orderBy($"jaccard".desc, $"s1", $"s2")
         .limit(10)
     }),
+
+    // Degree-distribution summary of the symmetrized trade graph,
+    // bucketed by decimal magnitude (digit count of the degree —
+    // exact INTEGER bucketing on both engines, where floor(log2(d))
+    // computed via doubles flips on exact powers at the float edge).
+    // The first profiling query run against any new graph: is it
+    // near-uniform (this fixture) or power-law (real web/social
+    // graphs, where the hub tail drives every downstream join's skew
+    // treatment)? One keyed count + one magnitude-keyed re-agg, both
+    // partial-aggregable.
+    "q_graph_degreedist" -> ((s, d) => {
+      import s.implicits._
+      val e0 = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("sup"))
+        .distinct()
+      val und = e0.select(concat(lit("c"), $"c".cast("string")).as("node"))
+        .unionByName(
+          e0.select(concat(lit("s"), $"sup".cast("string")).as("node")))
+      und.groupBy($"node").agg(count(lit(1)).as("dg"))
+        .groupBy(length($"dg".cast("string")).as("magnitude"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"dg").as("min_deg"), max($"dg").as("max_deg"))
+        .orderBy($"magnitude")
+    }),
   )
 
   /** The identical 5 iterations unrolled as generated CTEs — one
@@ -202,6 +227,20 @@ object GraphOps {
       FROM p JOIN deg d1 ON d1.sup = p.s1 JOIN deg d2 ON d2.sup = p.s2
       ORDER BY jaccard DESC, s1, s2
       LIMIT 10""",
+
+      "q_graph_degreedist" -> """
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      und AS (SELECT 'c' || CAST(c AS VARCHAR) AS node FROM e0
+              UNION ALL SELECT 's' || CAST(sup AS VARCHAR) FROM e0),
+      deg AS (SELECT node, count(*) AS dg FROM und GROUP BY node)
+      SELECT length(CAST(dg AS VARCHAR)) AS magnitude,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(min(dg) AS BIGINT) AS min_deg,
+             CAST(max(dg) AS BIGINT) AS max_deg
+      FROM deg GROUP BY magnitude
+      ORDER BY magnitude""",
     )
   }
 }

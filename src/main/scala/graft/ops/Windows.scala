@@ -19,6 +19,31 @@ import Tables.{Q, t}
 object Windows {
 
   val queries: Map[String, Q] = Map(
+    // Inter-arrival gap profile: time since the user's PREVIOUS event,
+    // attributed to the current event's type — median and p95 in
+    // seconds (the dwell-time / time-to-purchase readout). One lag
+    // pass on the user-keyed secondary sort, then exact interpolated
+    // percentiles over whole-µs integer gaps (bit-identical inputs
+    // cross-engine). At unbounded group cardinality the exact
+    // percentile becomes approx_percentile's mergeable sketch — the
+    // same trade every exact-quantile row here documents.
+    "q_win_gap" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .select($"event_type", $"user_id", $"ts", $"event_id")
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+        .where($"gap_us".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          (floor(expr("percentile(gap_us, 0.5D)") / 1e6 * 1e4 + 0.5) / 1e4)
+            .as("p50_s"),
+          (floor(expr("percentile(gap_us, 0.95D)") / 1e6 * 1e4 + 0.5) / 1e4)
+            .as("p95_s"))
+        .orderBy($"event_type")
+    }),
+
     // Rolling z-score spike detection: each event scored against the
     // mean/std of its user's previous ≤10 events (a trailing frame
     // that EXCLUDES the current row — scoring a point against a
@@ -194,6 +219,21 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_gap" -> """
+      WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             FLOOR(median(gap_us) / 1e6 * 1e4 + 0.5) / 1e4 AS p50_s,
+             FLOOR(quantile_cont(gap_us, 0.95) / 1e6 * 1e4 + 0.5) / 1e4
+               AS p95_s
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type""",
+
     "q_win_anomaly" -> """
       WITH w AS (
         SELECT event_id, user_id, value,

@@ -494,6 +494,53 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_graph_degreedist buckets partition the node set with consistent bounds") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("q_graph_degreedist", sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nNodes = ops.Tables.t(spark, sf0001, "orders")
+      .join(ops.Tables.t(spark, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .select(col("o_custkey")).distinct().count() +
+      ops.Tables.t(spark, sf0001, "lineitem")
+        .select(col("l_suppkey")).distinct().count()
+    assert(rows.map(_._2).sum === nNodes,
+      "magnitude buckets must partition all graph nodes")
+    rows.foreach { case (mag, _, lo, hi) =>
+      assert(lo.toString.length === mag && hi.toString.length === mag && lo <= hi)
+    }
+  }
+
+  test("q_win_gap matches an in-memory inter-arrival recount") {
+    import org.apache.spark.sql.functions.col
+    val evs = ops.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), org.apache.spark.sql.functions.expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gaps = evs.groupBy(_._1).values.flatMap { v =>
+      val s = v.sortBy(x => (x._2, x._3))
+      s.sliding(2).collect { case Array(a, b) => (b._4, b._2 - a._2) }
+    }.toSeq
+    def pct(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted.map(_.toDouble); val pos = (s.length - 1) * p
+      val lo = s(pos.toInt)
+      if (pos.toInt == s.length - 1) lo
+      else lo + (s(pos.toInt + 1) - lo) * (pos - pos.toInt)
+    }
+    val expect = gaps.groupBy(_._1).map { case (et, v) =>
+      val xs = v.map(_._2)
+      (et, xs.length.toLong,
+        math.floor(pct(xs, 0.5) / 1e6 * 1e4 + 0.5) / 1e4,
+        math.floor(pct(xs, 0.95) / 1e6 * 1e4 + 0.5) / 1e4)
+    }.toSeq.sortBy(_._1)
+    val got = q("q_win_gap", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expect)
+  }
+
   test("q_pipe_drift: PSI is non-negative and zero for an identical distribution") {
     // micro: en and fr docs all land in bucket 0, so after smoothing
     // both shares are exactly 1 → PSI must be exactly 0.
