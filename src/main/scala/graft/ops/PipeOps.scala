@@ -316,6 +316,38 @@ object PipeOps {
         .orderBy($"lang")
     }),
 
+    // Daily conversion rate with 95% Wilson score bounds: per day,
+    // the fraction of active users with ≥1 purchase, plus the
+    // interval a decision should actually read (the Wilson score is
+    // well-behaved at small n and extreme p̂ where the naive normal
+    // interval collapses). Constants are spelled literals (z=1.959964,
+    // z²=3.84399184…) identical in both engines. Two keyed aggs — the
+    // per-(day,user) collapse then the per-day rate; both partial-
+    // aggregable, day cardinality is bounded by the calendar.
+    "q_pipe_wilson" -> ((s, d) => {
+      import s.implicits._
+      val z = 1.959964; val z2 = z * z
+      val u = t(s, d, "events")
+        .select(floor(expr("unix_micros(ts)") / 86400000000L).cast("long")
+          .as("day"), $"user_id",
+          when($"event_type" === "purchase", 1).otherwise(0).as("cv"))
+        .groupBy($"day", $"user_id").agg(max($"cv").as("conv"))
+      val st = u.groupBy($"day")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum($"conv").cast("double").as("k"))
+      val p = $"k" / $"n"
+      def wilson(sign: Double) =
+        (p + lit(z2 / 2) / $"n" + lit(sign * z) *
+          sqrt(p * (lit(1) - p) / $"n" + lit(z2 / 4) / ($"n" * $"n"))) /
+          (lit(1) + lit(z2) / $"n")
+      st.select($"day", $"n".cast("long").as("n_users"),
+          $"k".cast("long").as("n_converted"),
+          (floor(p * 1e4 + 0.5) / 1e4).as("p_hat"),
+          (floor(wilson(-1) * 1e4 + 0.5) / 1e4).as("wilson_lo"),
+          (floor(wilson(1) * 1e4 + 0.5) / 1e4).as("wilson_hi"))
+        .orderBy($"day")
+    }),
+
     // A/B experiment readout: Welch's t-statistic on event value
     // between a deterministic 50/50 user split (md5-60bit parity —
     // the same reproducible-assignment primitive as q_sample_hash, so
@@ -763,6 +795,30 @@ object PipeOps {
       WHERE s.lang <> 'en'
       GROUP BY s.lang
       ORDER BY s.lang""",
+
+    "q_pipe_wilson" -> """
+      WITH u AS (
+        SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+               user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+        FROM events GROUP BY day, user_id),
+      s AS (SELECT day, CAST(count(*) AS DOUBLE) AS n,
+                   CAST(SUM(conv) AS DOUBLE) AS k
+            FROM u GROUP BY day)
+      SELECT day, CAST(n AS BIGINT) AS n_users, CAST(k AS BIGINT) AS n_converted,
+             FLOOR((k/n) * 1e4 + 0.5) / 1e4 AS p_hat,
+             FLOOR(((k/n + (1.959964*1.959964)/2/n
+                     - 1.959964 * sqrt((k/n)*(1-k/n)/n
+                                       + (1.959964*1.959964)/4/(n*n)))
+                    / (1 + (1.959964*1.959964)/n)) * 1e4 + 0.5) / 1e4
+               AS wilson_lo,
+             FLOOR(((k/n + (1.959964*1.959964)/2/n
+                     + 1.959964 * sqrt((k/n)*(1-k/n)/n
+                                       + (1.959964*1.959964)/4/(n*n)))
+                    / (1 + (1.959964*1.959964)/n)) * 1e4 + 0.5) / 1e4
+               AS wilson_hi
+      FROM s ORDER BY day""",
 
     "q_pipe_abtest" -> """
       WITH b AS (

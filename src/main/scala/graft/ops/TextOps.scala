@@ -260,6 +260,26 @@ object TextOps {
     // The tf table is filtered to the query terms BEFORE any join, so
     // everything downstream of the corpus-wide doc-length pass is
     // query-sized; df and the scalar (N, avgdl) stats broadcast.
+    // Feature-hashing vectorizer (the hashing trick): tokens hash to
+    // a fixed 256-bucket space via the repo's cross-engine md5-60bit
+    // formula — the vectorizer that needs NO vocabulary pass, no
+    // dictionary broadcast, and a fixed-width output schema at any
+    // corpus size (the reason HashingTF exists next to CountVectorizer).
+    // Reports the top-10 buckets by total term frequency with their
+    // distinct-term (collision) counts — the audit that sizes 2^k
+    // against the vocabulary. One map-side hash + one keyed count.
+    "q_text_hashtf" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select(explode(split($"text", " ")).as("term"))
+        .select((Tables.h60($"term") % 256).as("bucket"), $"term")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("tf"),
+          countDistinct($"term").as("n_terms"))
+        .orderBy($"tf".desc, $"bucket")
+        .limit(10)
+    }),
+
     "q_text_bm25" -> ((s, d) => {
       import s.implicits._
       val tok = t(s, d, "documents")
@@ -440,6 +460,18 @@ object TextOps {
       GROUP BY token
       ORDER BY n DESC, token
       LIMIT 20""",
+
+    "q_text_hashtf" -> """
+      WITH tok AS (SELECT u.w AS term FROM documents,
+                   UNNEST(string_split(text, ' ')) AS u(w)),
+      b AS (SELECT CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) % 256
+              AS bucket, term
+            FROM tok)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+      FROM b GROUP BY bucket
+      ORDER BY tf DESC, bucket
+      LIMIT 10""",
 
     "q_text_bm25" -> """
       WITH tok AS (

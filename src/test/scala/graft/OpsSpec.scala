@@ -679,6 +679,24 @@ class OpsSpec extends GraftSuite {
       "observed shares must sum to ~1 (rounding slack)")
   }
 
+  test("q_text_hashtf: bucket tf sums bound the corpus and hashing is stable") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = q("q_text_hashtf", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 10)
+    val totTok = ops.Tables.t(spark, sf0001, "documents")
+      .select(sum(size(split($"text", " ")).cast("long"))).collect()(0).getLong(0)
+    assert(rows.map(_._2).sum <= totTok, "top-10 bucket tf can't exceed the corpus")
+    rows.foreach { case (b, tf, nt) =>
+      assert(b >= 0 && b < 256 && nt >= 1 && tf >= nt)
+    }
+    // determinism: same corpus, same buckets on a second run
+    val again = q("q_text_hashtf", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("q_text_bm25 matches a hand-computed score on the micro corpus") {
     // Corpus: docs 0,1 = "the fast fox" (len 3), doc 2 = 4 tokens;
     // only 'fast' of the query terms occurs → df=2, N=3, avgdl=10/3.

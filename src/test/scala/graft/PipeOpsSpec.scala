@@ -183,6 +183,19 @@ class PipeOpsSpec extends GraftSuite {
     assert(a === b)
   }
 
+  test("q_pipe_wilson bounds bracket p_hat and tighten with n") {
+    val rows = q("q_pipe_wilson", sf0001).collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, p, lo, hi) =>
+      assert(lo <= p && p <= hi, s"interval must bracket p_hat ($lo, $p, $hi)")
+      assert(lo >= 0.0 && hi <= 1.0, "Wilson bounds stay inside [0,1]")
+      // rough z/sqrt(n) width sanity: 95% interval on n in the tens
+      // can't be wider than ~2*0.98/sqrt(n) + rounding
+      assert(hi - lo <= 2 * 0.98 / math.sqrt(n.toDouble) + 2e-4)
+    }
+  }
+
   test("q_pipe_abtest arms partition the events and the A/A t-stat is small") {
     import spark.implicits._
     val got = q("q_pipe_abtest", sf0001).collect()
