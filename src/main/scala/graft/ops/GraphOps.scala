@@ -46,9 +46,13 @@ object GraphOps {
         .localCheckpoint(eager = false)
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
         .localCheckpoint(eager = false)
-      val nn = deg.agg(count(lit(1)).as("n"))
-      var r = deg.crossJoin(broadcast(nn))
-        .select($"src".as("node"), (lit(1.0) / $"n").as("r"))
+      // |V| is a single scalar constant for the whole job — resolve it
+      // once (metadata-scale driver action, the same thing GraphX
+      // does) and fold it into literals, instead of a per-iteration
+      // crossJoin(broadcast(nn)) stage. Same IEEE division both ways,
+      // so the oracle's 0.15/n algebra is unchanged.
+      val n = deg.count()
+      var r = deg.select($"src".as("node"), (lit(1.0) / n).as("r"))
       // Rank and degree tables are |V|-sized (≤ tens of thousands here)
       // and broadcast, so each iteration is ONE shuffle — the final
       // keyed aggregate on dst. At billions of vertices the same loop
@@ -58,14 +62,13 @@ object GraphOps {
         // Fold the per-source division into the |V|-sized side first
         // (tiny⋈tiny join), so the edge pass is a single broadcast
         // probe + one keyed aggregate per iteration.
-        val contrib = r.join(deg, $"node" === $"src")
+        val contrib = r.join(broadcast(deg), $"node" === $"src")
           .select($"node", ($"r" / $"d").as("w"))
         r = edges.join(broadcast(contrib), $"src" === $"node")
           .groupBy($"dst")
           .agg(sum($"w").as("sw"))
-          .crossJoin(broadcast(nn))
           .select($"dst".as("node"),
-            (lit(0.15) / $"n" + lit(0.85) * $"sw").as("r"))
+            (lit(0.15 / n) + lit(0.85) * $"sw").as("r"))
       }
       r.select($"node", (floor($"r" * 1e6 + 0.5) / 1e6).as("rank"))
         .orderBy($"rank".desc, $"node")
