@@ -131,4 +131,30 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("float_dot"), "subspace dots must use the codegen'd kernel")
   }
+
+  test("q_graph_triangles: wedge and closing joins stay keyed equi-joins") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "triangle enumeration must never degrade to a pairwise scan")
+  }
+
+  test("q_graph_jaccard: pair generation keyed on the shared customer, degree joins broadcast") {
+    val p = plan("q_graph_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |S|-sized degree tables must broadcast:\n$p")
+  }
+
+  test("q_win_anomaly runs as ONE keyed window pass") {
+    val p = plan("q_win_anomaly")
+    assert("Window".r.findAllIn(p).size >= 1)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"all three frame aggregates must share the user-keyed shuffle:\n$p")
+  }
+
+  test("q_join_pit: point-in-time bound stays a residual on the customer equi-join") {
+    val p = plan("q_join_pit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the time bound must ride the equi-join as a residual, not force a theta scan")
+  }
 }
