@@ -138,6 +138,33 @@ object SubOps {
       """)
     }),
 
+    // TPC-H-Q2-shaped correlated min: for each size-9 part, the
+    // supplier(s) achieving the minimum observed unit cost (derived
+    // from lineitem — the fixture has no partsupp table). The
+    // correlated scalar MIN over the cost CTE must decorrelate to a
+    // per-part min aggregate + equi join — ONE keyed pass over the
+    // cost table, never a re-scan per outer row (pinned in
+    // SubOpsSpec). Unit costs floor-rounded to 4 decimals BEFORE the
+    // min so cross-engine ties resolve identically; rounded-value
+    // ties legitimately emit multiple suppliers.
+    "q_sub_mincost" -> ((s, d) => {
+      s.sql(s"""
+        WITH cost AS (
+          SELECT l_partkey AS pk, l_suppkey AS suppkey,
+                 FLOOR(min(l_extendedprice / l_quantity) * 1e4 + 0.5) / 1e4
+                   AS unit_cost
+          FROM parquet.`$d/lineitem.parquet`
+          GROUP BY l_partkey, l_suppkey)
+        SELECT p.p_partkey, c.suppkey, c.unit_cost
+        FROM parquet.`$d/part.parquet` p JOIN cost c ON c.pk = p.p_partkey
+        WHERE p.p_size = 9
+          AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                             WHERE c2.pk = p.p_partkey)
+        ORDER BY p.p_partkey, c.suppkey
+        LIMIT 20
+      """)
+    }),
+
     // LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
     // declarative form of "top-2 orders per customer". Catalyst's
     // lateral decorrelation rewrites it into the ranked-window join
@@ -193,6 +220,20 @@ object SubOps {
         FROM customer c)
       WHERE n_orders <= 3
       ORDER BY c_custkey""",
+
+    "q_sub_mincost" -> """
+      WITH cost AS (
+        SELECT l_partkey AS pk, l_suppkey AS suppkey,
+               FLOOR(min(l_extendedprice / l_quantity) * 1e4 + 0.5) / 1e4
+                 AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT p.p_partkey, c.suppkey, c.unit_cost
+      FROM part p JOIN cost c ON c.pk = p.p_partkey
+      WHERE p.p_size = 9
+        AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                           WHERE c2.pk = p.p_partkey)
+      ORDER BY p.p_partkey, c.suppkey
+      LIMIT 20""",
 
     "q_sub_avgfilter" -> """
       SELECT c_mktsegment, count(*) AS n_cust,

@@ -260,6 +260,33 @@ object TextOps {
     // The tf table is filtered to the query terms BEFORE any join, so
     // everything downstream of the corpus-wide doc-length pass is
     // query-sized; df and the scalar (N, avgdl) stats broadcast.
+    // Within-document repetition audit (the published LLM-data
+    // cleaning rule family: flag docs whose repeated-n-gram fraction
+    // is high — loops, boilerplate, degenerate generations). Distinct
+    // from the cross-document dedup family: this measures each doc
+    // against ITSELF. rep = 1 − distinct_bigrams/total_bigrams per
+    // doc; per-lang mean/max and a count of docs over the 0.1 flag
+    // line. Bigrams come from one zip_with over the token array (no
+    // join, no shuffle until the per-doc count) — at 100 TB this is a
+    // map-side pass plus two keyed partial-aggregable aggregates.
+    "q_text_repetition" -> ((s, d) => {
+      import s.implicits._
+      val per = t(s, d, "documents")
+        .select($"doc_id", $"lang", split($"text", " ").as("ws"))
+        .select($"doc_id", $"lang", explode(expr(
+          "zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("g"))
+        .groupBy($"doc_id", $"lang")
+        .agg((lit(1.0) - countDistinct($"g") * lit(1.0) / count(lit(1)))
+          .as("rep"))
+      per.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(avg($"rep") * 1e4 + 0.5) / 1e4).as("avg_rep"),
+          (floor(max($"rep") * 1e4 + 0.5) / 1e4).as("max_rep"),
+          count(when($"rep" > 0.1, 1)).as("n_flagged"))
+        .orderBy($"lang")
+    }),
+
     // Feature-hashing vectorizer (the hashing trick): tokens hash to
     // a fixed 256-bucket space via the repo's cross-engine md5-60bit
     // formula — the vectorizer that needs NO vocabulary pass, no
@@ -460,6 +487,21 @@ object TextOps {
       GROUP BY token
       ORDER BY n DESC, token
       LIMIT 20""",
+
+    "q_text_repetition" -> """
+      WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                   FROM documents),
+      bi AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+             FROM tok, UNNEST(generate_series(1, len(ws)-1)) AS t(i)),
+      per AS (SELECT doc_id, lang,
+                     1.0 - count(DISTINCT g) * 1.0 / count(*) AS rep
+              FROM bi GROUP BY doc_id, lang)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             FLOOR(avg(rep) * 1e4 + 0.5) / 1e4 AS avg_rep,
+             FLOOR(max(rep) * 1e4 + 0.5) / 1e4 AS max_rep,
+             CAST(count(*) FILTER (WHERE rep > 0.1) AS BIGINT) AS n_flagged
+      FROM per GROUP BY lang
+      ORDER BY lang""",
 
     "q_text_hashtf" -> """
       WITH tok AS (SELECT u.w AS term FROM documents,

@@ -679,6 +679,23 @@ class OpsSpec extends GraftSuite {
       "observed shares must sum to ~1 (rounding slack)")
   }
 
+  test("q_text_repetition: zero for an all-distinct doc, high for a looped doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // micro corpus: one doc with no repeated bigram, one 50% loop
+    val docs = Seq(
+      (1L, "a b c d e", "xx"),      // 4 bigrams, all distinct -> rep 0
+      (2L, "a b a b a b a b", "yy") // 7 bigrams, 2 distinct -> rep 1-2/7
+    ).toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = q("q_text_repetition", tmp).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(_._1)
+    val expHi = math.floor((1.0 - 2.0 / 7.0) * 1e4 + 0.5) / 1e4
+    assert(got === Seq(("xx", 0.0, 0.0, 0L), ("yy", expHi, expHi, 1L)))
+  }
+
   test("q_text_hashtf: bucket tf sums bound the corpus and hashing is stable") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -34,6 +34,14 @@ class SubOpsSpec extends GraftSuite {
       "no scalar subquery may survive to execution")
   }
 
+  test("q_sub_mincost decorrelates the correlated MIN to an aggregate + join") {
+    val p = plan("q_sub_mincost")
+    assert(!p.contains("scalar-subquery"),
+      "no correlated scalar may survive to execution")
+    assert(p.contains("HashAggregate"),
+      "the per-part MIN must run as one keyed aggregate over the cost table")
+  }
+
   test("q_sub_scalar reads an orderless customer as 0, not NULL") {
     // micro-fixture: customer 4 has no orders; counts are 1→2, 2→1,
     // 3→0, 4→0 and all are ≤ 3 so every customer must appear.
