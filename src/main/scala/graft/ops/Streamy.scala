@@ -82,6 +82,26 @@ object Streamy {
         .orderBy($"window_start", $"event_type")
     }),
 
+    // Trending items: per tumbling 6-hour window, the top-3 event
+    // types by count — the windowed-agg + per-window rank composition
+    // every "what's hot right now" dashboard runs. Batch-checked here;
+    // the same plan streams by ranking each window on watermark close
+    // (or via the partial top-k WindowGroupLimit path for k≪types).
+    // The rank shuffle keys on the window, so state is one window's
+    // type counts — bounded regardless of stream length.
+    "q_stream_trend" -> ((s, d) => {
+      import s.implicits._
+      val counts = t(s, d, "events")
+        .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy($"w").orderBy($"n".desc, $"event_type")
+      counts.withColumn("rk", row_number().over(rk))
+        .where($"rk" <= 3)
+        .select($"w.start".as("window_start"), $"rk", $"event_type", $"n")
+        .orderBy($"window_start", $"rk")
+    }),
+
     // Sliding 1h windows every 15 min: each event lands in 4 windows.
     "q_stream_slide" -> ((s, d) => {
       import s.implicits._
@@ -215,6 +235,20 @@ object Streamy {
       FROM m
       GROUP BY 1
       ORDER BY 1""",
+
+    "q_stream_trend" -> """
+      WITH w AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY window_start, event_type),
+      r AS (SELECT window_start, event_type, n,
+                   row_number() OVER (PARTITION BY window_start
+                                      ORDER BY n DESC, event_type) AS rk
+            FROM w)
+      SELECT window_start, CAST(rk AS INT) AS rk, event_type,
+             CAST(n AS BIGINT) AS n
+      FROM r WHERE rk <= 3
+      ORDER BY window_start, rk""",
 
     "q_stream_tumble" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -19,6 +19,23 @@ import Tables.{Q, t}
 object Windows {
 
   val queries: Map[String, Q] = Map(
+    // Relative-standing functions: percent_rank and cume_dist per
+    // segment over a UNIQUE composite order key (acctbal, custkey) —
+    // with ties broken in the sort, both functions reduce to exact
+    // rank arithmetic and are bit-identical cross-engine. The
+    // percentile-normalization pass behind score calibration and
+    // "top X% of customers" cuts. One keyed window shuffle.
+    "q_win_cume" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal", $"c_custkey")
+      t(s, d, "customer")
+        .select($"c_mktsegment", $"c_custkey",
+          (floor(percent_rank().over(w) * 1e4 + 0.5) / 1e4).as("pr"),
+          (floor(cume_dist().over(w) * 1e4 + 0.5) / 1e4).as("cd"))
+        .orderBy($"c_mktsegment", $"pr", $"c_custkey")
+    }),
+
     // Inter-arrival gap profile: time since the user's PREVIOUS event,
     // attributed to the current event's type — median and p95 in
     // seconds (the dwell-time / time-to-purchase readout). One lag
@@ -219,6 +236,14 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_cume" -> """
+      SELECT c_mktsegment, c_custkey,
+             FLOOR(percent_rank() OVER w * 1e4 + 0.5) / 1e4 AS pr,
+             FLOOR(cume_dist() OVER w * 1e4 + 0.5) / 1e4 AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_mktsegment, pr, c_custkey""",
+
     "q_win_gap" -> """
       WITH g AS (
         SELECT event_type,

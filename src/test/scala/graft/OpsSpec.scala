@@ -512,6 +512,40 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_win_cume: pr spans [0,1], cd ends at 1, both monotone within segment") {
+    val rows = q("q_win_cume", sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.values.foreach { seg =>
+      val prs = seg.map(_._2); val cds = seg.map(_._3)
+      assert(prs.head === 0.0 && prs.last === 1.0)
+      assert(cds.last === 1.0)
+      assert(prs.zip(prs.tail).forall { case (a, b) => a <= b })
+      assert(cds.zip(cds.tail).forall { case (a, b) => a <= b })
+      assert(seg.forall { case (_, p, c) => p < c + 1e-9 },
+        "percent_rank sits strictly below cume_dist on unique keys")
+    }
+  }
+
+  test("q_stream_trend emits exactly top-3 types per window, counts consistent") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("q_stream_trend", sf0001).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val byWin = rows.groupBy(_._1)
+    assert(byWin.nonEmpty)
+    byWin.values.foreach { w =>
+      // a sparse window may hold fewer than 3 types; ranks must be a
+      // dense prefix 1..k with k <= 3
+      assert(w.map(_._2).sorted.toSeq === (1 to w.length) && w.length <= 3)
+      val ns = w.sortBy(_._2).map(_._4)
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        "rank order must follow descending counts")
+    }
+    val total = ops.Tables.t(spark, sf0001, "events").count()
+    assert(rows.map(_._4).sum <= total)
+  }
+
   test("q_win_gap matches an in-memory inter-arrival recount") {
     import org.apache.spark.sql.functions.col
     val evs = ops.Tables.t(spark, sf0001, "events")
