@@ -145,6 +145,40 @@ object GraphOps {
         .limit(10)
     }),
 
+    // Bounded-hop BFS from the highest-degree node: frontier sizes
+    // for hops 1..3 over the symmetrized trade graph — the iterative
+    // frontier-expansion kernel (reachability, blast-radius, feature
+    // neighborhoods). Each hop is ONE keyed join (frontier⋈edges) +
+    // one anti join against the visited set; frontiers broadcast
+    // while small — the standard BFS-on-MapReduce shape with the
+    // frontier as the moving side. Hop count fixed at 3 so the plan
+    // is finite and the oracle unrollable.
+    "q_graph_bfs" -> ((s, d) => {
+      import s.implicits._
+      val e0 = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
+                concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+        .localCheckpoint(eager = false)
+      val seed = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("dg"))
+        .orderBy($"dg".desc, $"node").limit(1).select($"node")
+      var visited = seed
+      var frontier = seed
+      val sizes = (1 to 3).map { hop =>
+        frontier = edges.join(broadcast(frontier),
+            $"src" === $"node")
+          .select($"dst".as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .localCheckpoint(eager = false)
+        visited = visited.unionByName(frontier)
+        frontier.agg(count(lit(1)).as("frontier"))
+          .select(lit(hop).as("hop"), $"frontier")
+      }
+      sizes.reduce(_ unionByName _).orderBy($"hop")
+    }),
+
     // Degree-distribution summary of the symmetrized trade graph,
     // bucketed by decimal magnitude (digit count of the degree —
     // exact INTEGER bucketing on both engines, where floor(log2(d))
@@ -230,6 +264,29 @@ object GraphOps {
       FROM p JOIN deg d1 ON d1.sup = p.s1 JOIN deg d2 ON d2.sup = p.s2
       ORDER BY jaccard DESC, s1, s2
       LIMIT 10""",
+
+      "q_graph_bfs" -> """
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY src),
+      h0 AS (SELECT node FROM deg ORDER BY dg DESC, node LIMIT 1),
+      h1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+             JOIN h0 ON e.src = h0.node),
+      v1 AS (SELECT node FROM h0 UNION SELECT node FROM h1),
+      h2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+             JOIN h1 ON e.src = h1.node
+             WHERE e.dst NOT IN (SELECT node FROM v1)),
+      v2 AS (SELECT node FROM v1 UNION SELECT node FROM h2),
+      h3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+             JOIN h2 ON e.src = h2.node
+             WHERE e.dst NOT IN (SELECT node FROM v2))
+      SELECT 1 AS hop, CAST(count(*) AS BIGINT) AS frontier FROM h1
+      UNION ALL SELECT 2, count(*) FROM h2
+      UNION ALL SELECT 3, count(*) FROM h3
+      ORDER BY hop""",
 
       "q_graph_degreedist" -> """
       WITH e0 AS (

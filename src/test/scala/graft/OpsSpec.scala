@@ -494,6 +494,24 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_graph_bfs frontiers are disjoint and bounded by the bipartite sides") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("q_graph_bfs", sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(rows.keySet === Set(1, 2, 3))
+    val nCust = ops.Tables.t(spark, sf0001, "orders")
+      .select(col("o_custkey")).distinct().count()
+    val nSupp = ops.Tables.t(spark, sf0001, "lineitem")
+      .select(col("l_suppkey")).distinct().count()
+    // the graph is bipartite: odd hops from a supplier seed land on
+    // customers, even hops on suppliers (and vice versa); every
+    // frontier is bounded by one side
+    assert(rows(1) <= math.max(nCust, nSupp))
+    assert(rows(2) <= math.max(nCust, nSupp))
+    assert(rows.values.forall(_ >= 0))
+    assert(rows(1) > 0, "the max-degree seed must reach someone")
+  }
+
   test("q_graph_degreedist buckets partition the node set with consistent bounds") {
     import org.apache.spark.sql.functions.col
     val rows = q("q_graph_degreedist", sf0001).collect()
