@@ -316,6 +316,24 @@ object PipeOps {
         .orderBy($"lang")
     }),
 
+    // SCD-2 timeline construction: turn a change log (purchase events
+    // as value changes) into effective-dated intervals
+    // [valid_from, valid_to) with an open NULL end for the current
+    // state — the warehouse pattern that makes any point-in-time
+    // reconstruction a BETWEEN lookup (and the table q_join_pit-style
+    // backfills join against). One lead() pass on the user-keyed
+    // secondary sort; no self-join, no shuffle beyond the window's.
+    "q_pipe_scd2" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .where($"event_type" === "purchase" && $"user_id" < 20)
+        .select($"user_id", $"event_id", round($"value", 2).as("value"),
+          $"ts".as("valid_from"),
+          lead($"ts", 1).over(w).as("valid_to"))
+        .orderBy($"user_id", $"valid_from", $"event_id")
+    }),
+
     // Daily conversion rate with 95% Wilson score bounds: per day,
     // the fraction of active users with ≥1 purchase, plus the
     // interval a decision should actually read (the Wilson score is
@@ -795,6 +813,17 @@ object PipeOps {
       WHERE s.lang <> 'en'
       GROUP BY s.lang
       ORDER BY s.lang""",
+
+    "q_pipe_scd2" -> """
+      WITH chg AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type = 'purchase' AND user_id < 20)
+      SELECT user_id, event_id, ROUND(value, 2) AS value,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM chg
+      ORDER BY user_id, valid_from, event_id""",
 
     "q_pipe_wilson" -> """
       WITH u AS (

@@ -251,4 +251,24 @@ class PipeOpsSpec extends GraftSuite {
     assert(docs.join(per, Seq("doc_id"), "left_anti").count() === 0,
       "every doc (even a 1-token one) must produce at least one chunk")
   }
+
+  test("q_pipe_scd2 intervals tile each user's timeline with one open end") {
+    import spark.implicits._
+    val rows = q("q_pipe_scd2", sf0001)
+      .select($"user_id", $"valid_from", $"valid_to").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) null else r.getTimestamp(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_._2.getTime)
+      assert(sorted.count(_._3 == null) === 1,
+        s"user $uid must have exactly one open (current) interval")
+      assert(sorted.last._3 == null, s"user $uid: open interval must be last")
+      sorted.sliding(2).foreach {
+        case Array((_, _, to), (_, from, _)) =>
+          assert(to == from, s"user $uid: intervals must tile (valid_to == next valid_from)")
+        case _ => ()
+      }
+    }
+  }
 }
