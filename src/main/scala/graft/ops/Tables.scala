@@ -56,15 +56,26 @@ object Tables {
     }
     perSession.computeIfAbsent((sfDir, name), { case (d, n) =>
       if (n == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS) which Spark 4's reader
-        // rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
-        // via the legacy conf, then truncate to microseconds — exactly
-        // what DuckDB does when it reads the same file, so the two
-        // engines agree to the microsecond.
+        // events.ts has flipped between parquet TIMESTAMP(NANOS) and
+        // TIMESTAMP(MICROS) across fixture regenerations, so detect the
+        // type the reader actually produced instead of assuming either.
+        // NANOS: Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL)
+        // unless read as raw longs via the legacy conf, then truncated
+        // to micros — exactly what DuckDB does, so the engines agree.
+        // MICROS (not UTC-adjusted): arrives as TIMESTAMP_NTZ; cast to
+        // session-tz TIMESTAMP (session tz is pinned to UTC, so the
+        // instant is unchanged) to keep one type downstream.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         import org.apache.spark.sql.functions._
-        spark.read.parquet(s"$d/$n.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+        val raw = spark.read.parquet(s"$d/$n.parquet")
+        raw.schema("ts").dataType match {
+          case LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw
+        }
       } else {
         spark.read.parquet(s"$d/$n.parquet")
       }
