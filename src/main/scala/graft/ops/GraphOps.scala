@@ -23,29 +23,51 @@ object GraphOps {
     * same computation. */
   private val Iters = 5
 
-  val queries: Map[String, Q] = Map(
-    // PageRank over the symmetrized customer—supplier trade graph
-    // (distinct (custkey, suppkey) pairs that share an order). Node
-    // ids are namespaced ('c…'/'s…') so the two key spaces can't
-    // collide. Every node has degree ≥ 1 by construction, so no
-    // dangling-mass term is needed and total rank stays 1.
-    "q_graph_pagerank" -> ((s, d) => {
+  /** The symmetrized customer—supplier trade graph (distinct
+    * (custkey, suppkey) pairs that share an order; node ids namespaced
+    * 'c…'/'s…' so the key spaces can't collide), materialized ONCE per
+    * (session, dir) and shared by pagerank / bfs / degreedist. Before
+    * this was shared, each of the three queries rebuilt the same
+    * orders⋈lineitem distinct behind its own localCheckpoint — 3
+    * builds and 3 never-freed persisted block sets in a multi-query
+    * JVM. This is the checkpoint a production iterative job does
+    * anyway to cut lineage growth; every iteration (and the
+    * degree/count branches) re-reads it, and without it the unrolled
+    * plan recomputes the join per reference — measured 11 s → ~1 s
+    * at sf0.1. */
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.derived(s, d, "trade_edges_sym") {
       import s.implicits._
       val e0 = t(s, d, "orders")
         .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
         .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
                 concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
         .distinct()
-      // Materialize the edge list once: every iteration (and the
-      // degree/count branches) re-reads it, and without this the
-      // unrolled plan recomputes the orders⋈lineitem distinct per
-      // reference — measured 11 s → ~1 s at sf0.1. This is the
-      // checkpoint a production iterative job does anyway to cut
-      // lineage growth.
-      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+      e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
         .localCheckpoint(eager = false)
-      val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    }
+
+  /** Per-node degree of [[tradeEdges]] (symmetrized, so src appears
+    * once per incident edge) — |V|-sized, broadcast everywhere it's
+    * joined. Shared for the same reason as the edges: pagerank
+    * re-broadcasts it per iteration and bfs seeds from it, and
+    * without the checkpoint each broadcast re-aggregates the edge
+    * table. */
+  private def tradeDeg(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.derived(s, d, "trade_deg") {
+      import s.implicits._
+      tradeEdges(s, d).groupBy($"src").agg(count(lit(1)).as("d"))
         .localCheckpoint(eager = false)
+    }
+
+  val queries: Map[String, Q] = Map(
+    // PageRank over the symmetrized trade graph. Every node has degree
+    // ≥ 1 by construction, so no dangling-mass term is needed and
+    // total rank stays 1.
+    "q_graph_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d)
+      val deg = tradeDeg(s, d)
       // |V| is a single scalar constant for the whole job — resolve it
       // once (metadata-scale driver action, the same thing GraphX
       // does) and fold it into literals, instead of a per-iteration
@@ -155,14 +177,8 @@ object GraphOps {
     // is finite and the oracle unrollable.
     "q_graph_bfs" -> ((s, d) => {
       import s.implicits._
-      val e0 = t(s, d, "orders")
-        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
-        .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
-                concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
-        .distinct()
-      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-        .localCheckpoint(eager = false)
-      val seed = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("dg"))
+      val edges = tradeEdges(s, d)
+      val seed = tradeDeg(s, d).select($"src".as("node"), $"d".as("dg"))
         .orderBy($"dg".desc, $"node").limit(1).select($"node")
       var visited = seed
       var frontier = seed
@@ -190,14 +206,11 @@ object GraphOps {
     // partial-aggregable.
     "q_graph_degreedist" -> ((s, d) => {
       import s.implicits._
-      val e0 = t(s, d, "orders")
-        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
-        .select($"o_custkey".as("c"), $"l_suppkey".as("sup"))
-        .distinct()
-      val und = e0.select(concat(lit("c"), $"c".cast("string")).as("node"))
-        .unionByName(
-          e0.select(concat(lit("s"), $"sup".cast("string")).as("node")))
-      und.groupBy($"node").agg(count(lit(1)).as("dg"))
+      // Per-node degree is exactly [[tradeDeg]]: in the symmetrized
+      // edge list each node appears as src once per incident edge, so
+      // counting src rows ≡ counting the node's appearances in the
+      // old c-nodes ∪ s-nodes union. One |V|-sized re-agg remains.
+      tradeDeg(s, d).select($"src".as("node"), $"d".as("dg"))
         .groupBy(length($"dg".cast("string")).as("magnitude"))
         .agg(count(lit(1)).as("n_nodes"),
           min($"dg").as("min_deg"), max($"dg").as("max_deg"))

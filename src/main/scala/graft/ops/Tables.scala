@@ -45,8 +45,22 @@ object Tables {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val perSession = cache.synchronized {
+  /** Memoize a DERIVED table (a built plan, e.g. the symmetrized trade
+    * graph) per (session, dir, key) in the same weak-keyed cache as the
+    * base tables. Queries that share an expensive intermediate — the
+    * three graph queries all rebuild the same orders⋈lineitem distinct
+    * edge list — register it here so a multi-query run (Bench, Verify,
+    * DeterminismSpec) builds and persists it ONCE instead of leaving
+    * one never-freed checkpoint block per query. Keys are prefixed so
+    * they can't collide with base-table names. */
+  def derived(spark: SparkSession, sfDir: String, key: String)
+             (build: => DataFrame): DataFrame =
+    perSessionMap(spark).computeIfAbsent((sfDir, "derived:" + key),
+      (_: (String, String)) => build)
+
+  private def perSessionMap(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame] =
+    cache.synchronized {
       var m = cache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
@@ -54,7 +68,9 @@ object Tables {
       }
       m
     }
-    perSession.computeIfAbsent((sfDir, name), { case (d, n) =>
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    perSessionMap(spark).computeIfAbsent((sfDir, name), { case (d, n) =>
       if (n == "events") {
         // events.ts has flipped between parquet TIMESTAMP(NANOS) and
         // TIMESTAMP(MICROS) across fixture regenerations, so detect the
