@@ -71,30 +71,96 @@ object Tables {
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     perSessionMap(spark).computeIfAbsent((sfDir, name), { case (d, n) =>
-      if (n == "events") {
-        // events.ts has flipped between parquet TIMESTAMP(NANOS) and
-        // TIMESTAMP(MICROS) across fixture regenerations, so detect the
-        // type the reader actually produced instead of assuming either.
-        // NANOS: Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL)
-        // unless read as raw longs via the legacy conf, then truncated
-        // to micros — exactly what DuckDB does, so the engines agree.
-        // MICROS (not UTC-adjusted): arrives as TIMESTAMP_NTZ; cast to
-        // session-tz TIMESTAMP (session tz is pinned to UTC, so the
-        // instant is unchanged) to keep one type downstream.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS), which Spark
+      // 4's reader rejects outright (PARQUET_TYPE_ILLEGAL) unless read
+      // as raw longs via the legacy conf; harmless for other types.
+      if (n == "events")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        import org.apache.spark.sql.functions._
-        import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-        val raw = spark.read.parquet(s"$d/$n.parquet")
-        raw.schema("ts").dataType match {
-          case LongType =>
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          case TimestampNTZType =>
-            raw.withColumn("ts", col("ts").cast("timestamp"))
-          case _ => raw
-        }
-      } else {
-        spark.read.parquet(s"$d/$n.parquet")
-      }
+      conform(n, spark.read.parquet(s"$d/$n.parquet"))
     })
+  }
+
+  /** The logical schema every query in the engine is written against,
+    * exactly as Spark inferred it from the driver's fixtures
+    * (FIXTURES.md; re-measured 2026-08-13 with tools/PrintSchemas).
+    * [[conform]] pins reads to this so a driver-side fixture
+    * regeneration surfaces as ONE clear line, not N cryptic
+    * per-query analysis errors. */
+  private[graft] val expectedDdl: Map[String, String] = Map(
+    "region" -> "r_regionkey INT,r_name STRING",
+    "nation" -> "n_nationkey INT,n_name STRING,n_regionkey INT",
+    "customer" -> ("c_custkey BIGINT,c_name STRING,c_nationkey INT," +
+      "c_acctbal DOUBLE,c_mktsegment STRING"),
+    "supplier" -> "s_suppkey BIGINT,s_name STRING,s_nationkey INT,s_acctbal DOUBLE",
+    "part" -> ("p_partkey BIGINT,p_name STRING,p_brand STRING,p_type STRING," +
+      "p_size INT,p_retailprice DOUBLE"),
+    "orders" -> ("o_orderkey BIGINT,o_custkey BIGINT,o_orderstatus STRING," +
+      "o_totalprice DOUBLE,o_orderdate TIMESTAMP_NTZ,o_orderpriority STRING"),
+    "lineitem" -> ("l_orderkey BIGINT,l_partkey BIGINT,l_suppkey BIGINT," +
+      "l_linenumber INT,l_quantity DOUBLE,l_extendedprice DOUBLE," +
+      "l_discount DOUBLE,l_tax DOUBLE,l_returnflag STRING,l_linestatus STRING," +
+      "l_shipdate TIMESTAMP_NTZ"),
+    "events" -> ("event_id BIGINT,ts TIMESTAMP,user_id BIGINT," +
+      "event_type STRING,value DOUBLE,props STRING"),
+    "documents" -> "doc_id BIGINT,text STRING,lang STRING,source STRING,n_chars BIGINT",
+    "embeddings" -> "vec_id BIGINT,embedding ARRAY<FLOAT>,label INT")
+
+  /** Schema-drift guard: conform a freshly-read fixture to
+    * [[expectedDdl]].
+    *
+    * The driver regenerates fixtures between rounds and has already
+    * flipped `events.ts` ns→µs once (breaking 31 queries with cryptic
+    * per-query analysis errors). Policy, per column:
+    *   - exact type match → pass through;
+    *   - timestamp-family drift (TIMESTAMP ↔ TIMESTAMP_NTZ, or raw
+    *     nanos longs from the legacy conf) → normalize to the pinned
+    *     type and log one line. Session tz is pinned UTC everywhere,
+    *     so NTZ↔LTZ casts preserve the instant and DuckDB (which
+    *     reads the same file natively) still agrees;
+    *   - anything else (missing column, numeric/string type change)
+    *     → fail fast with the full measured-vs-expected diff;
+    *   - extra columns → keep + log (queries select by name, so new
+    *     driver columns are benign until a query asks for them).
+    */
+  private[graft] def conform(name: String, raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val expected = StructType.fromDDL(expectedDdl(name))
+    val drift = scala.collection.mutable.ListBuffer.empty[String]
+    val note = scala.collection.mutable.ListBuffer.empty[String]
+    def isTsFamily(dt: DataType): Boolean =
+      dt == TimestampType || dt == TimestampNTZType
+    var df =
+      if (name == "events" && raw.schema.exists(f =>
+          f.name == "ts" && f.dataType == LongType)) {
+        // Legacy nanos-as-long read: truncate to µs — what DuckDB does
+        // with the same file, so the engines agree to the microsecond.
+        note += s"$name.ts: raw TIMESTAMP(NANOS) longs, truncated to µs"
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else raw
+    expected.foreach { exp =>
+      df.schema.find(_.name == exp.name) match {
+        case None =>
+          drift += s"missing column ${exp.name} (expected ${exp.dataType.sql})"
+        case Some(f) if f.dataType == exp.dataType => ()
+        case Some(f) if isTsFamily(f.dataType) && isTsFamily(exp.dataType) =>
+          note += s"$name.${exp.name}: ${f.dataType.sql} -> ${exp.dataType.sql}"
+          df = df.withColumn(exp.name, df(exp.name).cast(exp.dataType))
+        case Some(f) =>
+          drift += s"column ${exp.name}: found ${f.dataType.sql}, " +
+            s"expected ${exp.dataType.sql}"
+      }
+    }
+    df.schema.filterNot(f => expected.exists(_.name == f.name))
+      .foreach(f => note += s"$name.${f.name}: extra column (${f.dataType.sql}), kept")
+    if (drift.nonEmpty)
+      throw new IllegalStateException(
+        s"[graft] fixture schema drift in table '$name': " +
+          drift.mkString("; ") +
+          s". The driver likely regenerated /root/testdata — re-measure with " +
+          s"`runMain graft.tools.PrintSchemas` and update Tables.expectedDdl " +
+          s"(and any queries the change invalidates).")
+    note.foreach(m => System.err.println(s"[graft] fixture note: $m"))
+    df
   }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Tables
+
+/** The fixture schema-drift guard (Tables.conform): the driver
+  * regenerates fixtures between rounds (events.ts flipped ns→µs in r3,
+  * breaking 31 queries with per-query analysis errors), so reads must
+  * either normalize the drift (timestamp family) or fail fast with one
+  * clear message naming the table and the measured-vs-expected diff.
+  */
+class SchemaGuardSpec extends GraftSuite {
+  private val s = SparkTestBase.spark
+
+  test("conform passes an exact-schema table through unchanged") {
+    import s.implicits._
+    val raw = Seq((1L, "t", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Tables.conform("documents", raw)
+    assert(out.schema === raw.schema)
+    assert(out.collect() === raw.collect())
+  }
+
+  test("conform normalizes events.ts TIMESTAMP_NTZ to session-tz TIMESTAMP") {
+    import s.implicits._
+    val raw = Seq((1L, "2024-01-05 10:00:00", 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", $"ts".cast(TimestampNTZType))
+    val out = Tables.conform("events", raw)
+    assert(out.schema("ts").dataType === TimestampType)
+    // Session tz is UTC, so the instant is the literal's wall-clock.
+    assert(out.select(unix_timestamp($"ts")).head.getLong(0) === 1704448800L)
+  }
+
+  test("conform truncates raw nanos longs (legacy reader) to microseconds") {
+    import s.implicits._
+    val nanos = 1704448800L * 1000000000L + 123456789L
+    val raw = Seq((1L, nanos, 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Tables.conform("events", raw)
+    assert(out.schema("ts").dataType === TimestampType)
+    assert(out.select(unix_micros($"ts")).head.getLong(0) ===
+      1704448800L * 1000000L + 123456L)
+  }
+
+  test("conform fails fast, naming table and column, on a non-timestamp type change") {
+    import s.implicits._
+    val raw = Seq((1L, "t", "en", "src0", "oops"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalStateException](Tables.conform("documents", raw))
+    assert(e.getMessage.contains("schema drift"))
+    assert(e.getMessage.contains("'documents'"))
+    assert(e.getMessage.contains("n_chars"))
+  }
+
+  test("conform fails fast on a missing column") {
+    import s.implicits._
+    val raw = Seq((1L, "t", "en")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalStateException](Tables.conform("documents", raw))
+    assert(e.getMessage.contains("missing column source"))
+    assert(e.getMessage.contains("missing column n_chars"))
+  }
+
+  test("conform keeps extra driver-added columns (queries select by name)") {
+    import s.implicits._
+    val raw = Seq((1L, "t", "en", "src0", 1L, 9.9))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "novel")
+    val out = Tables.conform("documents", raw)
+    assert(out.columns.contains("novel"))
+  }
+
+  test("every declared fixture table conforms cleanly at sf0.001") {
+    Tables.names.foreach { n =>
+      val df = Tables.t(s, SparkTestBase.sf0001, n)
+      assert(df.count() > 0, s"table $n")
+    }
+  }
+}
