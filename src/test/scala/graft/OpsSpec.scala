@@ -137,8 +137,8 @@ class OpsSpec extends GraftSuite {
     // corpus bigrams: "aaa" → {aa, aa}, "aab" → {aa, ab}
     // model: P(a→a) = 3/4, P(a→b) = 1/4
     val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
-    Seq((1L, "a", "aaa"), (2L, "b", "aab"))
-      .toDF("doc_id", "lang", "text")
+    Seq((1L, "a", "aaa", "src0", 3L), (2L, "b", "aab", "src0", 3L))
+      .toDF("doc_id", "lang", "text", "source", "n_chars")
       .coalesce(1).write.parquet(s"$dir/documents.parquet")
     def f4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val sA = math.log(0.75)                      // both bigrams P=3/4
@@ -200,8 +200,17 @@ class OpsSpec extends GraftSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mode").toString
     // 5.0 and 3.0 both appear twice: the tie must resolve to 3.0
-    Seq(("A", 5.0), ("A", 5.0), ("A", 3.0), ("A", 3.0), ("A", 7.0))
-      .toDF("l_returnflag", "l_quantity")
+    // (full lineitem schema so the Tables.conform drift guard passes)
+    val ship = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    Seq(5.0, 5.0, 3.0, 3.0, 7.0).zipWithIndex
+      .map { case (qty, i) =>
+        (i.toLong, 1L, 1L, i + 1, qty, 100.0, 0.0, 0.0, "A", "F", ship)
+      }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .withColumn("l_shipdate",
+        org.apache.spark.sql.functions.col("l_shipdate").cast("timestamp_ntz"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val r = q("q_agg_mode", dir).collect()
     assert(r.length === 1)
@@ -736,9 +745,9 @@ class OpsSpec extends GraftSuite {
     import org.apache.spark.sql.functions._
     // micro corpus: one doc with no repeated bigram, one 50% loop
     val docs = Seq(
-      (1L, "a b c d e", "xx"),      // 4 bigrams, all distinct -> rep 0
-      (2L, "a b a b a b a b", "yy") // 7 bigrams, 2 distinct -> rep 1-2/7
-    ).toDF("doc_id", "text", "lang")
+      (1L, "a b c d e", "xx", "src0", 9L),       // 4 distinct bigrams -> rep 0
+      (2L, "a b a b a b a b", "yy", "src0", 15L) // 7 bigrams, 2 distinct
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = q("q_text_repetition", tmp).collect()
