@@ -45,6 +45,34 @@ object PipeOps {
   private val SaltBuckets = 8
 
   val queries: Map[String, Q] = Map(
+    // Token-budget mixture planning: given a 1M-token training budget,
+    // how much of each source to take. Per-source token counts are
+    // temperature-reweighted with α = 0.5 (weight ∝ √tokens — the
+    // standard down-weighting of huge sources so small sources aren't
+    // drowned), then the budget splits by weight and `epochs` says how
+    // many passes over each source that plan implies (> 1 ⇒ the plan
+    // repeats the source). This is the PLANNING step ahead of
+    // q_pipe_mix's row-level gating. One tokenize+count scan collapses
+    // the corpus to |S| rows; the budget arithmetic is driver-trivial
+    // and shuffle-free after that — at 100 TB the cost IS the scan.
+    "q_pipe_tokenbudget" -> ((s, d) => {
+      import s.implicits._
+      val per = t(s, d, "documents")
+        .select($"source", size(split($"text", " ")).cast("long").as("nt"))
+        .groupBy($"source").agg(sum($"nt").as("tokens"))
+      val tot = per.agg(sum($"tokens").as("total"),
+        sum(sqrt($"tokens")).as("sumrt"))
+      per.crossJoin(broadcast(tot))
+        .select($"source", $"tokens",
+          (floor($"tokens" * 1.0 / $"total" * 1e4 + 0.5) / 1e4).as("share"),
+          (floor(sqrt($"tokens") / $"sumrt" * 1e4 + 0.5) / 1e4).as("weight"),
+          floor(lit(1e6) * sqrt($"tokens") / $"sumrt").cast("long")
+            .as("planned_tokens"))
+        .withColumn("epochs",
+          floor($"planned_tokens" * 1.0 / $"tokens" * 1e4 + 0.5) / 1e4)
+        .orderBy($"source")
+    }),
+
     // Reproducible train/val/test split: bucket = md5-60bit(doc_id)
     // mod 100, 80/10/10. Per-row decision — no shuffle until the
     // audit aggregation, and stable under any repartitioning.
@@ -610,6 +638,25 @@ object PipeOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pipe_tokenbudget" -> """
+      WITH per AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+               SUM(sqrt(tokens)) AS sumrt
+        FROM per)
+      SELECT source, tokens,
+             FLOOR(tokens * 1.0 / total * 1e4 + 0.5) / 1e4 AS share,
+             FLOOR(sqrt(tokens) / sumrt * 1e4 + 0.5) / 1e4 AS weight,
+             CAST(FLOOR(1e6 * sqrt(tokens) / sumrt) AS BIGINT)
+               AS planned_tokens,
+             FLOOR(CAST(FLOOR(1e6 * sqrt(tokens) / sumrt) AS BIGINT)
+               * 1.0 / tokens * 1e4 + 0.5) / 1e4 AS epochs
+      FROM per CROSS JOIN tot
+      ORDER BY source""",
+
     "q_sample_hash" -> """
       WITH b AS (
         SELECT lang, n_chars,

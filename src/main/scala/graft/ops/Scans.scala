@@ -43,7 +43,39 @@ object Scans {
         .reduce(_.unionByName(_))
         .orderBy($"tbl")
     }),
+
+    // The SQL front door: the TPC-H-Q3-shaped shipping-priority query
+    // submitted as SQL TEXT through spark.sql over registered views —
+    // every other declared query drives the DataFrame API; a user
+    // porting a SQL workload needs this entry point to produce the
+    // SAME Catalyst plans (it does: identical logical plan, same
+    // broadcast-dim join strategy). The one SQL string below runs
+    // UNCHANGED on both engines — the oracle is literally this text.
+    "q_sql_q3" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql(sqlQ3)
+    }),
   )
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle: both
+    * engines parse the identical text, so equivalence of the SQL
+    * surface is by construction. Revenue uses the repo's tie-proof
+    * floor rounding (SURVEY §2 determinism rules). */
+  private val sqlQ3 = """
+      SELECT o_orderkey,
+             FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+               AS revenue,
+             o_orderdate
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10"""
 
   val oracle: Map[String, String] = Map(
     "q_scan_project" -> """
@@ -57,5 +89,7 @@ object Scans {
     "q_scan_count" -> Tables.names
       .map(n => s"SELECT '$n' AS tbl, count(*) AS n FROM $n")
       .mkString("SELECT tbl, n FROM (", " UNION ALL ", ") ORDER BY tbl"),
+
+    "q_sql_q3" -> sqlQ3,
   )
 }

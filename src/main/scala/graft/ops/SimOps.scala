@@ -88,6 +88,28 @@ object SimOps {
         .limit(10)
     }),
 
+    // Range search: ALL vectors within cosine ≥ τ of the query — the
+    // other half of the similarity-search API (top-k answers "give me
+    // the k best", range answers "give me everything good enough",
+    // the dedup/recall-sweep primitive). Same broadcast-query +
+    // codegen'd-dot scan as top-k, but the selection is a pushable
+    // per-row predicate instead of a global TakeOrdered — at 100 TB
+    // the scan parallelizes per-partition with NO top-k heap or final
+    // ordering bottleneck beyond the (small) matching set. Threshold
+    // compares the ROUNDED sim so a last-ulp summation-order diff
+    // can't flip set membership.
+    "q_sim_range" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q0 = emb.where($"vec_id" === 0).select($"embedding".as("qe"))
+      emb.where($"vec_id" =!= 0)
+        .crossJoin(broadcast(q0))
+        .select($"vec_id",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
+        .where($"sim" >= 0.2)
+        .orderBy($"sim".desc, $"vec_id")
+    }),
+
     // k-NN JOIN: a BATCH of query vectors (vec_id < 20) each retrieves
     // its top-3 corpus neighbors — the shape of dedup-against-seed-set
     // and eval-set contamination checks, vs the single-query top-k
@@ -331,6 +353,18 @@ object SimOps {
 
   val oracle: Map[String, String] = Map(
     "q_sim_cosine_topk" -> cosineTopkSql,
+
+    "q_sim_range" -> """
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id,
+               FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) * 1e4 + 0.5) / 1e4 AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0)
+      SELECT vec_id, sim FROM scored
+      WHERE sim >= 0.2
+      ORDER BY sim DESC, vec_id""",
 
     // The recall audit recomputes BOTH paths independently in DuckDB.
     "q_sim_recall" -> s"""

@@ -38,6 +38,42 @@ object TextOps {
   private val NumBands = 16
 
   val queries: Map[String, Q] = Map(
+    // Per-source Jensen–Shannon divergence from the corpus unigram
+    // distribution — the data-mixing diagnostic ("which sources are
+    // vocabulary outliers?") run before setting mixture weights. JSD
+    // = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2, P = the source's
+    // token distribution, Q = the whole corpus's; symmetric, bounded
+    // [0, ln 2], defined even where the source misses tokens (the
+    // p = 0 grid rows still contribute ½·q·ln 2 via M). The grid is
+    // (sources × vocabulary) — both sides are COLLAPSED distributions
+    // (the corpus pass happens once, map-side combinable), so at
+    // 100 TB the expensive thing stays the one tokenize+count scan;
+    // the divergence math runs on |S|·|V| tiny rows with both
+    // distribution tables broadcast.
+    "q_text_jsd" -> ((s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"source", explode(split($"text", " ")).as("tok"))
+      val srcTok = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      val srcTot = toks.groupBy($"source").agg(count(lit(1)).as("st"))
+      val corTok = toks.groupBy($"tok").agg(count(lit(1)).as("qc"))
+      val corTot = toks.agg(count(lit(1)).as("ct"))
+      srcTot.crossJoin(broadcast(corTok))
+        .join(srcTok, Seq("source", "tok"), "left")
+        .crossJoin(broadcast(corTot))
+        .select($"source",
+          (coalesce($"c", lit(0L)).cast("double") / $"st").as("p"),
+          ($"qc".cast("double") / $"ct").as("q"))
+        .withColumn("m", ($"p" + $"q") / 2)
+        .withColumn("term",
+          when($"p" > 0, $"p" * log($"p" / $"m") / 2).otherwise(0.0)
+            + $"q" * log($"q" / $"m") / 2)
+        .groupBy($"source")
+        .agg(sum(when($"p" === 0, 1L).otherwise(0L)).as("n_missing"),
+          (floor(sum($"term") * 1e4 + 0.5) / 1e4).as("jsd"))
+        .orderBy($"source")
+    }),
+
     // THE MapReduce flagship: tokenize → explode → count → top-20.
     "q_text_wordcount" -> ((s, d) => {
       import s.implicits._
@@ -481,6 +517,33 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_text_jsd" -> """
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      src_tok AS (SELECT source, tok, count(*) AS c FROM toks
+                  GROUP BY source, tok),
+      src_tot AS (SELECT source, count(*) AS st FROM toks GROUP BY source),
+      cor_tok AS (SELECT tok, count(*) AS qc FROM toks GROUP BY tok),
+      cor_tot AS (SELECT count(*) AS ct FROM toks),
+      grid AS (
+        SELECT s.source,
+               COALESCE(k.c, 0) * 1.0 / s.st AS p,
+               v.qc * 1.0 / t.ct AS q
+        FROM src_tot s CROSS JOIN cor_tok v
+        LEFT JOIN src_tok k ON k.source = s.source AND k.tok = v.tok
+        CROSS JOIN cor_tot t)
+      SELECT source,
+             CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+             FLOOR(SUM(
+               CASE WHEN p > 0 THEN p * LN(p / ((p + q) / 2)) / 2
+                    ELSE 0 END
+               + q * LN(q / ((p + q) / 2)) / 2) * 1e4 + 0.5) / 1e4 AS jsd
+      FROM grid
+      GROUP BY source
+      ORDER BY source""",
+
     "q_text_wordcount" -> """
       SELECT token, count(*) AS n FROM (
         SELECT unnest(string_split(text, ' ')) AS token FROM documents)

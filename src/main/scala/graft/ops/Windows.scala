@@ -19,6 +19,38 @@ import Tables.{Q, t}
 object Windows {
 
   val queries: Map[String, Q] = Map(
+    // Batch sessionization with STABLE session ids: a 12 h inactivity
+    // gap starts a new session; the id is the running count of
+    // session-starts in the user's (ts, event_id) order, so ids are
+    // deterministic and joinable (unlike streaming session windows,
+    // which only expose [start, end)). The mark + running-sum are ONE
+    // keyed window pass (two functions, same frame), the rollup reuses
+    // the (user_id) partitioning — one shuffle total. This is the
+    // feature-engineering sessionize that q_stream_session's
+    // watermarked form can't serve in backfill (ids must be replayable
+    // against history). Gap arithmetic in whole µs — bit-identical
+    // cross-engine; duration floors to whole seconds via the shared
+    // floor form (DuckDB's double→BIGINT cast ROUNDS, so never cast
+    // directly).
+    "q_win_sessionid" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gapUs = 12L * 3600 * 1000000
+      val marked = t(s, d, "events")
+        .select($"user_id", $"event_id", $"ts")
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("new_sess",
+          when(lag($"us", 1).over(w).isNull ||
+            $"us" - lag($"us", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      marked.groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("start_ts"), max($"ts").as("end_ts"),
+          floor((max($"us") - min($"us")) / 1e6).cast("long").as("dur_s"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
     // Relative-standing functions: percent_rank and cume_dist per
     // segment over a UNIQUE composite order key (acctbal, custkey) —
     // with ties broken in the sort, both functions reduce to exact
@@ -236,6 +268,29 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_sessionid" -> """
+      WITH m AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                        > 43200000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      x AS (
+        SELECT user_id, ts, us,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM m)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(*) AS n_events,
+             min(ts) AS start_ts, max(ts) AS end_ts,
+             CAST(FLOOR((max(us) - min(us)) / 1e6) AS BIGINT) AS dur_s
+      FROM x
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+
     "q_win_cume" -> """
       SELECT c_mktsegment, c_custkey,
              FLOOR(percent_rank() OVER w * 1e4 + 0.5) / 1e4 AS pr,

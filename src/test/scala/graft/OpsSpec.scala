@@ -815,4 +815,75 @@ class OpsSpec extends GraftSuite {
       .groupBy($"token").count()
     assert(empty.collect().isEmpty)
   }
+
+  test("q_win_sessionid splits on a >12h gap, ids restart per user") {
+    import spark.implicits._
+    // user 1: two events 1h apart, then one 13h later (new session);
+    // user 2: a lone event. ts written as raw nanos (conform truncates).
+    def ns(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    Seq(
+      (1L, ns("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ns("2024-01-01 01:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ns("2024-01-01 14:00:00"), 1L, "click", 1.0, "{}"),
+      (4L, ns("2024-01-01 05:00:00"), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = q("q_win_sessionid", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(got === Seq((1L, 1L, 2L, 3600L), (1L, 2L, 1L, 0L),
+                       (2L, 1L, 1L, 0L)))
+  }
+
+  test("q_text_jsd matches the hand-computed divergence on a 2-source corpus") {
+    import spark.implicits._
+    // src A = "a a", src B = "b b": corpus q = (1/2, 1/2); each source
+    // misses one token (n_missing = 1) and by symmetry has equal JSD.
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsd").toString
+    Seq((1L, "a a", "en", "A", 3L), (2L, "b b", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val exp = {
+      // present token: p=1, q=1/2, m=3/4; absent token: p=0, q=1/2, m=1/4
+      val j = 0.5 * math.log(4.0 / 3) + 0.25 * math.log(2.0 / 3) +
+        0.25 * math.log(2)
+      math.floor(j * 1e4 + 0.5) / 1e4
+    }
+    val got = q("q_text_jsd", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got === Seq(("A", 1L, exp), ("B", 1L, exp)))
+  }
+
+  test("q_sim_range returns exactly the >=threshold slice, consistent with top-k") {
+    val range = q("q_sim_range", sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(range.nonEmpty)
+    range.values.foreach(sim => assert(sim >= 0.2))
+    // every top-k hit at or above the threshold must be in the range set
+    q("q_sim_cosine_topk", sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .filter(_._2 >= 0.2)
+      .foreach { case (id, sim) =>
+        assert(range.get(id).contains(sim), s"vec $id missing from range")
+      }
+  }
+
+  test("q_sql_q3 (SQL text) equals the equivalent DataFrame pipeline") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = ops.Tables.t(spark, sf0001, "customer")
+      .where($"c_mktsegment" === "BUILDING")
+      .join(ops.Tables.t(spark, sf0001, "orders"), $"c_custkey" === $"o_custkey")
+      .join(ops.Tables.t(spark, sf0001, "lineitem"), $"l_orderkey" === $"o_orderkey")
+      .where($"o_orderdate" < lit("1998-06-30").cast("timestamp") &&
+        $"l_shipdate" > lit("1996-06-30").cast("timestamp"))
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg((floor(sum($"l_extendedprice" * (lit(1) - $"l_discount")) * 100
+        + 0.5) / 100).as("revenue"))
+      .select($"o_orderkey", $"revenue", $"o_orderdate")
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+    assert(q("q_sql_q3", sf0001).collect() === df.collect())
+  }
 }

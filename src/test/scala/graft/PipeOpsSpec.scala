@@ -271,4 +271,22 @@ class PipeOpsSpec extends GraftSuite {
       }
     }
   }
+
+  test("q_pipe_tokenbudget: plan spends at most the budget, arithmetic coheres") {
+    val rows = q("q_pipe_tokenbudget", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.length === 20, "one plan row per source")
+    // flooring each allocation keeps the plan within the 1M budget
+    assert(rows.map(_._5).sum <= 1000000L)
+    assert(rows.map(_._5).sum >= 1000000L - rows.length,
+      "each floor loses < 1 token")
+    // shares and weights each sum to ~1 (4-decimal rounding slack)
+    assert(math.abs(rows.map(_._3).sum - 1.0) <= 2e-3)
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= 2e-3)
+    rows.foreach { case (src, tokens, _, _, planned, epochs) =>
+      val exp = math.floor(planned.toDouble / tokens * 1e4 + 0.5) / 1e4
+      assert(epochs === exp, s"$src: epochs must be planned/actual")
+    }
+  }
 }
