@@ -138,12 +138,24 @@ object Tables {
         note += s"$name.ts: raw TIMESTAMP(NANOS) longs, truncated to µs"
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       } else raw
+    // A measured type may be normalized to the expected one iff the
+    // cast is lossless: timestamp-family moves (NTZ↔LTZ under the UTC
+    // session, DATE→timestamp midnight), integral widening, FLOAT→
+    // DOUBLE. Anything lossy (narrowing, string↔numeric) must fail.
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (f, t) if isTsFamily(f) && isTsFamily(t) => true
+      case (DateType, t) if isTsFamily(t) => true
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (ByteType | ShortType, IntegerType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
     expected.foreach { exp =>
       df.schema.find(_.name == exp.name) match {
         case None =>
           drift += s"missing column ${exp.name} (expected ${exp.dataType.sql})"
         case Some(f) if f.dataType == exp.dataType => ()
-        case Some(f) if isTsFamily(f.dataType) && isTsFamily(exp.dataType) =>
+        case Some(f) if widens(f.dataType, exp.dataType) =>
           note += s"$name.${exp.name}: ${f.dataType.sql} -> ${exp.dataType.sql}"
           df = df.withColumn(exp.name, df(exp.name).cast(exp.dataType))
         case Some(f) =>

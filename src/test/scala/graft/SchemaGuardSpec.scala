@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.Tables
@@ -60,6 +61,32 @@ class SchemaGuardSpec extends GraftSuite {
     val e = intercept[IllegalStateException](Tables.conform("documents", raw))
     assert(e.getMessage.contains("missing column source"))
     assert(e.getMessage.contains("missing column n_chars"))
+  }
+
+  test("conform widens lossless drift: INT key -> BIGINT, DATE -> timestamp") {
+    import s.implicits._
+    val raw = Seq((1, "t", "en", "src0", 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars") // INT ids
+    val out = Tables.conform("documents", raw)
+    assert(out.schema("doc_id").dataType === LongType)
+    assert(out.schema("n_chars").dataType === LongType)
+    assert(out.select($"doc_id", $"n_chars").head === Row(1L, 7L))
+
+    val rawOrders = Seq((1L, 1L, "O", 10.0, "1996-03-01", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate", $"o_orderdate".cast(DateType))
+    val outO = Tables.conform("orders", rawOrders)
+    assert(outO.schema("o_orderdate").dataType === TimestampNTZType)
+    assert(outO.select(date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+      .head.getString(0) === "1996-03-01 00:00:00")
+  }
+
+  test("conform still rejects narrowing drift (BIGINT where INT is expected)") {
+    import s.implicits._
+    val raw = Seq((0L, "AFRICA")).toDF("r_regionkey", "r_name")
+    val e = intercept[IllegalStateException](Tables.conform("region", raw))
+    assert(e.getMessage.contains("r_regionkey"))
   }
 
   test("conform keeps extra driver-added columns (queries select by name)") {
