@@ -15,6 +15,32 @@ import Tables.{Q, t}
 object Exprs {
 
   val queries: Map[String, Q] = Map(
+    // The MAP-typed column surface: per-user event-type histogram AS A
+    // MAP (map_from_entries over a sorted entry list, so key order is
+    // deterministic), then map accessors — size, element_at (NULL on a
+    // missing key, the map's point lookup), map_keys. Maps are how
+    // sparse per-entity features ship to training (feature name →
+    // value) without a column per feature; building one is a plain
+    // partial-aggregable count + one collect per entity, and the map
+    // functions are all codegen'd row-local expressions — nothing here
+    // shuffles beyond the two keyed aggs. The oracle reproduces the
+    // lookups relationally (MAX over CASE), proving the map semantics,
+    // not the representation.
+    "q_expr_map" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+        .groupBy($"user_id")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct($"event_type", $"n")))).as("m"))
+        .select($"user_id",
+          size($"m").as("n_types"),
+          element_at($"m", "click").as("clicks"),
+          element_at($"m", "purchase").as("purchases"),
+          array_join(map_keys($"m"), ",").as("types"))
+        .orderBy($"user_id")
+    }),
+
     // Conjunctive pushable predicates: timestamp range + IN + numeric
     // + prefix LIKE, all of which reach the parquet reader as
     // PushedFilters (row-group min/max + dictionary skipping at scale).
@@ -240,6 +266,19 @@ object Exprs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_expr_map" -> """
+      WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type)
+      SELECT user_id,
+             CAST(count(*) AS INT) AS n_types,
+             MAX(CASE WHEN event_type = 'click' THEN n END) AS clicks,
+             MAX(CASE WHEN event_type = 'purchase' THEN n END) AS purchases,
+             string_agg(event_type, ',' ORDER BY event_type) AS types
+      FROM c
+      GROUP BY user_id
+      ORDER BY user_id""",
+
     "q_expr_variant" -> """
       SELECT event_id,
              CAST(props->>'$.k' AS BIGINT) AS k,

@@ -869,6 +869,19 @@ class OpsSpec extends GraftSuite {
       }
   }
 
+  test("q_expr_map: element_at is NULL on a missing key, keys sorted") {
+    val rows = q("q_expr_map", microDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // user 7: one each of click/purchase/signup/view
+    val u7 = rows(7L)
+    assert(u7.getInt(1) === 4 && u7.getLong(2) === 1L && u7.getLong(3) === 1L)
+    assert(u7.getString(4) === "click,purchase,signup,view")
+    // user 99: a single purchase — the 'click' lookup must be NULL
+    val u99 = rows(99L)
+    assert(u99.getInt(1) === 1 && u99.isNullAt(2) && u99.getLong(3) === 1L)
+    assert(u99.getString(4) === "purchase")
+  }
+
   test("q_sql_q3 (SQL text) equals the equivalent DataFrame pipeline") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
