@@ -49,19 +49,27 @@ object Scans {
     // every other declared query drives the DataFrame API; a user
     // porting a SQL workload needs this entry point to produce the
     // SAME Catalyst plans (it does: identical logical plan, same
-    // broadcast-dim join strategy). The one SQL string below runs
-    // UNCHANGED on both engines — the oracle is literally this text.
+    // broadcast-dim join strategy). The SQL text is shared with the
+    // DuckDB oracle; on the Spark side only the table names are
+    // rewritten to DIR-SCOPED temp-view names — temp views are
+    // session-global mutable state, and plain names would let two
+    // concurrent runs against different fixture dirs race.
     "q_sql_q3" -> ((s, d) => {
-      Seq("customer", "orders", "lineitem")
-        .foreach(n => t(s, d, n).createOrReplaceTempView(n))
-      s.sql(sqlQ3)
+      val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      val sql = Seq("customer", "orders", "lineitem").foldLeft(sqlQ3) {
+        (acc, n) =>
+          t(s, d, n).createOrReplaceTempView(s"graft_${n}_$tag")
+          acc.replaceAll(s"\\b$n\\b", s"graft_${n}_$tag")
+      }
+      s.sql(sql)
     }),
   )
 
-  /** Shared verbatim by the Spark query and the DuckDB oracle: both
-    * engines parse the identical text, so equivalence of the SQL
-    * surface is by construction. Revenue uses the repo's tie-proof
-    * floor rounding (SURVEY §2 determinism rules). */
+  /** Shared by the Spark query (modulo dir-scoped view names) and the
+    * DuckDB oracle, which runs this text verbatim — both engines parse
+    * the same query, so equivalence of the SQL surface is by
+    * construction. Revenue uses the repo's tie-proof floor rounding
+    * (SURVEY §2 determinism rules). */
   private val sqlQ3 = """
       SELECT o_orderkey,
              FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
