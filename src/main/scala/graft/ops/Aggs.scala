@@ -169,6 +169,34 @@ object Aggs {
     // sample-vs-population convention, so neither is used). One pass,
     // four partial-aggregable SUMs per group — the moment-sketch shape
     // that survives any partitioning.
+    // Linear-regression aggregates: per event type, the OLS trend of
+    // event value over time (slope per hour, intercept at the month
+    // origin, fit quality) — the per-entity trend-feature extractor
+    // (is a metric drifting up?) and the one aggregate family
+    // (regr_*) nothing else exercises. x is hours since 2024-01-01
+    // so the regressor is well-scaled (0..720, exact µs integers
+    // divided by a constant) — never regress on raw epoch micros,
+    // where the variance computation cancels catastrophically. All
+    // regr_* are partial-aggregable (sums of x, y, xy, x², y²), so
+    // the plan is one map-side-combined keyed agg — scales like any
+    // sum. Outputs floor-rounded; r2 at 1e6 (its magnitude here is
+    // 1e-4 — exact-input doubles agree far tighter cross-engine).
+    "q_agg_regr" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .withColumn("x",
+          (expr("unix_micros(ts)") - 1704067200000000L) / 3.6e9)
+        .groupBy($"event_type")
+        .agg(
+          expr("regr_count(value, x)").cast("long").as("n"),
+          (floor(expr("regr_slope(value, x)") * 1e4 + 0.5) / 1e4)
+            .as("slope"),
+          (floor(expr("regr_intercept(value, x)") * 1e4 + 0.5) / 1e4)
+            .as("icept"),
+          (floor(expr("regr_r2(value, x)") * 1e6 + 0.5) / 1e6).as("r2"))
+        .orderBy($"event_type")
+    }),
+
     "q_agg_moments" -> ((s, d) => {
       import s.implicits._
       val x = $"l_quantity"
@@ -318,6 +346,20 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_regr" -> """
+      WITH e AS (
+        SELECT event_type, value,
+               (epoch_us(ts) - 1704067200000000) / 3.6e9 AS x
+        FROM events)
+      SELECT event_type,
+             CAST(regr_count(value, x) AS BIGINT) AS n,
+             FLOOR(regr_slope(value, x) * 1e4 + 0.5) / 1e4 AS slope,
+             FLOOR(regr_intercept(value, x) * 1e4 + 0.5) / 1e4 AS icept,
+             FLOOR(regr_r2(value, x) * 1e6 + 0.5) / 1e6 AS r2
+      FROM e
+      GROUP BY event_type
+      ORDER BY event_type""",
+
     // The bitmap path must agree with the plain exact distinct.
     "q_agg_bitmap" -> """
       SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custkeys

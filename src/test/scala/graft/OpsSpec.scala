@@ -869,6 +869,26 @@ class OpsSpec extends GraftSuite {
       }
   }
 
+  test("q_agg_regr recovers an exact linear trend (slope 2, intercept 5, r2 1)") {
+    import spark.implicits._
+    def ns(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_regr").toString
+    // value = 2 * hours_since_2024-01-01 + 5, at hours 0/1/2/3
+    Seq(
+      (1L, ns("2024-01-01 00:00:00"), 1L, "click", 5.0, "{}"),
+      (2L, ns("2024-01-01 01:00:00"), 1L, "click", 7.0, "{}"),
+      (3L, ns("2024-01-01 02:00:00"), 1L, "click", 9.0, "{}"),
+      (4L, ns("2024-01-01 03:00:00"), 1L, "click", 11.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val r = q("q_agg_regr", dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "click" && r(0).getLong(1) === 4L)
+    assert(r(0).getDouble(2) === 2.0 && r(0).getDouble(3) === 5.0)
+    assert(r(0).getDouble(4) === 1.0)
+  }
+
   test("q_expr_map: element_at is NULL on a missing key, keys sorted") {
     val rows = q("q_expr_map", microDir).collect()
       .map(r => r.getLong(0) -> r).toMap
