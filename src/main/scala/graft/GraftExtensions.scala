@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // result). Disable per-session via spark.sql.optimizer.excludedRules
     // = "graft.plans.DotKernelRule".
     ext.injectOptimizerRule(_ => graft.plans.DotKernelRule)
+    // Planner strategy: lowers the custom SessionizeLogical node to
+    // its streaming one-pass physical operator (plans/Sessionize.scala).
+    ext.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)
     def reg(name: String, cls: Class[_], f: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), f))

@@ -68,6 +68,27 @@ object Windows {
         .orderBy($"c_mktsegment", $"pr", $"c_custkey")
     }),
 
+    // The SAME sessionization computed by the engine's own native
+    // physical operator (plans/Sessionize.scala: custom LogicalPlan →
+    // SparkStrategy → SparkPlan via SparkSessionExtensions) instead of
+    // the two-window-function emulation above: one clustered+sorted
+    // pass with O(1) state per partition — no window frame buffering,
+    // no second pass. Same rollup, same oracle SQL; PlanShapeSpec pins
+    // row-for-row equality with q_win_sessionid AND the single-
+    // exchange plan shape.
+    "q_win_session_native" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select($"user_id", $"event_id", $"ts")
+      graft.plans.Sessionize(ev, "user_id", "ts", "event_id",
+          12L * 3600 * 1000000)
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("start_ts"), max($"ts").as("end_ts"),
+          floor((max(expr("unix_micros(ts)")) - min(expr("unix_micros(ts)")))
+            / 1e6).cast("long").as("dur_s"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
     // Inter-arrival gap profile: time since the user's PREVIOUS event,
     // attributed to the current event's type — median and p95 in
     // seconds (the dwell-time / time-to-purchase readout). One lag
@@ -269,6 +290,30 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     "q_win_sessionid" -> """
+      WITH m AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                        > 43200000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      x AS (
+        SELECT user_id, ts, us,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM m)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(*) AS n_events,
+             min(ts) AS start_ts, max(ts) AS end_ts,
+             CAST(FLOOR((max(us) - min(us)) / 1e6) AS BIGINT) AS dur_s
+      FROM x
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+
+    // identical semantics via the native operator — same oracle text
+    "q_win_session_native" -> """
       WITH m AS (
         SELECT user_id, event_id, ts, epoch_us(ts) AS us,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

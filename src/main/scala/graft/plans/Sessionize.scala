@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeReference, AttributeSet, BindReferences,
+  Expression, GenericInternalRow, JoinedRow, SortOrder, UnixMicros,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Native sessionization — the whole-operator extension tier
+  * (SURVEY §2.14): a custom logical node, planner strategy, and
+  * physical operator registered through `SparkSessionExtensions`,
+  * for semantics the built-in operators express only as TWO window
+  * passes (lag-mark + running sum, q_win_sessionid).
+  *
+  * Semantics: scanning each key's rows in (time, tiebreak) order,
+  * `session_id` starts at 1 and increments whenever the gap to the
+  * previous row exceeds `gapUs` microseconds. Identical to the
+  * declared window form — asserted row-for-row in PlanShapeSpec and
+  * by the shared DuckDB oracle.
+  *
+  * Scale shape: the exec declares ClusteredDistribution(key) +
+  * per-partition (key, time, tiebreak) ordering, so EnsureRequirements
+  * plans exactly ONE hash exchange and one sort — after which the id
+  * assignment is a single O(1)-state streaming pass per partition (no
+  * second window pass, no frame buffering; Spark's Window operator
+  * buffers each partition's frame). At 1000 executors it behaves like
+  * any keyed window: one shuffle, then embarrassingly parallel.
+  */
+case class SessionizeLogical(
+    key: Expression,
+    time: Expression,
+    tiebreak: Expression,
+    gapUs: Long,
+    child: LogicalPlan,
+    sessionAttr: Attribute =
+      AttributeReference("session_id", LongType, nullable = false)())
+  extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ sessionAttr
+  override def producedAttributes: AttributeSet = AttributeSet(sessionAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+      : SessionizeLogical = copy(child = newChild)
+}
+
+/** Planner strategy: one-to-one lowering of the logical node. */
+object SessionizeStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case s: SessionizeLogical =>
+      SessionizeExec(s.key, s.time, s.tiebreak, s.gapUs, s.sessionAttr,
+        planLater(s.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class SessionizeExec(
+    key: Expression,
+    time: Expression,
+    tiebreak: Expression,
+    gapUs: Long,
+    sessionAttr: Attribute,
+    child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ sessionAttr
+
+  // sessionAttr is this node's own output, not an input reference —
+  // without this the plan printer flags the node as missing input.
+  override def producedAttributes: AttributeSet = AttributeSet(sessionAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(key)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(key, Ascending), SortOrder(time, Ascending),
+      SortOrder(tiebreak, Ascending)))
+
+  // Rows pass through in the sorted order the child guarantees.
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val gap = gapUs
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(
+        Seq(BindReferences.bindReference(key, childOutput)))
+      val timeExpr = BindReferences.bindReference(time, childOutput)
+      val result = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val joined = new JoinedRow
+      val sessRow = new GenericInternalRow(1)
+      var curKey: UnsafeRow = null
+      var lastTs = 0L
+      var sid = 0L
+      iter.map { row =>
+        // keyProj reuses its buffer — copy only on key change (one
+        // small allocation per KEY, not per row).
+        val k = keyProj(row)
+        val t = timeExpr.eval(row).asInstanceOf[Long]
+        if (curKey == null || k != curKey) {
+          curKey = k.copy(); sid = 1L
+        } else if (t - lastTs > gap) {
+          sid += 1L
+        }
+        lastTs = t
+        sessRow.setLong(0, sid)
+        result(joined(row, sessRow))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : SessionizeExec = copy(child = newChild)
+}
+
+object Sessionize {
+  /** Append a `session_id` column: per `keyCol`, ids increment when
+    * consecutive `tsCol` values (ordered with `tieCol` as tiebreak)
+    * gap by more than `gapUs` microseconds. `tsCol` must be a
+    * timestamp column with no nulls. */
+  def apply(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+            gapUs: Long): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    def a(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"sessionize: no column '$n' in ${plan.output.map(_.name)}"))
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession,
+      SessionizeLogical(a(keyCol), UnixMicros(a(tsCol)), a(tieCol), gapUs,
+        plan))
+  }
+}

@@ -157,4 +157,22 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the time bound must ride the equi-join as a residual, not force a theta scan")
   }
+
+  test("q_win_session_native lowers to SessionizeExec behind one keyed exchange") {
+    val p = plan("q_win_session_native")
+    assert(p.contains("Sessionize "),
+      s"the custom strategy must plan the native operator:\n$p")
+    assert(!p.contains("Window"),
+      "the native pass replaces BOTH window functions")
+    // one exchange for the sessionize pass; the rollup reuses the
+    // (user_id) clustering... the groupBy keys add session_id, so a
+    // second exchange for the final agg is expected — but never more.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("native sessionize equals the two-window form row for row") {
+    val a = q("q_win_session_native", sf0001).collect().map(_.toString)
+    val b = q("q_win_sessionid", sf0001).collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
 }
