@@ -20,9 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // result). Disable per-session via spark.sql.optimizer.excludedRules
     // = "graft.plans.DotKernelRule".
     ext.injectOptimizerRule(_ => graft.plans.DotKernelRule)
-    // Planner strategy: lowers the custom SessionizeLogical node to
-    // its streaming one-pass physical operator (plans/Sessionize.scala).
+    // Planner strategies: lower the custom logical nodes to their
+    // streaming physical operators (plans/Sessionize.scala — one-pass
+    // sessionization; plans/AsofJoin.scala — sort-merge as-of join).
     ext.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     def reg(name: String, cls: Class[_], f: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), f))

@@ -146,6 +146,28 @@ object Joins {
     // "prior-or-equal" is inclusive), keep purchases. One shuffle on
     // user_id — the scalable shape; cross-checked against DuckDB's
     // native ASOF LEFT JOIN.
+    // The SAME as-of semantics computed by the engine's native
+    // sort-merge as-of operator (plans/AsofJoin.scala: custom
+    // BinaryNode → SparkStrategy → BinaryExecNode): one keyed exchange
+    // per side, then a streaming two-pointer merge with O(1) state —
+    // no union-tagging, no window frame. Right side reads through
+    // Tables.fresh for attribute-disjoint sides (self-join). Oracle is
+    // the same DuckDB ASOF LEFT JOIN as q_join_asof; PlanShapeSpec
+    // pins row-for-row equality between the two forms.
+    "q_join_asof_native" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "events").where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val sg = Tables.fresh(s, d, "events").where($"event_type" === "signup")
+        .select($"event_id".as("signup_event_id"), $"user_id".as("s_user"),
+          $"ts".as("s_ts"))
+      graft.plans.AsofJoin(p, sg,
+          "user_id", "ts", "event_id",
+          "s_user", "s_ts", "signup_event_id")
+        .select($"event_id", $"signup_event_id")
+        .orderBy($"event_id")
+    }),
+
     "q_join_asof" -> ((s, d) => {
       import s.implicits._
       val ev = t(s, d, "events")
@@ -374,6 +396,14 @@ object Joins {
       ORDER BY user_id""",
 
     "q_join_asof" -> """
+      SELECT p.event_id, s.event_id AS signup_event_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""",
+
+    // identical semantics via the native operator — same oracle text
+    "q_join_asof_native" -> """
       SELECT p.event_id, s.event_id AS signup_event_id
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s

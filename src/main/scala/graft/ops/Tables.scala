@@ -80,6 +80,19 @@ object Tables {
     })
   }
 
+  /** Like [[t]] but NEVER cached: a fresh read with fresh attribute
+    * ids. The plan cache intentionally shares one DataFrame instance
+    * per (dir, table), which makes the two sides of a self-join carry
+    * IDENTICAL attribute ids — fine for the built-in join API (the
+    * analyzer deduplicates) but ill-formed for custom logical nodes
+    * built post-analysis (plans/AsofJoin.scala). Self-join callers
+    * read one side through this. */
+  def fresh(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conform(name, spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
   /** The logical schema every query in the engine is written against,
     * exactly as Spark inferred it from the driver's fixtures
     * (FIXTURES.md; re-measured 2026-08-13 with tools/PrintSchemas).

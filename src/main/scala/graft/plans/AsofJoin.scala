@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeSet, BindReferences, Expression,
+  GenericInternalRow, JoinedRow, SortOrder, UnixMicros, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Native LEFT OUTER as-of join — the second whole-operator extension
+  * (SURVEY §2.14): for each left row, attach the LATEST right row of
+  * the same key with right-time ≤ left-time (NULL when none), the
+  * point-in-time lookup behind backfills and feature attribution.
+  *
+  * The built-in emulation (q_join_asof) union-tags both sides and runs
+  * a `last(_, ignoreNulls)` window over the merged stream — correct,
+  * but it shuffles LEFT+RIGHT rows together and buffers window frames.
+  * This operator instead declares the classic sort-merge shape:
+  * ClusteredDistribution on each side's key + per-partition
+  * (key, time, tiebreak) ordering, then a single two-pointer pass per
+  * co-partition with O(1) state (the one remembered right row). At
+  * 1000 executors that is one keyed exchange per side and a streaming
+  * merge — the same cost model as a sort-merge join, minus any
+  * buffering of equal-key runs.
+  *
+  * Keys and tiebreaks are LONG and times are timestamps (evaluated as
+  * `unix_micros`) — the fixture surface; generalizing is an ordering
+  * parameter, not a new algorithm. Ties at equal right-time resolve to
+  * the largest tiebreak, matching the emulated form's
+  * (ts, tag, event_id) window order.
+  */
+case class AsofJoinLogical(
+    leftKey: Expression, leftTime: Expression, leftTie: Expression,
+    rightKey: Expression, rightTime: Expression, rightTie: Expression,
+    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+  require(AttributeSet(left.output).intersect(AttributeSet(right.output)).isEmpty,
+    "asof join: sides must be attribute-disjoint (use Tables.fresh for " +
+      "the right side of a self-join — the table cache shares plan instances)")
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinLogical =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsofJoinLogical =>
+      AsofJoinExec(j.leftKey, j.leftTime, j.leftTie,
+        j.rightKey, j.rightTime, j.rightTie,
+        planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    leftKey: Expression, leftTime: Expression, leftTie: Expression,
+    rightKey: Expression, rightTime: Expression, rightTie: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending),
+      SortOrder(leftTie, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKey = BindReferences.bindReference(leftKey, lOut)
+      val lTime = BindReferences.bindReference(leftTime, lOut)
+      val rKey = BindReferences.bindReference(rightKey, rOut)
+      val rTime = BindReferences.bindReference(rightTime, rOut)
+      val result = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      // O(1) state: the most recent right row consumed, with its key.
+      var matchRow: InternalRow = null
+      var matchKey = 0L
+      lIter.map { l =>
+        val lk = lKey.eval(l).asInstanceOf[Long]
+        val lt = lTime.eval(l).asInstanceOf[Long]
+        var continue = rHead != null
+        while (continue) {
+          val rk = rKey.eval(rHead).asInstanceOf[Long]
+          if (rk < lk || (rk == lk &&
+              rTime.eval(rHead).asInstanceOf[Long] <= lt)) {
+            matchKey = rk
+            matchRow = rHead.copy()
+            rHead = if (rIter.hasNext) rIter.next() else null
+            continue = rHead != null
+          } else continue = false
+        }
+        if (matchRow != null && matchKey == lk) result(joined(l, matchRow))
+        else result(joined(l, nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoin {
+  /** LEFT OUTER as-of join of `left` to the latest matching `right`
+    * row (same long `keyCol`s, right timestamp ≤ left timestamp; ties
+    * at equal time take the largest long `tieCol`). The sides must be
+    * attribute-disjoint — for self-joins read the right side through
+    * [[graft.ops.Tables.fresh]]. */
+  def apply(left: DataFrame, right: DataFrame,
+            leftKey: String, leftTime: String, leftTie: String,
+            rightKey: String, rightTime: String, rightTie: String)
+      : DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def a(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"asof join: no column '$n' in ${p.output.map(_.name)}"))
+    def micros(at: Attribute): Expression =
+      if (at.dataType == LongType) at else UnixMicros(at)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
+      AsofJoinLogical(
+        a(lp, leftKey), micros(a(lp, leftTime)), a(lp, leftTie),
+        a(rp, rightKey), micros(a(rp, rightTime)), a(rp, rightTie),
+        lp, rp))
+  }
+}

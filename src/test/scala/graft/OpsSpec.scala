@@ -37,6 +37,13 @@ class OpsSpec extends GraftSuite {
     assert(rows === Map(2L -> Some(1L), 5L -> None))
   }
 
+  test("q_join_asof_native matches prior signup, null without one (micro)") {
+    val rows = q("q_join_asof_native", microDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows === Map(2L -> Some(1L), 5L -> None))
+  }
+
   test("q_win_lag yields null for each partition's first event") {
     val rows = q("q_win_lag", microDir).collect()
     val first7 = rows.filter(_.getLong(0) == 7L).head

@@ -175,4 +175,18 @@ class PlanShapeSpec extends GraftSuite {
     val b = q("q_win_sessionid", sf0001).collect().map(_.toString)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("q_join_asof_native lowers to AsofJoin: no window, no union-tag, sort-merge shape") {
+    val p = plan("q_join_asof_native")
+    assert(p.contains("AsofJoin "),
+      s"the custom strategy must plan the native as-of operator:\n$p")
+    assert(!p.contains("Window") && !p.contains("Union"),
+      "the native merge replaces the union-tag + last() window emulation")
+  }
+
+  test("native as-of join equals the window emulation row for row") {
+    val a = q("q_join_asof_native", sf0001).collect().map(_.toString)
+    val b = q("q_join_asof", sf0001).collect().map(_.toString)
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+  }
 }
