@@ -55,7 +55,9 @@ object Scans {
     // session-global mutable state, and plain names would let two
     // concurrent runs against different fixture dirs race.
     "q_sql_q3" -> ((s, d) => {
-      val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      // The tag is the SANITIZED FULL dir, not a 32-bit hash — hash
+      // collisions would silently point two dirs' runs at one view.
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
       val sql = Seq("customer", "orders", "lineitem").foldLeft(sqlQ3) {
         (acc, n) =>
           t(s, d, n).createOrReplaceTempView(s"graft_${n}_$tag")

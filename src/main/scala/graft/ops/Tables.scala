@@ -54,9 +54,26 @@ object Tables {
     * one never-freed checkpoint block per query. Keys are prefixed so
     * they can't collide with base-table names. */
   def derived(spark: SparkSession, sfDir: String, key: String)
-             (build: => DataFrame): DataFrame =
-    perSessionMap(spark).computeIfAbsent((sfDir, "derived:" + key),
-      (_: (String, String)) => build)
+             (build: => DataFrame): DataFrame = {
+    // NOT computeIfAbsent: derived builds recurse into this cache
+    // (tradeDeg -> tradeEdges -> t(orders/lineitem)), and a nested
+    // computeIfAbsent on the same ConcurrentHashMap violates its
+    // contract — when the inner key hashes to a bin holding the
+    // in-flight reservation it throws IllegalStateException
+    // ("Recursive update"); cold single-query runs hit this
+    // deterministically. Build OUTSIDE the map update; a racing
+    // duplicate build is harmless (first put wins, plans are
+    // immutable).
+    val m = perSessionMap(spark)
+    val k = (sfDir, "derived:" + key)
+    val existing = m.get(k)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = m.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
 
   private def perSessionMap(spark: SparkSession)
       : java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame] =

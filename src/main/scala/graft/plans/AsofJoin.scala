@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, AttributeSet, BindReferences, Expression,
   GenericInternalRow, JoinedRow, SortOrder, UnixMicros, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
 
@@ -75,6 +75,10 @@ case class AsofJoinExec(
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
       SortOrder(rightTie, Ascending)))
 
+  // Output rows are left rows (plus nullable right columns), still in
+  // the left child's partitioning and order; without the partitioning
+  // override downstream keyed operators would re-shuffle needlessly.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -92,22 +96,38 @@ case class AsofJoinExec(
       // O(1) state: the most recent right row consumed, with its key.
       var matchRow: InternalRow = null
       var matchKey = 0L
+      // SQL as-of semantics: NULL keys and NULL times never match.
+      // NULLS FIRST ordering puts null-key/null-time rows at the head
+      // of each partition; they are consumed (right) or null-joined
+      // (left) without ever being remembered as a match.
       lIter.map { l =>
-        val lk = lKey.eval(l).asInstanceOf[Long]
-        val lt = lTime.eval(l).asInstanceOf[Long]
-        var continue = rHead != null
-        while (continue) {
-          val rk = rKey.eval(rHead).asInstanceOf[Long]
-          if (rk < lk || (rk == lk &&
-              rTime.eval(rHead).asInstanceOf[Long] <= lt)) {
-            matchKey = rk
-            matchRow = rHead.copy()
-            rHead = if (rIter.hasNext) rIter.next() else null
-            continue = rHead != null
-          } else continue = false
+        val lkv = lKey.eval(l)
+        val ltv = lTime.eval(l)
+        if (lkv == null || ltv == null) result(joined(l, nullRight))
+        else {
+          val lk = lkv.asInstanceOf[Long]
+          val lt = ltv.asInstanceOf[Long]
+          var continue = rHead != null
+          while (continue) {
+            val rkv = rKey.eval(rHead)
+            val rtv = rTime.eval(rHead)
+            if (rkv == null || rtv == null) {
+              // unmatched by construction — consume and move on
+              rHead = if (rIter.hasNext) rIter.next() else null
+              continue = rHead != null
+            } else {
+              val rk = rkv.asInstanceOf[Long]
+              if (rk < lk || (rk == lk && rtv.asInstanceOf[Long] <= lt)) {
+                matchKey = rk
+                matchRow = rHead.copy()
+                rHead = if (rIter.hasNext) rIter.next() else null
+                continue = rHead != null
+              } else continue = false
+            }
+          }
+          if (matchRow != null && matchKey == lk) result(joined(l, matchRow))
+          else result(joined(l, nullRight))
         }
-        if (matchRow != null && matchKey == lk) result(joined(l, matchRow))
-        else result(joined(l, nullRight))
       }
     }
   }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Expression, GenericInternalRow, JoinedRow, SortOrder, UnixMicros,
   UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
@@ -80,7 +80,10 @@ case class SessionizeExec(
     Seq(Seq(SortOrder(key, Ascending), SortOrder(time, Ascending),
       SortOrder(tiebreak, Ascending)))
 
-  // Rows pass through in the sorted order the child guarantees.
+  // Rows pass through in the child's partitioning and sorted order;
+  // without this override the exec reports UnknownPartitioning and a
+  // downstream rollup on (key, ...) pays a second, needless exchange.
+  override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -100,7 +103,10 @@ case class SessionizeExec(
         // keyProj reuses its buffer — copy only on key change (one
         // small allocation per KEY, not per row).
         val k = keyProj(row)
-        val t = timeExpr.eval(row).asInstanceOf[Long]
+        // null time sorts first (NULLS FIRST) — anchor it at MinValue
+        // so the gap rule stays monotonic instead of unboxing to 0.
+        val tv = timeExpr.eval(row)
+        val t = if (tv == null) Long.MinValue else tv.asInstanceOf[Long]
         if (curKey == null || k != curKey) {
           curKey = k.copy(); sid = 1L
         } else if (t - lastTs > gap) {

@@ -876,6 +876,16 @@ class OpsSpec extends GraftSuite {
       }
   }
 
+  test("graph derived-table cache builds cleanly on a COLD session") {
+    // Regression: derived() once nested computeIfAbsent calls on one
+    // ConcurrentHashMap (tradeDeg -> tradeEdges -> base tables), which
+    // threw IllegalStateException("Recursive update") whenever the
+    // nested keys hash-collided into an in-flight bin — deterministic
+    // on a cold cache at sf0.001. A fresh session has a fresh cache.
+    val s2 = spark.newSession()
+    assert(SparkEntry.queries("q_graph_degreedist")(s2, sf0001).count() > 0)
+  }
+
   test("q_agg_regr recovers an exact linear trend (slope 2, intercept 5, r2 1)") {
     import spark.implicits._
     def ns(s: String): Long =

@@ -164,10 +164,11 @@ class PlanShapeSpec extends GraftSuite {
       s"the custom strategy must plan the native operator:\n$p")
     assert(!p.contains("Window"),
       "the native pass replaces BOTH window functions")
-    // one exchange for the sessionize pass; the rollup reuses the
-    // (user_id) clustering... the groupBy keys add session_id, so a
-    // second exchange for the final agg is expected — but never more.
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    // ONE exchange total: the exec reports its child's partitioning,
+    // and HashPartitioning(user_id) satisfies the rollup's
+    // ClusteredDistribution(user_id, session_id) — so the final agg
+    // reuses the sessionize shuffle instead of re-shuffling.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
   test("native sessionize equals the two-window form row for row") {
