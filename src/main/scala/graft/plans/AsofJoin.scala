@@ -92,7 +92,22 @@ case class AsofJoinExec(
       val result = UnsafeProjection.create(output.map(_.dataType).toArray)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
-      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      // The pending right row with its key/time evaluated ONCE when
+      // the pointer advances — not re-evaluated per left row (a user
+      // with thousands of lefts after their last right would repeat
+      // the UnixMicros eval per left).
+      var rHead: InternalRow = null
+      var rHeadKey: java.lang.Long = null
+      var rHeadTime: java.lang.Long = null
+      def advanceR(): Unit = {
+        rHead = if (rIter.hasNext) rIter.next() else null
+        if (rHead == null) { rHeadKey = null; rHeadTime = null }
+        else {
+          rHeadKey = rKey.eval(rHead).asInstanceOf[java.lang.Long]
+          rHeadTime = rTime.eval(rHead).asInstanceOf[java.lang.Long]
+        }
+      }
+      advanceR()
       // O(1) state: the most recent right row consumed, with its key.
       var matchRow: InternalRow = null
       var matchKey = 0L
@@ -109,18 +124,16 @@ case class AsofJoinExec(
           val lt = ltv.asInstanceOf[Long]
           var continue = rHead != null
           while (continue) {
-            val rkv = rKey.eval(rHead)
-            val rtv = rTime.eval(rHead)
-            if (rkv == null || rtv == null) {
+            if (rHeadKey == null || rHeadTime == null) {
               // unmatched by construction — consume and move on
-              rHead = if (rIter.hasNext) rIter.next() else null
+              advanceR()
               continue = rHead != null
             } else {
-              val rk = rkv.asInstanceOf[Long]
-              if (rk < lk || (rk == lk && rtv.asInstanceOf[Long] <= lt)) {
+              val rk = rHeadKey.longValue()
+              if (rk < lk || (rk == lk && rHeadTime.longValue() <= lt)) {
                 matchKey = rk
                 matchRow = rHead.copy()
-                rHead = if (rIter.hasNext) rIter.next() else null
+                advanceR()
                 continue = rHead != null
               } else continue = false
             }
@@ -154,6 +167,12 @@ object AsofJoin {
         s"asof join: no column '$n' in ${p.output.map(_.name)}"))
     def micros(at: Attribute): Expression =
       if (at.dataType == LongType) at else UnixMicros(at)
+    // the exec unboxes keys/tiebreaks as Long — enforce here with a
+    // clear message instead of a per-row ClassCastException in a task
+    Seq(a(lp, leftKey), a(rp, rightKey), a(lp, leftTie), a(rp, rightTie))
+      .foreach(at => require(at.dataType == LongType,
+        s"asof join: column '${at.name}' must be BIGINT, found " +
+          at.dataType.sql))
     org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
       AsofJoinLogical(
         a(lp, leftKey), micros(a(lp, leftTime)), a(lp, leftTie),

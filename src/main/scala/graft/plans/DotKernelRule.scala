@@ -53,6 +53,16 @@ object DotKernelRule extends Rule[LogicalPlan] {
             LambdaFunction(fin: NamedLambdaVariable,
               Seq(fv: NamedLambdaVariable), _))
           if isFloatArray(l) && isFloatArray(r) &&
+            // the multiply must be a DOUBLE multiply (both operands
+            // cast-widened BEFORE multiplying — FloatDot's arithmetic).
+            // A bare float multiply (x, y) -> x * y rounds each
+            // product to float first and can overflow to Infinity; it
+            // must NOT match, or the rewrite changes results.
+            m.dataType == DoubleType &&
+            // +0.0 only: a -0.0 seed is observable (1/x sign) and
+            // Scala constant patterns equate -0.0 == 0.0.
+            java.lang.Double.doubleToRawLongBits(
+              zero.value.asInstanceOf[Double]) == 0L &&
             // product of exactly the two zip variables, either order
             (Set(asVar(m.left), asVar(m.right)).flatten
               == Set(x.exprId, y.exprId)) &&

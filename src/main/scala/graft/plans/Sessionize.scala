@@ -98,21 +98,26 @@ case class SessionizeExec(
       val sessRow = new GenericInternalRow(1)
       var curKey: UnsafeRow = null
       var lastTs = 0L
+      var lastNull = false
       var sid = 0L
       iter.map { row =>
         // keyProj reuses its buffer — copy only on key change (one
         // small allocation per KEY, not per row).
         val k = keyProj(row)
-        // null time sorts first (NULLS FIRST) — anchor it at MinValue
-        // so the gap rule stays monotonic instead of unboxing to 0.
         val tv = timeExpr.eval(row)
-        val t = if (tv == null) Long.MinValue else tv.asInstanceOf[Long]
         if (curKey == null || k != curKey) {
           curKey = k.copy(); sid = 1L
-        } else if (t - lastTs > gap) {
+        } else if (lastNull) {
+          // mirrors the window form: lag(us) IS NULL starts a new
+          // session for the row AFTER a null-time row (a null gap
+          // itself never extends a comparison — and never via raw
+          // subtraction, which would overflow a MinValue anchor).
+          sid += 1L
+        } else if (tv != null && tv.asInstanceOf[Long] - lastTs > gap) {
           sid += 1L
         }
-        lastTs = t
+        lastNull = tv == null
+        if (tv != null) lastTs = tv.asInstanceOf[Long]
         sessRow.setLong(0, sid)
         result(joined(row, sessRow))
       }
@@ -131,6 +136,9 @@ object Sessionize {
   def apply(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
             gapUs: Long): DataFrame = {
     val plan = df.queryExecution.analyzed
+    require(!plan.output.exists(_.name == "session_id"),
+      "sessionize: input already has a session_id column — rename it " +
+        "first, or the output would carry an ambiguous duplicate")
     def a(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
         s"sessionize: no column '$n' in ${plan.output.map(_.name)}"))

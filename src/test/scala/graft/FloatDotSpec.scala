@@ -52,6 +52,21 @@ class FloatDotSpec extends GraftSuite {
     assert(got === want, "rewrite must be value-identical (same fold order)")
   }
 
+  test("DotKernelRule does NOT match a bare FLOAT multiply (different rounding)") {
+    import spark.implicits._
+    // (x, y) -> x * y without casts multiplies in FLOAT (each product
+    // rounded to float, can overflow to Infinity) — semantically
+    // different from the kernel's double multiply, so the rule must
+    // leave it alone. 3e38f * 3e38f overflows float -> Infinity.
+    val df = Seq((1L, Seq(3e38f), Seq(3e38f))).toDF("id", "a", "b")
+      .select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!df.queryExecution.executedPlan.toString.contains("float_dot"),
+      "un-cast float multiply must not be rewritten")
+    assert(df.head.getDouble(0).isPosInfinity,
+      "float-multiply overflow semantics must be preserved")
+  }
+
   test("strict kernel preserves HOF null semantics on ragged inputs") {
     import spark.implicits._
     val df = Seq(

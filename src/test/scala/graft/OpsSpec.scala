@@ -876,6 +876,36 @@ class OpsSpec extends GraftSuite {
       }
   }
 
+  test("native sessionize matches the window form when ts has NULLs") {
+    import spark.implicits._
+    // Window semantics: a null-ts row (sorted NULLS FIRST… here mid-
+    // stream via event order) joins the current session; the row AFTER
+    // it starts a new one (lag(us) IS NULL). The native operator must
+    // reproduce that, not overflow a sentinel subtraction.
+    def ns(s: String): Option[Long] =
+      Some(java.sql.Timestamp.valueOf(s).getTime * 1000000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sessnull").toString
+    Seq(
+      (1L, None: Option[Long], 1L, "click", 1.0, "{}"),
+      (2L, ns("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ns("2024-01-01 01:00:00"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val native = q("q_win_session_native", dir).collect().map(_.toString)
+    val window = q("q_win_sessionid", dir).collect().map(_.toString)
+    assert(native.toSeq === window.toSeq)
+  }
+
+  test("native as-of join rejects a non-BIGINT key with a clear driver-side error") {
+    import spark.implicits._
+    val l = Seq((1, 1L, new java.sql.Timestamp(0))).toDF("k", "tie", "t")
+    val r = Seq((1, 2L, new java.sql.Timestamp(0))).toDF("k2", "tie2", "t2")
+    val e = intercept[IllegalArgumentException] {
+      plans.AsofJoin(l, r, "k", "t", "tie", "k2", "t2", "tie2")
+    }
+    assert(e.getMessage.contains("must be BIGINT"))
+  }
+
   test("graph derived-table cache builds cleanly on a COLD session") {
     // Regression: derived() once nested computeIfAbsent calls on one
     // ConcurrentHashMap (tradeDeg -> tradeEdges -> base tables), which
