@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sessionization; plans/AsofJoin.scala — sort-merge as-of join).
     ext.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     def reg(name: String, cls: Class[_], f: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), f))

@@ -124,6 +124,25 @@ object Joins {
     // slice; the left side probes its own bucket and the next one
     // (a window can span a boundary), so every qualifying pair is seen
     // exactly once and key cardinality scales with the time span.
+    // The SAME banded range join computed by the native sliding-buffer
+    // merge operator (plans/RangeJoin.scala): no bucket explode (which
+    // doubles one side), no bucket false-positives to filter — both
+    // sides stream once per co-partition with O(band density) state.
+    // Same per-user pair-count rollup, same oracle as q_join_range;
+    // PlanShapeSpec pins row-for-row equality between the forms.
+    "q_join_range_native" -> ((s, d) => {
+      import s.implicits._
+      val e1 = t(s, d, "events").select($"user_id", $"ts", $"event_id")
+      val e2 = Tables.fresh(s, d, "events")
+        .select($"user_id".as("u2"), $"ts".as("ts2"), $"event_id".as("id2"))
+      graft.plans.RangeJoin(e1, e2,
+          "user_id", "ts", "event_id", "u2", "ts2", "id2",
+          5L * 60 * 1000000)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"user_id")
+    }),
+
     "q_join_range" -> ((s, d) => {
       import s.implicits._
       val ev = t(s, d, "events").select($"user_id", $"ts")
@@ -387,6 +406,16 @@ object Joins {
       ORDER BY nationkey""",
 
     "q_join_range" -> """
+      SELECT e1.user_id AS user_id, count(*) AS n_pairs
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id
+       AND e2.ts > e1.ts
+       AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+      GROUP BY e1.user_id
+      ORDER BY user_id""",
+
+    // identical semantics via the native operator — same oracle text
+    "q_join_range_native" -> """
       SELECT e1.user_id AS user_id, count(*) AS n_pairs
       FROM events e1 JOIN events e2
         ON e1.user_id = e2.user_id

@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeSet, BindReferences, Expression,
+  JoinedRow, SortOrder, UnixMicros, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Native banded range join — the third whole-operator extension
+  * (SURVEY §2.14): INNER-join each left row to every right row of the
+  * same key whose time falls in `(left-time, left-time + bandUs]` —
+  * the "events within the next N minutes" interval shape behind
+  * attribution, co-occurrence, and burst detection.
+  *
+  * The declarative emulation (q_join_range) explodes each row into
+  * time buckets and equi-joins on (key, bucket) with the band as a
+  * residual — correct, but it doubles one side and filters bucket
+  * false-positives. This operator declares the sort-merge shape
+  * (ClusteredDistribution per side, (key, time, tiebreak) ordering)
+  * and streams BOTH sides once with a sliding buffer holding only the
+  * rights inside the current band: per co-partition the state is
+  * O(band density), the theoretical minimum for this join — rights
+  * are copied into the buffer once and evicted as the left cursor
+  * passes them, never re-scanned.
+  *
+  * Keys/tiebreaks are LONG and times evaluate as `unix_micros`, as
+  * in [[AsofJoin]]; NULL keys or times never match (SQL semantics).
+  */
+case class RangeJoinLogical(
+    leftKey: Expression, leftTime: Expression, leftTie: Expression,
+    rightKey: Expression, rightTime: Expression, rightTie: Expression,
+    bandUs: Long,
+    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+  require(AttributeSet(left.output).intersect(AttributeSet(right.output)).isEmpty,
+    "range join: sides must be attribute-disjoint (use Tables.fresh for " +
+      "the right side of a self-join — the table cache shares plan instances)")
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinLogical =
+    copy(left = newLeft, right = newRight)
+}
+
+object RangeJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: RangeJoinLogical =>
+      RangeJoinExec(j.leftKey, j.leftTime, j.leftTie,
+        j.rightKey, j.rightTime, j.rightTie, j.bandUs,
+        planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class RangeJoinExec(
+    leftKey: Expression, leftTime: Expression, leftTie: Expression,
+    rightKey: Expression, rightTime: Expression, rightTie: Expression,
+    bandUs: Long,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending),
+      SortOrder(leftTie, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val band = bandUs
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKey = BindReferences.bindReference(leftKey, lOut)
+      val lTime = BindReferences.bindReference(leftTime, lOut)
+      val rKey = BindReferences.bindReference(rightKey, rOut)
+      val rTime = BindReferences.bindReference(rightTime, rOut)
+      val result = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val joined = new JoinedRow
+      // Pending right row, key/time evaluated once per advance.
+      var rHead: InternalRow = null
+      var rHeadKey: java.lang.Long = null
+      var rHeadTime: java.lang.Long = null
+      def advanceR(): Unit = {
+        rHead = if (rIter.hasNext) rIter.next() else null
+        if (rHead == null) { rHeadKey = null; rHeadTime = null }
+        else {
+          rHeadKey = rKey.eval(rHead).asInstanceOf[java.lang.Long]
+          rHeadTime = rTime.eval(rHead).asInstanceOf[java.lang.Long]
+        }
+      }
+      advanceR()
+      // The sliding band: rights of bufKey with time in
+      // (last left time, last left time + band], in time order.
+      var bufKey = 0L
+      val buf = new java.util.ArrayDeque[(Long, InternalRow)]()
+      lIter.flatMap { l =>
+        val lkv = lKey.eval(l)
+        val ltv = lTime.eval(l)
+        if (lkv == null || ltv == null) Iterator.empty
+        else {
+          val lk = lkv.asInstanceOf[Long]
+          val lt = ltv.asInstanceOf[Long]
+          if (lk != bufKey) { buf.clear(); bufKey = lk }
+          // Consume rights up to the band's far edge: too-early ones
+          // (rt <= lt) can never match this or any later left; ones
+          // inside (lt, lt + band] enter the buffer. NULL key/time
+          // rows are consumed unmatched (SQL semantics).
+          var continue = rHead != null
+          while (continue) {
+            if (rHeadKey == null || rHeadTime == null) advanceR()
+            else {
+              val rk = rHeadKey.longValue()
+              val rt = rHeadTime.longValue()
+              if (rk < lk || (rk == lk && rt <= lt)) advanceR()
+              else if (rk == lk && rt <= lt + band) {
+                buf.addLast((rt, rHead.copy())); advanceR()
+              } else continue = false
+            }
+            continue = continue && rHead != null
+          }
+          // Evict buffered rights the left cursor has passed.
+          while (!buf.isEmpty && buf.peekFirst()._1 <= lt) buf.pollFirst()
+          // Everything left in the buffer is a match: rt > lt by the
+          // eviction, rt <= lt + band because left times only grow.
+          val it = buf.iterator()
+          new Iterator[InternalRow] {
+            override def hasNext: Boolean = it.hasNext
+            override def next(): InternalRow = result(joined(l, it.next()._2))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object RangeJoin {
+  /** INNER banded range join: each `left` row against every `right`
+    * row with the same long `keyCol` and right time in
+    * `(left time, left time + bandUs]`. Sides must be
+    * attribute-disjoint — see [[graft.ops.Tables.fresh]]. */
+  def apply(left: DataFrame, right: DataFrame,
+            leftKey: String, leftTime: String, leftTie: String,
+            rightKey: String, rightTime: String, rightTie: String,
+            bandUs: Long): DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def a(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"range join: no column '$n' in ${p.output.map(_.name)}"))
+    def micros(at: Attribute): Expression =
+      if (at.dataType == LongType) at else UnixMicros(at)
+    Seq(a(lp, leftKey), a(rp, rightKey), a(lp, leftTie), a(rp, rightTie))
+      .foreach(at => require(at.dataType == LongType,
+        s"range join: column '${at.name}' must be BIGINT, found " +
+          at.dataType.sql))
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
+      RangeJoinLogical(
+        a(lp, leftKey), micros(a(lp, leftTime)), a(lp, leftTie),
+        a(rp, rightKey), micros(a(rp, rightTime)), a(rp, rightTie),
+        bandUs, lp, rp))
+  }
+}

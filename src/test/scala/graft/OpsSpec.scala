@@ -906,6 +906,15 @@ class OpsSpec extends GraftSuite {
     assert(e.getMessage.contains("must be BIGINT"))
   }
 
+  test("q_join_range_native pairs micro events inside the 5-minute band only") {
+    // user 7: 10:00:00→10:00:10 (10 s ✓) and 10:40:00→10:41:00 (60 s ✓)
+    // are in-band; the 40-min gap pair is not. user 99's lone event
+    // pairs with nothing.
+    val rows = q("q_join_range_native", microDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(7L -> 2L))
+  }
+
   test("graph derived-table cache builds cleanly on a COLD session") {
     // Regression: derived() once nested computeIfAbsent calls on one
     // ConcurrentHashMap (tradeDeg -> tradeEdges -> base tables), which

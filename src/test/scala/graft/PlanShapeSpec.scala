@@ -190,4 +190,18 @@ class PlanShapeSpec extends GraftSuite {
     val b = q("q_join_asof", sf0001).collect().map(_.toString)
     assert(a.nonEmpty && a.toSeq === b.toSeq)
   }
+
+  test("q_join_range_native lowers to RangeJoin: no bucket explode, sort-merge shape") {
+    val p = plan("q_join_range_native")
+    assert(p.contains("RangeJoin "),
+      s"the custom strategy must plan the native range join:\n$p")
+    assert(!p.contains("Generate"),
+      "the sliding-buffer merge replaces the bucket-explode emulation")
+  }
+
+  test("native range join equals the bucketed emulation row for row") {
+    val a = q("q_join_range_native", sf0001).collect().map(_.toString)
+    val b = q("q_join_range", sf0001).collect().map(_.toString)
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+  }
 }
