@@ -131,8 +131,9 @@ case class SessionizeExec(
 object Sessionize {
   /** Append a `session_id` column: per `keyCol`, ids increment when
     * consecutive `tsCol` values (ordered with `tieCol` as tiebreak)
-    * gap by more than `gapUs` microseconds. `tsCol` must be a
-    * timestamp column with no nulls. */
+    * gap by more than `gapUs` microseconds. `tsCol` is a timestamp
+    * column (evaluated as unix_micros) or already raw long micros;
+    * null times follow the window form's lag-IS-NULL semantics. */
   def apply(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
             gapUs: Long): DataFrame = {
     val plan = df.queryExecution.analyzed
@@ -142,8 +143,11 @@ object Sessionize {
     def a(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
         s"sessionize: no column '$n' in ${plan.output.map(_.name)}"))
+    val tsAttr = a(tsCol)
+    val time: Expression =
+      if (tsAttr.dataType == org.apache.spark.sql.types.LongType) tsAttr
+      else UnixMicros(tsAttr)
     org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession,
-      SessionizeLogical(a(keyCol), UnixMicros(a(tsCol)), a(tieCol), gapUs,
-        plan))
+      SessionizeLogical(a(keyCol), time, a(tieCol), gapUs, plan))
   }
 }

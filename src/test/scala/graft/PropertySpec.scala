@@ -107,4 +107,103 @@ class PropertySpec extends GraftSuite {
         once.orderBy($"id").collect().toSeq)
     }
   }
+
+  // ---- native-operator laws: each custom physical operator must equal
+  // its declarative/na(ï)ve reference on randomized inputs, including
+  // null times, duplicate timestamps, and key boundaries the fixture
+  // data never produces. Times are raw longs (the operators accept
+  // LongType directly), so the laws cover the µs arithmetic itself.
+
+  private case class Ev(id: Long, k: Long, t: Option[java.lang.Long])
+
+  private def evCases(seedBase: Long, n: Int, tMax: Long): Seq[Seq[Ev]] = {
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 3L)
+      t <- Gen.option(Gen.chooseNum(0L, tMax))
+    } yield (k, t)
+    (0 until 3).map { c =>
+      Gen.listOfN(n, rowGen)(Gen.Parameters.default, Seed(seedBase + c))
+        .getOrElse(Nil)
+        .zipWithIndex
+        .map { case ((k, t), i) =>
+          Ev(i.toLong, k, t.map(Long.box))
+        }
+    }
+  }
+
+  test("native sessionize law: equals the lag+running-sum window form on random data") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val gap = 100L
+    evCases(31337L, 120, 2000L).foreach { evs =>
+      val df = evs.map(e => (e.id, e.k, e.t.map(_.longValue()): Option[Long]))
+        .toDF("event_id", "user_id", "ts")
+      val native = plans.Sessionize(df, "user_id", "ts", "event_id", gap)
+        .select($"event_id", $"session_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val expected = df
+        .withColumn("nw", when(lag($"ts", 1).over(w).isNull ||
+          $"ts" - lag($"ts", 1).over(w) > gap, 1L).otherwise(0L))
+        .withColumn("sid", sum($"nw").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"event_id", $"sid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native === expected)
+    }
+  }
+
+  test("native as-of join law: equals the naive latest-prior lookup on random data") {
+    val s = spark
+    import s.implicits._
+    evCases(104729L, 60, 100L).zip(evCases(7919L, 60, 100L)).foreach {
+      case (ls, rs0) =>
+        val rs = rs0.map(e => e.copy(id = e.id + 1000))
+        val ldf = ls.map(e => (e.id, e.k, e.t.map(_.longValue()): Option[Long]))
+          .toDF("lid", "lk", "lt")
+        val rdf = rs.map(e => (e.id, e.k, e.t.map(_.longValue()): Option[Long]))
+          .toDF("rid", "rk", "rt")
+        val native = plans.AsofJoin(ldf, rdf, "lk", "lt", "lid", "rk", "rt", "rid")
+          .select($"lid", $"rid").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val expected = ls.map { l =>
+          l.id -> (l.t match {
+            case None => None
+            case Some(lt) =>
+              rs.filter(r => r.k == l.k && r.t.exists(_ <= lt.longValue()))
+                .sortBy(r => (r.t.get.longValue(), r.id))
+                .lastOption.map(_.id)
+          })
+        }.toMap
+        assert(native === expected)
+    }
+  }
+
+  test("native range join law: equals the naive banded pair set on random data") {
+    val s = spark
+    import s.implicits._
+    val band = 20L
+    evCases(424243L, 60, 100L).zip(evCases(611953L, 60, 100L)).foreach {
+      case (ls, rs0) =>
+        val rs = rs0.map(e => e.copy(id = e.id + 1000))
+        val ldf = ls.map(e => (e.id, e.k, e.t.map(_.longValue()): Option[Long]))
+          .toDF("lid", "lk", "lt")
+        val rdf = rs.map(e => (e.id, e.k, e.t.map(_.longValue()): Option[Long]))
+          .toDF("rid", "rk", "rt")
+        val native = plans.RangeJoin(ldf, rdf,
+            "lk", "lt", "lid", "rk", "rt", "rid", band)
+          .select($"lid", $"rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expected = (for {
+          l <- ls; lt <- l.t.toSeq
+          r <- rs if r.k == l.k &&
+            r.t.exists(rt => rt > lt.longValue() &&
+              rt <= lt.longValue() + band)
+        } yield (l.id, r.id)).toSet
+        assert(native === expected)
+    }
+  }
 }
