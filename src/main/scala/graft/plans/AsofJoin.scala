@@ -4,14 +4,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, AttributeSet, BindReferences, Expression,
-  GenericInternalRow, JoinedRow, SortOrder, UnixMicros, UnsafeProjection}
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.LongType
 
-/** Native LEFT OUTER as-of join — the second whole-operator extension
+/** Native LEFT OUTER as-of join — a whole-operator extension
   * (SURVEY §2.14): for each left row, attach the LATEST right row of
   * the same key with right-time ≤ left-time (NULL when none), the
   * point-in-time lookup behind backfills and feature attribution.
@@ -27,19 +26,17 @@ import org.apache.spark.sql.types.LongType
   * merge — the same cost model as a sort-merge join, minus any
   * buffering of equal-key runs.
   *
-  * Keys and tiebreaks are LONG and times are timestamps (evaluated as
-  * `unix_micros`) — the fixture surface; generalizing is an ordering
-  * parameter, not a new algorithm. Ties at equal right-time resolve to
-  * the largest tiebreak, matching the emulated form's
-  * (ts, tag, event_id) window order.
+  * Keys and tiebreaks are LONG and times are timestamps or raw long
+  * µs — the fixture surface; generalizing is an ordering parameter,
+  * not a new algorithm. Ties at equal right-time resolve to the
+  * largest tiebreak, matching the emulated form's (ts, tag, event_id)
+  * window order. Validation happens in [[AsofJoin.apply]], never in
+  * the node constructors (see [[PlanUtil]] on canonicalization).
   */
 case class AsofJoinLogical(
     leftKey: Expression, leftTime: Expression, leftTie: Expression,
     rightKey: Expression, rightTime: Expression, rightTie: Expression,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
-  require(AttributeSet(left.output).intersect(AttributeSet(right.output)).isEmpty,
-    "asof join: sides must be attribute-disjoint (use Tables.fresh for " +
-      "the right side of a self-join — the table cache shares plan instances)")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -82,32 +79,25 @@ case class AsofJoinExec(
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // Everything the closure needs is hoisted to locals: referencing
+    // fields inside zipPartitions would capture `this` and serialize
+    // the whole physical subtree into every task.
     val lOut = left.output
     val rOut = right.output
+    val lKeyExpr = leftKey
+    val lTimeExpr = leftTime
+    val rKeyExpr = rightKey
+    val rTimeExpr = rightTime
+    val outTypes = output.map(_.dataType).toArray
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKey = BindReferences.bindReference(leftKey, lOut)
-      val lTime = BindReferences.bindReference(leftTime, lOut)
-      val rKey = BindReferences.bindReference(rightKey, rOut)
-      val rTime = BindReferences.bindReference(rightTime, rOut)
-      val result = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val lKey = BindReferences.bindReference(lKeyExpr, lOut)
+      val lTime = BindReferences.bindReference(lTimeExpr, lOut)
+      val result = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
-      // The pending right row with its key/time evaluated ONCE when
-      // the pointer advances — not re-evaluated per left row (a user
-      // with thousands of lefts after their last right would repeat
-      // the UnixMicros eval per left).
-      var rHead: InternalRow = null
-      var rHeadKey: java.lang.Long = null
-      var rHeadTime: java.lang.Long = null
-      def advanceR(): Unit = {
-        rHead = if (rIter.hasNext) rIter.next() else null
-        if (rHead == null) { rHeadKey = null; rHeadTime = null }
-        else {
-          rHeadKey = rKey.eval(rHead).asInstanceOf[java.lang.Long]
-          rHeadTime = rTime.eval(rHead).asInstanceOf[java.lang.Long]
-        }
-      }
-      advanceR()
+      val r = new PlanUtil.EvalCursor(rIter,
+        BindReferences.bindReference(rKeyExpr, rOut),
+        BindReferences.bindReference(rTimeExpr, rOut))
       // O(1) state: the most recent right row consumed, with its key.
       var matchRow: InternalRow = null
       var matchKey = 0L
@@ -122,21 +112,20 @@ case class AsofJoinExec(
         else {
           val lk = lkv.asInstanceOf[Long]
           val lt = ltv.asInstanceOf[Long]
-          var continue = rHead != null
+          var continue = r.row != null
           while (continue) {
-            if (rHeadKey == null || rHeadTime == null) {
+            if (r.keyV == null || r.timeV == null) {
               // unmatched by construction — consume and move on
-              advanceR()
-              continue = rHead != null
+              r.advance()
             } else {
-              val rk = rHeadKey.longValue()
-              if (rk < lk || (rk == lk && rHeadTime.longValue() <= lt)) {
+              val rk = r.keyV.longValue()
+              if (rk < lk || (rk == lk && r.timeV.longValue() <= lt)) {
                 matchKey = rk
-                matchRow = rHead.copy()
-                advanceR()
-                continue = rHead != null
+                matchRow = r.row.copy()
+                r.advance()
               } else continue = false
             }
+            continue = continue && r.row != null
           }
           if (matchRow != null && matchKey == lk) result(joined(l, matchRow))
           else result(joined(l, nullRight))
@@ -152,8 +141,8 @@ case class AsofJoinExec(
 
 object AsofJoin {
   /** LEFT OUTER as-of join of `left` to the latest matching `right`
-    * row (same long `keyCol`s, right timestamp ≤ left timestamp; ties
-    * at equal time take the largest long `tieCol`). The sides must be
+    * row (same long `keyCol`s, right time ≤ left time; ties at equal
+    * time take the largest long `tieCol`). The sides must be
     * attribute-disjoint — for self-joins read the right side through
     * [[graft.ops.Tables.fresh]]. */
   def apply(left: DataFrame, right: DataFrame,
@@ -162,21 +151,16 @@ object AsofJoin {
       : DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
-    def a(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"asof join: no column '$n' in ${p.output.map(_.name)}"))
-    def micros(at: Attribute): Expression =
-      if (at.dataType == LongType) at else UnixMicros(at)
-    // the exec unboxes keys/tiebreaks as Long — enforce here with a
-    // clear message instead of a per-row ClassCastException in a task
+    PlanUtil.requireDisjoint(lp, rp, "asof join")
+    def a(p: LogicalPlan, n: String) = PlanUtil.resolve(p, n, "asof join")
     Seq(a(lp, leftKey), a(rp, rightKey), a(lp, leftTie), a(rp, rightTie))
-      .foreach(at => require(at.dataType == LongType,
-        s"asof join: column '${at.name}' must be BIGINT, found " +
-          at.dataType.sql))
+      .foreach(PlanUtil.requireLong(_, "asof join"))
     org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
       AsofJoinLogical(
-        a(lp, leftKey), micros(a(lp, leftTime)), a(lp, leftTie),
-        a(rp, rightKey), micros(a(rp, rightTime)), a(rp, rightTie),
+        a(lp, leftKey), PlanUtil.asMicros(a(lp, leftTime), "asof join"),
+        a(lp, leftTie),
+        a(rp, rightKey), PlanUtil.asMicros(a(rp, rightTime), "asof join"),
+        a(rp, rightTie),
         lp, rp))
   }
 }

@@ -4,12 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, AttributeSet, BindReferences, Expression,
-  JoinedRow, SortOrder, UnixMicros, UnsafeProjection}
+  Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder,
+  UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.LongType
 
 /** Native banded range join — the third whole-operator extension
   * (SURVEY §2.14): INNER-join each left row to every right row of the
@@ -28,17 +27,16 @@ import org.apache.spark.sql.types.LongType
   * are copied into the buffer once and evicted as the left cursor
   * passes them, never re-scanned.
   *
-  * Keys/tiebreaks are LONG and times evaluate as `unix_micros`, as
-  * in [[AsofJoin]]; NULL keys or times never match (SQL semantics).
+  * Keys/tiebreaks are LONG and times are timestamps or raw long µs,
+  * as in [[AsofJoin]]; NULL keys or times never match (SQL
+  * semantics). Validation happens in [[RangeJoin.apply]], never in
+  * the node constructors (see [[PlanUtil]] on canonicalization).
   */
 case class RangeJoinLogical(
     leftKey: Expression, leftTime: Expression, leftTie: Expression,
     rightKey: Expression, rightTime: Expression, rightTie: Expression,
     bandUs: Long,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
-  require(AttributeSet(left.output).intersect(AttributeSet(right.output)).isEmpty,
-    "range join: sides must be attribute-disjoint (use Tables.fresh for " +
-      "the right side of a self-join — the table cache shares plan instances)")
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinLogical =
@@ -73,32 +71,30 @@ case class RangeJoinExec(
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
       SortOrder(rightTie, Ascending)))
 
+  // Pairs stream out grouped per left row in left order, so the left
+  // child's partitioning and (key, time, tie) ordering survive.
   override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // Hoisted to locals: referencing fields inside zipPartitions would
+    // capture `this` and serialize the whole subtree into every task.
     val lOut = left.output
     val rOut = right.output
+    val lKeyExpr = leftKey
+    val lTimeExpr = leftTime
+    val rKeyExpr = rightKey
+    val rTimeExpr = rightTime
     val band = bandUs
+    val outTypes = output.map(_.dataType).toArray
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKey = BindReferences.bindReference(leftKey, lOut)
-      val lTime = BindReferences.bindReference(leftTime, lOut)
-      val rKey = BindReferences.bindReference(rightKey, rOut)
-      val rTime = BindReferences.bindReference(rightTime, rOut)
-      val result = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val lKey = BindReferences.bindReference(lKeyExpr, lOut)
+      val lTime = BindReferences.bindReference(lTimeExpr, lOut)
+      val result = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow
-      // Pending right row, key/time evaluated once per advance.
-      var rHead: InternalRow = null
-      var rHeadKey: java.lang.Long = null
-      var rHeadTime: java.lang.Long = null
-      def advanceR(): Unit = {
-        rHead = if (rIter.hasNext) rIter.next() else null
-        if (rHead == null) { rHeadKey = null; rHeadTime = null }
-        else {
-          rHeadKey = rKey.eval(rHead).asInstanceOf[java.lang.Long]
-          rHeadTime = rTime.eval(rHead).asInstanceOf[java.lang.Long]
-        }
-      }
-      advanceR()
+      val r = new PlanUtil.EvalCursor(rIter,
+        BindReferences.bindReference(rKeyExpr, rOut),
+        BindReferences.bindReference(rTimeExpr, rOut))
       // The sliding band: rights of bufKey with time in
       // (last left time, last left time + band], in time order.
       var bufKey = 0L
@@ -115,18 +111,18 @@ case class RangeJoinExec(
           // (rt <= lt) can never match this or any later left; ones
           // inside (lt, lt + band] enter the buffer. NULL key/time
           // rows are consumed unmatched (SQL semantics).
-          var continue = rHead != null
+          var continue = r.row != null
           while (continue) {
-            if (rHeadKey == null || rHeadTime == null) advanceR()
+            if (r.keyV == null || r.timeV == null) r.advance()
             else {
-              val rk = rHeadKey.longValue()
-              val rt = rHeadTime.longValue()
-              if (rk < lk || (rk == lk && rt <= lt)) advanceR()
+              val rk = r.keyV.longValue()
+              val rt = r.timeV.longValue()
+              if (rk < lk || (rk == lk && rt <= lt)) r.advance()
               else if (rk == lk && rt <= lt + band) {
-                buf.addLast((rt, rHead.copy())); advanceR()
+                buf.addLast((rt, r.row.copy())); r.advance()
               } else continue = false
             }
-            continue = continue && rHead != null
+            continue = continue && r.row != null
           }
           // Evict buffered rights the left cursor has passed.
           while (!buf.isEmpty && buf.peekFirst()._1 <= lt) buf.pollFirst()
@@ -156,21 +152,21 @@ object RangeJoin {
             leftKey: String, leftTime: String, leftTie: String,
             rightKey: String, rightTime: String, rightTie: String,
             bandUs: Long): DataFrame = {
+    require(bandUs > 0 && bandUs < Long.MaxValue / 2,
+      s"range join: bandUs must be a positive, non-overflowing band " +
+        s"width, got $bandUs")
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
-    def a(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"range join: no column '$n' in ${p.output.map(_.name)}"))
-    def micros(at: Attribute): Expression =
-      if (at.dataType == LongType) at else UnixMicros(at)
+    PlanUtil.requireDisjoint(lp, rp, "range join")
+    def a(p: LogicalPlan, n: String) = PlanUtil.resolve(p, n, "range join")
     Seq(a(lp, leftKey), a(rp, rightKey), a(lp, leftTie), a(rp, rightTie))
-      .foreach(at => require(at.dataType == LongType,
-        s"range join: column '${at.name}' must be BIGINT, found " +
-          at.dataType.sql))
+      .foreach(PlanUtil.requireLong(_, "range join"))
     org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
       RangeJoinLogical(
-        a(lp, leftKey), micros(a(lp, leftTime)), a(lp, leftTie),
-        a(rp, rightKey), micros(a(rp, rightTime)), a(rp, rightTie),
+        a(lp, leftKey), PlanUtil.asMicros(a(lp, leftTime), "range join"),
+        a(lp, leftTie),
+        a(rp, rightKey), PlanUtil.asMicros(a(rp, rightTime), "range join"),
+        a(rp, rightTie),
         bandUs, lp, rp))
   }
 }

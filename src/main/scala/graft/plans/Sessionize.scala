@@ -87,13 +87,18 @@ case class SessionizeExec(
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // Hoisted to locals: referencing fields inside mapPartitions would
+    // capture `this` and serialize the whole subtree into every task.
     val childOutput = child.output
     val gap = gapUs
+    val keyExpr = key
+    val tExpr = time
+    val outTypes = output.map(_.dataType).toArray
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(
-        Seq(BindReferences.bindReference(key, childOutput)))
-      val timeExpr = BindReferences.bindReference(time, childOutput)
-      val result = UnsafeProjection.create(output.map(_.dataType).toArray)
+        Seq(BindReferences.bindReference(keyExpr, childOutput)))
+      val timeExpr = BindReferences.bindReference(tExpr, childOutput)
+      val result = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow
       val sessRow = new GenericInternalRow(1)
       var curKey: UnsafeRow = null

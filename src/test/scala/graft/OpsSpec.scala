@@ -915,6 +915,22 @@ class OpsSpec extends GraftSuite {
     assert(rows === Map(7L -> 2L))
   }
 
+  test("native binary joins survive plan canonicalization with a cached DataFrame") {
+    import spark.implicits._
+    // Regression: a constructor-body disjointness require re-fired
+    // during canonicalization (exprIds renumbered from 0 on BOTH
+    // children -> spurious overlap), so the mere presence of ANY
+    // cached DataFrame — CacheManager canonicalizes every fragment on
+    // lookup — crashed every native-join query. Checks live in apply()
+    // now; this pins it.
+    val unrelated = Seq((1L, 2L)).toDF("a", "b").cache()
+    try {
+      unrelated.count()
+      assert(q("q_join_asof_native", microDir).collect().nonEmpty)
+      assert(q("q_join_range_native", microDir).collect().nonEmpty)
+    } finally unrelated.unpersist()
+  }
+
   test("graph derived-table cache builds cleanly on a COLD session") {
     // Regression: derived() once nested computeIfAbsent calls on one
     // ConcurrentHashMap (tradeDeg -> tradeEdges -> base tables), which
