@@ -26,12 +26,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * merge — the same cost model as a sort-merge join, minus any
   * buffering of equal-key runs.
   *
-  * Keys and tiebreaks are LONG and times are timestamps or raw long
-  * µs — the fixture surface; generalizing is an ordering parameter,
-  * not a new algorithm. Ties at equal right-time resolve to the
-  * largest tiebreak, matching the emulated form's (ts, tag, event_id)
-  * window order. Validation happens in [[AsofJoin.apply]], never in
-  * the node constructors (see [[PlanUtil]] on canonicalization).
+  * Keys may be any orderable type with identical left/right types
+  * (integral keys compare primitively, others through the type's
+  * interpreted ordering); times are timestamps or raw long µs;
+  * tiebreaks any orderable type. Ties at equal right-time resolve to
+  * the largest tiebreak, matching the emulated form's
+  * (ts, tag, event_id) window order. Validation happens in
+  * [[AsofJoin.apply]], never in the node constructors (see
+  * [[PlanUtil]] on canonicalization).
   */
 case class AsofJoinLogical(
     leftKey: Expression, leftTime: Expression, leftTie: Expression,
@@ -88,46 +90,64 @@ case class AsofJoinExec(
     val lTimeExpr = leftTime
     val rKeyExpr = rightKey
     val rTimeExpr = rightTime
+    val keyType = leftKey.dataType
     val outTypes = output.map(_.dataType).toArray
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKey = BindReferences.bindReference(lKeyExpr, lOut)
-      val lTime = BindReferences.bindReference(lTimeExpr, lOut)
+      val keys = PlanUtil.mergeKeys(keyType,
+        BindReferences.bindReference(lKeyExpr, lOut),
+        BindReferences.bindReference(rKeyExpr, rOut))
+      val lTime = PlanUtil.longReader(
+        BindReferences.bindReference(lTimeExpr, lOut))
+      val rTime = PlanUtil.longReader(
+        BindReferences.bindReference(rTimeExpr, rOut))
       val result = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
-      val r = new PlanUtil.EvalCursor(rIter,
-        BindReferences.bindReference(rKeyExpr, rOut),
-        BindReferences.bindReference(rTimeExpr, rOut))
-      // O(1) state: the most recent right row consumed, with its key.
+      // Right-side cursor: current row plus its key/time, evaluated
+      // once per advance through the primitive readers.
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var rKeyNull = rRow == null || keys.setRight(rRow)
+      var rTimeNull = rRow == null || rTime.read(rRow)
+      def advance(): Unit = {
+        rRow = if (rIter.hasNext) rIter.next() else null
+        if (rRow != null) {
+          rKeyNull = keys.setRight(rRow)
+          rTimeNull = rTime.read(rRow)
+        }
+      }
+      // O(1) state: the most recent candidate right row, memcpy'd into
+      // one reused buffer (rows with key < left key can never match a
+      // current or later left row and are skipped without any copy —
+      // the per-advance allocation was the measured cost that made
+      // this operator slower than its window emulation).
+      val matchBuf = new PlanUtil.RowBuffer
       var matchRow: InternalRow = null
-      var matchKey = 0L
       // SQL as-of semantics: NULL keys and NULL times never match.
       // NULLS FIRST ordering puts null-key/null-time rows at the head
       // of each partition; they are consumed (right) or null-joined
       // (left) without ever being remembered as a match.
       lIter.map { l =>
-        val lkv = lKey.eval(l)
-        val ltv = lTime.eval(l)
-        if (lkv == null || ltv == null) result(joined(l, nullRight))
+        if (keys.setLeft(l) || lTime.read(l)) result(joined(l, nullRight))
         else {
-          val lk = lkv.asInstanceOf[Long]
-          val lt = ltv.asInstanceOf[Long]
-          var continue = r.row != null
+          val lt = lTime.value
+          var continue = rRow != null
           while (continue) {
-            if (r.keyV == null || r.timeV == null) {
+            if (rKeyNull || rTimeNull) {
               // unmatched by construction — consume and move on
-              r.advance()
+              advance()
             } else {
-              val rk = r.keyV.longValue()
-              if (rk < lk || (rk == lk && r.timeV.longValue() <= lt)) {
-                matchKey = rk
-                matchRow = r.row.copy()
-                r.advance()
+              val c = keys.cmpRightLeft()
+              if (c < 0) advance() // dead key: never a match, no copy
+              else if (c == 0 && rTime.value <= lt) {
+                keys.saveRight()
+                matchRow = matchBuf.set(rRow)
+                advance()
               } else continue = false
             }
-            continue = continue && r.row != null
+            continue = continue && rRow != null
           }
-          if (matchRow != null && matchKey == lk) result(joined(l, matchRow))
+          if (matchRow != null && keys.savedEqualsLeft())
+            result(joined(l, matchRow))
           else result(joined(l, nullRight))
         }
       }
@@ -141,9 +161,10 @@ case class AsofJoinExec(
 
 object AsofJoin {
   /** LEFT OUTER as-of join of `left` to the latest matching `right`
-    * row (same long `keyCol`s, right time ≤ left time; ties at equal
-    * time take the largest long `tieCol`). The sides must be
-    * attribute-disjoint — for self-joins read the right side through
+    * row (equal `keyCol`s — any orderable type, identical on both
+    * sides; right time ≤ left time; ties at equal time take the
+    * largest `tieCol`). The sides must be attribute-disjoint — for
+    * self-joins read the right side through
     * [[graft.ops.Tables.fresh]]. */
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, leftTime: String, leftTie: String,
@@ -153,8 +174,12 @@ object AsofJoin {
     val rp = right.queryExecution.analyzed
     PlanUtil.requireDisjoint(lp, rp, "asof join")
     def a(p: LogicalPlan, n: String) = PlanUtil.resolve(p, n, "asof join")
-    Seq(a(lp, leftKey), a(rp, rightKey), a(lp, leftTie), a(rp, rightTie))
-      .foreach(PlanUtil.requireLong(_, "asof join"))
+    val (lk, rk) = (a(lp, leftKey), a(rp, rightKey))
+    Seq(lk, rk, a(lp, leftTie), a(rp, rightTie))
+      .foreach(PlanUtil.requireOrderable(_, "asof join"))
+    require(lk.dataType == rk.dataType,
+      s"asof join: key types must match, found ${lk.dataType.sql} vs " +
+        s"${rk.dataType.sql} — cast one side first")
     org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
       AsofJoinLogical(
         a(lp, leftKey), PlanUtil.asMicros(a(lp, leftTime), "asof join"),

@@ -27,10 +27,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * are copied into the buffer once and evicted as the left cursor
   * passes them, never re-scanned.
   *
-  * Keys/tiebreaks are LONG and times are timestamps or raw long µs,
-  * as in [[AsofJoin]]; NULL keys or times never match (SQL
-  * semantics). Validation happens in [[RangeJoin.apply]], never in
-  * the node constructors (see [[PlanUtil]] on canonicalization).
+  * Keys/tiebreaks may be any orderable type (key types identical on
+  * both sides; integral keys compare primitively) and times are
+  * timestamps or raw long µs, as in [[AsofJoin]]; NULL keys or times
+  * never match (SQL semantics). Validation happens in
+  * [[RangeJoin.apply]], never in the node constructors (see
+  * [[PlanUtil]] on canonicalization).
   */
 case class RangeJoinLogical(
     leftKey: Expression, leftTime: Expression, leftTie: Expression,
@@ -85,44 +87,58 @@ case class RangeJoinExec(
     val lTimeExpr = leftTime
     val rKeyExpr = rightKey
     val rTimeExpr = rightTime
+    val keyType = leftKey.dataType
     val band = bandUs
     val outTypes = output.map(_.dataType).toArray
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKey = BindReferences.bindReference(lKeyExpr, lOut)
-      val lTime = BindReferences.bindReference(lTimeExpr, lOut)
+      val keys = PlanUtil.mergeKeys(keyType,
+        BindReferences.bindReference(lKeyExpr, lOut),
+        BindReferences.bindReference(rKeyExpr, rOut))
+      val lTime = PlanUtil.longReader(
+        BindReferences.bindReference(lTimeExpr, lOut))
+      val rTime = PlanUtil.longReader(
+        BindReferences.bindReference(rTimeExpr, rOut))
       val result = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow
-      val r = new PlanUtil.EvalCursor(rIter,
-        BindReferences.bindReference(rKeyExpr, rOut),
-        BindReferences.bindReference(rTimeExpr, rOut))
-      // The sliding band: rights of bufKey with time in
+      // Right-side cursor: current row plus its key/time, evaluated
+      // once per advance through the primitive readers.
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var rKeyNull = rRow == null || keys.setRight(rRow)
+      var rTimeNull = rRow == null || rTime.read(rRow)
+      def advance(): Unit = {
+        rRow = if (rIter.hasNext) rIter.next() else null
+        if (rRow != null) {
+          rKeyNull = keys.setRight(rRow)
+          rTimeNull = rTime.read(rRow)
+        }
+      }
+      // The sliding band: rights of the saved key with time in
       // (last left time, last left time + band], in time order.
-      var bufKey = 0L
       val buf = new java.util.ArrayDeque[(Long, InternalRow)]()
       lIter.flatMap { l =>
-        val lkv = lKey.eval(l)
-        val ltv = lTime.eval(l)
-        if (lkv == null || ltv == null) Iterator.empty
+        if (keys.setLeft(l) || lTime.read(l)) Iterator.empty
         else {
-          val lk = lkv.asInstanceOf[Long]
-          val lt = ltv.asInstanceOf[Long]
-          if (lk != bufKey) { buf.clear(); bufKey = lk }
+          val lt = lTime.value
+          if (!keys.savedEqualsLeft()) { buf.clear(); keys.saveLeft() }
           // Consume rights up to the band's far edge: too-early ones
           // (rt <= lt) can never match this or any later left; ones
           // inside (lt, lt + band] enter the buffer. NULL key/time
-          // rows are consumed unmatched (SQL semantics).
-          var continue = r.row != null
+          // rows are consumed unmatched (SQL semantics). The band test
+          // is `rt - lt <= band`, not `rt <= lt + band`: the earlier
+          // branch guarantees rt > lt, so the difference can't
+          // overflow, while `lt + band` could for extreme raw-long
+          // left times.
+          var continue = rRow != null
           while (continue) {
-            if (r.keyV == null || r.timeV == null) r.advance()
+            if (rKeyNull || rTimeNull) advance()
             else {
-              val rk = r.keyV.longValue()
-              val rt = r.timeV.longValue()
-              if (rk < lk || (rk == lk && rt <= lt)) r.advance()
-              else if (rk == lk && rt <= lt + band) {
-                buf.addLast((rt, r.row.copy())); r.advance()
+              val c = keys.cmpRightLeft()
+              if (c < 0 || (c == 0 && rTime.value <= lt)) advance()
+              else if (c == 0 && rTime.value - lt <= band) {
+                buf.addLast((rTime.value, rRow.copy())); advance()
               } else continue = false
             }
-            continue = continue && r.row != null
+            continue = continue && rRow != null
           }
           // Evict buffered rights the left cursor has passed.
           while (!buf.isEmpty && buf.peekFirst()._1 <= lt) buf.pollFirst()
@@ -145,9 +161,10 @@ case class RangeJoinExec(
 
 object RangeJoin {
   /** INNER banded range join: each `left` row against every `right`
-    * row with the same long `keyCol` and right time in
-    * `(left time, left time + bandUs]`. Sides must be
-    * attribute-disjoint — see [[graft.ops.Tables.fresh]]. */
+    * row with the same `keyCol` (any orderable type, identical on
+    * both sides) and right time in `(left time, left time + bandUs]`.
+    * Sides must be attribute-disjoint — see
+    * [[graft.ops.Tables.fresh]]. */
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, leftTime: String, leftTie: String,
             rightKey: String, rightTime: String, rightTie: String,
@@ -159,8 +176,12 @@ object RangeJoin {
     val rp = right.queryExecution.analyzed
     PlanUtil.requireDisjoint(lp, rp, "range join")
     def a(p: LogicalPlan, n: String) = PlanUtil.resolve(p, n, "range join")
-    Seq(a(lp, leftKey), a(rp, rightKey), a(lp, leftTie), a(rp, rightTie))
-      .foreach(PlanUtil.requireLong(_, "range join"))
+    val (lk, rk) = (a(lp, leftKey), a(rp, rightKey))
+    Seq(lk, rk, a(lp, leftTie), a(rp, rightTie))
+      .foreach(PlanUtil.requireOrderable(_, "range join"))
+    require(lk.dataType == rk.dataType,
+      s"range join: key types must match, found ${lk.dataType.sql} vs " +
+        s"${rk.dataType.sql} — cast one side first")
     org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
       RangeJoinLogical(
         a(lp, leftKey), PlanUtil.asMicros(a(lp, leftTime), "range join"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, AttributeReference, AttributeSet, BindReferences,
-  Expression, GenericInternalRow, JoinedRow, SortOrder, UnixMicros,
+  Expression, GenericInternalRow, JoinedRow, SortOrder,
   UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -97,7 +97,8 @@ case class SessionizeExec(
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(
         Seq(BindReferences.bindReference(keyExpr, childOutput)))
-      val timeExpr = BindReferences.bindReference(tExpr, childOutput)
+      val timeRead = PlanUtil.longReader(
+        BindReferences.bindReference(tExpr, childOutput))
       val result = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow
       val sessRow = new GenericInternalRow(1)
@@ -109,7 +110,7 @@ case class SessionizeExec(
         // keyProj reuses its buffer — copy only on key change (one
         // small allocation per KEY, not per row).
         val k = keyProj(row)
-        val tv = timeExpr.eval(row)
+        val tNull = timeRead.read(row)
         if (curKey == null || k != curKey) {
           curKey = k.copy(); sid = 1L
         } else if (lastNull) {
@@ -118,11 +119,11 @@ case class SessionizeExec(
           // itself never extends a comparison — and never via raw
           // subtraction, which would overflow a MinValue anchor).
           sid += 1L
-        } else if (tv != null && tv.asInstanceOf[Long] - lastTs > gap) {
+        } else if (!tNull && timeRead.value - lastTs > gap) {
           sid += 1L
         }
-        lastNull = tv == null
-        if (tv != null) lastTs = tv.asInstanceOf[Long]
+        lastNull = tNull
+        if (!tNull) lastTs = timeRead.value
         sessRow.setLong(0, sid)
         result(joined(row, sessRow))
       }
@@ -145,13 +146,11 @@ object Sessionize {
     require(!plan.output.exists(_.name == "session_id"),
       "sessionize: input already has a session_id column — rename it " +
         "first, or the output would carry an ambiguous duplicate")
-    def a(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"sessionize: no column '$n' in ${plan.output.map(_.name)}"))
-    val tsAttr = a(tsCol)
-    val time: Expression =
-      if (tsAttr.dataType == org.apache.spark.sql.types.LongType) tsAttr
-      else UnixMicros(tsAttr)
+    def a(n: String): Attribute = PlanUtil.resolve(plan, n, "sessionize")
+    // asMicros validates the time column driver-side (BIGINT µs or any
+    // timestamp flavor incl. NTZ) with the same clear message as the
+    // join operators, instead of a raw analysis error in a task.
+    val time: Expression = PlanUtil.asMicros(a(tsCol), "sessionize")
     org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession,
       SessionizeLogical(a(keyCol), time, a(tieCol), gapUs, plan))
   }

@@ -896,14 +896,24 @@ class OpsSpec extends GraftSuite {
     assert(native.toSeq === window.toSeq)
   }
 
-  test("native as-of join rejects a non-BIGINT key with a clear driver-side error") {
+  test("native as-of join accepts INT keys, rejects unorderable keys driver-side") {
     import spark.implicits._
+    // INT keys ride the integral fast path (generalized from the old
+    // LONG-only contract): same-key equal-time rows match.
     val l = Seq((1, 1L, new java.sql.Timestamp(0))).toDF("k", "tie", "t")
     val r = Seq((1, 2L, new java.sql.Timestamp(0))).toDF("k2", "tie2", "t2")
+    val m = plans.AsofJoin(l, r, "k", "t", "tie", "k2", "t2", "tie2").collect()
+    assert(m.length === 1 && !m.head.isNullAt(3))
+    // a MAP key has no total order — clear driver-side error, not a
+    // task failure
+    val lm = Seq((Map("a" -> 1), 1L, new java.sql.Timestamp(0)))
+      .toDF("k", "tie", "t")
+    val rm = Seq((Map("a" -> 1), 2L, new java.sql.Timestamp(0)))
+      .toDF("k2", "tie2", "t2")
     val e = intercept[IllegalArgumentException] {
-      plans.AsofJoin(l, r, "k", "t", "tie", "k2", "t2", "tie2")
+      plans.AsofJoin(lm, rm, "k", "t", "tie", "k2", "t2", "tie2")
     }
-    assert(e.getMessage.contains("must be BIGINT"))
+    assert(e.getMessage.contains("no total order"))
   }
 
   test("q_join_range_native pairs micro events inside the 5-minute band only") {

@@ -206,4 +206,95 @@ class PropertySpec extends GraftSuite {
         assert(native === expected)
     }
   }
+
+  // ---- generalized keys: the merge operators accept any orderable
+  // key type (integral keys compare primitively, everything else via
+  // the type's interpreted ordering, which matches the SortOrder the
+  // exec declares). Same laws as above, STRING keys — covering the
+  // generic comparator path, including the saved-key deep copy (a
+  // UTF8String eval'd off a reused sort buffer must own its bytes).
+
+  test("native as-of join accepts STRING keys: equals the naive lookup") {
+    val s = spark
+    import s.implicits._
+    evCases(104729L, 60, 100L).zip(evCases(7919L, 60, 100L)).foreach {
+      case (ls, rs0) =>
+        val rs = rs0.map(e => e.copy(id = e.id + 1000))
+        val ldf = ls.map(e => (e.id, s"key-${e.k}", e.t.map(_.longValue()): Option[Long]))
+          .toDF("lid", "lk", "lt")
+        val rdf = rs.map(e => (e.id, s"key-${e.k}", e.t.map(_.longValue()): Option[Long]))
+          .toDF("rid", "rk", "rt")
+        val native = plans.AsofJoin(ldf, rdf, "lk", "lt", "lid", "rk", "rt", "rid")
+          .select($"lid", $"rid").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val expected = ls.map { l =>
+          l.id -> (l.t match {
+            case None => None
+            case Some(lt) =>
+              rs.filter(r => r.k == l.k && r.t.exists(_ <= lt.longValue()))
+                .sortBy(r => (r.t.get.longValue(), r.id))
+                .lastOption.map(_.id)
+          })
+        }.toMap
+        assert(native === expected)
+    }
+  }
+
+  test("native range join accepts STRING keys: equals the naive pair set") {
+    val s = spark
+    import s.implicits._
+    val band = 20L
+    evCases(424243L, 60, 100L).zip(evCases(611953L, 60, 100L)).foreach {
+      case (ls, rs0) =>
+        val rs = rs0.map(e => e.copy(id = e.id + 1000))
+        val ldf = ls.map(e => (e.id, s"key-${e.k}", e.t.map(_.longValue()): Option[Long]))
+          .toDF("lid", "lk", "lt")
+        val rdf = rs.map(e => (e.id, s"key-${e.k}", e.t.map(_.longValue()): Option[Long]))
+          .toDF("rid", "rk", "rt")
+        val native = plans.RangeJoin(ldf, rdf,
+            "lk", "lt", "lid", "rk", "rt", "rid", band)
+          .select($"lid", $"rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expected = (for {
+          l <- ls; lt <- l.t.toSeq
+          r <- rs if r.k == l.k &&
+            r.t.exists(rt => rt > lt.longValue() &&
+              rt <= lt.longValue() + band)
+        } yield (l.id, r.id)).toSet
+        assert(native === expected)
+    }
+  }
+
+  test("native sessionize accepts STRING keys and mismatched key types fail fast") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val gap = 100L
+    evCases(31337L, 120, 2000L).take(1).foreach { evs =>
+      val df = evs.map(e => (e.id, s"key-${e.k}", e.t.map(_.longValue()): Option[Long]))
+        .toDF("id", "k", "t")
+      val native = plans.Sessionize(df, "k", "t", "id", gap)
+        .select($"id", $"session_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w = Window.partitionBy($"k").orderBy($"t", $"id")
+      val emulated = df
+        .withColumn("nw", when(lag($"t", 1).over(w).isNull ||
+          $"t" - lag($"t", 1).over(w) > gap, 1L).otherwise(0L))
+        .withColumn("sid", sum($"nw").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"id", $"sid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native === emulated)
+    }
+    // mismatched left/right key types are a driver-side error with a
+    // clear message, not a task failure
+    val l = Seq((1L, "a", 1L)).toDF("lid", "lk", "lt")
+    val r = Seq((2L, 7L, 1L)).toDF("rid", "rk", "rt")
+    val err = intercept[IllegalArgumentException] {
+      plans.AsofJoin(l, r, "lk", "lt", "lid", "rk", "rt", "rid")
+    }
+    assert(err.getMessage.contains("key types must match"))
+  }
 }
