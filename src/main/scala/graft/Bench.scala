@@ -92,7 +92,8 @@ object Bench {
     } catch { case _: Throwable => () }
 
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -100,7 +101,19 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           errors ::= name; false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Between queries (untimed — harness hygiene, not query work):
+      // drop the derived-plan memos and their checkpoint blocks, so a
+      // 167-query JVM doesn't carry every graph/text query's persisted
+      // blocks as GC ballast into every later query's measurement.
+      // Exception: the alphabetically-consecutive q_graph_* run shares
+      // one checkpointed trade graph (Tables.derived) — resetting
+      // mid-family would force each member to rebuild it; the family's
+      // few |E|-sized block sets drop at its end instead.
+      val next = if (i + 1 < ordered.size) ordered(i + 1)._1 else ""
+      if (!(name.startsWith("q_graph_") && next.startsWith("q_graph_")))
+        ops.Tables.resetDerived(spark)
+      name -> (if (ok) elapsed else -1.0)
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -62,12 +62,17 @@ object PipeOps {
         .groupBy($"source").agg(sum($"nt").as("tokens"))
       val tot = per.agg(sum($"tokens").as("total"),
         sum(sqrt($"tokens")).as("sumrt"))
+      // planned_tokens derives from the ROUNDED weight (a multiple of
+      // 1e-4), not the raw sqrt ratio: the raw ratio floored at an
+      // integer boundary could flip on a last-ulp Spark-vs-DuckDB
+      // difference in the summation-order-dependent sumrt, whereas
+      // weight*1e6 sits ~1e2 away from the nearest .5 tie.
       per.crossJoin(broadcast(tot))
         .select($"source", $"tokens",
           (floor($"tokens" * 1.0 / $"total" * 1e4 + 0.5) / 1e4).as("share"),
-          (floor(sqrt($"tokens") / $"sumrt" * 1e4 + 0.5) / 1e4).as("weight"),
-          floor(lit(1e6) * sqrt($"tokens") / $"sumrt").cast("long")
-            .as("planned_tokens"))
+          (floor(sqrt($"tokens") / $"sumrt" * 1e4 + 0.5) / 1e4).as("weight"))
+        .withColumn("planned_tokens",
+          floor($"weight" * 1e6 + 0.5).cast("long"))
         .withColumn("epochs",
           floor($"planned_tokens" * 1.0 / $"tokens" * 1e4 + 0.5) / 1e4)
         .orderBy($"source")
@@ -646,15 +651,17 @@ object PipeOps {
       tot AS (
         SELECT CAST(SUM(tokens) AS BIGINT) AS total,
                SUM(sqrt(tokens)) AS sumrt
-        FROM per)
-      SELECT source, tokens,
-             FLOOR(tokens * 1.0 / total * 1e4 + 0.5) / 1e4 AS share,
-             FLOOR(sqrt(tokens) / sumrt * 1e4 + 0.5) / 1e4 AS weight,
-             CAST(FLOOR(1e6 * sqrt(tokens) / sumrt) AS BIGINT)
-               AS planned_tokens,
-             FLOOR(CAST(FLOOR(1e6 * sqrt(tokens) / sumrt) AS BIGINT)
+        FROM per),
+      w AS (
+        SELECT source, tokens,
+               FLOOR(tokens * 1.0 / total * 1e4 + 0.5) / 1e4 AS share,
+               FLOOR(sqrt(tokens) / sumrt * 1e4 + 0.5) / 1e4 AS weight
+        FROM per CROSS JOIN tot)
+      SELECT source, tokens, share, weight,
+             CAST(FLOOR(weight * 1e6 + 0.5) AS BIGINT) AS planned_tokens,
+             FLOOR(CAST(FLOOR(weight * 1e6 + 0.5) AS BIGINT)
                * 1.0 / tokens * 1e4 + 0.5) / 1e4 AS epochs
-      FROM per CROSS JOIN tot
+      FROM w
       ORDER BY source""",
 
     "q_sample_hash" -> """

@@ -75,6 +75,22 @@ object Tables {
     }
   }
 
+  /** Multi-query-harness hygiene (Bench, Verify): forget this
+    * session's derived-plan memos and drop every persisted block.
+    * The derived plans are localCheckpointed — once their blocks are
+    * unpersisted the truncated lineage cannot recompute them, so the
+    * memo entries MUST go with the blocks. Queries themselves never
+    * call this (the `(SparkSession, String) => DataFrame` contract has
+    * no after-action hook); harnesses call it BETWEEN queries so a
+    * 167-query JVM doesn't accumulate one never-freed checkpoint
+    * block set per graph/text query — pure GC pressure by the time
+    * the next query runs. */
+  def resetDerived(spark: SparkSession): Unit = {
+    perSessionMap(spark).keySet.removeIf(_._2.startsWith("derived:"))
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+  }
+
   private def perSessionMap(spark: SparkSession)
       : java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame] =
     cache.synchronized {
@@ -93,21 +109,35 @@ object Tables {
       // as raw longs via the legacy conf; harmless for other types.
       if (n == "events")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      conform(n, spark.read.parquet(s"$d/$n.parquet"))
+      val raw = spark.read.parquet(s"$d/$n.parquet")
+      // Prime the fresh-read schema memo for free — this read already
+      // paid the footer inference.
+      rawSchema.putIfAbsent((d, n), raw.schema)
+      conform(n, raw)
     })
   }
 
-  /** Like [[t]] but NEVER cached: a fresh read with fresh attribute
-    * ids. The plan cache intentionally shares one DataFrame instance
-    * per (dir, table), which makes the two sides of a self-join carry
-    * IDENTICAL attribute ids — fine for the built-in join API (the
-    * analyzer deduplicates) but ill-formed for custom logical nodes
-    * built post-analysis (plans/AsofJoin.scala). Self-join callers
-    * read one side through this. */
+  /** Raw (pre-conform) parquet schema per (dir, table): a `fresh`
+    * read per query repeats driver-side file listing + footer schema
+    * inference — pure fixed overhead, skipped by passing the schema
+    * explicitly on every read after the first. Fixture files never
+    * change within a JVM, so a global memo is safe. */
+  private val rawSchema = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
+  /** Like [[t]] but NEVER plan-cached: a fresh read with fresh
+    * attribute ids. The plan cache intentionally shares one DataFrame
+    * instance per (dir, table), which makes the two sides of a
+    * self-join carry IDENTICAL attribute ids — fine for the built-in
+    * join API (the analyzer deduplicates) but ill-formed for custom
+    * logical nodes built post-analysis (plans/AsofJoin.scala).
+    * Self-join callers read one side through this. */
   def fresh(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    conform(name, spark.read.parquet(s"$sfDir/$name.parquet"))
+    val schema = rawSchema.computeIfAbsent((sfDir, name),
+      { case (d, n) => spark.read.parquet(s"$d/$n.parquet").schema })
+    conform(name, spark.read.schema(schema).parquet(s"$sfDir/$name.parquet"))
   }
 
   /** The logical schema every query in the engine is written against,
@@ -165,8 +195,23 @@ object Tables {
           f.name == "ts" && f.dataType == LongType)) {
         // Legacy nanos-as-long read: truncate to µs — what DuckDB does
         // with the same file, so the engines agree to the microsecond.
+        // Guarded by magnitude: epoch-NANOS for 1990–2100 live in
+        // ~[6.3e17, 4.2e18]; a future fixture that ships genuine
+        // int64-MICROseconds (~[6.3e14, 4.2e15]) must fail fast here,
+        // not get silently scaled 1000x off. raise_error keeps the
+        // check lazy (no extra action per read) but loud on first use.
         note += s"$name.ts: raw TIMESTAMP(NANOS) longs, truncated to µs"
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val loNs = 631152000000000000L   // 1990-01-01 in epoch nanos
+        val hiNs = 4102444800000000000L  // 2100-01-01 in epoch nanos
+        raw.withColumn("ts",
+          when(raw("ts").isNull, lit(null).cast("timestamp"))
+            .when(raw("ts").between(loNs, hiNs),
+              timestamp_micros(expr("ts div 1000")))
+            .otherwise(raise_error(format_string(
+              "[graft] events.ts long value %s is outside the plausible " +
+                "epoch-nanos range - the fixture likely changed encoding " +
+                "(int64 micros?); re-measure with tools/PrintSchemas and " +
+                "update Tables.conform", raw("ts")))))
       } else raw
     // A measured type may be normalized to the expected one iff the
     // cast is lossless: timestamp-family moves (NTZ↔LTZ under the UTC

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * CartesianProduct, BroadcastNestedLoopJoin, and a Window with no
   * PARTITION BY (all-data-to-one-task).
   *
-  * Expected flags (audited 166 queries; everything else is clean):
+  * Expected flags (audited 167 queries; everything else is clean):
   *  - BNLJ with a deliberately tiny broadcast side: q_join_cross
   *    (5x6 cartesian semantics), q_join_fuzzy (20-row distinct dim),
   *    q_join_skew_salt (dim x salt replication), q_sim_cosine_topk /

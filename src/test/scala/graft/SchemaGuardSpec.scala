@@ -45,6 +45,30 @@ class SchemaGuardSpec extends GraftSuite {
       1704448800L * 1000000L + 123456L)
   }
 
+  test("conform rejects long ts values outside the plausible epoch-nanos range") {
+    import s.implicits._
+    // A genuine int64-MICROseconds value (1000x below the nanos range):
+    // dividing it by 1000 would silently shift the clock to 1970 — the
+    // magnitude guard must blow up loudly on first read instead.
+    val micros = 1704448800L * 1000000L
+    val raw = Seq((1L, micros, 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = intercept[Exception] {
+      Tables.conform("events", raw).select($"ts").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("epoch-nanos")),
+      s"expected the epoch-nanos guard, got: ${e.getMessage}")
+    // NULL ts rows pass through as NULL, not as an error
+    val withNull = Seq((1L, Some(1704448800L * 1000000000L), 7L, "click", 1.5, "{}"),
+        (2L, None: Option[Long], 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Tables.conform("events", withNull)
+      .orderBy($"event_id").select($"ts").collect()
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
+  }
+
   test("conform fails fast, naming table and column, on a non-timestamp type change") {
     import s.implicits._
     val raw = Seq((1L, "t", "en", "src0", "oops"))
