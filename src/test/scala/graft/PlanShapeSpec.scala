@@ -183,6 +183,11 @@ class PlanShapeSpec extends GraftSuite {
       s"the custom strategy must plan the native as-of operator:\n$p")
     assert(!p.contains("Window") && !p.contains("Union"),
       "the native merge replaces the union-tag + last() window emulation")
+    // EnsureRequirements must plan exactly ONE sort per side (the
+    // merge's (key, time, tie) order) plus the query's final orderBy —
+    // a double-paid sort here silently doubles the dominant cost.
+    assert("Sort ".r.findAllIn(p).size === 3, s"expected 3 sorts:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
   }
 
   test("native as-of join equals the window emulation row for row") {
@@ -197,6 +202,12 @@ class PlanShapeSpec extends GraftSuite {
       s"the custom strategy must plan the native range join:\n$p")
     assert(!p.contains("Generate"),
       "the sliding-buffer merge replaces the bucket-explode emulation")
+    // One sort per side + the final orderBy; and the per-user rollup
+    // must REUSE the join's hash partitioning (the exec reports its
+    // left child's partitioning) — only the two merge exchanges, no
+    // third one feeding the aggregate.
+    assert("Sort ".r.findAllIn(p).size === 3, s"expected 3 sorts:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
   }
 
   test("native range join equals the bucketed emulation row for row") {
