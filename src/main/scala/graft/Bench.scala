@@ -27,6 +27,12 @@ object Bench {
       // q_scan_count. At 100 TB this is "count a table in metadata
       // time" — same setting a production deployment would pin.
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Bucketed-table queries (q_join_bucket) need a writable catalog
+      // location that never pollutes the repo working tree. Fresh per
+      // JVM — a leftover location with a fresh in-memory catalog makes
+      // saveAsTable die with LOCATION_ALREADY_EXISTS (see Verify).
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_warehouse").toString)
     // Dev knob: extra confs as ;-separated k=v pairs, for A/B-ing
     // scheduler/AQE settings without editing code. Driver sets none.
     sys.env.get("GRAFT_BENCH_CONF").foreach(_.split(";").filter(_.nonEmpty)
@@ -122,7 +128,7 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Between queries (untimed — harness hygiene, not query work):
       // drop the derived-plan memos and their checkpoint blocks, so a
-      // 167-query JVM doesn't carry every graph/text query's persisted
+      // full-surface JVM doesn't carry every graph/text query's persisted
       // blocks as GC ballast into every later query's measurement.
       // Exception: the alphabetically-consecutive q_graph_* run shares
       // one checkpointed trade graph (Tables.derived) — resetting

@@ -23,6 +23,7 @@ object SparkEntry {
       (PipeOps.queries, PipeOps.oracle),
       (SubOps.queries, SubOps.oracle),
       (GraphOps.queries, GraphOps.oracle),
+      (LayoutOps.queries, LayoutOps.oracle),
     )
 
   /** Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001;

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import Tables.{Q, t}
+import graft.functions.ZOrder
+
+/** §2.15 (round-5 additions): physical-layout and table-maintenance
+  * operators — the storage-engine side of a 100 TB deployment that the
+  * query surface alone doesn't exercise.
+  *
+  * Scale notes (100 TB):
+  *  - `q_pipe_zorder` plans the WRITE-TIME clustering a multi-dim scan
+  *    workload needs: rows map to Morton tiles, each output file covers
+  *    a small rectangle in both clustering dims, so parquet min-max
+  *    stats prune ~1/k² of files for a 2-D range predicate (vs ~1/k
+  *    for a lexicographic sort). The tile computation is a pure
+  *    codegen'd per-row expression (functions/ZOrder.scala) — the only
+  *    shuffle is the per-file stats rollup, which at write time is the
+  *    `repartitionByRange(zval)` the writer would do anyway.
+  *  - `q_join_bucket` is the co-located join: both sides pre-bucketed
+  *    on the join key at write time, so the join itself needs ZERO
+  *    exchange — the scan's bucket layout IS the join partitioning.
+  *    On a 1000-executor cluster this converts the nightly fact⋈fact
+  *    join from the largest shuffle in the plan into a local merge per
+  *    bucket. The no-Exchange plan shape is pinned in LayoutOpsSpec.
+  *  - `q_pipe_snapshot_diff` is the keyed snapshot diff behind
+  *    incremental publication and change auditing: ONE full-outer
+  *    keyed shuffle classifies every row as added / removed / changed
+  *    / unchanged — never a row-by-row driver loop. At 100 TB both
+  *    snapshots hash-partition on the key and the compare is local;
+  *    with pre-bucketed snapshots (see `q_join_bucket`) even that
+  *    shuffle disappears.
+  */
+object LayoutOps {
+
+  /** Tie-proof cent rounding (see SURVEY §2 determinism rules). */
+  private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + 0.5) / 100
+
+  val queries: Map[String, Q] = Map(
+    // Z-order layout planning over lineitem's (partkey, suppkey):
+    // scale each key to a 6-bit bucket, interleave to a 12-bit Morton
+    // value, and group into 64 would-be files of one 64-tile each.
+    // The per-file bounding rectangles PROVE the skipping property:
+    // every file spans at most 8 buckets in EACH dimension (asserted
+    // in LayoutOpsSpec), so a predicate on either key — or both —
+    // prunes most files by footer stats alone.
+    "q_pipe_zorder" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val ext = li.agg(max($"l_partkey").as("pmax"), max($"l_suppkey").as("smax"))
+      li.crossJoin(broadcast(ext))
+        .select(
+          floor($"l_partkey" * 64.0 / ($"pmax" + 1)).cast("long").as("pb"),
+          floor($"l_suppkey" * 64.0 / ($"smax" + 1)).cast("long").as("sb"))
+        .withColumn("file_id", shiftright(ZOrder.zval($"pb", $"sb", 6), 6))
+        .groupBy($"file_id").agg(
+          count(lit(1)).as("n"),
+          min($"pb").as("pb_min"), max($"pb").as("pb_max"),
+          min($"sb").as("sb_min"), max($"sb").as("sb_max"))
+        .orderBy($"file_id")
+    }),
+
+    // Co-located bucketed join: orders and customer are written ONCE
+    // per (session, fixture dir) as 8-bucket tables on the join key,
+    // then joined with a merge hint — the bucketed scans already
+    // satisfy the join's distribution, so EnsureRequirements inserts
+    // no Exchange on either side (pinned in LayoutOpsSpec). Table
+    // names are dir-scoped like q_sql_q3's views so two fixture dirs
+    // can't alias one table.
+    "q_join_bucket" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val ot = s"graft_orders_bkt_$tag"
+      val ct = s"graft_customer_bkt_$tag"
+      if (!s.catalog.tableExists(ot))
+        t(s, d, "orders").write.bucketBy(8, "o_custkey")
+          .sortBy("o_custkey").mode("overwrite").saveAsTable(ot)
+      if (!s.catalog.tableExists(ct))
+        t(s, d, "customer").write.bucketBy(8, "c_custkey")
+          .sortBy("c_custkey").mode("overwrite").saveAsTable(ct)
+      s.table(ot).hint("merge")
+        .join(s.table(ct), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment").agg(
+          count(lit(1)).as("n_orders"),
+          r2(sum($"o_totalprice")).as("sum_price"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // Keyed snapshot diff: reconstruct "yesterday's" orders snapshot
+    // deterministically from the current one (5% of keys not yet
+    // inserted → ADDED today; 5% carried keys that no longer exist →
+    // REMOVED; open-status rows repriced in place → CHANGED), then
+    // classify via ONE full-outer join on the key and report per-class
+    // counts plus the total absolute price drift. The synthetic
+    // old-snapshot derivation uses the repo's cross-engine md5-60bit
+    // hash so both engines rebuild the identical snapshot.
+    "q_pipe_snapshot_diff" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "orders")
+        .withColumn("hb", Tables.h60($"o_orderkey".cast("string")) % 20)
+      val old = base.where($"hb" =!= 0).select(
+        when($"hb" === 1, $"o_orderkey" + 10000000L)
+          .otherwise($"o_orderkey").as("k"),
+        when($"o_orderstatus" === "O", floor($"o_totalprice" * 95 + 0.5) / 100)
+          .otherwise($"o_totalprice").as("price_old"))
+      val now = t(s, d, "orders")
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("price_new"))
+      old.join(now, Seq("k"), "full_outer")
+        .withColumn("class",
+          when($"price_old".isNull, "added")
+            .when($"price_new".isNull, "removed")
+            .when($"price_old" =!= $"price_new", "changed")
+            .otherwise("unchanged"))
+        .groupBy($"class").agg(
+          count(lit(1)).as("n"),
+          r2(sum(coalesce(abs($"price_new" - $"price_old"), lit(0.0))))
+            .as("price_delta"))
+        .orderBy($"class")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pipe_zorder" -> """
+      WITH ext AS (
+        SELECT max(l_partkey) AS pmax, max(l_suppkey) AS smax FROM lineitem),
+      b AS (
+        SELECT CAST(FLOOR(l_partkey * 64.0 / (pmax + 1)) AS BIGINT) AS pb,
+               CAST(FLOOR(l_suppkey * 64.0 / (smax + 1)) AS BIGINT) AS sb
+        FROM lineitem CROSS JOIN ext),
+      z AS (
+        SELECT pb, sb,
+               ((pb >> 0) & 1) * 1    + ((sb >> 0) & 1) * 2
+             + ((pb >> 1) & 1) * 4    + ((sb >> 1) & 1) * 8
+             + ((pb >> 2) & 1) * 16   + ((sb >> 2) & 1) * 32
+             + ((pb >> 3) & 1) * 64   + ((sb >> 3) & 1) * 128
+             + ((pb >> 4) & 1) * 256  + ((sb >> 4) & 1) * 512
+             + ((pb >> 5) & 1) * 1024 + ((sb >> 5) & 1) * 2048 AS zv
+        FROM b)
+      SELECT zv >> 6 AS file_id, count(*) AS n,
+             min(pb) AS pb_min, max(pb) AS pb_max,
+             min(sb) AS sb_min, max(sb) AS sb_max
+      FROM z
+      GROUP BY 1
+      ORDER BY file_id""",
+
+    "q_join_bucket" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+             FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q_pipe_snapshot_diff" -> """
+      WITH b AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 20 AS hb
+        FROM orders),
+      old AS (
+        SELECT CASE WHEN hb = 1 THEN o_orderkey + 10000000
+                    ELSE o_orderkey END AS k,
+               CASE WHEN o_orderstatus = 'O'
+                    THEN FLOOR(o_totalprice * 95 + 0.5) / 100
+                    ELSE o_totalprice END AS price_old
+        FROM b WHERE hb <> 0),
+      now_s AS (
+        SELECT o_orderkey AS k, o_totalprice AS price_new FROM orders)
+      SELECT CASE WHEN price_old IS NULL THEN 'added'
+                  WHEN price_new IS NULL THEN 'removed'
+                  WHEN price_old <> price_new THEN 'changed'
+                  ELSE 'unchanged' END AS class,
+             count(*) AS n,
+             FLOOR(SUM(COALESCE(ABS(price_new - price_old), 0)) * 100 + 0.5)
+               / 100 AS price_delta
+      FROM old FULL OUTER JOIN now_s USING (k)
+      GROUP BY 1
+      ORDER BY class""",
+  )
+}

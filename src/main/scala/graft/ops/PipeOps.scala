@@ -640,6 +640,66 @@ object PipeOps {
         .select($"yq.y".as("y"), $"yq.q".as("q"), $"n", $"sum_price")
         .orderBy($"y", $"q")
     }),
+
+    // Pareto frontier for data selection: per language, the documents
+    // not dominated on (token count, lexical richness) — the skyline
+    // that bounds the quality/quantity trade-off when picking what to
+    // keep. NOT the O(n²) NOT-EXISTS the semantics suggest: per
+    // (lang, rich) group keep the max token count, then ONE window
+    // pass ordered by rich DESC gives each group the best token count
+    // among all strictly-richer docs; a doc is on the front iff no
+    // strictly-richer doc has >= tokens and no equal-rich doc has more.
+    // At 100 TB: one keyed agg + a window over |distinct rich| rows
+    // per lang (bounded by the 1e4 rounding grid), then a broadcast
+    // join back — the corpus itself never self-joins.
+    "q_pipe_pareto" -> ((s, d) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      val per = t(s, d, "documents").select($"doc_id", $"lang",
+        size(toks).cast("long").as("tokens"),
+        (floor(size(array_distinct(toks)).cast("double") / size(toks)
+          * 1e4 + 0.5) / 1e4).as("rich"))
+      val w = Window.partitionBy($"lang").orderBy($"rich".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val grp = per.groupBy($"lang", $"rich")
+        .agg(max($"tokens").as("gmax"))
+        .withColumn("prior", max($"gmax").over(w))
+      per.join(grp, Seq("lang", "rich"))
+        .where($"gmax" <= $"tokens" && coalesce($"prior", lit(-1L)) < $"tokens")
+        .select($"lang", $"doc_id", $"tokens", $"rich")
+        .orderBy($"lang", $"doc_id")
+    }),
+
+    // Curriculum planning: score each document's difficulty as mean
+    // token surprisal (-ln corpus frequency), cut the corpus into 4
+    // difficulty quartiles, and report each stage's size and range —
+    // the ordering pass of curriculum training. The frequency table
+    // collapses to |vocab| rows and BROADCASTS; per-doc scoring is
+    // map-side. The exact global ntile is the fixture-scale cut; at
+    // 100 TB the same plan swaps ntile for approx_percentile cuts
+    // (the q_agg_quantile trade) and stays one scan + one broadcast.
+    "q_pipe_curriculum" -> ((s, d) => {
+      import s.implicits._
+      val tk = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      val freq = tk.groupBy($"tok").agg(count(lit(1)).as("nu"))
+      val tot = freq.agg(sum($"nu").as("n_total"))
+      val scored = tk.join(broadcast(freq), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy($"doc_id").agg(
+          (floor(avg(-log($"nu" / $"n_total")) * 1e4 + 0.5) / 1e4)
+            .as("difficulty"),
+          count(lit(1)).as("tokens"))
+      scored
+        .withColumn("quartile",
+          ntile(4).over(Window.orderBy($"difficulty", $"doc_id")))
+        .groupBy($"quartile").agg(
+          count(lit(1)).as("n_docs"),
+          min($"difficulty").as("min_difficulty"),
+          max($"difficulty").as("max_difficulty"),
+          (floor(avg($"tokens") * 100 + 0.5) / 100).as("avg_tokens"))
+        .orderBy($"quartile")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1059,5 +1119,47 @@ object PipeOps {
       FROM orders
       GROUP BY y, q
       ORDER BY y, q""",
+
+    // The oracle states the DEFINITION (no dominating doc exists);
+    // the Spark plan computes the same front without a self-join.
+    "q_pipe_pareto" -> """
+      WITH per AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+               FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 1e4 + 0.5) / 1e4 AS rich
+        FROM documents)
+      SELECT lang, doc_id, tokens, rich
+      FROM per p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM per q
+        WHERE q.lang = p.lang AND q.doc_id <> p.doc_id
+          AND q.tokens >= p.tokens AND q.rich >= p.rich
+          AND (q.tokens > p.tokens OR q.rich > p.rich))
+      ORDER BY lang, doc_id""",
+
+    "q_pipe_curriculum" -> """
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      freq AS (SELECT tok, count(*) AS nu FROM tk GROUP BY tok),
+      tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS n_total FROM freq),
+      scored AS (
+        SELECT doc_id,
+               FLOOR(AVG(-ln(nu * 1.0 / n_total)) * 1e4 + 0.5) / 1e4
+                 AS difficulty,
+               CAST(count(*) AS BIGINT) AS tokens
+        FROM tk JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id),
+      q AS (
+        SELECT *, ntile(4) OVER (ORDER BY difficulty, doc_id) AS quartile
+        FROM scored)
+      SELECT quartile, count(*) AS n_docs,
+             min(difficulty) AS min_difficulty,
+             max(difficulty) AS max_difficulty,
+             FLOOR(AVG(tokens) * 100 + 0.5) / 100 AS avg_tokens
+      FROM q
+      GROUP BY quartile
+      ORDER BY quartile""",
   )
 }

@@ -321,6 +321,58 @@ object SimOps {
             .as("l2norm"))
         .orderBy($"doc_id")
     }),
+
+    // MMR (maximal marginal relevance) diversified retrieval: from the
+    // top-8 cosine shortlist of vec_id=0, greedily pick 3 results
+    // maximizing λ·sim(query) − (1−λ)·max-sim-to-already-picked
+    // (λ=0.7) — the standard de-redundancy rerank between ANN
+    // retrieval and context assembly. The greedy loop runs over the
+    // SHORTLIST (k² pair sims, both sides broadcast, every pick a
+    // limit-1 over ≤8 rows), never the corpus: at 100 TB the corpus
+    // pays exactly one broadcast-query scan (the same as
+    // q_sim_cosine_topk) and the rerank cost is independent of corpus
+    // size. Every comparison uses floor-r4 sims + vec_id ties so both
+    // engines pick identical chains.
+    "q_sim_mmr" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q0 = emb.where($"vec_id" === 0).select($"embedding".as("qe"))
+      val shortlist = emb.where($"vec_id" =!= 0)
+        .crossJoin(broadcast(q0))
+        .select($"vec_id", $"embedding",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
+        .orderBy($"sim".desc, $"vec_id").limit(8)
+      val l = shortlist.toDF("vid_a", "emb_a", "sim_a")
+      val r = shortlist.toDF("vid_b", "emb_b", "sim_b")
+      val pairs = broadcast(l).crossJoin(broadcast(r))
+        .where($"vid_a" =!= $"vid_b")
+        .select($"vid_a", $"vid_b", $"sim_a",
+          (floor(dot($"emb_a", $"emb_b") * 1e4 + 0.5) / 1e4).as("psim"))
+      val p1 = shortlist.orderBy($"sim".desc, $"vec_id").limit(1)
+        .select($"vec_id".as("s1"), $"sim".as("sim1"))
+      val c2 = pairs.join(broadcast(p1), $"vid_b" === $"s1")
+        .select($"vid_a", $"sim_a",
+          (floor(($"sim_a" * 0.7 - $"psim" * 0.3) * 1e4 + 0.5) / 1e4)
+            .as("score"))
+      val p2 = c2.orderBy($"score".desc, $"vid_a").limit(1)
+        .select($"vid_a".as("s2"), $"sim_a".as("sim2"), $"score".as("score2"))
+      val sel = p1.select($"s1".as("sid")).union(p2.select($"s2".as("sid")))
+      val c3 = pairs.join(broadcast(sel), $"vid_b" === $"sid")
+        .groupBy($"vid_a", $"sim_a").agg(max($"psim").as("div"))
+        .join(broadcast(sel.withColumnRenamed("sid", "x")),
+          $"vid_a" === $"x", "left_anti")
+        .select($"vid_a", $"sim_a",
+          (floor(($"sim_a" * 0.7 - $"div" * 0.3) * 1e4 + 0.5) / 1e4)
+            .as("score"))
+      val p3 = c3.orderBy($"score".desc, $"vid_a").limit(1)
+      p1.select(lit(1).as("pick"), $"s1".as("vec_id"),
+          $"sim1".as("sim"), $"sim1".as("score"))
+        .unionByName(p2.select(lit(2).as("pick"), $"s2".as("vec_id"),
+          $"sim2".as("sim"), $"score2".as("score")))
+        .unionByName(p3.select(lit(3).as("pick"), $"vid_a".as("vec_id"),
+          $"sim_a".as("sim"), $"score".as("score")))
+        .orderBy($"pick")
+    }),
   )
 
   // Extracted so q_sim_recall can reuse both sides as CTEs.
@@ -498,5 +550,50 @@ object SimOps {
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1e4 + 0.5) / 1e4 AS l2norm
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
       ORDER BY d.doc_id""",
+
+    // Greedy MMR unrolled: pick1 = top sim; pick2/pick3 = argmax of
+    // 0.7·sim − 0.3·max(pair-sim to picked). Pick 1's score is its
+    // relevance (nothing picked yet to diversify against).
+    "q_sim_mmr" -> """
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      shortlist AS (
+        SELECT e.vec_id, e.embedding,
+               FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) * 1e4 + 0.5)
+                 / 1e4 AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY sim DESC, vec_id
+        LIMIT 8),
+      pairs AS (
+        SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, a.sim AS sim_a,
+               FLOOR((list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) * 1e4 + 0.5)
+                 / 1e4 AS psim
+        FROM shortlist a JOIN shortlist b ON a.vec_id <> b.vec_id),
+      p1 AS (
+        SELECT vec_id AS s1, sim AS sim1 FROM shortlist
+        ORDER BY sim DESC, vec_id LIMIT 1),
+      c2 AS (
+        SELECT vid_a, sim_a,
+               FLOOR((sim_a * 0.7 - psim * 0.3) * 1e4 + 0.5) / 1e4 AS score
+        FROM pairs, p1 WHERE vid_b = s1),
+      p2 AS (
+        SELECT vid_a AS s2, sim_a AS sim2, score AS score2 FROM c2
+        ORDER BY score DESC, vid_a LIMIT 1),
+      sel AS (SELECT s1 AS sid FROM p1 UNION ALL SELECT s2 FROM p2),
+      c3 AS (
+        SELECT vid_a, sim_a,
+               FLOOR((sim_a * 0.7 - MAX(psim) * 0.3) * 1e4 + 0.5) / 1e4 AS score
+        FROM pairs JOIN sel ON vid_b = sid
+        WHERE vid_a NOT IN (SELECT sid FROM sel)
+        GROUP BY vid_a, sim_a),
+      p3 AS (SELECT * FROM c3 ORDER BY score DESC, vid_a LIMIT 1)
+      SELECT 1 AS pick, s1 AS vec_id, sim1 AS sim, sim1 AS score FROM p1
+      UNION ALL
+      SELECT 2, s2, sim2, score2 FROM p2
+      UNION ALL
+      SELECT 3, vid_a, sim_a, score FROM p3
+      ORDER BY pick""",
   )
 }

@@ -82,7 +82,7 @@ object Tables {
     * memo entries MUST go with the blocks. Queries themselves never
     * call this (the `(SparkSession, String) => DataFrame` contract has
     * no after-action hook); harnesses call it BETWEEN queries so a
-    * 167-query JVM doesn't accumulate one never-freed checkpoint
+    * full-surface JVM doesn't accumulate one never-freed checkpoint
     * block set per graph/text query — pure GC pressure by the time
     * the next query runs. */
   def resetDerived(spark: SparkSession): Unit = {

@@ -452,6 +452,28 @@ object TextOps {
     // output is exact, so the oracle brute-forces shingle Jaccard
     // within (lang) blocks and must match row-for-row.
     "q_dedup_minhash" -> ((s, d) => minhashPairs(s, d, BucketCap)),
+
+    // Skip-gram co-occurrence extraction: unordered token pairs within
+    // a ±3-position window, the pair-counting pass that feeds word2vec
+    // /GloVe-style embedding training (q_text_pmi is the ADJACENT-only
+    // collocation statistic; this is the windowed context matrix).
+    // The positional self-join keys on doc_id with a band residual on
+    // position, so each doc joins only against itself and the fan-out
+    // is ≤ window-size per token — fully partition-parallel at 100 TB,
+    // with the top-k cut the only global step.
+    "q_text_cooccur" -> ((s, d) => {
+      import s.implicits._
+      val tk = t(s, d, "documents").select($"doc_id",
+        posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      val a = tk.toDF("doc_a", "pa", "ta")
+      val b = tk.toDF("doc_b", "pb", "tb")
+      a.join(b, $"doc_a" === $"doc_b" &&
+          $"pb" >= $"pa" + 1 && $"pb" <= $"pa" + 3)
+        .select(least($"ta", $"tb").as("w1"), greatest($"ta", $"tb").as("w2"))
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w1", $"w2")
+        .limit(30)
+    }),
   )
 
   /** The maximum docs a single LSH bucket may contribute to the pair
@@ -846,5 +868,21 @@ object TextOps {
         FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE jac >= 0.6
       ORDER BY doc_a, doc_b""",
+
+    "q_text_cooccur" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+      SELECT least(a.tok, b.tok) AS w1,
+             greatest(a.tok, b.tok) AS w2,
+             count(*) AS n
+      FROM tk a JOIN tk b
+        ON a.doc_id = b.doc_id
+       AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+      GROUP BY 1, 2
+      ORDER BY n DESC, w1, w2
+      LIMIT 30""",
   )
 }

@@ -7,22 +7,24 @@ import org.apache.spark.sql.SparkSession
   * CartesianProduct, BroadcastNestedLoopJoin, and a Window with no
   * PARTITION BY (all-data-to-one-task).
   *
-  * Expected flags (audited 167 queries; everything else is clean):
+  * Expected flags (audited 174 queries; everything else is clean):
   *  - BNLJ with a deliberately tiny broadcast side: q_join_cross
   *    (5x6 cartesian semantics), q_join_fuzzy (20-row distinct dim),
   *    q_join_skew_salt (dim x salt replication), q_sim_cosine_topk /
-  *    q_sim_knn_join / q_sim_ann_ivf / q_sim_pairs / q_sim_range
-  *    (1-20 row query batch or centroid set vs streamed corpus),
-  *    q_text_tfidf / q_text_pmi / q_text_jsd / q_pipe_oversample /
-  *    q_pipe_drift / q_pipe_benford / q_pipe_tokenbudget /
+  *    q_sim_knn_join / q_sim_ann_ivf / q_sim_pairs / q_sim_range /
+  *    q_sim_mmr (1-20 row query batch, centroid set, or top-8
+  *    shortlist vs streamed corpus),
+  *    q_text_tfidf / q_text_pmi / q_text_jsd / q_text_bm25 /
+  *    q_pipe_oversample / q_pipe_drift / q_pipe_benford /
+  *    q_pipe_tokenbudget / q_pipe_curriculum / q_pipe_zorder /
   *    q_graph_pagerank (1-row scalar totals, vocab grids, or
   *    |V|-sized rank tables), q_sim_kmeans (8-row centroid batch),
   *    q_sim_recall (two 10-row top-k sets), q_dedup_ngram (broadcast
   *    block table for triangle blocking; the pair join itself is
   *    keyed).
-  *  - GlobalWindow: q_win_ntile only — an exact total order is the
-  *    contract (Windows.scala scaladoc names percentile_approx as the
-  *    100 TB replacement).
+  *  - GlobalWindow: q_win_ntile and q_pipe_curriculum — an exact
+  *    total order is those rows' contract (scaladocs name
+  *    approx_percentile cuts as the 100 TB replacement).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

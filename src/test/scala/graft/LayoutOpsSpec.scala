@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import SparkTestBase.sf0001
+
+/** §2.15 layout/maintenance operators plus the round-5 selection ops:
+  * Morton-tile locality, bucketed-join plan shape, snapshot-diff
+  * conservation laws, pareto-front equivalence to the brute-force
+  * dominance definition, curriculum quartile laws, co-occurrence
+  * window semantics, and MMR against an exact greedy reference.
+  */
+class LayoutOpsSpec extends GraftSuite {
+
+  test("ZOrder.zval interleaves bits exactly (reference interleave)") {
+    import spark.implicits._
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val cases = for (a <- 0L to 63L by 7; b <- 0L to 63L by 5) yield (a, b)
+    val got = cases.toDF("a", "b")
+      .select($"a", $"b", functions.ZOrder.zval($"a", $"b", 6).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === ref(r.getLong(0), r.getLong(1), 6),
+        s"zval(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("q_pipe_zorder: every planned file is a bounded 8x8 tile in both dims") {
+    val rows = q("q_pipe_zorder", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pbMin, pbMax) = (r.getAs[Long]("pb_min"), r.getAs[Long]("pb_max"))
+      val (sbMin, sbMax) = (r.getAs[Long]("sb_min"), r.getAs[Long]("sb_max"))
+      // file_id = zval >> 6 fixes the high 3 bits of each dimension,
+      // so a file's rows live inside one aligned 8x8 rectangle — the
+      // property that makes 2-D min-max skipping work.
+      assert(pbMax - pbMin <= 7 && pbMin / 8 === pbMax / 8,
+        s"file ${r.getAs[Long]("file_id")} spans pb [$pbMin,$pbMax]")
+      assert(sbMax - sbMin <= 7 && sbMin / 8 === sbMax / 8,
+        s"file ${r.getAs[Long]("file_id")} spans sb [$sbMin,$sbMax]")
+    }
+  }
+
+  test("q_join_bucket plans a sort-merge join with NO exchange on either side") {
+    val plan = q("q_join_bucket", sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // Printed top-down: the final agg's exchange appears ABOVE the
+    // join line; nothing at or below the join may shuffle — the
+    // bucketed scans already satisfy the join distribution.
+    val joinDown = plan.linesIterator
+      .dropWhile(l => !l.contains("SortMergeJoin")).mkString("\n")
+    assert(!joinDown.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+  }
+
+  test("q_pipe_snapshot_diff class algebra conserves both snapshots") {
+    import spark.implicits._
+    val by = q("q_pipe_snapshot_diff", sf0001).collect()
+      .map(r => r.getAs[String]("class") -> r.getAs[Long]("n")).toMap
+    val total = ops.Tables.t(spark, sf0001, "orders").count()
+    val hb = ops.Tables.t(spark, sf0001, "orders")
+      .select((ops.Tables.h60($"o_orderkey".cast("string")) % 20).as("hb"))
+    val h0 = hb.where($"hb" === 0).count()
+    val h1 = hb.where($"hb" === 1).count()
+    // new = added + changed + unchanged; old = removed + changed + unchanged
+    assert(by.getOrElse("added", 0L) === h0 + h1)
+    assert(by.getOrElse("removed", 0L) === h1)
+    assert(by.values.sum === total + h1,
+      "full outer must cover new keys plus the removed synthetic keys")
+    assert(by.getOrElse("changed", 0L) > 0, "repriced open orders must show")
+  }
+
+  test("q_pipe_pareto equals the brute-force dominance definition") {
+    import spark.implicits._
+    val per = ops.Tables.t(spark, sf0001, "documents")
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("tokens"),
+        (floor(size(array_distinct(split($"text", " "))).cast("double") /
+          size(split($"text", " ")) * 1e4 + 0.5) / 1e4).as("rich"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expected = per.filter { case (id, lang, tok, rich) =>
+      !per.exists { case (id2, lang2, tok2, rich2) =>
+        id2 != id && lang2 == lang && tok2 >= tok && rich2 >= rich &&
+          (tok2 > tok || rich2 > rich)
+      }
+    }.map(t => (t._2, t._1)).sorted
+    val got = q("q_pipe_pareto", sf0001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSeq
+    assert(got === expected.toSeq)
+  }
+
+  test("q_pipe_curriculum quartiles are balanced and ranges ordered") {
+    val rows = q("q_pipe_curriculum", sf0001).collect()
+    assert(rows.map(_.getAs[Int]("quartile")).toSeq === Seq(1, 2, 3, 4))
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1, s"ntile imbalance: ${sizes.toSeq}")
+    // Monotone difficulty stages: each quartile's range sits at or
+    // above the previous one's end.
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("max_difficulty") <=
+        b.getAs[Double]("min_difficulty") + 1e-9)
+    }
+    rows.foreach(r => assert(r.getAs[Double]("min_difficulty") <=
+      r.getAs[Double]("max_difficulty")))
+  }
+
+  test("q_text_cooccur counts exactly the pairs within +-3 positions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cooc").toString
+    // One doc "a b c a": windowed pairs (dist<=3) of positions
+    // (0,1)(0,2)(0,3)(1,2)(1,3)(2,3) -> canonical (a,b)x2 (a,c)x2
+    // (b,c) (a,a).
+    Seq((0L, "a b c a", "en", "src0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = q("q_text_cooccur", dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("a", "b", 2L), ("a", "c", 2L), ("b", "c", 1L),
+      ("a", "a", 1L)))
+  }
+
+  test("q_sim_mmr equals an exact greedy MMR over the shortlist") {
+    import spark.implicits._
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val embs = ops.Tables.t(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val qe = embs(0L)
+    val sims = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> r4(dot(v, qe)) }
+    val shortlist = sims.sortBy { case (id, s) => (-s, id) }.take(8)
+    def psim(a: Long, b: Long) = r4(dot(embs(a), embs(b)))
+    var picked = Vector(shortlist.head._1)
+    (1 to 2).foreach { _ =>
+      val best = shortlist.filterNot(c => picked.contains(c._1))
+        .map { case (id, s) =>
+          (id, r4(s * 0.7 - picked.map(p => psim(id, p)).max * 0.3))
+        }.minBy { case (id, score) => (-score, id) }
+      picked :+= best._1
+    }
+    val got = q("q_sim_mmr", sf0001).collect()
+      .sortBy(_.getAs[Int]("pick")).map(_.getAs[Long]("vec_id")).toVector
+    assert(got === picked)
+  }
+}
