@@ -8,9 +8,12 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, AttributeReference, AttributeSet, BindReferences,
   Expression, GenericInternalRow, JoinedRow, SortOrder,
   UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, CodeGenerator, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
 /** Native sessionization — the whole-operator extension tier
@@ -65,7 +68,7 @@ case class SessionizeExec(
     gapUs: Long,
     sessionAttr: Attribute,
     child: SparkPlan)
-  extends UnaryExecNode {
+  extends UnaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = child.output :+ sessionAttr
 
@@ -128,6 +131,76 @@ case class SessionizeExec(
         result(joined(row, sessRow))
       }
     }, preservesPartitioning = true)
+  }
+
+  // ---- WholeStageCodegen participation --------------------------------
+  //
+  // The id assignment is a stateful streaming map — exactly the shape
+  // produce/consume fuses: per input row, a handful of long/boolean
+  // partition-local state updates, then hand (input :+ session_id) to
+  // the downstream operator with NO iterator boundary, row
+  // materialization, or interpreted eval. The generated class is
+  // instantiated once per partition, so the zero-initialized mutable
+  // state doubles as the per-partition reset.
+  //
+  // Codegen is limited to integral keys (long-comparable without a
+  // saved-object copy; the fixture contract and the common case) —
+  // generic orderable keys run the interpreted doExecute below, which
+  // remains the semantic reference (PlanShapeSpec asserts both paths
+  // equal the window form).
+  override def supportCodegen: Boolean = PlanUtil.isIntegral(key.dataType)
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    val hasKey = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessHasKey")
+    val lastKeyNull =
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessLastKeyNull")
+    val lastKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessLastKey")
+    val lastTs = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessLastTs")
+    val lastNull =
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessLastNull")
+    val sid = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessSid")
+    // Evaluate every input column first: all of them flow to the
+    // downstream consume anyway, and it keeps the key/time genCode
+    // below from splicing column evaluation into conditional blocks.
+    val evalInputs = evaluateVariables(input)
+    ctx.currentVars = input
+    val keyEv = BindReferences.bindReference(key, child.output).genCode(ctx)
+    val timeEv = BindReferences.bindReference(time, child.output).genCode(ctx)
+    val kNull = ctx.freshName("keyNull")
+    val kVal = ctx.freshName("keyVal")
+    val tNull = ctx.freshName("tNull")
+    val tVal = ctx.freshName("tVal")
+    val sidVar = ctx.freshName("sessionId")
+    val sidCode = ExprCode(code"long $sidVar = $sid;",
+      FalseLiteral, JavaCode.variable(sidVar, LongType))
+    s"""
+       |$evalInputs
+       |${keyEv.code}
+       |${timeEv.code}
+       |boolean $kNull = ${keyEv.isNull};
+       |long $kVal = $kNull ? 0L : (long)(${keyEv.value});
+       |boolean $tNull = ${timeEv.isNull};
+       |long $tVal = $tNull ? 0L : (long)(${timeEv.value});
+       |if (!$hasKey || $kNull != $lastKeyNull ||
+       |    (!$kNull && $kVal != $lastKey)) {
+       |  $hasKey = true; $lastKeyNull = $kNull; $lastKey = $kVal;
+       |  $sid = 1L;
+       |} else if ($lastNull) {
+       |  $sid += 1L;
+       |} else if (!$tNull && $tVal - $lastTs > ${gapUs}L) {
+       |  $sid += 1L;
+       |}
+       |$lastNull = $tNull;
+       |if (!$tNull) $lastTs = $tVal;
+       |${consume(ctx, input :+ sidCode)}
+     """.stripMargin
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan)

@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   * Both reduce to the same checksum aggregate; equality is asserted
   * every rep.
   *
+  * A second mode A/Bs the (codegen-participating) native sessionize
+  * against its two-window emulation on one synthetic sorted stream.
+  *
   * usage: runMain graft.tools.NativeScale [nLeft] [nUsers] [reps]
+  *        runMain graft.tools.NativeScale sessionize [n] [nUsers] [reps]
   */
 object NativeScale {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sessionize")) return sessionizeMain(args.drop(1))
     val nLeft = if (args.length > 0) args(0).toLong else 10000000L
     val nUsers = if (args.length > 1) args(1).toLong else 100000L
     val reps = if (args.length > 2) args(2).toInt else 3
@@ -91,6 +96,59 @@ object NativeScale {
       val wv = window()
       val t2 = System.nanoTime()
       require(nv == wv, s"native $nv != window $wv")
+      println(f"[scale] rep$i native ${(t1 - t0) / 1e9}%.2f s, " +
+        f"window ${(t2 - t1) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+
+  private def sessionizeMain(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 20000000L
+    val nUsers = if (args.length > 1) args(1).toLong else 100000L
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val base = 1700000000000000L
+    val span = 30L * 24 * 3600 * 1000000
+    val gapUs = 12L * 3600 * 1000000
+    def events: DataFrame = spark.range(n).select(
+      $"id".as("event_id"),
+      pmod($"id" * 31L, lit(nUsers)).as("user_id"),
+      (lit(base) + pmod(hash($"id", lit(42)).cast("long") * 2654435761L,
+        lit(span))).as("t"))
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum($"session_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    def native(): (Long, Long) = checksum(
+      graft.plans.Sessionize(events, "user_id", "t", "event_id", gapUs))
+    def window(): (Long, Long) = {
+      val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      checksum(events
+        .withColumn("newSess",
+          when(lag($"t", 1).over(w).isNull ||
+            $"t" - lag($"t", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"newSess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    }
+    val n0 = native(); val w0 = window()
+    require(n0 == w0, s"native $n0 != window $w0")
+    println(s"[scale] sessionize n=$n nUsers=$nUsers checksum=$n0")
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val nv = native()
+      val t1 = System.nanoTime()
+      val wv = window()
+      val t2 = System.nanoTime()
+      require(nv == wv)
       println(f"[scale] rep$i native ${(t1 - t0) / 1e9}%.2f s, " +
         f"window ${(t2 - t1) / 1e9}%.2f s")
     }

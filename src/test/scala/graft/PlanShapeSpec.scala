@@ -177,6 +177,28 @@ class PlanShapeSpec extends GraftSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("SessionizeExec participates in WholeStageCodegen (integral key)") {
+    // Materialize first: under AQE the codegen stages only appear in
+    // the FINAL plan. The assertion matters because a codegen compile
+    // failure silently falls back to the interpreted path — equality
+    // tests would still pass while the fused pipeline is lost.
+    val df = q("q_win_session_native", sf0001)
+    df.collect() // df.count() would materialize a DIFFERENT QueryExecution
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("Sessionize "))
+    assert(line.exists(_.contains("*(")),
+      s"Sessionize must carry a codegen-stage star:\n$p")
+  }
+
+  test("sessionize codegen and interpreted paths agree (codegen off)") {
+    val a = q("q_win_session_native", sf0001).collect().map(_.toString)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val b =
+      try q("q_win_session_native", sf0001).collect().map(_.toString)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("q_join_asof_native lowers to AsofJoin: no window, no union-tag, sort-merge shape") {
     val p = plan("q_join_asof_native")
     assert(p.contains("AsofJoin "),
