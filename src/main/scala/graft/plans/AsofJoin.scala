@@ -4,11 +4,14 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
-  JoinedRow, SortOrder, UnsafeProjection}
+  Ascending, Attribute, BindReferences, BoundReference, Expression,
+  GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, CodeGenerator, EmptyBlock, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
 
 /** Native LEFT OUTER as-of join — a whole-operator extension
   * (SURVEY §2.14): for each left row, attach the LATEST right row of
@@ -59,7 +62,8 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     leftKey: Expression, leftTime: Expression, leftTie: Expression,
     rightKey: Expression, rightTime: Expression, rightTie: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -152,6 +156,165 @@ case class AsofJoinExec(
         }
       }
     }
+  }
+
+  // ---- WholeStageCodegen participation --------------------------------
+  //
+  // Same pattern as the built-in SortMergeJoinExec: the codegen STAGE
+  // STARTS at this node (doProduce generates the merge loop itself and
+  // never calls child.produce), the two sorted children feed in as the
+  // stage's two input iterators, and every downstream fused operator
+  // consumes (left columns ++ nullable right columns) as local vars —
+  // no JoinedRow, no per-row UnsafeProjection, no iterator boundary.
+  //
+  // Limited to integral keys (the fixture contract and the common
+  // case): the remembered key lives in one long field. Generic
+  // orderable keys run the interpreted doExecute above, which remains
+  // the semantic reference — PlanShapeSpec pins codegen/interpreted
+  // equality and the codegen-stage star.
+  override def supportCodegen: Boolean =
+    PlanUtil.isIntegral(leftKey.dataType) &&
+      leftTime.dataType == LongType && rightTime.dataType == LongType
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // Left/right vars handed to consume hold UTF8String/array references
+  // into the children's reused row buffers — the stage output must be
+  // copied before anything retains it (same reasoning as SMJ).
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+    val rightRow = ctx.addMutableState("InternalRow", "asofRightRow")
+    val rKeyNull =
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRKeyNull")
+    val rKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRKey")
+    val rTimeNull =
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRTimeNull")
+    val rTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRTime")
+    val matchBuf = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.UnsafeRow", "asofMatchBuf")
+    val matchRow = ctx.addMutableState("InternalRow", "asofMatchRow")
+    val hasSaved =
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHasSaved")
+    val savedKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofSavedKey")
+    val started = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofStarted")
+
+    // Right-cursor advance: read the next row and evaluate its
+    // (key, time) into the primitive cursor fields.
+    val rRowTmp = ctx.freshName("r")
+    ctx.INPUT_ROW = rRowTmp
+    ctx.currentVars = null
+    val rKeyEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rTimeEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val advanceFn = ctx.addNewFunction("asofAdvance",
+      s"""
+         |private void asofAdvance() {
+         |  if ($rightInput.hasNext()) {
+         |    InternalRow $rRowTmp = (InternalRow) $rightInput.next();
+         |    ${rKeyEv.code}
+         |    $rKeyNull = ${rKeyEv.isNull};
+         |    $rKey = $rKeyNull ? 0L : (long)(${rKeyEv.value});
+         |    ${rTimeEv.code}
+         |    $rTimeNull = ${rTimeEv.isNull};
+         |    $rTime = $rTimeNull ? 0L : (long)(${rTimeEv.value});
+         |    $rightRow = $rRowTmp;
+         |  } else {
+         |    $rightRow = null;
+         |  }
+         |}
+       """.stripMargin)
+
+    // Left-row evaluation + output vars.
+    val leftRowVar = ctx.freshName("asofLeftRow")
+    ctx.INPUT_ROW = leftRowVar
+    ctx.currentVars = null
+    val lKeyEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val lTimeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    // Emit the left-column loads eagerly; evaluateVariables clears the
+    // ExprCode blocks so consume() won't emit them a second time.
+    val leftVarsCode = evaluateVariables(leftVars)
+    // Right output vars come from the remembered matchRow, guarded by
+    // this row's match flag; every column is nullable on no-match. The
+    // declarations are emitted by hand (one block below), so the
+    // ExprCodes handed to consume carry empty code.
+    val matched = ctx.freshName("asofMatched")
+    val rightVarDecls = new StringBuilder
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRN")
+      val value = ctx.freshName("asofRV")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      rightVarDecls.append(
+        s"""
+           |boolean $isNull = !$matched || $matchRow.isNullAt($i);
+           |$javaType $value = $isNull
+           |  ? ${CodeGenerator.defaultValue(a.dataType)}
+           |  : (${CodeGenerator.getValue(matchRow, a.dataType, i.toString)});
+         """.stripMargin)
+      ExprCode(EmptyBlock, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    val lKeyNull = ctx.freshName("asofLKeyNull")
+    val lKey = ctx.freshName("asofLKey")
+    val lTimeNull = ctx.freshName("asofLTimeNull")
+    val lTime = ctx.freshName("asofLTime")
+    val cont = ctx.freshName("asofCont")
+    val cmp = ctx.freshName("asofCmp")
+    val unsafeRowCls = "org.apache.spark.sql.catalyst.expressions.UnsafeRow"
+    s"""
+       |if (!$started) { $advanceFn(); $started = true; }
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRowVar = (InternalRow) $leftInput.next();
+       |  ${lKeyEv.code}
+       |  boolean $lKeyNull = ${lKeyEv.isNull};
+       |  long $lKey = $lKeyNull ? 0L : (long)(${lKeyEv.value});
+       |  ${lTimeEv.code}
+       |  boolean $lTimeNull = ${lTimeEv.isNull};
+       |  long $lTime = $lTimeNull ? 0L : (long)(${lTimeEv.value});
+       |  boolean $matched = false;
+       |  if (!$lKeyNull && !$lTimeNull) {
+       |    boolean $cont = $rightRow != null;
+       |    while ($cont) {
+       |      if ($rKeyNull || $rTimeNull) {
+       |        $advanceFn();
+       |      } else {
+       |        int $cmp = java.lang.Long.compare($rKey, $lKey);
+       |        if ($cmp < 0) {
+       |          $advanceFn();
+       |        } else if ($cmp == 0 && $rTime <= $lTime) {
+       |          $savedKey = $rKey; $hasSaved = true;
+       |          if ($rightRow instanceof $unsafeRowCls) {
+       |            if ($matchBuf == null) {
+       |              $matchBuf = (($unsafeRowCls) $rightRow).copy();
+       |            } else {
+       |              $matchBuf.copyFrom(($unsafeRowCls) $rightRow);
+       |            }
+       |            $matchRow = $matchBuf;
+       |          } else {
+       |            $matchRow = $rightRow.copy();
+       |          }
+       |          $advanceFn();
+       |        } else {
+       |          $cont = false;
+       |        }
+       |      }
+       |      $cont = $cont && $rightRow != null;
+       |    }
+       |    $matched = $hasSaved && $savedKey == $lKey && $matchRow != null;
+       |  }
+       |  $leftVarsCode
+       |  ${rightVarDecls.toString}
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -4,11 +4,14 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder,
-  UnsafeProjection}
+  Ascending, Attribute, BindReferences, BoundReference, Expression,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, CodeGenerator, EmptyBlock, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
 
 /** Native banded range join — the third whole-operator extension
   * (SURVEY §2.14): INNER-join each left row to every right row of the
@@ -59,7 +62,8 @@ case class RangeJoinExec(
     leftKey: Expression, leftTime: Expression, leftTie: Expression,
     rightKey: Expression, rightTime: Expression, rightTie: Expression,
     bandUs: Long,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -152,6 +156,158 @@ case class RangeJoinExec(
         }
       }
     }
+  }
+
+  // ---- WholeStageCodegen participation --------------------------------
+  //
+  // Same structure as AsofJoinExec's codegen: the stage starts here,
+  // doProduce emits the sliding-buffer merge itself, the sorted
+  // children arrive as the stage's two input iterators, and each
+  // (left, buffered-right) pair flows to the downstream fused
+  // operator as local vars. The band buffer is two parallel deques
+  // (boxed time, UnsafeRow copy) in generated-class state — the same
+  // O(band density) bound as the interpreted path. shouldStop() is
+  // checked at LEFT-ROW boundaries only (best-effort by contract):
+  // returning mid-buffer would need SMJ-style resumable inner-loop
+  // state for no correctness gain, and the buffer is already the
+  // operator's declared memory bound.
+  override def supportCodegen: Boolean =
+    PlanUtil.isIntegral(leftKey.dataType) &&
+      leftTime.dataType == LongType && rightTime.dataType == LongType
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "rangeLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "rangeRightInput", v => s"$v = inputs[1];")
+    val rightRow = ctx.addMutableState("InternalRow", "rangeRightRow")
+    val rKeyNull =
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rangeRKeyNull")
+    val rKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "rangeRKey")
+    val rTimeNull =
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rangeRTimeNull")
+    val rTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "rangeRTime")
+    val bufT = ctx.addMutableState("java.util.ArrayDeque", "rangeBufT",
+      v => s"$v = new java.util.ArrayDeque();")
+    val bufR = ctx.addMutableState("java.util.ArrayDeque", "rangeBufR",
+      v => s"$v = new java.util.ArrayDeque();")
+    val hasSaved =
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rangeHasSaved")
+    val savedKey =
+      ctx.addMutableState(CodeGenerator.JAVA_LONG, "rangeSavedKey")
+    val started =
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rangeStarted")
+
+    val rRowTmp = ctx.freshName("r")
+    ctx.INPUT_ROW = rRowTmp
+    ctx.currentVars = null
+    val rKeyEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rTimeEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val advanceFn = ctx.addNewFunction("rangeAdvance",
+      s"""
+         |private void rangeAdvance() {
+         |  if ($rightInput.hasNext()) {
+         |    InternalRow $rRowTmp = (InternalRow) $rightInput.next();
+         |    ${rKeyEv.code}
+         |    $rKeyNull = ${rKeyEv.isNull};
+         |    $rKey = $rKeyNull ? 0L : (long)(${rKeyEv.value});
+         |    ${rTimeEv.code}
+         |    $rTimeNull = ${rTimeEv.isNull};
+         |    $rTime = $rTimeNull ? 0L : (long)(${rTimeEv.value});
+         |    $rightRow = $rRowTmp;
+         |  } else {
+         |    $rightRow = null;
+         |  }
+         |}
+       """.stripMargin)
+
+    val leftRowVar = ctx.freshName("rangeLeftRow")
+    ctx.INPUT_ROW = leftRowVar
+    ctx.currentVars = null
+    val lKeyEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val lTimeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val leftVarsCode = evaluateVariables(leftVars)
+    // Right vars load from the buffered match inside the emit loop;
+    // inner join — no matched guard, nullability is per stored value.
+    val mRow = ctx.freshName("rangeMatch")
+    val rightVarDecls = new StringBuilder
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("rangeRN")
+      val value = ctx.freshName("rangeRV")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      rightVarDecls.append(
+        s"""
+           |boolean $isNull = $mRow.isNullAt($i);
+           |$javaType $value = $isNull
+           |  ? ${CodeGenerator.defaultValue(a.dataType)}
+           |  : (${CodeGenerator.getValue(mRow, a.dataType, i.toString)});
+         """.stripMargin)
+      ExprCode(EmptyBlock, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    val lKeyNull = ctx.freshName("rangeLKeyNull")
+    val lKey = ctx.freshName("rangeLKey")
+    val lTimeNull = ctx.freshName("rangeLTimeNull")
+    val lTime = ctx.freshName("rangeLTime")
+    val cont = ctx.freshName("rangeCont")
+    val cmp = ctx.freshName("rangeCmp")
+    val emitIt = ctx.freshName("rangeEmitIt")
+    s"""
+       |if (!$started) { $advanceFn(); $started = true; }
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRowVar = (InternalRow) $leftInput.next();
+       |  ${lKeyEv.code}
+       |  boolean $lKeyNull = ${lKeyEv.isNull};
+       |  long $lKey = $lKeyNull ? 0L : (long)(${lKeyEv.value});
+       |  ${lTimeEv.code}
+       |  boolean $lTimeNull = ${lTimeEv.isNull};
+       |  long $lTime = $lTimeNull ? 0L : (long)(${lTimeEv.value});
+       |  if (!$lKeyNull && !$lTimeNull) {
+       |    if (!$hasSaved || $savedKey != $lKey) {
+       |      $bufT.clear(); $bufR.clear();
+       |      $savedKey = $lKey; $hasSaved = true;
+       |    }
+       |    boolean $cont = $rightRow != null;
+       |    while ($cont) {
+       |      if ($rKeyNull || $rTimeNull) {
+       |        $advanceFn();
+       |      } else {
+       |        int $cmp = java.lang.Long.compare($rKey, $lKey);
+       |        if ($cmp < 0 || ($cmp == 0 && $rTime <= $lTime)) {
+       |          $advanceFn();
+       |        } else if ($cmp == 0 && $rTime - $lTime <= ${bandUs}L) {
+       |          $bufT.addLast(java.lang.Long.valueOf($rTime));
+       |          $bufR.addLast($rightRow.copy());
+       |          $advanceFn();
+       |        } else {
+       |          $cont = false;
+       |        }
+       |      }
+       |      $cont = $cont && $rightRow != null;
+       |    }
+       |    while (!$bufT.isEmpty() &&
+       |        ((java.lang.Long) $bufT.peekFirst()).longValue() <= $lTime) {
+       |      $bufT.pollFirst(); $bufR.pollFirst();
+       |    }
+       |    $leftVarsCode
+       |    java.util.Iterator $emitIt = $bufR.iterator();
+       |    while ($emitIt.hasNext()) {
+       |      InternalRow $mRow = (InternalRow) $emitIt.next();
+       |      ${rightVarDecls.toString}
+       |      ${consume(ctx, leftVars ++ rightVars)}
+       |    }
+       |  }
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -199,6 +199,42 @@ class PlanShapeSpec extends GraftSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("AsofJoinExec participates in WholeStageCodegen (integral key)") {
+    val df = q("q_join_asof_native", sf0001)
+    df.collect() // same AQE final-plan caveat as the Sessionize pin
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("AsofJoin "))
+    assert(line.exists(_.contains("*(")),
+      s"AsofJoin must carry a codegen-stage star:\n$p")
+  }
+
+  test("as-of codegen and interpreted paths agree (codegen off)") {
+    val a = q("q_join_asof_native", sf0001).collect().map(_.toString)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val b =
+      try q("q_join_asof_native", sf0001).collect().map(_.toString)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("RangeJoinExec participates in WholeStageCodegen (integral key)") {
+    val df = q("q_join_range_native", sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("RangeJoin "))
+    assert(line.exists(_.contains("*(")),
+      s"RangeJoin must carry a codegen-stage star:\n$p")
+  }
+
+  test("range-join codegen and interpreted paths agree (codegen off)") {
+    val a = q("q_join_range_native", sf0001).collect().map(_.toString)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val b =
+      try q("q_join_range_native", sf0001).collect().map(_.toString)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("q_join_asof_native lowers to AsofJoin: no window, no union-tag, sort-merge shape") {
     val p = plan("q_join_asof_native")
     assert(p.contains("AsofJoin "),
