@@ -27,12 +27,10 @@ object Bench {
       // q_scan_count. At 100 TB this is "count a table in metadata
       // time" — same setting a production deployment would pin.
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // Bucketed-table queries (q_join_bucket) need a writable catalog
-      // location that never pollutes the repo working tree. Fresh per
-      // JVM — a leftover location with a fresh in-memory catalog makes
-      // saveAsTable die with LOCATION_ALREADY_EXISTS (see Verify).
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft_warehouse").toString)
+      // Bucketed/partitioned-table queries (q_join_bucket, q_join_dpp)
+      // need a writable catalog location that never pollutes the repo
+      // working tree; fresh per JVM, removed on exit (TempWarehouse).
+      .config("spark.sql.warehouse.dir", TempWarehouse.dir())
     // Dev knob: extra confs as ;-separated k=v pairs, for A/B-ing
     // scheduler/AQE settings without editing code. Driver sets none.
     sys.env.get("GRAFT_BENCH_CONF").foreach(_.split(";").filter(_.nonEmpty)

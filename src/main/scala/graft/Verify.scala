@@ -19,13 +19,10 @@ object Verify {
       // Same engine posture as Bench: footer-metadata answers for
       // unfiltered count/min/max (exact-only rewrite).
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // Bucketed-table queries (q_join_bucket) need a writable catalog
-      // location that never pollutes the repo working tree. Must be
-      // fresh per JVM: a persistent dir + the fresh in-memory catalog
-      // means saveAsTable CREATEs onto a leftover location and dies
-      // with LOCATION_ALREADY_EXISTS.
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft_warehouse").toString)
+      // Bucketed/partitioned-table queries (q_join_bucket, q_join_dpp)
+      // need a writable catalog location that never pollutes the repo
+      // working tree; fresh per JVM, removed on exit (TempWarehouse).
+      .config("spark.sql.warehouse.dir", TempWarehouse.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

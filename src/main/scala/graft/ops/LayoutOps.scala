@@ -37,6 +37,23 @@ object LayoutOps {
   private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 100 + 0.5) / 100
 
+  /** Write a managed table once per (session, name), idempotent even
+    * across JVMs sharing a persistent warehouse dir: a fresh session's
+    * in-memory catalog forgets the table while its files persist, so
+    * before writing we clear any stale location a prior JVM left
+    * behind (catalog-miss + location-exists would otherwise fail
+    * `saveAsTable` with LOCATION_ALREADY_EXISTS). Restart-with-dirty-
+    * warehouse behavior is pinned in LayoutOpsSpec. */
+  private[graft] def ensureTable(s: org.apache.spark.sql.SparkSession,
+      name: String)(write: => Unit): Unit =
+    if (!s.catalog.tableExists(name)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        org.apache.spark.sql.graftbridge.Bridge.defaultTablePath(s, name))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      write
+    }
+
   val queries: Map[String, Q] = Map(
     // Z-order layout planning over lineitem's (partkey, suppkey):
     // scale each key to a 6-bit bucket, interleave to a 12-bit Morton
@@ -73,12 +90,14 @@ object LayoutOps {
       val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
       val ot = s"graft_orders_bkt_$tag"
       val ct = s"graft_customer_bkt_$tag"
-      if (!s.catalog.tableExists(ot))
+      ensureTable(s, ot) {
         t(s, d, "orders").write.bucketBy(8, "o_custkey")
           .sortBy("o_custkey").mode("overwrite").saveAsTable(ot)
-      if (!s.catalog.tableExists(ct))
+      }
+      ensureTable(s, ct) {
         t(s, d, "customer").write.bucketBy(8, "c_custkey")
           .sortBy("c_custkey").mode("overwrite").saveAsTable(ct)
+      }
       s.table(ot).hint("merge")
         .join(s.table(ct), $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment").agg(

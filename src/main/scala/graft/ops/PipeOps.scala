@@ -675,9 +675,11 @@ object PipeOps {
     // difficulty quartiles, and report each stage's size and range —
     // the ordering pass of curriculum training. The frequency table
     // collapses to |vocab| rows and BROADCASTS; per-doc scoring is
-    // map-side. The exact global ntile is the fixture-scale cut; at
-    // 100 TB the same plan swaps ntile for approx_percentile cuts
-    // (the q_agg_quantile trade) and stays one scan + one broadcast.
+    // map-side. The quartile cut is EXACT but never a global window:
+    // DistRank's two-pass distributed rank (range partition on
+    // (difficulty, doc_id), local rank, broadcast offsets) plus pure
+    // ntile arithmetic — the same assignment the window function
+    // makes, with every stage partition-parallel at 100 TB.
     "q_pipe_curriculum" -> ((s, d) => {
       import s.implicits._
       val tk = t(s, d, "documents")
@@ -690,9 +692,8 @@ object PipeOps {
           (floor(avg(-log($"nu" / $"n_total")) * 1e4 + 0.5) / 1e4)
             .as("difficulty"),
           count(lit(1)).as("tokens"))
-      scored
-        .withColumn("quartile",
-          ntile(4).over(Window.orderBy($"difficulty", $"doc_id")))
+      DistRank.withGlobalRank(scored, 32, $"difficulty", $"doc_id")
+        .withColumn("quartile", DistRank.ntile(4))
         .groupBy($"quartile").agg(
           count(lit(1)).as("n_docs"),
           min($"difficulty").as("min_difficulty"),

@@ -11,10 +11,11 @@ import Tables.{Q, t}
   * Scale notes: every window partitions by a real key (segment,
   * customer, user), so the single shuffle is keyed and parallel —
   * the classic MR secondary sort with the sort pushed inside the
-  * partition. The one global window (`q_win_ntile`) is inherently a
-  * total order; at 100 TB that row would move to approx percentiles
-  * (percentile_approx) — kept exact here because the contract's
-  * oracle demands exact ranks.
+  * partition. The one TOTAL order (`q_win_ntile`) does not use a
+  * global window at all: it computes its exact ranks with the
+  * two-pass distributed rank ([[DistRank]]) — range partition, local
+  * rank, broadcast prefix-sum offsets — so no query in this file
+  * funnels all rows through one task at any scale.
   */
 object Windows {
 
@@ -276,14 +277,23 @@ object Windows {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // Global quartile/percentile assignment over ALL customers — the
+    // percentile-normalization shape every "top X% by balance" cut
+    // needs. NOT a global window (all rows in one task): the exact
+    // ranks come from DistRank's two-pass distributed form — range
+    // partition on (acctbal, custkey), per-partition local rank,
+    // broadcast prefix-sum offsets — and ntile/percent_rank/cume_dist
+    // are then pure rank arithmetic, bit-identical to the window
+    // functions because the composite sort key is tie-free.
     "q_win_ntile" -> ((s, d) => {
       import s.implicits._
-      val w = Window.orderBy($"c_acctbal", $"c_custkey")
-      t(s, d, "customer")
+      DistRank.withGlobalRank(
+          t(s, d, "customer").select($"c_custkey", $"c_acctbal"),
+          32, $"c_acctbal", $"c_custkey")
         .select($"c_custkey",
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 4).as("pct_rank"),
-          round(cume_dist().over(w), 4).as("cdist"))
+          DistRank.ntile(4).as("quartile"),
+          round(DistRank.percentRank(), 4).as("pct_rank"),
+          round(DistRank.cumeDist(), 4).as("cdist"))
         .orderBy($"c_custkey")
     }),
   )

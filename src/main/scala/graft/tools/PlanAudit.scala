@@ -7,13 +7,19 @@ import org.apache.spark.sql.SparkSession
   * CartesianProduct, BroadcastNestedLoopJoin, and a Window with no
   * PARTITION BY (all-data-to-one-task).
   *
-  * Expected flags (audited 174 queries; everything else is clean):
-  *  - BNLJ with a deliberately tiny broadcast side: q_join_cross
-  *    (5x6 cartesian semantics), q_join_fuzzy (20-row distinct dim),
-  *    q_join_skew_salt (dim x salt replication), q_sim_cosine_topk /
-  *    q_sim_knn_join / q_sim_ann_ivf / q_sim_pairs / q_sim_range /
-  *    q_sim_mmr (1-20 row query batch, centroid set, or top-8
-  *    shortlist vs streamed corpus),
+  * GlobalWindow is a HARD failure (exit 1): since round 7 the two
+  * contractual total orders (q_win_ntile, q_pipe_curriculum) compute
+  * exact ranks via DistRank's two-pass distributed form, so no
+  * shipped plan may funnel all rows through one task. Any new flag
+  * is a regression.
+  *
+  * Expected soft flags (audited 174 queries; everything else is
+  * clean) — BNLJ with a deliberately tiny broadcast side:
+  *    q_join_cross (5x6 cartesian semantics), q_join_fuzzy (20-row
+  *    distinct dim), q_join_skew_salt (dim x salt replication),
+  *    q_sim_cosine_topk / q_sim_knn_join / q_sim_ann_ivf /
+  *    q_sim_pairs / q_sim_range / q_sim_mmr (1-20 row query batch,
+  *    centroid set, or top-8 shortlist vs streamed corpus),
   *    q_text_tfidf / q_text_pmi / q_text_jsd / q_text_bm25 /
   *    q_pipe_oversample / q_pipe_drift / q_pipe_benford /
   *    q_pipe_tokenbudget / q_pipe_curriculum / q_pipe_zorder /
@@ -21,10 +27,8 @@ import org.apache.spark.sql.SparkSession
   *    |V|-sized rank tables), q_sim_kmeans (8-row centroid batch),
   *    q_sim_recall (two 10-row top-k sets), q_dedup_ngram (broadcast
   *    block table for triangle blocking; the pair join itself is
-  *    keyed).
-  *  - GlobalWindow: q_win_ntile and q_pipe_curriculum — an exact
-  *    total order is those rows' contract (scaladocs name
-  *    approx_percentile cuts as the 100 TB replacement).
+  *    keyed), q_win_ntile (DistRank's ≤32-row offset triangle +
+  *    1-row total).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -34,8 +38,14 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Same writable, repo-clean catalog location Verify/Bench use —
+      // without it the bucketed/partitioned-table queries
+      // (q_join_bucket, q_join_dpp) would write spark-warehouse/ into
+      // whatever cwd the audit runs from.
+      .config("spark.sql.warehouse.dir", graft.TempWarehouse.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    var globalWindows = List.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -54,11 +64,17 @@ object PlanAudit {
             }
           },
         ).collect { case (f, true) => f }
+        if (flags.contains("GlobalWindow")) globalWindows ::= name
         println(s"[audit] $name: ${if (flags.isEmpty) "clean" else flags.mkString(",")}")
       } catch { case e: Throwable =>
         println(s"[audit] $name: ERROR ${e.getMessage.take(80)}")
       }
     }
     spark.stop()
+    if (globalWindows.nonEmpty) {
+      System.err.println(
+        s"[audit] FAIL: global (single-task) window in ${globalWindows.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

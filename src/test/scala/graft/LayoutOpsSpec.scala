@@ -147,4 +147,27 @@ class LayoutOpsSpec extends GraftSuite {
       .sortBy(_.getAs[Int]("pick")).map(_.getAs[Long]("vec_id")).toVector
     assert(got === picked)
   }
+
+  test("ensureTable survives a dirty-warehouse restart (stale location, no catalog entry)") {
+    // The r5-judge repro: a prior JVM sharing the warehouse dir wrote
+    // the table's files, but THIS session's in-memory catalog has no
+    // entry — a naive tableExists-guarded saveAsTable then CREATEs
+    // onto the leftover location and dies with LOCATION_ALREADY_EXISTS.
+    val name = "graft_dirty_restart_probe"
+    val loc = new java.io.File(
+      org.apache.spark.sql.graftbridge.Bridge.defaultTablePath(spark, name))
+    assert(loc.mkdirs(), s"could not stage stale location $loc")
+    assert(new java.io.File(loc, "part-00000-stale.parquet").createNewFile())
+    assert(!spark.catalog.tableExists(name))
+    try {
+      ops.LayoutOps.ensureTable(spark, name) {
+        spark.range(5).write.mode("overwrite").saveAsTable(name)
+      }
+      assert(spark.table(name).count() === 5)
+      // and once the catalog KNOWS the table, ensureTable is a no-op
+      ops.LayoutOps.ensureTable(spark, name) {
+        fail("ensureTable must not rewrite an existing table")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
 }
