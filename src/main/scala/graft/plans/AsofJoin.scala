@@ -167,13 +167,15 @@ case class AsofJoinExec(
   // consumes (left columns ++ nullable right columns) as local vars —
   // no JoinedRow, no per-row UnsafeProjection, no iterator boundary.
   //
-  // Limited to integral keys (the fixture contract and the common
-  // case): the remembered key lives in one long field. Generic
-  // orderable keys run the interpreted doExecute above, which remains
-  // the semantic reference — PlanShapeSpec pins codegen/interpreted
-  // equality and the codegen-stage star.
+  // Covers integral AND default-collation string keys (the two common
+  // LLM-pipeline id shapes — PlanUtil.keyCodegen): integral keys live
+  // in one long field, string keys in a UTF8String field whose binary
+  // compareTo matches the planned sort order. Other orderable keys run
+  // the interpreted doExecute above, which remains the semantic
+  // reference — PlanShapeSpec pins codegen/interpreted equality and
+  // the codegen-stage star for both key shapes.
   override def supportCodegen: Boolean =
-    PlanUtil.isIntegral(leftKey.dataType) &&
+    PlanUtil.keyCodegen(leftKey.dataType).isDefined &&
       leftTime.dataType == LongType && rightTime.dataType == LongType
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
@@ -185,6 +187,11 @@ case class AsofJoinExec(
   override def needCopyResult: Boolean = true
 
   override protected def doProduce(ctx: CodegenContext): String = {
+    // supportCodegen gates on this being defined. The right-cursor key
+    // is a zero-copy view into the CURRENT right row (valid until the
+    // next advance — same invariant as the interpreted MergeKeys);
+    // only the saved key is owned (kc.save clones strings).
+    val kc = PlanUtil.keyCodegen(leftKey.dataType).get
     val leftInput = ctx.addMutableState("scala.collection.Iterator",
       "asofLeftInput", v => s"$v = inputs[0];")
     val rightInput = ctx.addMutableState("scala.collection.Iterator",
@@ -192,7 +199,7 @@ case class AsofJoinExec(
     val rightRow = ctx.addMutableState("InternalRow", "asofRightRow")
     val rKeyNull =
       ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRKeyNull")
-    val rKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRKey")
+    val rKey = ctx.addMutableState(kc.javaType, "asofRKey")
     val rTimeNull =
       ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRTimeNull")
     val rTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRTime")
@@ -201,7 +208,7 @@ case class AsofJoinExec(
     val matchRow = ctx.addMutableState("InternalRow", "asofMatchRow")
     val hasSaved =
       ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHasSaved")
-    val savedKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofSavedKey")
+    val savedKey = ctx.addMutableState(kc.javaType, "asofSavedKey")
     val started = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofStarted")
 
     // Right-cursor advance: read the next row and evaluate its
@@ -218,7 +225,8 @@ case class AsofJoinExec(
          |    InternalRow $rRowTmp = (InternalRow) $rightInput.next();
          |    ${rKeyEv.code}
          |    $rKeyNull = ${rKeyEv.isNull};
-         |    $rKey = $rKeyNull ? 0L : (long)(${rKeyEv.value});
+         |    $rKey = $rKeyNull
+         |      ? ${kc.defaultValue} : ${kc.load(rKeyEv.value.toString)};
          |    ${rTimeEv.code}
          |    $rTimeNull = ${rTimeEv.isNull};
          |    $rTime = $rTimeNull ? 0L : (long)(${rTimeEv.value});
@@ -274,7 +282,8 @@ case class AsofJoinExec(
        |  InternalRow $leftRowVar = (InternalRow) $leftInput.next();
        |  ${lKeyEv.code}
        |  boolean $lKeyNull = ${lKeyEv.isNull};
-       |  long $lKey = $lKeyNull ? 0L : (long)(${lKeyEv.value});
+       |  ${kc.javaType} $lKey = $lKeyNull
+       |    ? ${kc.defaultValue} : ${kc.load(lKeyEv.value.toString)};
        |  ${lTimeEv.code}
        |  boolean $lTimeNull = ${lTimeEv.isNull};
        |  long $lTime = $lTimeNull ? 0L : (long)(${lTimeEv.value});
@@ -285,11 +294,11 @@ case class AsofJoinExec(
        |      if ($rKeyNull || $rTimeNull) {
        |        $advanceFn();
        |      } else {
-       |        int $cmp = java.lang.Long.compare($rKey, $lKey);
+       |        int $cmp = ${kc.cmp(rKey, lKey)};
        |        if ($cmp < 0) {
        |          $advanceFn();
        |        } else if ($cmp == 0 && $rTime <= $lTime) {
-       |          $savedKey = $rKey; $hasSaved = true;
+       |          $savedKey = ${kc.save(rKey)}; $hasSaved = true;
        |          if ($rightRow instanceof $unsafeRowCls) {
        |            if ($matchBuf == null) {
        |              $matchBuf = (($unsafeRowCls) $rightRow).copy();
@@ -307,7 +316,8 @@ case class AsofJoinExec(
        |      }
        |      $cont = $cont && $rightRow != null;
        |    }
-       |    $matched = $hasSaved && $savedKey == $lKey && $matchRow != null;
+       |    $matched = $hasSaved && ${kc.eq(savedKey, lKey)}
+       |      && $matchRow != null;
        |  }
        |  $leftVarsCode
        |  ${rightVarDecls.toString}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType,
-  LongType, ShortType, TimestampNTZType, TimestampType}
+  LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 
 /** Shared plumbing for the native merge operators (AsofJoin,
   * RangeJoin, Sessionize): column resolution with clear driver-side
@@ -70,6 +70,37 @@ private[plans] object PlanUtil {
     case LongType | IntegerType | ShortType | ByteType | DateType |
          TimestampType | TimestampNTZType => true
     case _ => false
+  }
+
+  /** Code fragments for a native-merge key inside WholeStageCodegen.
+    * Integral keys live in one primitive `long` of generated-class
+    * state; default-collation strings in a `UTF8String` field whose
+    * `compareTo` is the SAME binary order SortOrder plans (collated
+    * strings sort differently and stay on the interpreted path). The
+    * `save` fragment owns the value across cursor advances — a
+    * UTF8String from a child iterator is a view into a reused row
+    * buffer, so saving clones it (mirrors GenericMergeKeys'
+    * copyValue); current-cursor loads stay zero-copy.
+    */
+  final case class KeyCodegen(
+      javaType: String, defaultValue: String,
+      load: String => String,
+      cmp: (String, String) => String,
+      eq: (String, String) => String,
+      save: String => String)
+
+  /** The codegen fragments for key type `dt`, or None when only the
+    * interpreted merge supports it (the execs' `supportCodegen`). */
+  def keyCodegen(dt: DataType): Option[KeyCodegen] = dt match {
+    case _ if isIntegral(dt) => Some(KeyCodegen(
+      "long", "0L", v => s"(long)($v)",
+      (a, b) => s"java.lang.Long.compare($a, $b)",
+      (a, b) => s"$a == $b", v => v))
+    case st: StringType if st == StringType => Some(KeyCodegen(
+      "UTF8String", "null", v => v,
+      (a, b) => s"$a.compareTo($b)",
+      (a, b) => s"$a.equals($b)", v => s"$v.clone()"))
+    case _ => None
   }
 
   /** Single-value reader for a bound long-valued expression: `read`

@@ -171,8 +171,11 @@ case class RangeJoinExec(
   // returning mid-buffer would need SMJ-style resumable inner-loop
   // state for no correctness gain, and the buffer is already the
   // operator's declared memory bound.
+  // Integral and default-collation string keys codegen (see
+  // PlanUtil.keyCodegen and the AsofJoinExec note); everything else
+  // runs the interpreted path above.
   override def supportCodegen: Boolean =
-    PlanUtil.isIntegral(leftKey.dataType) &&
+    PlanUtil.keyCodegen(leftKey.dataType).isDefined &&
       leftTime.dataType == LongType && rightTime.dataType == LongType
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
@@ -186,9 +189,12 @@ case class RangeJoinExec(
     val rightInput = ctx.addMutableState("scala.collection.Iterator",
       "rangeRightInput", v => s"$v = inputs[1];")
     val rightRow = ctx.addMutableState("InternalRow", "rangeRightRow")
+    // supportCodegen gates on this being defined; the cursor key is a
+    // view into the current row, only the saved band owner is cloned.
+    val kc = PlanUtil.keyCodegen(leftKey.dataType).get
     val rKeyNull =
       ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rangeRKeyNull")
-    val rKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "rangeRKey")
+    val rKey = ctx.addMutableState(kc.javaType, "rangeRKey")
     val rTimeNull =
       ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rangeRTimeNull")
     val rTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "rangeRTime")
@@ -199,7 +205,7 @@ case class RangeJoinExec(
     val hasSaved =
       ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rangeHasSaved")
     val savedKey =
-      ctx.addMutableState(CodeGenerator.JAVA_LONG, "rangeSavedKey")
+      ctx.addMutableState(kc.javaType, "rangeSavedKey")
     val started =
       ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rangeStarted")
 
@@ -215,7 +221,8 @@ case class RangeJoinExec(
          |    InternalRow $rRowTmp = (InternalRow) $rightInput.next();
          |    ${rKeyEv.code}
          |    $rKeyNull = ${rKeyEv.isNull};
-         |    $rKey = $rKeyNull ? 0L : (long)(${rKeyEv.value});
+         |    $rKey = $rKeyNull
+         |      ? ${kc.defaultValue} : ${kc.load(rKeyEv.value.toString)};
          |    ${rTimeEv.code}
          |    $rTimeNull = ${rTimeEv.isNull};
          |    $rTime = $rTimeNull ? 0L : (long)(${rTimeEv.value});
@@ -266,21 +273,22 @@ case class RangeJoinExec(
        |  InternalRow $leftRowVar = (InternalRow) $leftInput.next();
        |  ${lKeyEv.code}
        |  boolean $lKeyNull = ${lKeyEv.isNull};
-       |  long $lKey = $lKeyNull ? 0L : (long)(${lKeyEv.value});
+       |  ${kc.javaType} $lKey = $lKeyNull
+       |    ? ${kc.defaultValue} : ${kc.load(lKeyEv.value.toString)};
        |  ${lTimeEv.code}
        |  boolean $lTimeNull = ${lTimeEv.isNull};
        |  long $lTime = $lTimeNull ? 0L : (long)(${lTimeEv.value});
        |  if (!$lKeyNull && !$lTimeNull) {
-       |    if (!$hasSaved || $savedKey != $lKey) {
+       |    if (!$hasSaved || !(${kc.eq(savedKey, lKey)})) {
        |      $bufT.clear(); $bufR.clear();
-       |      $savedKey = $lKey; $hasSaved = true;
+       |      $savedKey = ${kc.save(lKey)}; $hasSaved = true;
        |    }
        |    boolean $cont = $rightRow != null;
        |    while ($cont) {
        |      if ($rKeyNull || $rTimeNull) {
        |        $advanceFn();
        |      } else {
-       |        int $cmp = java.lang.Long.compare($rKey, $lKey);
+       |        int $cmp = ${kc.cmp(rKey, lKey)};
        |        if ($cmp < 0 || ($cmp == 0 && $rTime <= $lTime)) {
        |          $advanceFn();
        |        } else if ($cmp == 0 && $rTime - $lTime <= ${bandUs}L) {

@@ -143,12 +143,17 @@ case class SessionizeExec(
   // instantiated once per partition, so the zero-initialized mutable
   // state doubles as the per-partition reset.
   //
-  // Codegen is limited to integral keys (long-comparable without a
-  // saved-object copy; the fixture contract and the common case) —
-  // generic orderable keys run the interpreted doExecute below, which
+  // Codegen covers integral AND default-collation string keys (the
+  // two common LLM-pipeline id shapes — see PlanUtil.keyCodegen);
+  // other orderable keys run the interpreted doExecute below, which
   // remains the semantic reference (PlanShapeSpec asserts both paths
-  // equal the window form).
-  override def supportCodegen: Boolean = PlanUtil.isIntegral(key.dataType)
+  // equal the window form, for long and string keys). The LongType
+  // guard is defensive: the public Sessionize.apply always normalizes
+  // time to long µs, but a directly-constructed node must fall back
+  // rather than emit long-typed code over a non-long column.
+  override def supportCodegen: Boolean =
+    PlanUtil.keyCodegen(key.dataType).isDefined &&
+      time.dataType == LongType
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[CodegenSupport].inputRDDs()
@@ -158,10 +163,15 @@ case class SessionizeExec(
 
   override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
       row: ExprCode): String = {
+    // supportCodegen gates on this being defined.
+    val kc = PlanUtil.keyCodegen(key.dataType).get
     val hasKey = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessHasKey")
     val lastKeyNull =
       ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessLastKeyNull")
-    val lastKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessLastKey")
+    // The saved key must survive cursor advances: kc.save owns the
+    // value (clone for strings — the input var is a view into a
+    // reused row buffer), at one small allocation per KEY RUN.
+    val lastKey = ctx.addMutableState(kc.javaType, "sessLastKey")
     val lastTs = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessLastTs")
     val lastNull =
       ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessLastNull")
@@ -185,12 +195,14 @@ case class SessionizeExec(
        |${keyEv.code}
        |${timeEv.code}
        |boolean $kNull = ${keyEv.isNull};
-       |long $kVal = $kNull ? 0L : (long)(${keyEv.value});
+       |${kc.javaType} $kVal =
+       |  $kNull ? ${kc.defaultValue} : ${kc.load(keyEv.value.toString)};
        |boolean $tNull = ${timeEv.isNull};
        |long $tVal = $tNull ? 0L : (long)(${timeEv.value});
        |if (!$hasKey || $kNull != $lastKeyNull ||
-       |    (!$kNull && $kVal != $lastKey)) {
-       |  $hasKey = true; $lastKeyNull = $kNull; $lastKey = $kVal;
+       |    (!$kNull && !(${kc.eq(kVal, lastKey)}))) {
+       |  $hasKey = true; $lastKeyNull = $kNull;
+       |  $lastKey = $kNull ? ${kc.defaultValue} : ${kc.save(kVal)};
        |  $sid = 1L;
        |} else if ($lastNull) {
        |  $sid += 1L;

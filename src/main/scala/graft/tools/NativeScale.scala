@@ -21,15 +21,21 @@ import org.apache.spark.sql.functions._
   * A second mode A/Bs the (codegen-participating) native sessionize
   * against its two-window emulation on one synthetic sorted stream.
   *
-  * usage: runMain graft.tools.NativeScale [nLeft] [nUsers] [reps]
-  *        runMain graft.tools.NativeScale sessionize [n] [nUsers] [reps]
+  * A trailing `str` arg re-keys both A/Bs on STRING user ids
+  * (`u%09d`) — the round-7 UTF8String codegen path — so native-vs-
+  * emulated is measured for the LLM-pipeline key shape too.
+  *
+  * usage: runMain graft.tools.NativeScale [nLeft] [nUsers] [reps] [str]
+  *        runMain graft.tools.NativeScale sessionize [n] [nUsers] [reps] [str]
   */
 object NativeScale {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("sessionize")) return sessionizeMain(args.drop(1))
-    val nLeft = if (args.length > 0) args(0).toLong else 10000000L
-    val nUsers = if (args.length > 1) args(1).toLong else 100000L
-    val reps = if (args.length > 2) args(2).toInt else 3
+    val strKeys = args.contains("str")
+    val nums = args.filterNot(_ == "str")
+    val nLeft = if (nums.length > 0) nums(0).toLong else 10000000L
+    val nUsers = if (nums.length > 1) nums(1).toLong else 100000L
+    val reps = if (nums.length > 2) nums(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,13 +52,15 @@ object NativeScale {
     // Deterministic scatter: times from a 64-bit mix of the row id.
     def mix(c: org.apache.spark.sql.Column) =
       pmod(hash(c, lit(42)).cast("long") * 2654435761L, lit(span))
+    def k(c: org.apache.spark.sql.Column) =
+      if (strKeys) format_string("u%09d", c) else c
     def purchases: DataFrame = spark.range(nLeft).select(
       $"id".as("event_id"),
-      pmod($"id" * 31L, lit(nUsers)).as("user_id"),
+      k(pmod($"id" * 31L, lit(nUsers))).as("user_id"),
       (lit(base) + mix($"id")).as("t"))
     def signups: DataFrame = spark.range(nLeft / 10).select(
       ($"id" + 2000000000L).as("signup_event_id"),
-      pmod($"id" * 17L, lit(nUsers)).as("s_user"),
+      k(pmod($"id" * 17L, lit(nUsers))).as("s_user"),
       (lit(base) + mix($"id" + 7L)).as("s_t"))
 
     def checksum(df: DataFrame, idCol: String, sidCol: String): (Long, Long, Long) = {
@@ -88,7 +96,7 @@ object NativeScale {
     // warm both paths once (codegen, strategy lowering)
     val n0 = native(); val w0 = window()
     require(n0 == w0, s"native $n0 != window $w0")
-    println(s"[scale] nLeft=$nLeft nUsers=$nUsers checksum=$n0")
+    println(s"[scale] nLeft=$nLeft nUsers=$nUsers strKeys=$strKeys checksum=$n0")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val nv = native()
@@ -103,9 +111,11 @@ object NativeScale {
   }
 
   private def sessionizeMain(args: Array[String]): Unit = {
-    val n = if (args.length > 0) args(0).toLong else 20000000L
-    val nUsers = if (args.length > 1) args(1).toLong else 100000L
-    val reps = if (args.length > 2) args(2).toInt else 3
+    val strKeys = args.contains("str")
+    val nums = args.filterNot(_ == "str")
+    val n = if (nums.length > 0) nums(0).toLong else 20000000L
+    val nUsers = if (nums.length > 1) nums(1).toLong else 100000L
+    val reps = if (nums.length > 2) nums(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -119,9 +129,11 @@ object NativeScale {
     val base = 1700000000000000L
     val span = 30L * 24 * 3600 * 1000000
     val gapUs = 12L * 3600 * 1000000
+    def k(c: org.apache.spark.sql.Column) =
+      if (strKeys) format_string("u%09d", c) else c
     def events: DataFrame = spark.range(n).select(
       $"id".as("event_id"),
-      pmod($"id" * 31L, lit(nUsers)).as("user_id"),
+      k(pmod($"id" * 31L, lit(nUsers))).as("user_id"),
       (lit(base) + pmod(hash($"id", lit(42)).cast("long") * 2654435761L,
         lit(span))).as("t"))
     def checksum(df: DataFrame): (Long, Long) = {
@@ -141,7 +153,7 @@ object NativeScale {
     }
     val n0 = native(); val w0 = window()
     require(n0 == w0, s"native $n0 != window $w0")
-    println(s"[scale] sessionize n=$n nUsers=$nUsers checksum=$n0")
+    println(s"[scale] sessionize n=$n nUsers=$nUsers strKeys=$strKeys checksum=$n0")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val nv = native()

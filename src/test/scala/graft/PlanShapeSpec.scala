@@ -273,4 +273,105 @@ class PlanShapeSpec extends GraftSuite {
     val b = q("q_join_range", sf0001).collect().map(_.toString)
     assert(a.nonEmpty && a.toSeq === b.toSeq)
   }
+
+  // ---- STRING keys through the native trio (round 7) -------------------
+  //
+  // String doc/user ids are the likeliest key shape in an LLM data
+  // pipeline. Each operator is checked three ways: (1) the codegen
+  // stage star fires for a STRING key (PlanUtil.keyCodegen's
+  // UTF8String path), (2) codegen and the interpreted generic-key
+  // merge agree, (3) the result equals the LONG-key run mapped through
+  // the injective key transform — key equality is all that matters to
+  // the semantics, so an injective re-keying must not change anything.
+
+  import org.apache.spark.sql.functions._
+
+  /** events with an injectively string-ified user id. */
+  private def strEvents = {
+    val s = spark
+    import s.implicits._
+    ops.Tables.t(spark, sf0001, "events")
+      .select(format_string("user_%06d", $"user_id").as("uid"),
+        $"user_id", $"ts", $"event_id", $"value")
+  }
+
+  private def codegenOff[A](body: => A): A = {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try body
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("string-key sessionize: codegen star, interpreted agreement, long-key equivalence") {
+    def run() = plans.Sessionize(
+      strEvents, "uid", "ts", "event_id", 12L * 3600 * 1000000)
+    val df = run()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.find(_.contains("Sessionize "))
+      .exists(_.contains("*(")),
+      s"string-key Sessionize must codegen:\n$p")
+    val key = df.select(col("event_id"), col("session_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(key.toSeq === codegenOff(run().select(col("event_id"),
+      col("session_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted).toSeq)
+    val longKeyed = plans.Sessionize(
+      ops.Tables.t(spark, sf0001, "events"), "user_id", "ts", "event_id",
+      12L * 3600 * 1000000)
+      .select(col("event_id"), col("session_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(key.toSeq === longKeyed.toSeq)
+  }
+
+  /** An attribute-disjoint string-keyed right side: every third event,
+    * renamed — the sparse lookup stream both joins scan against. */
+  private def strRight = {
+    val s = spark
+    import s.implicits._
+    ops.Tables.fresh(spark, sf0001, "events")
+      .where($"event_id" % 3 === 0)
+      .select(format_string("user_%06d", $"user_id").as("r_uid"),
+        $"user_id".as("r_user"), $"ts".as("r_ts"),
+        $"event_id".as("r_eid"), $"value".as("r_val"))
+  }
+
+  test("string-key as-of join: codegen star, interpreted agreement, long-key equivalence") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("r_eid"), col("r_val")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sorted.toSeq
+    def run() = plans.AsofJoin(strEvents, strRight,
+      "uid", "ts", "event_id", "r_uid", "r_ts", "r_eid")
+    val df = run()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.find(_.contains("AsofJoin "))
+      .exists(_.contains("*(")),
+      s"string-key AsofJoin must codegen:\n$p")
+    val got = pairs(df)
+    assert(got === codegenOff(pairs(run())))
+    assert(got === pairs(plans.AsofJoin(strEvents, strRight,
+      "user_id", "ts", "event_id", "r_user", "r_ts", "r_eid")))
+  }
+
+  test("string-key range join: codegen star, interpreted agreement, long-key equivalence") {
+    val band = 30L * 60 * 1000000
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("r_eid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def run() = plans.RangeJoin(strEvents, strRight,
+      "uid", "ts", "event_id", "r_uid", "r_ts", "r_eid", band)
+    val df = run()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.find(_.contains("RangeJoin "))
+      .exists(_.contains("*(")),
+      s"string-key RangeJoin must codegen:\n$p")
+    val got = pairs(df)
+    assert(got.nonEmpty, "fixture must produce in-band pairs")
+    assert(got === codegenOff(pairs(run())))
+    assert(got === pairs(plans.RangeJoin(strEvents, strRight,
+      "user_id", "ts", "event_id", "r_user", "r_ts", "r_eid", band)))
+  }
 }
