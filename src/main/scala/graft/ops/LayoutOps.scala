@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables.{Q, t}
 import graft.functions.ZOrder
@@ -106,6 +107,73 @@ object LayoutOps {
         .orderBy($"c_mktsegment")
     }),
 
+    // Dynamic partition pruning as a first-class query: the fact
+    // (orders) is written ONCE per (session, dir) as a table
+    // PARTITIONED on o_orderstatus; the status predicate lives only on
+    // a tiny file-backed dim (status → label), so static pruning can't
+    // see it — at runtime DPP pushes the dim's broadcast result into
+    // the fact scan's partition filters (dynamicpruningexpression,
+    // pinned in LayoutOpsSpec). This is THE 100 TB star-join shape:
+    // a date/status-partitioned fact never scans partitions the dim
+    // filter excludes. The dim must be a FILE source — a filtered
+    // LocalRelation constant-folds away before DPP's selective-
+    // predicate check (see SinksSpec).
+    "q_join_dpp" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val ft = s"graft_orders_part_$tag"
+      val dt = s"graft_status_dim_$tag"
+      ensureTable(s, ft) {
+        t(s, d, "orders").write.partitionBy("o_orderstatus")
+          .mode("overwrite").saveAsTable(ft)
+      }
+      ensureTable(s, dt) {
+        Seq(("O", "open"), ("F", "finished"), ("P", "pending"))
+          .toDF("st", "label").write.mode("overwrite").saveAsTable(dt)
+      }
+      s.table(ft)
+        .join(s.table(dt).where($"label" =!= "finished"),
+          $"o_orderstatus" === $"st")
+        .groupBy($"o_orderpriority").agg(
+          count(lit(1)).as("n_orders"),
+          r2(sum($"o_totalprice")).as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // File-compaction planning — the layout family's maintenance leg
+    // next to Z-order and bucketing: model documents' physical layout
+    // as (source, hash-shard) micro-files, then bin consecutive files
+    // into ~8 KiB compaction groups by cumulative size (bin = bytes
+    // BEFORE the file DIV target — first-fit in file order, exact
+    // integer arithmetic). Per-bin rollup reports what each compacted
+    // output would contain. At 100 TB this is the small-files
+    // maintenance pass every streaming-ingest table needs; the plan is
+    // one keyed agg + a PARTITIONED window (per source — never
+    // global) + one keyed rollup, all partition-parallel. Real byte
+    // sizes come from the fixture's n_chars, so both engines bin the
+    // identical numbers.
+    "q_pipe_compact" -> ((s, d) => {
+      import s.implicits._
+      val target = 8192L
+      val files = t(s, d, "documents")
+        .groupBy($"source",
+          (Tables.h60($"doc_id".cast("string")) % 16).as("file_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("bytes"))
+      val w = Window.partitionBy($"source").orderBy($"file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum", coalesce(sum($"bytes").over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum DIV $target"))
+        .groupBy($"source", $"bin").agg(
+          count(lit(1)).as("n_files"),
+          sum($"n_docs").as("n_docs"),
+          sum($"bytes").as("bin_bytes"),
+          min($"file_id").as("first_file"),
+          max($"file_id").as("last_file"))
+        .orderBy($"source", $"bin")
+    }),
+
     // Keyed snapshot diff: reconstruct "yesterday's" orders snapshot
     // deterministically from the current one (5% of keys not yet
     // inserted → ADDED today; 5% carried keys that no longer exist →
@@ -169,6 +237,40 @@ object LayoutOps {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
+
+    // Pruning must not change results: the oracle is the PLAIN join
+    // over the raw parquet, no partitioned table involved.
+    "q_join_dpp" -> """
+      WITH dim(st, label) AS
+        (VALUES ('O','open'), ('F','finished'), ('P','pending'))
+      SELECT o_orderpriority, count(*) AS n_orders,
+             FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+      FROM orders JOIN dim ON o_orderstatus = st
+      WHERE label <> 'finished'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q_pipe_compact" -> """
+      WITH f AS (
+        SELECT source,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 16 AS file_id,
+               count(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY 1, 2),
+      c AS (
+        SELECT *, COALESCE(SUM(bytes) OVER (PARTITION BY source
+                 ORDER BY file_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+        FROM f)
+      SELECT source, CAST(cum // 8192 AS BIGINT) AS bin, count(*) AS n_files,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+             min(file_id) AS first_file, max(file_id) AS last_file
+      FROM c
+      GROUP BY source, bin
+      ORDER BY source, bin""",
 
     "q_pipe_snapshot_diff" -> """
       WITH b AS (
