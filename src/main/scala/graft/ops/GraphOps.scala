@@ -23,6 +23,52 @@ object GraphOps {
     * same computation. */
   private val Iters = 5
 
+  /** Convergence tolerance for [[pagerank]]'s early exit: stop once
+    * the L1 rank delta of an iteration drops below this. The fixture
+    * graph is nowhere near converged after 5 rounds (deltas decay by
+    * ~0.85/round from ~1), so the declared query always runs all
+    * [[Iters]] and the unrolled oracle is unchanged; the exit matters
+    * for production graphs that settle early — every skipped round is
+    * a full |E|-shuffle saved. */
+  private val Tol = 1e-6
+
+  /** Damped (0.85) PageRank over a pre-weighted edge table
+    * `(src, dst, d)` with `d` = out-degree of `src`, starting from
+    * `init` = `(node, r)`. Every node must have degree ≥ 1 (no
+    * dangling mass — the symmetrized trade graph guarantees it), so
+    * each iteration's aggregate re-covers the full vertex set.
+    *
+    * Returns the final ranks and the number of iterations actually
+    * run: at most `maxIters`, fewer once the L1 delta falls below
+    * `tol`. Each iteration materializes via eager `localCheckpoint` —
+    * the lineage cut an iterative Spark job needs anyway — so the
+    * delta check is one broadcast join + scalar aggregate over the
+    * two |V|-sized checkpointed rank tables, never a recompute of the
+    * iteration chain. The delta read is a metadata-scale driver
+    * scalar (same class as the |V| count), not a data collect. */
+  def pagerank(edgesW: org.apache.spark.sql.DataFrame,
+               init: org.apache.spark.sql.DataFrame, n: Long,
+               maxIters: Int, tol: Double)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    var r = init.localCheckpoint()
+    var it = 0
+    var delta = Double.PositiveInfinity
+    while (it < maxIters && delta >= tol) {
+      val rNew = edgesW.join(broadcast(r), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("r") / col("d")).as("sw"))
+        .select(col("dst").as("node"),
+          (lit(0.15 / n) + lit(0.85) * col("sw")).as("r"))
+        .localCheckpoint()
+      delta = rNew
+        .join(broadcast(r.select(col("node"), col("r").as("r0"))), "node")
+        .agg(sum(abs(col("r") - col("r0")))).head.getDouble(0)
+      r = rNew
+      it += 1
+    }
+    (r, it)
+  }
+
   /** The symmetrized customer—supplier trade graph (distinct
     * (custkey, suppkey) pairs that share an order; node ids namespaced
     * 'c…'/'s…' so the key spaces can't collide), materialized ONCE per
@@ -91,21 +137,18 @@ object GraphOps {
       // crossJoin(broadcast(nn)) stage. Same IEEE division both ways,
       // so the oracle's 0.15/n algebra is unchanged.
       val n = tradeDeg(s, d).count()
-      var r = tradeDeg(s, d).select($"src".as("node"), (lit(1.0) / n).as("r"))
+      val init =
+        tradeDeg(s, d).select($"src".as("node"), (lit(1.0) / n).as("r"))
       // The source degree is pre-folded onto the edges (tradeEdgesW),
       // so one iteration is ONE broadcast of the |V|-sized rank table
       // + one keyed aggregate on dst — sum(r/d) exactly as the
       // oracle's unrolled SUM(r/deg.d), same IEEE division. At
       // billions of vertices the same loop runs with keyed joins over
       // co-partitioned edge/rank tables instead of broadcasts; the
-      // iteration structure is unchanged.
-      for (_ <- 1 to Iters) {
-        r = edges.join(broadcast(r), $"src" === $"node")
-          .groupBy($"dst")
-          .agg(sum($"r" / $"d").as("sw"))
-          .select($"dst".as("node"),
-            (lit(0.15 / n) + lit(0.85) * $"sw").as("r"))
-      }
+      // iteration structure is unchanged. The loop ([[pagerank]])
+      // early-exits on L1 delta < Tol — never reached on the fixture
+      // (all Iters rounds run), so the unrolled oracle is exact.
+      val (r, _) = pagerank(edges, init, n, Iters, Tol)
       r.select($"node", (floor($"r" * 1e6 + 0.5) / 1e6).as("rank"))
         .orderBy($"rank".desc, $"node")
         .limit(20)

@@ -655,18 +655,25 @@ object PipeOps {
     "q_pipe_pareto" -> ((s, d) => {
       import s.implicits._
       val toks = split($"text", " ")
+      // The grid value is carried as the INTEGER 1e4-scaled richness
+      // (richi) — group/join keys should never be floating-point, even
+      // when both sides derive from the same expression: integer keys
+      // hash/compare exactly and survive any future re-derivation of
+      // one side. The displayed `rich` divides back out at the end
+      // (exact: richi is an integer ≤ 1e4, same IEEE division as the
+      // oracle's FLOOR(...)/1e4).
       val per = t(s, d, "documents").select($"doc_id", $"lang",
         size(toks).cast("long").as("tokens"),
-        (floor(size(array_distinct(toks)).cast("double") / size(toks)
-          * 1e4 + 0.5) / 1e4).as("rich"))
-      val w = Window.partitionBy($"lang").orderBy($"rich".desc)
+        floor(size(array_distinct(toks)).cast("double") / size(toks)
+          * 1e4 + 0.5).cast("long").as("richi"))
+      val w = Window.partitionBy($"lang").orderBy($"richi".desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val grp = per.groupBy($"lang", $"rich")
+      val grp = per.groupBy($"lang", $"richi")
         .agg(max($"tokens").as("gmax"))
         .withColumn("prior", max($"gmax").over(w))
-      per.join(grp, Seq("lang", "rich"))
+      per.join(grp, Seq("lang", "richi"))
         .where($"gmax" <= $"tokens" && coalesce($"prior", lit(-1L)) < $"tokens")
-        .select($"lang", $"doc_id", $"tokens", $"rich")
+        .select($"lang", $"doc_id", $"tokens", ($"richi" / 1e4).as("rich"))
         .orderBy($"lang", $"doc_id")
     }),
 

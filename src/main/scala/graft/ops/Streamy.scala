@@ -200,6 +200,49 @@ object Streamy {
         .select($"w.start".as("window_start"), $"n")
         .orderBy($"window_start")
     }),
+
+    // The exactly-once SINK surface as a declared, oracled row: a REAL
+    // Structured Streaming run (file source → update-mode keyed agg →
+    // foreachBatch), not the batch-equivalence form the other §2.7
+    // rows use. foreachBatch writes each micro-batch's updated
+    // (event_type, n) rows to a path KEYED BY BATCH ID, so a replayed
+    // batch (failure between sink write and checkpoint commit — the
+    // at-least-once window) OVERWRITES its own previous output instead
+    // of duplicating it; the terminal merge keeps each key's
+    // latest-batch row. Final state = the exact batch group-by, which
+    // is the oracle. At 100 TB the same pattern is the idempotent
+    // MERGE a production foreachBatch does into a transactional table,
+    // with the landing directory streaming files in; state is bounded
+    // by |distinct keys| and the update log by keys × batches.
+    // StreamySpec drives the same sink shape through a multi-batch
+    // MemoryStream replay; here AvailableNow drains the fixture and
+    // terminates. Fresh checkpoint/sink dirs per call (under the
+    // per-JVM temp warehouse, deleted on exit) — deliberately NOT
+    // memoized: re-invocations re-run the stream end-to-end.
+    "q_stream_sink" -> ((s, d) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory(
+        graft.TempWarehouse.path, "stream_sink")
+      val sink = work.resolve("updates").toString
+      val stream = Tables.stream(s, d, "events")
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$sink/batch_id=$id")
+          ()
+        }
+        .start()
+      stream.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"batch_id".desc)
+      s.read.parquet(sink)
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"event_type", $"n")
+        .orderBy($"event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -299,6 +342,14 @@ object Streamy {
         FROM events)
       WHERE rn = 1
       ORDER BY user_id, event_type, day""",
+
+    // The streamed update-log merge must land on exactly the batch
+    // group-by — that equality IS the exactly-once claim.
+    "q_stream_sink" -> """
+      SELECT event_type, count(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     // Gaps-and-islands: new-session flag on gap >= 30 min (matching
     // Spark's end-exclusive [start, last+gap) session interval),

@@ -140,6 +140,27 @@ object Tables {
     conform(name, spark.read.schema(schema).parquet(s"$sfDir/$name.parquet"))
   }
 
+  /** Like [[fresh]] but as a STREAMING source: the same fixture file
+    * read through the file stream source (schema pinned from the memo
+    * — required: streaming reads never infer), conformed through the
+    * same drift guard, so a `q_stream_*` row can run a REAL
+    * Structured Streaming query over the identical bytes its batch
+    * oracle reads. At scale the path is the landing directory new
+    * files arrive in; the source discovers and checkpoints them
+    * incrementally. */
+  def stream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawSchema.computeIfAbsent((sfDir, name),
+      { case (d, n) => spark.read.parquet(s"$d/$n.parquet").schema })
+    // The fixture is a single FILE; the file stream source wants a
+    // directory (its basePath). A brace-glob keeps the match exact
+    // while making the parent dir the basePath — the same call works
+    // unchanged when the path really is a landing directory.
+    conform(name,
+      spark.readStream.schema(schema).parquet(s"$sfDir/{$name.parquet}"))
+  }
+
   /** The logical schema every query in the engine is written against,
     * exactly as Spark inferred it from the driver's fixtures
     * (FIXTURES.md; re-measured 2026-08-13 with tools/PrintSchemas).

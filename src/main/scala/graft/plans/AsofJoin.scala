@@ -174,6 +174,17 @@ case class AsofJoinExec(
   // the interpreted doExecute above, which remains the semantic
   // reference — PlanShapeSpec pins codegen/interpreted equality and
   // the codegen-stage star for both key shapes.
+  //
+  // Known DISPLAY caveat (accepted): explain() prints the two SortExec
+  // children with this stage's codegen star, as if fused — they are
+  // not (they feed in via inputRDDs, exactly like SMJ's children).
+  // Spark's CollapseCodegenStages special-cases SortMergeJoinExec /
+  // ShuffledHashJoinExec BY CLASS to wrap their children in
+  // InputAdapter; an extension operator cannot join that list, and
+  // pre-wrapping the children from a post-planner rule strips the
+  // sorts' own stage wrapping instead. Execution is unaffected — the
+  // star on the sorts is cosmetic — so this stays as-is rather than
+  // trading plan-surgery risk for display polish.
   override def supportCodegen: Boolean =
     PlanUtil.keyCodegen(leftKey.dataType).isDefined &&
       leftTime.dataType == LongType && rightTime.dataType == LongType

@@ -160,7 +160,9 @@ case class RangeJoinExec(
 
   // ---- WholeStageCodegen participation --------------------------------
   //
-  // Same structure as AsofJoinExec's codegen: the stage starts here,
+  // Same structure as AsofJoinExec's codegen (including the accepted
+  // display caveat documented there: the child SortExecs print this
+  // stage's star without being fused): the stage starts here,
   // doProduce emits the sliding-buffer merge itself, the sorted
   // children arrive as the stage's two input iterators, and each
   // (left, buffered-right) pair flows to the downstream fused

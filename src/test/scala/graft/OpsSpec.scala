@@ -439,6 +439,24 @@ class OpsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("pagerank early-exits after one round on a regular (fixpoint) graph") {
+    // On a d-regular symmetric graph the uniform distribution IS the
+    // PageRank fixpoint: round 1 reproduces 1/n exactly, its L1 delta
+    // is 0 < tol, and the loop must stop without burning the remaining
+    // rounds. 4-cycle: every node has degree 2.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+        ("c", "d"), ("d", "c"), ("d", "a"), ("a", "d"))
+      .toDF("src", "dst").withColumn("d", lit(2L))
+    val init = edges.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(0.25))
+    val (ranks, iters) = ops.GraphOps.pagerank(edges, init, 4L, 5, 1e-6)
+    assert(iters === 1, "a converged graph must stop after one round")
+    val got = ranks.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.25, "d" -> 0.25))
+  }
+
   test("q_graph_triangles matches an in-memory brute-force count") {
     import org.apache.spark.sql.functions.col
     val edges: Set[(Long, Long)] = ops.Tables.t(spark, sf0001, "lineitem")

@@ -311,6 +311,18 @@ class StreamySpec extends GraftSuite {
     }
   }
 
+  test("q_stream_sink's streamed update-log merge equals the batch group-by") {
+    // The declared row runs a REAL AvailableNow stream (file source →
+    // update-mode count → foreachBatch); its terminal merged state
+    // must land on exactly what one batch pass computes.
+    val got = q("q_stream_sink", SparkTestBase.sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val expect = ops.Tables.t(spark, SparkTestBase.sf0001, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(got === expect)
+  }
+
   test("foreachBatch + overwrite-by-batchId sink is idempotent under batch replay") {
     // Exactly-once file output without a transactional table format:
     // partition the sink by batch_id and dynamically overwrite only
