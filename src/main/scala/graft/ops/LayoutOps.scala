@@ -140,6 +140,40 @@ object LayoutOps {
         .orderBy($"o_orderpriority")
     }),
 
+    // Runtime bloom-filter join pruning — the ROW-level complement to
+    // q_join_dpp's partition-level pruning: the selective predicate
+    // lives on the small (creation) side, and InjectRuntimeFilter
+    // builds a bloom filter over its join keys that lands on the big
+    // (application) side as a might_contain(bloom) predicate
+    // BEFORE that side's shuffle — fact rows that cannot join are
+    // dropped at the scan instead of being exchanged. At 100 TB this
+    // turns the fact's full-width shuffle into a shuffle of roughly
+    // the matching fraction; it fires precisely when the fact is NOT
+    // partitioned on the filter column (where DPP is helpless).
+    // The 10 GB application-side threshold exists to keep tiny scans
+    // from paying filter-build cost — the fixtures sit far below it,
+    // so the query pins the production shape in a CHILD session
+    // (shared SparkContext, own conf): threshold floored, broadcast
+    // disabled (the bloom path targets shuffle joins — a broadcast
+    // join already has the keys on every executor). Injection is
+    // pinned in LayoutOpsSpec; the oracle is the plain join (pruning
+    // must not change results).
+    "q_join_bloom" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import s.implicits._
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").where($"o_orderpriority" === "1-URGENT"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(
+          count(lit(1)).as("n_items"),
+          r2(sum($"l_extendedprice")).as("sum_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // File-compaction planning — the layout family's maintenance leg
     // next to Z-order and bucketing: model documents' physical layout
     // as (source, hash-shard) micro-files, then bin consecutive files
@@ -249,6 +283,15 @@ object LayoutOps {
       WHERE label <> 'finished'
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // Pruning must not change results: the plain filtered join.
+    "q_join_bloom" -> """
+      SELECT l_returnflag, count(*) AS n_items,
+             FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100 AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q_pipe_compact" -> """
       WITH f AS (

@@ -115,6 +115,38 @@ object Windows {
         .orderBy($"event_type")
     }),
 
+    // Time-series gap fill + forward fill (LOCF): regularize each
+    // user's hourly activity onto a dense hourly grid over their
+    // observed [first, last] span, carrying the last observed hourly
+    // sum into missing hours and flagging the synthesized rows — the
+    // resampling pass every feature/training pipeline runs before
+    // fixed-step models. The grid is data-generated (per-key sequence
+    // + explode — never a driver loop), the fill is one keyed LOCF
+    // window (`last(_, ignoreNulls)` over the running frame), and the
+    // left join back to observations is keyed on (user, hour) — every
+    // stage partitions by user_id, so 100 TB of keys spread across
+    // executors with one shuffle each for the agg, join, and window.
+    // Span hours per key bound the expansion (a key's grid is its own
+    // observed range, not a global calendar).
+    "q_win_fill" -> ((s, d) => {
+      import s.implicits._
+      val hourly = t(s, d, "events")
+        .where($"user_id" < 50)
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+        .agg((floor(sum($"value") * 100 + 0.5) / 100).as("v"))
+      val grid = hourly.groupBy($"user_id")
+        .agg(min($"h").as("lo"), max($"h").as("hi"))
+        .select($"user_id",
+          explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = Window.partitionBy($"user_id").orderBy($"h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("filled", $"v".isNull)
+        .withColumn("value", last($"v", ignoreNulls = true).over(w))
+        .select($"user_id", $"h", $"value", $"filled")
+        .orderBy($"user_id", $"h")
+    }),
+
     // Rolling z-score spike detection: each event scored against the
     // mean/std of its user's previous ≤10 events (a trailing frame
     // that EXCLUDES the current row — scoring a point against a
@@ -353,6 +385,27 @@ object Windows {
       FROM customer
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       ORDER BY c_mktsegment, pr, c_custkey""",
+
+    // DuckDB's generate_series + IGNORE NULLS last_value rebuild the
+    // identical dense grid and LOCF.
+    "q_win_fill" -> """
+      WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS v
+        FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      spans AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+                FROM hourly GROUP BY 1),
+      grid AS (SELECT user_id,
+                      unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+               FROM spans)
+      SELECT g.user_id, g.h,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+             v IS NULL AS filled
+      FROM grid g LEFT JOIN hourly hh
+        ON g.user_id = hh.user_id AND g.h = hh.h
+      ORDER BY g.user_id, g.h""",
 
     "q_win_gap" -> """
       WITH g AS (

@@ -167,6 +167,27 @@ class LayoutOpsSpec extends GraftSuite {
     assert(df.collect().toSeq === plain.collect().toSeq)
   }
 
+  test("q_join_bloom: fact side carries a runtime bloom filter predicate") {
+    val df = q("q_join_bloom", sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+      s"the creation side's keys must prune fact rows at the scan:\n$p")
+    // and pruning must not change results: equal to the plain join in
+    // the PARENT session (default confs, no runtime filter forced)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val plain = ops.Tables.t(spark, sf0001, "lineitem")
+      .join(ops.Tables.t(spark, sf0001, "orders")
+        .where($"o_orderpriority" === "1-URGENT"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n_items"),
+        (floor(sum($"l_extendedprice") * 100 + 0.5) / 100).as("sum_price"))
+      .orderBy($"l_returnflag")
+    assert(df.collect().toSeq === plain.collect().toSeq)
+  }
+
   test("q_pipe_compact bins match the first-fit-by-offset definition") {
     // Recompute the expected bin of every micro-file directly from the
     // files rollup (per source: running byte offset DIV target), then

@@ -439,6 +439,27 @@ class OpsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("q_win_fill densifies the hourly grid and forward-fills gaps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fill").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 7: two events in hour 0, one in hour 3 → grid 0..3 with
+    // hours 1,2 synthesized carrying hour 0's sum
+    Seq(
+      (1L, ts("2024-01-01 00:10:00"), 7L, "click", 2.0, "{}"),
+      (2L, ts("2024-01-01 00:40:00"), 7L, "click", 1.5, "{}"),
+      (3L, ts("2024-01-01 03:20:00"), 7L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = q("q_win_fill", dir).collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (7L, ts("2024-01-01 00:00:00"), 3.5, false),
+      (7L, ts("2024-01-01 01:00:00"), 3.5, true),
+      (7L, ts("2024-01-01 02:00:00"), 3.5, true),
+      (7L, ts("2024-01-01 03:00:00"), 4.0, false)))
+  }
+
   test("pagerank early-exits after one round on a regular (fixpoint) graph") {
     // On a d-regular symmetric graph the uniform distribution IS the
     // PageRank fixpoint: round 1 reproduces 1/n exactly, its L1 delta
