@@ -44,6 +44,47 @@ object Scans {
         .orderBy($"tbl")
     }),
 
+    // The non-parquet SOURCE surface as a declared, oracled row: the
+    // dims are exported ONCE per (session, dir) — nation as headered
+    // CSV, region as line-delimited JSON — then read back through
+    // those formats with EXPLICIT schemas (the production posture:
+    // format readers never re-infer per job) and joined against the
+    // parquet fact. The result must equal the all-parquet oracle, so
+    // both format readers' parsing is differentially checked, not
+    // just round-tripped (SourcesSpec keeps the corrupt-record and
+    // schema-evolution behaviors). Int/string dims only — no float
+    // text formatting is on the path, so the CSV/JSON round-trip is
+    // exact by construction. At 100 TB the same explicit-schema reads
+    // run over landing-zone CSV/JSON before the first parquet
+    // compaction; text sources split by line so scans stay parallel.
+    "q_scan_multiformat" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val base = graft.TempWarehouse.path.resolve(s"multifmt_$tag")
+      val (csvDir, jsonDir) =
+        (base.resolve("nation_csv"), base.resolve("region_json"))
+      // Guard each export separately: a crash between the two writes
+      // must not leave a half-exported base dir that skips the second.
+      if (!java.nio.file.Files.isDirectory(csvDir))
+        t(s, d, "nation").write.option("header", "true")
+          .mode("overwrite").csv(csvDir.toString)
+      if (!java.nio.file.Files.isDirectory(jsonDir))
+        t(s, d, "region").write.mode("overwrite").json(jsonDir.toString)
+      val nation = s.read
+        .schema(Tables.expectedDdl("nation"))
+        .option("header", "true").csv(csvDir.toString)
+      val region = s.read
+        .schema(Tables.expectedDdl("region"))
+        .json(jsonDir.toString)
+      t(s, d, "customer")
+        .join(nation, $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name").agg(
+          count(lit(1)).as("n_customers"),
+          (floor(avg($"c_acctbal") * 100 + 0.5) / 100).as("avg_bal"))
+        .orderBy($"r_name")
+    }),
+
     // The SQL front door: the TPC-H-Q3-shaped shipping-priority query
     // submitted as SQL TEXT through spark.sql over registered views —
     // every other declared query drives the DataFrame API; a user
@@ -99,6 +140,17 @@ object Scans {
     "q_scan_count" -> Tables.names
       .map(n => s"SELECT '$n' AS tbl, count(*) AS n FROM $n")
       .mkString("SELECT tbl, n FROM (", " UNION ALL ", ") ORDER BY tbl"),
+
+    // The all-parquet equivalent: equality proves the CSV/JSON readers
+    // parsed the exported dims faithfully.
+    "q_scan_multiformat" -> """
+      SELECT r_name, count(*) AS n_customers,
+             FLOOR(AVG(c_acctbal) * 100 + 0.5) / 100 AS avg_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
 
     "q_sql_q3" -> sqlQ3,
   )

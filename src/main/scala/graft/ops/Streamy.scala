@@ -219,31 +219,59 @@ object Streamy {
     // terminates. Fresh checkpoint/sink dirs per call (under the
     // per-JVM temp warehouse, deleted on exit) — deliberately NOT
     // memoized: re-invocations re-run the stream end-to-end.
-    "q_stream_sink" -> ((s, d) => {
-      import s.implicits._
-      val work = java.nio.file.Files.createTempDirectory(
-        graft.TempWarehouse.path, "stream_sink")
-      val sink = work.resolve("updates").toString
-      val stream = Tables.stream(s, d, "events")
-        .groupBy($"event_type").agg(count(lit(1)).as("n"))
-        .writeStream
-        .outputMode("update")
-        .option("checkpointLocation", work.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-          batch.write.mode("overwrite").parquet(s"$sink/batch_id=$id")
-          ()
-        }
-        .start()
-      stream.awaitTermination()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"event_type").orderBy($"batch_id".desc)
-      s.read.parquet(sink)
-        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
-        .select($"event_type", $"n")
-        .orderBy($"event_type")
+    "q_stream_sink" -> (sinkRun(Map.empty) _),
+
+    // The same end-to-end stream on the ROCKSDB state store provider —
+    // the off-heap, incrementally-checkpointed state path a production
+    // deployment runs once aggregation state outgrows the JVM heap
+    // (100 TB streams: state is bounded by |keys|, but |keys| can be
+    // billions — RocksDB spills to local disk and checkpoints
+    // incrementally instead of snapshotting the full map). Declared in
+    // a CHILD session (shared context, own conf) so the provider
+    // choice can't leak into other queries; the oracle equality proves
+    // the provider swap is semantics-free. The provider actually being
+    // RocksDB for this conf is asserted via query progress in
+    // StreamySpec.
+    "q_stream_rocksdb" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+      sinkRun(Map.empty)(s, d)
     }),
   )
+
+  /** The q_stream_sink pipeline (real AvailableNow run: file source →
+    * update-mode keyed count → foreachBatch overwrite-by-batchId →
+    * last-writer-wins merge), parameterized over extra writer options
+    * so provider variants declare the identical semantics. */
+  private def sinkRun(opts: Map[String, String])(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory(
+      graft.TempWarehouse.path, "stream_sink")
+    val sink = work.resolve("updates").toString
+    val stream = Tables.stream(s, d, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .options(opts)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$sink/batch_id=$id")
+        ()
+      }
+      .start()
+    stream.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"batch_id".desc)
+    s.read.parquet(sink)
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"event_type", $"n")
+      .orderBy($"event_type")
+  }
 
   val oracle: Map[String, String] = Map(
     // time_bucket's default origin (2000-01-03) is hour-aligned, so
@@ -346,6 +374,13 @@ object Streamy {
     // The streamed update-log merge must land on exactly the batch
     // group-by — that equality IS the exactly-once claim.
     "q_stream_sink" -> """
+      SELECT event_type, count(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    // Provider swap must be semantics-free: identical oracle.
+    "q_stream_rocksdb" -> """
       SELECT event_type, count(*) AS n
       FROM events
       GROUP BY event_type

@@ -321,6 +321,10 @@ class StreamySpec extends GraftSuite {
       .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
     assert(got === expect)
+    // ...and the RocksDB-provider variant must be semantics-free
+    val rocks = q("q_stream_rocksdb", SparkTestBase.sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(rocks === expect)
   }
 
   test("foreachBatch + overwrite-by-batchId sink is idempotent under batch replay") {
