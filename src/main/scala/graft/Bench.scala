@@ -134,7 +134,11 @@ object Bench {
       math.max(1, sys.env.getOrElse("GRAFT_BENCH_PASSES", "2").toInt)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
-    var failed = Set.empty[String] // never succeeded in any pass
+    var attempted = Set.empty[String]
+    // errors = attempted but never-yet-succeeded, recomputed at every
+    // snapshot: a pass-1 failure must show in the pass-1 bench.json
+    // (the kill-safe artifact), not only after the final pass.
+    def failed: Set[String] = attempted.filterNot(best.contains)
     def render(results: Seq[(String, Double)], errors: Set[String])
         (fmt: Double => String): String = {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -149,7 +153,7 @@ object Bench {
     }
     def snapshot: Seq[(String, Double)] =
       ordered.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
-    for (pass <- 1 to passes) {
+    for (_ <- 1 to passes) {
       ordered.zipWithIndex.foreach { case ((name, fn), i) =>
         val t0 = System.nanoTime()
         val ok =
@@ -159,9 +163,9 @@ object Bench {
             false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        attempted += name
         if (ok) best(name) =
           math.min(best.getOrElse(name, Double.MaxValue), elapsed)
-        if (!ok && pass == passes && !best.contains(name)) failed += name
         // Between queries (untimed — harness hygiene, not query work):
         // drop the derived-plan memos and their checkpoint blocks, so a
         // full-surface JVM doesn't carry every graph/text query's persisted

@@ -159,11 +159,11 @@ object LayoutOps {
     // pinned in LayoutOpsSpec; the oracle is the plain join (pruning
     // must not change results).
     "q_join_bloom" -> ((s0, d) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
-        ".applicationSideScanSizeThreshold", "0")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val s = Tables.childSession(s0, "bloom")(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        ("spark.sql.optimizer.runtime.bloomFilter" +
+          ".applicationSideScanSizeThreshold") -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
       import s.implicits._
       t(s, d, "lineitem")
         .join(t(s, d, "orders").where($"o_orderpriority" === "1-URGENT"),

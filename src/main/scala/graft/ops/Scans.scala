@@ -63,12 +63,17 @@ object Scans {
       val base = graft.TempWarehouse.path.resolve(s"multifmt_$tag")
       val (csvDir, jsonDir) =
         (base.resolve("nation_csv"), base.resolve("region_json"))
-      // Guard each export separately: a crash between the two writes
-      // must not leave a half-exported base dir that skips the second.
-      if (!java.nio.file.Files.isDirectory(csvDir))
+      // Guard each export on its COMMIT MARKER, not bare dir
+      // existence: an aborted write job leaves the dir with partial
+      // part files but no _SUCCESS, and a dir-existence guard would
+      // then silently serve the incomplete export to every later
+      // invocation in the JVM. Overwrite mode makes the redo safe.
+      def committed(p: java.nio.file.Path) =
+        java.nio.file.Files.exists(p.resolve("_SUCCESS"))
+      if (!committed(csvDir))
         t(s, d, "nation").write.option("header", "true")
           .mode("overwrite").csv(csvDir.toString)
-      if (!java.nio.file.Files.isDirectory(jsonDir))
+      if (!committed(jsonDir))
         t(s, d, "region").write.mode("overwrite").json(jsonDir.toString)
       val nation = s.read
         .schema(Tables.expectedDdl("nation"))

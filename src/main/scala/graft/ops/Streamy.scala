@@ -233,10 +233,10 @@ object Streamy {
     // RocksDB for this conf is asserted via query progress in
     // StreamySpec.
     "q_stream_rocksdb" -> ((s0, d) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state" +
-          ".RocksDBStateStoreProvider")
+      val s = Tables.childSession(s0, "rocksdb")(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state" +
+            ".RocksDBStateStoreProvider"))
       sinkRun(Map.empty)(s, d)
     }),
   )

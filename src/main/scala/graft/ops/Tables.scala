@@ -117,6 +117,38 @@ object Tables {
     })
   }
 
+  /** Memoized CHILD session per (parent, purpose). A child session
+    * (shared SparkContext, own conf) lets one query pin
+    * execution-affecting confs — runtime-filter thresholds, a state
+    * store provider — without leaking them into any other query. But
+    * creating one per invocation both re-pays SessionState setup and
+    * accumulates dead sessions in this object's weak-keyed plan cache
+    * (cached DataFrames strongly reference their session, so entries
+    * keyed by a throwaway child are pinned as long as the map holds
+    * them); one child per (parent, purpose) caps that at O(purposes).
+    * Confs are applied on creation only — a purpose key always carries
+    * the same conf set. */
+  private val children =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, SparkSession]]()
+
+  def childSession(parent: SparkSession, purpose: String)
+      (confs: (String, String)*): SparkSession = {
+    val m = children.synchronized {
+      var mm = children.get(parent)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+        children.put(parent, mm)
+      }
+      mm
+    }
+    m.computeIfAbsent(purpose, { _ =>
+      val c = parent.newSession()
+      confs.foreach { case (k, v) => c.conf.set(k, v) }
+      c
+    })
+  }
+
   /** Raw (pre-conform) parquet schema per (dir, table): a `fresh`
     * read per query repeats driver-side file listing + footer schema
     * inference — pure fixed overhead, skipped by passing the schema
@@ -132,11 +164,20 @@ object Tables {
     * join API (the analyzer deduplicates) but ill-formed for custom
     * logical nodes built post-analysis (plans/AsofJoin.scala).
     * Self-join callers read one side through this. */
-  def fresh(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** The shared read preamble of [[fresh]] and [[stream]]: any
+    * reader-level legacy conf the fixture needs (events ships
+    * TIMESTAMP(NANOS)), then the memoized raw schema — one place, so
+    * batch and streaming reads can never drift on fixture handling. */
+  private def pinnedSchema(spark: SparkSession, sfDir: String, name: String)
+      : org.apache.spark.sql.types.StructType = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = rawSchema.computeIfAbsent((sfDir, name),
+    rawSchema.computeIfAbsent((sfDir, name),
       { case (d, n) => spark.read.parquet(s"$d/$n.parquet").schema })
+  }
+
+  def fresh(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val schema = pinnedSchema(spark, sfDir, name)
     conform(name, spark.read.schema(schema).parquet(s"$sfDir/$name.parquet"))
   }
 
@@ -149,10 +190,7 @@ object Tables {
     * files arrive in; the source discovers and checkpoints them
     * incrementally. */
   def stream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = rawSchema.computeIfAbsent((sfDir, name),
-      { case (d, n) => spark.read.parquet(s"$d/$n.parquet").schema })
+    val schema = pinnedSchema(spark, sfDir, name)
     // The fixture is a single FILE; the file stream source wants a
     // directory (its basePath). A brace-glob keeps the match exact
     // while making the parent dir the basePath — the same call works

@@ -31,6 +31,23 @@ import org.apache.spark.sql.SparkSession
   *    1-row total).
   */
 object PlanAudit {
+
+  /** Single-task window detector, shared with DistRankSpec so the
+    * audit gate and the spec can never disagree on what "global
+    * window" means: a partitioned Window prints
+    * `Window [fns], [partCols], [order]`; global = only one trailing
+    * group AND it is an ORDER spec (contains ASC/DESC) — a
+    * partition-only window (no order) also has one group but no sort
+    * direction in it. */
+  def hasGlobalWindow(plan: String): Boolean =
+    plan.linesIterator.exists { l =>
+      val t = l.trim.stripPrefix("+- ").stripPrefix(":- ")
+      t.startsWith("Window [") && {
+        val groups = "\\], \\[".r.findAllIn(t).size
+        groups < 2 && (t.contains(" ASC") || t.contains(" DESC"))
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[8]")
@@ -46,34 +63,30 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var globalWindows = List.empty[String]
+    var errored = List.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
         val flags = Seq(
           "CartesianProduct" -> p.contains("CartesianProduct"),
           "BroadcastNestedLoopJoin" -> p.contains("BroadcastNestedLoopJoin"),
-          // a partitioned Window prints "Window [fns], [partCols], [order]";
-          // global = only one trailing group AND it is an ORDER spec
-          // (contains ASC/DESC) — a partition-only window (no order)
-          // also has one group but no sort direction in it
-          "GlobalWindow" -> p.linesIterator.exists { l =>
-            val t = l.trim.stripPrefix("+- ").stripPrefix(":- ")
-            t.startsWith("Window [") && {
-              val groups = "\\], \\[".r.findAllIn(t).size
-              groups < 2 && (t.contains(" ASC") || t.contains(" DESC"))
-            }
-          },
+          "GlobalWindow" -> hasGlobalWindow(p),
         ).collect { case (f, true) => f }
         if (flags.contains("GlobalWindow")) globalWindows ::= name
         println(s"[audit] $name: ${if (flags.isEmpty) "clean" else flags.mkString(",")}")
       } catch { case e: Throwable =>
+        // An erroring query's plan was NEVER checked — that must fail
+        // the gate too, or a broken query silently bypasses the audit.
+        errored ::= name
         println(s"[audit] $name: ERROR ${e.getMessage.take(80)}")
       }
     }
     spark.stop()
-    if (globalWindows.nonEmpty) {
-      System.err.println(
+    if (globalWindows.nonEmpty || errored.nonEmpty) {
+      if (globalWindows.nonEmpty) System.err.println(
         s"[audit] FAIL: global (single-task) window in ${globalWindows.sorted.mkString(", ")}")
+      if (errored.nonEmpty) System.err.println(
+        s"[audit] FAIL: unauditable (errored) queries: ${errored.sorted.mkString(", ")}")
       sys.exit(1)
     }
   }

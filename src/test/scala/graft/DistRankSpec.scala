@@ -57,16 +57,10 @@ class DistRankSpec extends GraftSuite {
     assert(got.toSeq === Seq((10L, 1), (20L, 2), (30L, 3)))
   }
 
-  /** PlanAudit's detector: a physical Window line whose bracket groups
-    * collapse to one trailing ORDER spec = all rows in one task. */
+  /** THE detector the audit gate uses — shared so spec and gate can
+    * never disagree on what "global window" means. */
   private def hasGlobalWindow(p: String): Boolean =
-    p.linesIterator.exists { l =>
-      val t = l.trim.stripPrefix("+- ").stripPrefix(":- ")
-      t.startsWith("Window [") && {
-        val groups = "\\], \\[".r.findAllIn(t).size
-        groups < 2 && (t.contains(" ASC") || t.contains(" DESC"))
-      }
-    }
+    tools.PlanAudit.hasGlobalWindow(p)
 
   test("q_win_ntile ships with no global window") {
     val df = q("q_win_ntile", sf0001)
