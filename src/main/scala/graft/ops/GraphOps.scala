@@ -60,15 +60,21 @@ object GraphOps {
         .select(col("dst").as("node"),
           (lit(0.15 / n) + lit(0.85) * col("sw")).as("r"))
         .localCheckpoint()
-      // sum over zero rows is SQL NULL (an empty graph, or an edge
-      // set disjoint from the rank table) — treat as converged rather
-      // than NPE on the primitive read.
-      val deltaRow = rNew
-        .join(broadcast(r.select(col("node"), col("r").as("r0"))), "node")
-        .agg(sum(abs(col("r") - col("r0")))).head
-      delta = if (deltaRow.isNullAt(0)) 0.0 else deltaRow.getDouble(0)
+      val rPrev = r
       r = rNew
       it += 1
+      // The delta gates CONTINUING — after the capped final round it
+      // is never read, so don't pay its job. sum over zero rows is
+      // SQL NULL (an empty graph, or an edge set disjoint from the
+      // rank table) — treat as converged rather than NPE on the
+      // primitive read.
+      if (it < maxIters) {
+        val deltaRow = rNew
+          .join(broadcast(rPrev.select(col("node"), col("r").as("r0"))),
+            "node")
+          .agg(sum(abs(col("r") - col("r0")))).head
+        delta = if (deltaRow.isNullAt(0)) 0.0 else deltaRow.getDouble(0)
+      }
     }
     (r, it)
   }
