@@ -31,6 +31,42 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("DistRank law: rank is the sort permutation and ntile matches " +
+      "the window assignment at random sizes/partitions") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // Sizes straddle the edges the arithmetic must survive: N < n
+    // buckets, N == partitions, N prime vs divisible, empty-ish.
+    val sizes = Seq(1, 3, 4, 7, 32, 97, 1000)
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val parts = Seq(1, 2, 5, 32)(i % 4)
+      // Duplicate VALUES on purpose — (v, id) stays a total order.
+      val df = s.range(n).select($"id",
+        pmod(hash($"id", lit(i)), lit(17)).as("v"))
+      val ranked = ops.DistRank
+        .withGlobalRank(df, parts, $"v", $"id")
+        .withColumn("q", ops.DistRank.ntile(4))
+        .select($"id", col(ops.DistRank.RankCol).as("r"), $"q")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+      // Reference: driver-side sort of the same keys.
+      val keys = df.collect().map(x => (x.getInt(1), x.getLong(0)))
+        .sortBy(identity).map(_._2)
+      val expectRank = keys.zipWithIndex
+        .map { case (id, k) => id -> (k + 1L) }.toMap
+      def refNtile(r: Long): Int = {
+        val (q, rem) = (n / 4, n % 4)
+        val cut = (q + 1L) * rem
+        if (r <= cut) ((r + q) / (q + 1)).toInt
+        else (rem + (r - cut + q - 1) / q).toInt
+      }
+      ranked.foreach { case (id, r, qt) =>
+        assert(r === expectRank(id), s"rank at n=$n parts=$parts id=$id")
+        assert(qt === refNtile(r), s"ntile at n=$n parts=$parts rank=$r")
+      }
+    }
+  }
+
   test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
     val s = spark
     import s.implicits._
