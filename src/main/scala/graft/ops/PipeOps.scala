@@ -479,6 +479,57 @@ object PipeOps {
         .orderBy($"user_id")
     }),
 
+    // Differentially-private count release — the OTHER governance
+    // pass: per-language corpus counts published with Laplace(1/ε)
+    // noise (ε = 1), the standard mechanism for releasing dataset
+    // statistics without revealing any single document's presence.
+    // The noise draw is the inverse-CDF transform of a DETERMINISTIC
+    // uniform — the key's md5-60bit hash scaled to (0,1) — so the
+    // release is reproducible run-to-run (an auditable publication,
+    // not a fresh sample) and the DuckDB oracle derives the identical
+    // draw. One keyed count + a map-only noise expression; nothing
+    // about the mechanism changes at 100 TB (the noise is per
+    // RELEASED ROW, not per input row). Production note: a hash draw
+    // keyed only by the group is a fixed-noise release — rotate a
+    // salt into the hash per release epoch to re-draw.
+    "q_pipe_dpnoise" -> ((s, d) => {
+      import s.implicits._
+      val eps = 1.0
+      val u = (Tables.h60($"lang").cast("double")
+        / 1.152921504606846976e18)
+      val lap = -(lit(1.0) / eps) * signum(u - 0.5) *
+        log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+      t(s, d, "documents").groupBy($"lang").agg(count(lit(1)).as("n"))
+        .select($"lang", $"n",
+          (floor(($"n" + lap) * 1e4 + 0.5) / 1e4).as("noisy_n"))
+        .orderBy($"lang")
+    }),
+
+    // k-anonymity audit — before releasing records keyed by
+    // quasi-identifiers, check that no identifier combination is
+    // rarer than k (a group of 1 IS an identification). Reports, per
+    // compliance side (violating / satisfying k=5), how many identity
+    // groups and rows sit there and the extremal group sizes — the
+    // release gate a governance pipeline evaluates per export. Two
+    // keyed aggregates (rows → groups → 2 buckets), both
+    // partial-aggregable; at 100 TB the first groupBy is the only
+    // data-sized shuffle.
+    "q_pipe_kanon" -> ((s, d) => {
+      import s.implicits._
+      // Quasi-identifiers: nation × segment × coarse balance band —
+      // fine enough that real small groups exist, the case the audit
+      // is for (exact integer banding, identical in the oracle).
+      t(s, d, "customer")
+        .groupBy($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 1000).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("gsize"))
+        .groupBy(($"gsize" < 5).as("violates_k5"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum($"gsize").cast("long").as("n_rows"),
+          min($"gsize").as("min_size"), max($"gsize").as("max_size"))
+        .orderBy($"violates_k5")
+    }),
+
     // PII masking + pseudonymization — the data-governance pass a
     // training pipeline runs before text leaves the trust boundary.
     // `mask()` is the codegen'd structural redaction (upper→X,
@@ -1018,6 +1069,35 @@ object PipeOps {
       FROM events e JOIN mx ON e.user_id = mx.user_id
       GROUP BY e.user_id
       ORDER BY e.user_id""",
+
+    "q_pipe_kanon" -> """
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               count(*) AS gsize
+        FROM customer GROUP BY 1, 2, 3)
+      SELECT gsize < 5 AS violates_k5, count(*) AS n_groups,
+             CAST(SUM(gsize) AS BIGINT) AS n_rows,
+             min(gsize) AS min_size, max(gsize) AS max_size
+      FROM g
+      GROUP BY 1
+      ORDER BY violates_k5""",
+
+    // Identical inverse-CDF algebra over the identical hash-derived
+    // uniform; ln/sign/abs are the same IEEE ops both sides.
+    "q_pipe_dpnoise" -> """
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      u AS (
+        SELECT lang, n,
+               CAST(CAST('0x' || substring(md5(lang), 1, 15) AS BIGINT)
+                 AS DOUBLE) / 1152921504606846976.0 AS u
+        FROM c)
+      SELECT lang, n,
+             FLOOR((n + -(1.0 / 1.0) * SIGN(u - 0.5)
+                    * LN(1 - 2 * ABS(u - 0.5))) * 1e4 + 0.5) / 1e4
+               AS noisy_n
+      FROM u
+      ORDER BY lang""",
 
     // Spark mask() reproduced as a regexp_replace chain (same three
     // character classes, everything else untouched).

@@ -9,6 +9,24 @@ import SparkTestBase.{microDir, sf0001}
   */
 class PipeOpsSpec extends GraftSuite {
 
+  test("q_pipe_dpnoise adds the exact deterministic Laplace draw per language") {
+    val got = q("q_pipe_dpnoise", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (lang, n, noisy) =>
+      // Re-derive the draw on the driver: md5-60bit uniform → Laplace
+      // inverse CDF at ε = 1, then the repo's 4-decimal floor.
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(lang.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(md5.take(15), 16).toDouble /
+        1.152921504606846976e18
+      val lap = -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val expect = math.floor((n + lap) * 1e4 + 0.5) / 1e4
+      assert(noisy === expect, s"lang=$lang")
+      assert(noisy !== n.toDouble, s"the release must actually perturb $lang")
+    }
+  }
+
   test("q_sample_hash is a partition: every doc lands in exactly one split") {
     import spark.implicits._
     val perSplit = q("q_sample_hash", sf0001)
