@@ -479,29 +479,29 @@ object PipeOps {
         .orderBy($"user_id")
     }),
 
-    // Differentially-private count release — the OTHER governance
-    // pass: per-language corpus counts published with Laplace(1/ε)
-    // noise (ε = 1), the standard mechanism for releasing dataset
-    // statistics without revealing any single document's presence.
-    // The noise draw is the inverse-CDF transform of a DETERMINISTIC
-    // uniform — the key's md5-60bit hash scaled to (0,1) — so the
-    // release is reproducible run-to-run (an auditable publication,
-    // not a fresh sample) and the DuckDB oracle derives the identical
-    // draw. One keyed count + a map-only noise expression; nothing
-    // about the mechanism changes at 100 TB (the noise is per
-    // RELEASED ROW, not per input row). Production note: a hash draw
-    // keyed only by the group is a fixed-noise release — rotate a
-    // salt into the hash per release epoch to re-draw.
+    // Laplace noise-release MECHANISM for corpus statistics — the
+    // noise-calibration half of a differential-privacy pipeline:
+    // per-language counts plus their Laplace(1/ε) perturbation (ε=1)
+    // via the inverse-CDF transform of a uniform draw. The draw here
+    // is DETERMINISTIC — the key's md5-60bit hash scaled to (0,1) —
+    // which is what makes the mechanism differentially TESTABLE (the
+    // DuckDB oracle re-derives the identical draw) and reproducible.
+    // To be clear about what this is NOT: a key-derived draw is
+    // public, so this row as declared carries NO privacy guarantee —
+    // a real DP release draws from a SECRET fresh salt per release
+    // epoch (swap the hash input for `concat(secret_salt, lang)`) and
+    // publishes ONLY noisy_n, never the exact n this audit view keeps
+    // for the differential. One keyed count + a map-only noise
+    // expression; noise is per RELEASED row, so the mechanism is
+    // scale-invariant at 100 TB.
     "q_pipe_dpnoise" -> ((s, d) => {
       import s.implicits._
       val eps = 1.0
-      val u = (Tables.h60($"lang").cast("double")
-        / 1.152921504606846976e18)
+      val u = h60($"lang").cast("double") / 1.152921504606846976e18
       val lap = -(lit(1.0) / eps) * signum(u - 0.5) *
         log(lit(1.0) - lit(2.0) * abs(u - 0.5))
       t(s, d, "documents").groupBy($"lang").agg(count(lit(1)).as("n"))
-        .select($"lang", $"n",
-          (floor(($"n" + lap) * 1e4 + 0.5) / 1e4).as("noisy_n"))
+        .select($"lang", $"n", r4($"n" + lap).as("noisy_n"))
         .orderBy($"lang")
     }),
 
@@ -1084,7 +1084,11 @@ object PipeOps {
       ORDER BY violates_k5""",
 
     // Identical inverse-CDF algebra over the identical hash-derived
-    // uniform; ln/sign/abs are the same IEEE ops both sides.
+    // uniform. sign/abs/floor are exact IEEE ops; LN is NOT
+    // correctly-rounded by spec (Spark fdlibm vs DuckDB libm can
+    // differ by 1 ulp), the same accepted ln+floor exposure as
+    // benford/psi/curriculum — a 4-decimal flip needs the product to
+    // land within ~1e-9 of a boundary (BUILD_NOTES).
     "q_pipe_dpnoise" -> """
       WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
       u AS (

@@ -49,6 +49,14 @@ class PropertySpec extends GraftSuite {
         .withColumn("q", ops.DistRank.ntile(4))
         .select($"id", col(ops.DistRank.RankCol).as("r"), $"q")
         .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+      // Bijectivity FIRST: "permutation" requires every input row
+      // present exactly once with ranks 1..N — without this the
+      // per-row checks pass vacuously if a row is dropped (the
+      // empty-range-partition edge when parts > N).
+      assert(ranked.map(_._1).sorted.toSeq === (0L until n).toSeq,
+        s"row set at n=$n parts=$parts")
+      assert(ranked.map(_._2).sorted.toSeq === (1L to n.toLong).toSeq,
+        s"rank set at n=$n parts=$parts")
       // Reference: driver-side sort of the same keys.
       val keys = df.collect().map(x => (x.getInt(1), x.getLong(0)))
         .sortBy(identity).map(_._2)
