@@ -219,7 +219,7 @@ object Streamy {
     // terminates. Fresh checkpoint/sink dirs per call (under the
     // per-JVM temp warehouse, deleted on exit) — deliberately NOT
     // memoized: re-invocations re-run the stream end-to-end.
-    "q_stream_sink" -> (sinkRun(Map.empty) _),
+    "q_stream_sink" -> (sinkRun _),
 
     // The same end-to-end stream on the ROCKSDB state store provider —
     // the off-heap, incrementally-checkpointed state path a production
@@ -237,16 +237,15 @@ object Streamy {
         "spark.sql.streaming.stateStore.providerClass" ->
           ("org.apache.spark.sql.execution.streaming.state" +
             ".RocksDBStateStoreProvider"))
-      sinkRun(Map.empty)(s, d)
+      sinkRun(s, d)
     }),
   )
 
   /** The q_stream_sink pipeline (real AvailableNow run: file source →
     * update-mode keyed count → foreachBatch overwrite-by-batchId →
-    * last-writer-wins merge), parameterized over extra writer options
-    * so provider variants declare the identical semantics. */
-  private def sinkRun(opts: Map[String, String])(
-      s: org.apache.spark.sql.SparkSession, d: String)
+    * last-writer-wins merge), shared so provider variants declare the
+    * identical semantics. */
+  private def sinkRun(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val work = java.nio.file.Files.createTempDirectory(
@@ -257,7 +256,6 @@ object Streamy {
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", work.resolve("ckpt").toString)
-      .options(opts)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         batch.write.mode("overwrite").parquet(s"$sink/batch_id=$id")
