@@ -90,6 +90,44 @@ object Scans {
         .orderBy($"r_name")
     }),
 
+    // Malformed-input quarantine — the ingest posture for landing-zone
+    // text data: a line-delimited JSON file containing the region dim
+    // plus two CONTRACTUALLY corrupt lines (one type-broken, one
+    // structurally broken) is read in PERMISSIVE mode with an explicit
+    // corrupt-record column; good rows parse, bad rows land whole in
+    // the quarantine column instead of failing the job (FAILFAST's
+    // throw and the quarantined payloads themselves are asserted in
+    // SourcesSpec). The release gate reports the good/bad split — at
+    // 100 TB this is the per-batch ingest audit that decides whether a
+    // landing file ships or goes back to the producer. The 5-row dim
+    // render is a metadata-scale driver action (same class as
+    // pagerank's |V|); the READ path is the distributed surface.
+    "q_scan_badrecords" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val file = graft.TempWarehouse.path.resolve(s"badjson_$tag.json")
+      if (!java.nio.file.Files.exists(file)) {
+        val good = t(s, d, "region").select($"r_regionkey", $"r_name")
+          .collect().sortBy(_.getInt(0)).map(r =>
+            s"""{"r_regionkey":${r.getInt(0)},"r_name":"${r.getString(1)}"}""")
+        val bad = Seq("""{"r_regionkey":"not-a-number","r_name":}""",
+          "{broken")
+        java.nio.file.Files.write(file,
+          (good ++ bad).mkString("\n").getBytes("UTF-8"))
+      }
+      // n_good counts the parsed key column (corrupt rows parse it to
+      // NULL) — deliberately referencing a DATA column alongside the
+      // quarantine column: Spark refuses a query whose referenced
+      // columns are ONLY the corrupt-record column
+      // (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+      s.read
+        .schema("r_regionkey INT,r_name STRING,_bad STRING")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(file.toString)
+        .agg(count($"r_regionkey").as("n_good"),
+          sum(when($"_bad".isNotNull, 1L).otherwise(0L)).as("n_bad"))
+    }),
+
     // The SQL front door: the TPC-H-Q3-shaped shipping-priority query
     // submitted as SQL TEXT through spark.sql over registered views —
     // every other declared query drives the DataFrame API; a user
@@ -145,6 +183,13 @@ object Scans {
     "q_scan_count" -> Tables.names
       .map(n => s"SELECT '$n' AS tbl, count(*) AS n FROM $n")
       .mkString("SELECT tbl, n FROM (", " UNION ALL ", ") ORDER BY tbl"),
+
+    // The corruption is contractual (exactly 2 bad lines appended to
+    // the full region render), so the oracle is the region count plus
+    // the constant.
+    "q_scan_badrecords" -> """
+      SELECT (SELECT count(*) FROM region) AS n_good,
+             CAST(2 AS BIGINT) AS n_bad""",
 
     // The all-parquet equivalent: equality proves the CSV/JSON readers
     // parsed the exported dims faithfully.
