@@ -505,6 +505,28 @@ object PipeOps {
         .orderBy($"lang")
     }),
 
+    // Dataset manifest — the reproducibility record a training run
+    // pins before reading a corpus: per source, the row count and an
+    // order-independent content signature (BIT_XOR of each row's
+    // md5-60bit hash over a canonical key:lang:len rendering). Two
+    // manifests agree iff the datasets agree row-for-row on the
+    // fingerprinted fields — silent fixture drift, partial loss, and
+    // duplicate-ingest all flip the signature, and XOR makes it
+    // partition-order-invariant and overflow-free (ANSI-safe, unlike
+    // a SUM of hashes). One keyed agg; the xor combines map-side, so
+    // at 100 TB the manifest costs a single scan. A one-row change
+    // flipping the signature is pinned in PipeOpsSpec.
+    "q_pipe_manifest" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source", h60(concat_ws(":",
+          $"doc_id", $"lang", $"n_chars")).as("sig"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(sig)").as("content_sig"))
+        .orderBy($"source")
+    }),
+
     // k-anonymity audit — before releasing records keyed by
     // quasi-identifiers, check that no identifier combination is
     // rarer than k (a group of 1 IS an identification). Reports, per
@@ -1069,6 +1091,16 @@ object PipeOps {
       FROM events e JOIN mx ON e.user_id = mx.user_id
       GROUP BY e.user_id
       ORDER BY e.user_id""",
+
+    "q_pipe_manifest" -> """
+      SELECT source, count(*) AS n_docs,
+             bit_xor(CAST('0x' || substring(md5(
+               CAST(doc_id AS VARCHAR) || ':' || lang || ':'
+                 || CAST(n_chars AS VARCHAR)), 1, 15) AS BIGINT))
+               AS content_sig
+      FROM documents
+      GROUP BY source
+      ORDER BY source""",
 
     "q_pipe_kanon" -> """
       WITH g AS (

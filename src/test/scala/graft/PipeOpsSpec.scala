@@ -9,6 +9,32 @@ import SparkTestBase.{microDir, sf0001}
   */
 class PipeOpsSpec extends GraftSuite {
 
+  test("q_pipe_manifest signature flips on a one-row change and ignores order") {
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, String, String, Long)], dir: String) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val a = java.nio.file.Files.createTempDirectory("graft_mfa").toString
+    val b = java.nio.file.Files.createTempDirectory("graft_mfb").toString
+    val rows = Seq((1L, "x", "en", "s0", 5L), (2L, "y", "en", "s0", 9L))
+    write(rows, a)
+    write(rows.reverse.map { case (id, t_, l, src, n) =>
+      if (id == 2L) (id, t_, l, src, n + 1) else (id, t_, l, src, n) }, b)
+    val sigA = q("q_pipe_manifest", a).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sigB = q("q_pipe_manifest", b).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sigA.head._2 === sigB.head._2, "counts agree")
+    assert(sigA.head._3 !== sigB.head._3,
+      "a one-field row change must flip the content signature")
+    // order independence: re-writing A's rows reversed gives A's sig
+    val c = java.nio.file.Files.createTempDirectory("graft_mfc").toString
+    write(rows.reverse, c)
+    val sigC = q("q_pipe_manifest", c).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sigA.toSeq === sigC.toSeq)
+  }
+
   test("q_pipe_dpnoise adds the exact deterministic Laplace draw per language") {
     val got = q("q_pipe_dpnoise", sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
