@@ -64,15 +64,22 @@ object GraphOps {
       r = rNew
       it += 1
       // The delta gates CONTINUING — after the capped final round it
-      // is never read, so don't pay its job. sum over zero rows is
-      // SQL NULL (an empty graph, or an edge set disjoint from the
-      // rank table) — treat as converged rather than NPE on the
-      // primitive read.
+      // is never read, so don't pay its job. FULL OUTER on the node:
+      // the degree ≥ 1 precondition makes the vertex sets equal, but
+      // a caller's graph violating it would make an inner join drop
+      // the asymmetric nodes and understate the delta into a
+      // premature exit — coalescing the missing side to 0 charges an
+      // absent node its full |r| instead (conservative: keeps
+      // iterating). Both sides are |V|-sized checkpointed rank
+      // tables, so the non-broadcast join is a bounded keyed merge.
+      // sum over zero rows is SQL NULL (an empty graph) — treat as
+      // converged rather than NPE on the primitive read.
       if (it < maxIters) {
         val deltaRow = rNew
-          .join(broadcast(rPrev.select(col("node"), col("r").as("r0"))),
-            "node")
-          .agg(sum(abs(col("r") - col("r0")))).head
+          .join(rPrev.select(col("node"), col("r").as("r0")),
+            Seq("node"), "full_outer")
+          .agg(sum(abs(coalesce(col("r"), lit(0.0))
+            - coalesce(col("r0"), lit(0.0))))).head
         delta = if (deltaRow.isNullAt(0)) 0.0 else deltaRow.getDouble(0)
       }
     }

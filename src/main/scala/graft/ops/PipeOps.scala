@@ -506,24 +506,44 @@ object PipeOps {
     }),
 
     // Dataset manifest — the reproducibility record a training run
-    // pins before reading a corpus: per source, the row count and an
-    // order-independent content signature (BIT_XOR of each row's
-    // md5-60bit hash over a canonical key:lang:len rendering). Two
-    // manifests agree iff the datasets agree row-for-row on the
-    // fingerprinted fields — silent fixture drift, partial loss, and
-    // duplicate-ingest all flip the signature, and XOR makes it
-    // partition-order-invariant and overflow-free (ANSI-safe, unlike
-    // a SUM of hashes). One keyed agg; the xor combines map-side, so
-    // at 100 TB the manifest costs a single scan. A one-row change
-    // flipping the signature is pinned in PipeOpsSpec.
+    // pins before reading a corpus: per source, the row count and two
+    // order-independent content folds of each row's md5-60bit hash
+    // over a canonical rendering of the fingerprinted fields. The
+    // rendering is INJECTIVE on the field tuple: each present field
+    // is length-prefixed (so "a:b"|c can't collide with a|"b:c" — a
+    // bare delimiter join would let distinct tuples render
+    // identically) and NULL renders as a tag ("N") disjoint from the
+    // value tag ("V…"), identically in both engines (concat_ws would
+    // silently SKIP nulls while the oracle's || propagates them —
+    // the fields are non-null by fixture contract, but the rendering
+    // must not depend on that).
+    // Folds: BIT_XOR (partition-order-invariant, overflow-free)
+    // catches any single-row drift but cancels PAIRED duplicates
+    // ({A,A,B} vs {D,D,B} xor-collide at equal counts), so a second
+    // fold — modular SUM of hashes in exact decimal(38) arithmetic,
+    // overflow-safe to ~1e38 (>> any 100 TB row count × 2^60) —
+    // breaks the pair-cancellation: together with n_docs the pair
+    // (xor, sum mod p) makes silent drift, partial loss, and
+    // duplicate-ingest all practically detectable (still a hash
+    // fingerprint, not a cryptographic multiset proof). Both folds
+    // combine map-side in ONE keyed agg, so at 100 TB the manifest
+    // costs a single scan. One-row-change sensitivity of both folds
+    // is pinned in PipeOpsSpec.
     "q_pipe_manifest" -> ((s, d) => {
       import s.implicits._
+      def f(c: org.apache.spark.sql.Column) = {
+        val sc = c.cast("string")
+        when(sc.isNull, lit("N")).otherwise(
+          concat(lit("V"), length(sc).cast("string"), lit(":"), sc))
+      }
       t(s, d, "documents")
-        .select($"source", h60(concat_ws(":",
-          $"doc_id", $"lang", $"n_chars")).as("sig"))
+        .select($"source", h60(concat_ws("|",
+          f($"doc_id"), f($"lang"), f($"n_chars"))).as("sig"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
-          expr("bit_xor(sig)").as("content_sig"))
+          expr("bit_xor(sig)").as("content_sig"),
+          (sum($"sig".cast("decimal(38,0)")) % 1000000007L)
+            .cast("long").as("content_sum"))
         .orderBy($"source")
     }),
 
@@ -1092,13 +1112,31 @@ object PipeOps {
       GROUP BY e.user_id
       ORDER BY e.user_id""",
 
+    // The identical injective rendering (null tag / length-prefixed
+    // value tag) and the identical two folds; the modular sum runs in
+    // HUGEINT here vs decimal(38,0) in Spark — both exact integer
+    // arithmetic, so the BIGINT results agree.
     "q_pipe_manifest" -> """
+      WITH r AS (
+        SELECT source, CAST('0x' || substring(md5(
+            (CASE WHEN doc_id IS NULL THEN 'N'
+                  ELSE 'V' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                       || ':' || CAST(doc_id AS VARCHAR) END)
+            || '|' ||
+            (CASE WHEN lang IS NULL THEN 'N'
+                  ELSE 'V' || CAST(length(lang) AS VARCHAR)
+                       || ':' || lang END)
+            || '|' ||
+            (CASE WHEN n_chars IS NULL THEN 'N'
+                  ELSE 'V' || CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR)
+                       || ':' || CAST(n_chars AS VARCHAR) END)
+          ), 1, 15) AS BIGINT) AS sig
+        FROM documents)
       SELECT source, count(*) AS n_docs,
-             bit_xor(CAST('0x' || substring(md5(
-               CAST(doc_id AS VARCHAR) || ':' || lang || ':'
-                 || CAST(n_chars AS VARCHAR)), 1, 15) AS BIGINT))
-               AS content_sig
-      FROM documents
+             bit_xor(sig) AS content_sig,
+             CAST(SUM(CAST(sig AS HUGEINT)) % 1000000007 AS BIGINT)
+               AS content_sum
+      FROM r
       GROUP BY source
       ORDER BY source""",
 

@@ -70,8 +70,16 @@ object Scans {
       // invocation in the JVM. Overwrite mode makes the redo safe.
       def committed(p: java.nio.file.Path) =
         java.nio.file.Files.exists(p.resolve("_SUCCESS"))
+      // Export EXACTLY the expectedDdl columns, in ddl order: the CSV
+      // read below applies its explicit schema POSITIONALLY (Spark's
+      // default enforceSchema=true ignores the header), so a conform
+      // policy that ever kept an extra or reordered fixture column
+      // would otherwise silently misassign fields on the read path.
+      val nationCols = org.apache.spark.sql.types.StructType
+        .fromDDL(Tables.expectedDdl("nation")).fieldNames.map(col)
       if (!committed(csvDir))
-        t(s, d, "nation").write.option("header", "true")
+        t(s, d, "nation").select(nationCols.toIndexedSeq: _*)
+          .write.option("header", "true")
           .mode("overwrite").csv(csvDir.toString)
       if (!committed(jsonDir))
         t(s, d, "region").write.mode("overwrite").json(jsonDir.toString)
@@ -112,8 +120,15 @@ object Scans {
             s"""{"r_regionkey":${r.getInt(0)},"r_name":"${r.getString(1)}"}""")
         val bad = Seq("""{"r_regionkey":"not-a-number","r_name":}""",
           "{broken")
-        java.nio.file.Files.write(file,
+        // Write-then-ATOMIC_MOVE, same posture as q_scan_multiformat's
+        // commit marker: a Files.write that dies partway must not
+        // leave a truncated payload that later invocations in this
+        // JVM would silently serve (corrupting n_good/n_bad).
+        val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp,
           (good ++ bad).mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, file,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       // n_good counts the parsed key column (corrupt rows parse it to
       // NULL) — deliberately referencing a DATA column alongside the

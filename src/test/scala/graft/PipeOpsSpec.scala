@@ -14,25 +14,76 @@ class PipeOpsSpec extends GraftSuite {
     def write(rows: Seq[(Long, String, String, String, Long)], dir: String) =
       rows.toDF("doc_id", "text", "lang", "source", "n_chars")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def sigs(dir: String) = q("q_pipe_manifest", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val a = java.nio.file.Files.createTempDirectory("graft_mfa").toString
     val b = java.nio.file.Files.createTempDirectory("graft_mfb").toString
     val rows = Seq((1L, "x", "en", "s0", 5L), (2L, "y", "en", "s0", 9L))
     write(rows, a)
     write(rows.reverse.map { case (id, t_, l, src, n) =>
       if (id == 2L) (id, t_, l, src, n + 1) else (id, t_, l, src, n) }, b)
-    val sigA = q("q_pipe_manifest", a).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val sigB = q("q_pipe_manifest", b).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (sigA, sigB) = (sigs(a), sigs(b))
     assert(sigA.head._2 === sigB.head._2, "counts agree")
     assert(sigA.head._3 !== sigB.head._3,
       "a one-field row change must flip the content signature")
+    assert(sigA.head._4 !== sigB.head._4,
+      "a one-field row change must flip the content sum")
     // order independence: re-writing A's rows reversed gives A's sig
     val c = java.nio.file.Files.createTempDirectory("graft_mfc").toString
     write(rows.reverse, c)
-    val sigC = q("q_pipe_manifest", c).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(sigA.toSeq === sigC.toSeq)
+    assert(sigA.toSeq === sigs(c).toSeq)
+  }
+
+  test("q_pipe_manifest content_sum catches the xor-cancelling pair swap") {
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, String, String, Long)], dir: String) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def sigs(dir: String) = q("q_pipe_manifest", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // {A, A, B} vs {D, D, B}: equal counts, and BIT_XOR cancels both
+    // duplicate pairs to sig(B) — the substitution the xor fold is
+    // blind to by construction. The modular-sum fold must see it.
+    val aRow = (1L, "x", "en", "s0", 5L)
+    val dRow = (7L, "z", "de", "s0", 3L)
+    val bRow = (2L, "y", "en", "s0", 9L)
+    val p1 = java.nio.file.Files.createTempDirectory("graft_mfp1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft_mfp2").toString
+    write(Seq(aRow, aRow, bRow), p1)
+    write(Seq(dRow, dRow, bRow), p2)
+    val (s1, s2) = (sigs(p1), sigs(p2))
+    assert(s1.head._2 === s2.head._2, "counts agree by construction")
+    assert(s1.head._3 === s2.head._3,
+      "xor must cancel the duplicate pairs (the documented blind spot)")
+    assert(s1.head._4 !== s2.head._4,
+      "the second fold must catch the pair substitution")
+  }
+
+  test("q_pipe_manifest keeps NULL fields in the fingerprint") {
+    import spark.implicits._
+    // concat_ws would silently skip a NULL field (row still counted,
+    // but fingerprinted as if the field were absent) — the injective
+    // rendering must instead distinguish NULL from every real value,
+    // including the empty string.
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT,text STRING,lang STRING,source STRING,n_chars BIGINT")
+    def write(lang: String, dir: String) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(1L, "x", lang, "s0", 5L)), schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def sig(dir: String) = q("q_pipe_manifest", dir).collect().head
+    val base = java.nio.file.Files.createTempDirectory("graft_mfn0").toString
+    val nul = java.nio.file.Files.createTempDirectory("graft_mfn1").toString
+    val empty = java.nio.file.Files.createTempDirectory("graft_mfn2").toString
+    write("en", base)
+    write(null, nul)
+    write("", empty)
+    val (b, n, e) = (sig(base), sig(nul), sig(empty))
+    assert(n.getLong(1) === 1L, "the NULL-field row must still be counted")
+    assert(b.getLong(2) !== n.getLong(2), "NULL lang must change the sig")
+    assert(n.getLong(2) !== e.getLong(2),
+      "NULL must fingerprint differently from the empty string")
   }
 
   test("q_pipe_dpnoise adds the exact deterministic Laplace draw per language") {
