@@ -32,33 +32,90 @@ object GraphOps {
     * a full |E|-shuffle saved. */
   private val Tol = 1e-6
 
+  /** Per-entity neighbor-list cap for `q_graph_jaccard`'s pair
+    * generation. 2^16 is far above any fixture degree (|suppliers| is
+    * 100 at sf0.01, 10k even at sf1), so the declared differential is
+    * byte-identical to the uncapped query; a production run against a
+    * power-law graph tunes this to ~1k, bounding the hot-customer
+    * fan-out at cap²/2 ≈ 500k pairs instead of degree². The cap
+    * MECHANISM (not the default) is what the spec asserts, at cap=1
+    * and cap=2 where it provably bites. */
+  private val JaccardCap = 1 << 16
+
+  /** Keep at most `cap` suppliers per customer, selected in hash
+    * order (xxhash64 of the supplier id, id tiebreak) — deterministic
+    * and content-keyed, so reruns and both engines agree, and the
+    * retained sample is unbiased w.r.t. supplier identity (a "first k
+    * by id" cut would systematically keep low ids). One PARTITIONED
+    * window keyed on the customer — never global; the per-group heap
+    * (WindowGroupLimit) prunes to cap rows map-side before the
+    * shuffle. */
+  private[graft] def capNeighbors(e: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c")).orderBy(xxhash64(col("sup")), col("sup"))
+    e.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap).drop("rn")
+  }
+
+  /** One PageRank update over a pre-weighted edge table `(src, dst,
+    * d)` against the current rank table `r = (node, r)` — the formula
+    * both rank-join strategies and the oracle's unrolled CTEs share.
+    *
+    * `broadcastRank = true`: the |V|-sized rank table broadcasts to
+    * every edge partition — one driver materialization round per
+    * iteration, the right call while ranks fit an executor (up to a
+    * few hundred million vertices).
+    *
+    * `broadcastRank = false`: the CO-PARTITIONED path for graphs whose
+    * rank table itself is too big to broadcast (billions of vertices).
+    * The rank side carries a SHUFFLE_HASH hint, which both forces the
+    * keyed join and — because join-strategy hints survive AQE's
+    * re-planning — stops AQE from converting it back to broadcast at
+    * runtime. When the edges side is BUCKETED on `src`
+    * ([[tradeEdgesBkt]]), only the (iteration-fresh) rank side
+    * shuffles: the |E|-sized edge table is laid out on the key ONCE
+    * at write time, which is the entire point — per iteration the
+    * data moved is O(|V|), not O(|E|). Pinned in PlanShapeSpec (no
+    * BroadcastExchange on the rank join; edges side exchange-free);
+    * crossover measured in tools/PageRankScale. */
+  private[graft] def rankStep(edgesW: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame, n: Long, broadcastRank: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val rankSide = if (broadcastRank) broadcast(r) else r.hint("shuffle_hash")
+    edgesW.join(rankSide, col("src") === col("node"))
+      .groupBy(col("dst"))
+      .agg(sum(col("r") / col("d")).as("sw"))
+      .select(col("dst").as("node"),
+        (lit(0.15 / n) + lit(0.85) * col("sw")).as("r"))
+  }
+
   /** Damped (0.85) PageRank over a pre-weighted edge table
     * `(src, dst, d)` with `d` = out-degree of `src`, starting from
     * `init` = `(node, r)`. Every node must have degree ≥ 1 (no
     * dangling mass — the symmetrized trade graph guarantees it), so
     * each iteration's aggregate re-covers the full vertex set.
+    * `broadcastRank` picks the rank-join strategy per [[rankStep]];
+    * both run the identical algebra, so they share the oracle.
     *
     * Returns the final ranks and the number of iterations actually
     * run: at most `maxIters`, fewer once the L1 delta falls below
     * `tol`. Each iteration materializes via eager `localCheckpoint` —
     * the lineage cut an iterative Spark job needs anyway — so the
-    * delta check is one broadcast join + scalar aggregate over the
+    * delta check is one keyed join + scalar aggregate over the
     * two |V|-sized checkpointed rank tables, never a recompute of the
     * iteration chain. The delta read is a metadata-scale driver
     * scalar (same class as the |V| count), not a data collect. */
   def pagerank(edgesW: org.apache.spark.sql.DataFrame,
                init: org.apache.spark.sql.DataFrame, n: Long,
-               maxIters: Int, tol: Double)
+               maxIters: Int, tol: Double,
+               broadcastRank: Boolean = true)
       : (org.apache.spark.sql.DataFrame, Int) = {
     var r = init.localCheckpoint()
     var it = 0
     var delta = Double.PositiveInfinity
     while (it < maxIters && delta >= tol) {
-      val rNew = edgesW.join(broadcast(r), col("src") === col("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("r") / col("d")).as("sw"))
-        .select(col("dst").as("node"),
-          (lit(0.15 / n) + lit(0.85) * col("sw")).as("r"))
+      val rNew = rankStep(edgesW, r, n, broadcastRank)
         .localCheckpoint()
       val rPrev = r
       r = rNew
@@ -141,6 +198,30 @@ object GraphOps {
         .localCheckpoint(eager = false)
     }
 
+  /** [[tradeEdgesW]] written ONCE per (session, dir) as a table
+    * BUCKETED on `src` — the static side of the CO-PARTITIONED rank
+    * join. A bucketed scan reports `HashPartitioning(src, nBuckets)`,
+    * so every iteration's rank join plans NO exchange on the
+    * |E|-sized edges side: the edge layout is paid once at write time
+    * and each join moves only the |V|-sized rank table. Storage
+    * bucketing is the one layout Catalyst can PROVE per-plan — a
+    * `repartition(src).localCheckpoint()` does not work here because
+    * under AQE the checkpointed LogicalRDD records
+    * UnknownPartitioning, so the SQL layer would silently re-shuffle
+    * edges every iteration. Same move GraphX makes by partitioning
+    * its edge RDD once; 8 buckets at fixture scale, ≈ cluster width
+    * in production. */
+  private[graft] def tradeEdgesBkt(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+    val name = s"graft_trade_edges_bkt_$tag"
+    LayoutOps.ensureTable(s, name) {
+      tradeEdgesW(s, d).write.bucketBy(8, "src")
+        .mode("overwrite").saveAsTable(name)
+    }
+    s.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
     // PageRank over the symmetrized trade graph. Every node has degree
     // ≥ 1 by construction, so no dangling-mass term is needed and
@@ -160,12 +241,39 @@ object GraphOps {
       // so one iteration is ONE broadcast of the |V|-sized rank table
       // + one keyed aggregate on dst — sum(r/d) exactly as the
       // oracle's unrolled SUM(r/deg.d), same IEEE division. At
-      // billions of vertices the same loop runs with keyed joins over
-      // co-partitioned edge/rank tables instead of broadcasts; the
-      // iteration structure is unchanged. The loop ([[pagerank]])
-      // early-exits on L1 delta < Tol — never reached on the fixture
-      // (all Iters rounds run), so the unrolled oracle is exact.
+      // billions of vertices the same loop runs co-partitioned
+      // instead — that is q_graph_pagerank_part below, same algebra,
+      // same oracle. The loop ([[pagerank]]) early-exits on L1
+      // delta < Tol — never reached on the fixture (all Iters rounds
+      // run), so the unrolled oracle is exact.
       val (r, _) = pagerank(edges, init, n, Iters, Tol)
+      r.select($"node", (floor($"r" * 1e6 + 0.5) / 1e6).as("rank"))
+        .orderBy($"rank".desc, $"node")
+        .limit(20)
+    }),
+
+    // The SAME PageRank on the CO-PARTITIONED rank-join strategy —
+    // the declared billion-vertex path (rank table too big to
+    // broadcast). Edges are written ONCE as a table bucketed on src
+    // (tradeEdgesBkt); each iteration's join then shuffles only the
+    // |V|-sized rank side (SHUFFLE_HASH hint — forces the keyed join
+    // and survives AQE re-planning, so the runtime can't flip it
+    // back to broadcast). Identical update algebra to
+    // q_graph_pagerank — broadcast vs keyed join changes WHERE rows
+    // meet, not what is summed — so the unrolled oracle is shared
+    // verbatim; the strategies agreeing is itself part of the
+    // differential. Plan pinned in PlanShapeSpec (no
+    // BroadcastExchange on the rank join, edges side exchange-free
+    // off its bucket layout); broadcast↔co-partitioned crossover
+    // measured in tools/PageRankScale.
+    "q_graph_pagerank_part" -> ((s, d) => {
+      import s.implicits._
+      val edges = tradeEdgesBkt(s, d)
+      val n = tradeDeg(s, d).count()
+      val init =
+        tradeDeg(s, d).select($"src".as("node"), (lit(1.0) / n).as("r"))
+      val (r, _) = pagerank(edges, init, n, Iters, Tol,
+        broadcastRank = false)
       r.select($"node", (floor($"r" * 1e6 + 0.5) / 1e6).as("rank"))
         .orderBy($"rank".desc, $"node")
         .limit(20)
@@ -241,16 +349,21 @@ object GraphOps {
     // generated by a self-join keyed on the shared CUSTOMER, so the
     // fan-out per customer is its supplier-set choose 2 — bounded by
     // per-entity degree, never |S|². Degree tables are |S|-sized and
-    // broadcast. At 100 TB with hub customers, cap or sample each
-    // neighbor list before pairing (the q_dedup_minhash hot-bucket
-    // treatment) — recall loss is confined to the capped hubs.
+    // broadcast. Hub customers go through [[capNeighbors]]: each
+    // customer's supplier list is capped at [[JaccardCap]] in hash
+    // order before pairing (the q_dedup_minhash hot-bucket
+    // treatment), bounding the worst-case fan-out at cap²/2 per
+    // customer — recall loss is confined to the capped hubs.
     "q_graph_jaccard" -> ((s, d) => {
       import s.implicits._
-      val e = t(s, d, "orders").where($"o_totalprice" > 300000)
+      val e0 = t(s, d, "orders").where($"o_totalprice" > 300000)
         .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
         .select($"o_custkey".as("c"), $"l_suppkey".as("sup"))
         .distinct()
-        .localCheckpoint(eager = false)
+      // Checkpoint AFTER the cap: the capped list is what deg and
+      // both self-join sides read (3 references), so this is the
+      // table worth materializing once.
+      val e = capNeighbors(e0, JaccardCap).localCheckpoint(eager = false)
       val deg = e.groupBy($"sup").agg(count(lit(1)).as("dg"))
       val pairs = e.as("a").join(e.as("b"),
           $"a.c" === $"b.c" && $"a.sup" < $"b.sup")
@@ -330,8 +443,11 @@ object GraphOps {
         FROM edges e JOIN r$k ON e.src = r$k.node
         JOIN deg ON deg.src = e.src CROSS JOIN nn
         GROUP BY e.dst, n)"""
-    Map(
-      "q_graph_pagerank" -> (s"""
+    // One oracle string for BOTH declared strategies: broadcast and
+    // co-partitioned run the identical update algebra, so the same
+    // unrolled CTEs must match both — that shared differential is the
+    // proof the strategy swap is semantics-free.
+    val pagerankSql = s"""
       WITH e0 AS (
         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                         's' || CAST(l_suppkey AS VARCHAR) AS dst
@@ -340,11 +456,14 @@ object GraphOps {
       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
       nn AS (SELECT count(*) AS n FROM deg),
       r0 AS (SELECT src AS node, 1.0 / n AS r FROM deg, nn)""" +
-        (0 until Iters).map(iterCte).mkString + s"""
+      (0 until Iters).map(iterCte).mkString + s"""
       SELECT node, FLOOR(r * 1e6 + 0.5) / 1e6 AS rank
       FROM r$Iters
       ORDER BY rank DESC, node
-      LIMIT 20"""),
+      LIMIT 20"""
+    Map(
+      "q_graph_pagerank" -> pagerankSql,
+      "q_graph_pagerank_part" -> pagerankSql,
 
       "q_graph_triangles" -> """
       WITH e AS (

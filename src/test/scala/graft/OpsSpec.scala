@@ -525,6 +525,41 @@ class OpsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("q_graph_pagerank_part agrees row-for-row with the broadcast strategy") {
+    // The co-partitioned rank join must be semantics-free: same
+    // ranks, same order, same rounding as q_graph_pagerank — the
+    // strategy only changes where edge and rank rows meet.
+    val a = q("q_graph_pagerank", sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val b = q("q_graph_pagerank_part", sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("capNeighbors: cap law at 1 and 2, identity above max degree, hash-deterministic") {
+    import spark.implicits._
+    // Customer 10 is a 4-supplier hub; the others are small.
+    val e = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L),
+        (20L, 1L), (20L, 5L), (30L, 9L))
+      .toDF("c", "sup")
+    def lists(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (c, v) => c -> v.map(_._2).toSet }
+    val full = lists(e)
+    // cap=1: every list shrinks to one supplier → pairing yields none.
+    val one = lists(ops.GraphOps.capNeighbors(e, 1))
+    assert(one.values.forall(_.size == 1) && one.keySet === full.keySet)
+    // cap=2: the hub is cut to exactly 2, small lists untouched.
+    val two = lists(ops.GraphOps.capNeighbors(e, 2))
+    assert(two(10L).size === 2 && two(10L).subsetOf(full(10L)))
+    assert(two(20L) === full(20L) && two(30L) === full(30L))
+    // cap above the max degree is the identity — the default regime
+    // the declared query runs in at fixture scale.
+    assert(lists(ops.GraphOps.capNeighbors(e, 100)) === full)
+    // Hash-order selection is content-keyed: rerun agrees exactly.
+    assert(lists(ops.GraphOps.capNeighbors(e, 2)) === two)
+  }
+
   test("q_win_anomaly scores against a frame that excludes the current row") {
     import org.apache.spark.sql.functions.col
     val hist = ops.Tables.t(spark, sf0001, "events")

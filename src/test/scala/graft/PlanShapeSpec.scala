@@ -132,6 +132,31 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("float_dot"), "subspace dots must use the codegen'd kernel")
   }
 
+  test("q_graph_pagerank_part: rank join keyed (never broadcast), edges exchange-free off bucket layout") {
+    import spark.implicits._
+    // One rankStep as the loop runs it: bucketed edges vs a
+    // checkpointed rank table (what each iteration's localCheckpoint
+    // hands the next round).
+    val edges = ops.GraphOps.tradeEdgesBkt(spark, sf0001)
+    val r = edges.select($"src".as("node")).distinct()
+      .withColumn("r", org.apache.spark.sql.functions.lit(0.01))
+      .localCheckpoint()
+    val step = ops.GraphOps.rankStep(edges, r, 100L, broadcastRank = false)
+    step.collect() // finalize AQE so the pin is the runtime plan
+    val p = step.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ShuffledHashJoin"), s"rank join must stay keyed:\n$p")
+    assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin"),
+      s"AQE must not flip the hinted rank join back to broadcast:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"edges must scan their bucket layout:\n$p")
+    // The |E|-sized edges side must plan NO exchange — the only two
+    // allowed are the rank side and the dst aggregate.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"only the rank side + dst agg may exchange (saw $exchanges):\n$p")
+  }
+
   test("q_graph_triangles: wedge and closing joins stay keyed equi-joins") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
