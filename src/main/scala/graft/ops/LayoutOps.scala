@@ -174,6 +174,42 @@ object LayoutOps {
         .orderBy($"l_returnflag")
     }),
 
+    // AQE runtime skew-split join — the RUNTIME complement to
+    // q_join_skew_salt's static salting: OptimizeSkewedJoin sees the
+    // actual per-partition map output sizes after the shuffle and
+    // splits any partition over factor×median into advisory-sized
+    // sub-reads, each re-joining against the full matching build
+    // partition. Where salting must guess the hot keys at plan time,
+    // AQE needs no key knowledge — it fixes whatever skew the data
+    // turns out to have, which at 100 TB is the only strategy that
+    // survives a drifting key distribution. Declared in a child
+    // session flooring the size thresholds (the fixture's partitions
+    // are far below the 256 MB production advisory — identical move
+    // to q_join_bloom's threshold floor) with broadcast disabled (the
+    // split targets shuffle joins) and coalescing off (coalescing
+    // re-merges what the split divides at fixture sizes). The query
+    // ends in a GLOBAL aggregate deliberately: AQE refuses a split
+    // that would force an extra downstream shuffle, so a groupBy on
+    // the join key would silently disable it — documented trap. The
+    // split firing (skew=true) is pinned on controlled synthetic skew
+    // in AdaptiveSpec; the oracle is the plain join — the runtime
+    // re-plan must not change results.
+    "q_join_skew_aqe" -> ((s0, d) => {
+      val s = Tables.childSession(s0, "skewaqe")(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+          -> "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      import s.implicits._
+      t(s, d, "events")
+        .join(t(s, d, "customer"), $"user_id" === $"c_custkey")
+        .agg(count(lit(1)).as("n_events"),
+          r2(sum($"value")).as("sum_value"))
+    }),
+
     // File-compaction planning — the layout family's maintenance leg
     // next to Z-order and bucketing: model documents' physical layout
     // as (source, hash-shard) micro-files, then bin consecutive files
@@ -292,6 +328,12 @@ object LayoutOps {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // The plain join — the runtime skew split must be result-invariant.
+    "q_join_skew_aqe" -> """
+      SELECT count(*) AS n_events,
+             FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
 
     "q_pipe_compact" -> """
       WITH f AS (

@@ -44,6 +44,12 @@ object PipeOps {
 
   private val SaltBuckets = 8
 
+  /** GK sketch accuracy for `q_agg_quantile_approx`: rank error
+    * ≤ 1/QuantileAcc of the group size (so ±0.01% ranks) at O(acc)
+    * sketch entries per group — small enough to combine map-side,
+    * tight enough that OpsSpec's rank-law assertion is meaningful. */
+  private[graft] val QuantileAcc = 10000
+
   val queries: Map[String, Q] = Map(
     // Token-budget mixture planning: given a 1M-token training budget,
     // how much of each source to take. Per-source token counts are
@@ -156,6 +162,28 @@ object PipeOps {
       t(s, d, "lineitem").groupBy($"l_returnflag").agg(
           r4(percentile($"l_extendedprice", lit(0.5))).as("p50"),
           r4(percentile($"l_extendedprice", lit(0.9))).as("p90"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // The MERGEABLE-SKETCH twin of q_agg_quantile — the documented
+    // unbounded-cardinality path (see the object scaladoc): exact
+    // interpolated percentiles buffer each group's values, so a group
+    // with 10^10 rows spills its sort; approx_percentile keeps a
+    // bounded Greenwald-Khanna sketch per group that combines
+    // map-side like any partial aggregate, making group cardinality
+    // AND group size irrelevant to memory. Rank error is ≤ 1/accuracy
+    // by the GK bound — the accuracy knob trades sketch bytes for
+    // rank precision. Sketch internals are engine-specific (DuckDB
+    // has no GK twin) → declared no-oracle, like q_agg_approx /
+    // q_agg_hll for distinct counts; the GK rank-error law vs the
+    // exact percentiles is asserted per group in OpsSpec instead.
+    "q_agg_quantile_approx" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").groupBy($"l_returnflag").agg(
+          approx_percentile($"l_extendedprice", lit(0.5), lit(QuantileAcc))
+            .as("p50"),
+          approx_percentile($"l_extendedprice", lit(0.9), lit(QuantileAcc))
+            .as("p90"))
         .orderBy($"l_returnflag")
     }),
 

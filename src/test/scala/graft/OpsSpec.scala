@@ -525,6 +525,34 @@ class OpsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("q_agg_quantile_approx: GK rank-error law per group vs the exact data") {
+    import org.apache.spark.sql.functions.col
+    // The sketch guarantees RANK error ≤ eps·n (eps = 1/accuracy),
+    // not value error — so the law is on ranks: the returned value's
+    // rank interval [#(< v)+1, #(<= v)] must overlap the target rank
+    // q·n within eps·n (±1 for the discrete boundary).
+    val vals = ops.Tables.t(spark, sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val got = q("q_agg_quantile_approx", sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.map(_._1).toSet === vals.keySet)
+    val eps = 1.0 / ops.PipeOps.QuantileAcc
+    got.foreach { case (flag, p50, p90) =>
+      val xs = vals(flag); val n = xs.length
+      def check(v: Double, q0: Double): Unit = {
+        val lo = xs.count(_ < v) + 1
+        val hi = xs.count(_ <= v)
+        assert(hi >= lo, s"$flag q=$q0: returned $v is not a data value")
+        val (tLo, tHi) = (q0 * n - eps * n - 1, q0 * n + eps * n + 1)
+        assert(lo <= tHi && hi >= tLo,
+          s"$flag q=$q0: rank [$lo,$hi] outside target [$tLo,$tHi] (n=$n)")
+      }
+      check(p50, 0.5); check(p90, 0.9)
+    }
+  }
+
   test("q_graph_pagerank_part agrees row-for-row with the broadcast strategy") {
     // The co-partitioned rank join must be semantics-free: same
     // ranks, same order, same rounding as q_graph_pagerank — the
