@@ -211,6 +211,40 @@ object GraphOps {
     * edges every iteration. Same move GraphX makes by partitioning
     * its edge RDD once; 8 buckets at fixture scale, ≈ cluster width
     * in production. */
+  /** Frontier sizes for hops 1..`hops` of a BFS over `edges` from
+    * `seed`. Each hop is ONE keyed join (frontier⋈edges) + one anti
+    * join against the visited set — the standard BFS-on-MapReduce
+    * shape with the frontier as the moving side.
+    *
+    * `broadcastSets` is the same regime split as [[rankStep]]:
+    * frontier and visited are |V|-bounded, so they BROADCAST while
+    * ranks would (up to a few hundred million vertices — without the
+    * visited broadcast each hop pays a full shuffle of both anti-join
+    * sides); past that, the keyed variant SHUFFLE_HASH-hints both
+    * set joins — the hint survives AQE re-planning, the visited side
+    * builds the anti-join hash map per partition, and pairing with
+    * src-bucketed edges ([[tradeEdgesBkt]]) keeps the |E| side
+    * exchange-free exactly as in the co-partitioned PageRank.
+    * Strategy agreement is pinned in OpsSpec. */
+  private[graft] def bfsFrontiers(edges: org.apache.spark.sql.DataFrame,
+      seed: org.apache.spark.sql.DataFrame, hops: Int,
+      broadcastSets: Boolean): org.apache.spark.sql.DataFrame = {
+    def side(df: org.apache.spark.sql.DataFrame) =
+      if (broadcastSets) broadcast(df) else df.hint("shuffle_hash")
+    var visited = seed
+    var frontier = seed
+    val sizes = (1 to hops).map { hop =>
+      frontier = edges.join(side(frontier), col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(side(visited), Seq("node"), "left_anti")
+        .localCheckpoint(eager = false)
+      visited = visited.unionByName(frontier)
+      frontier.agg(count(lit(1)).as("frontier"))
+        .select(lit(hop).as("hop"), col("frontier"))
+    }
+    sizes.reduce(_ unionByName _).orderBy(col("hop"))
+  }
+
   private[graft] def tradeEdgesBkt(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
@@ -382,32 +416,16 @@ object GraphOps {
     // Bounded-hop BFS from the highest-degree node: frontier sizes
     // for hops 1..3 over the symmetrized trade graph — the iterative
     // frontier-expansion kernel (reachability, blast-radius, feature
-    // neighborhoods). Each hop is ONE keyed join (frontier⋈edges) +
-    // one anti join against the visited set; frontiers broadcast
-    // while small — the standard BFS-on-MapReduce shape with the
-    // frontier as the moving side. Hop count fixed at 3 so the plan
-    // is finite and the oracle unrollable.
+    // neighborhoods), via [[bfsFrontiers]] in its broadcast regime
+    // (the fixture's frontier and visited sets are |V|-bounded and
+    // tiny). Hop count fixed at 3 so the plan is finite and the
+    // oracle unrollable.
     "q_graph_bfs" -> ((s, d) => {
       import s.implicits._
       val edges = tradeEdges(s, d)
       val seed = tradeDeg(s, d).select($"src".as("node"), $"d".as("dg"))
         .orderBy($"dg".desc, $"node").limit(1).select($"node")
-      var visited = seed
-      var frontier = seed
-      val sizes = (1 to 3).map { hop =>
-        // Both the frontier probe and the visited anti join broadcast
-        // their |V|-bounded side — without the second broadcast each
-        // hop paid a full shuffle of both sides for the anti join.
-        frontier = edges.join(broadcast(frontier),
-            $"src" === $"node")
-          .select($"dst".as("node")).distinct()
-          .join(broadcast(visited), Seq("node"), "left_anti")
-          .localCheckpoint(eager = false)
-        visited = visited.unionByName(frontier)
-        frontier.agg(count(lit(1)).as("frontier"))
-          .select(lit(hop).as("hop"), $"frontier")
-      }
-      sizes.reduce(_ unionByName _).orderBy($"hop")
+      bfsFrontiers(edges, seed, 3, broadcastSets = true)
     }),
 
     // Degree-distribution summary of the symmetrized trade graph,

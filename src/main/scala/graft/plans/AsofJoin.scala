@@ -167,10 +167,13 @@ case class AsofJoinExec(
   // consumes (left columns ++ nullable right columns) as local vars —
   // no JoinedRow, no per-row UnsafeProjection, no iterator boundary.
   //
-  // Covers integral AND default-collation string keys (the two common
-  // LLM-pipeline id shapes — PlanUtil.keyCodegen): integral keys live
-  // in one long field, string keys in a UTF8String field whose binary
-  // compareTo matches the planned sort order. Other orderable keys run
+  // Covers integral, default-collation string, AND composite
+  // struct-of-(integral|string) keys (the common LLM-pipeline id
+  // shapes — PlanUtil.keyCodegen): integral keys live in one long
+  // field, string keys in a UTF8String field whose binary compareTo
+  // matches the planned sort order, struct keys in an InternalRow
+  // field compared field-wise in the struct sort order. Other
+  // orderable keys run
   // the interpreted doExecute above, which remains the semantic
   // reference — PlanShapeSpec pins codegen/interpreted equality and
   // the codegen-stage star for both key shapes.

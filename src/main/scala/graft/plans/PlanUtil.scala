@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType,
-  LongType, ShortType, StringType, TimestampNTZType, TimestampType}
+  LongType, ShortType, StringType, StructType, TimestampNTZType,
+  TimestampType}
 
 /** Shared plumbing for the native merge operators (AsofJoin,
   * RangeJoin, Sessionize): column resolution with clear driver-side
@@ -100,6 +101,56 @@ private[plans] object PlanUtil {
       "UTF8String", "null", v => v,
       (a, b) => s"$a.compareTo($b)",
       (a, b) => s"$a.equals($b)", v => s"$v.clone()"))
+    // COMPOSITE keys: a struct of integral / default-collation string
+    // fields — the multi-column id shape ((user_id, device_id) session
+    // keys) packed into one column via struct(...). The struct value
+    // is an InternalRow in generated code; cmp/eq expand to field-wise
+    // fragments over the primitive accessors, with the same
+    // nulls-first-per-field order SortOrder plans for structs, so the
+    // merge compares exactly what the sort sorted. The loaded value is
+    // a view into the child's reused row buffer (like UTF8String) —
+    // save owns it via copy(). cmp's ternary chain re-evaluates a
+    // field's compare when it decides (≤2 evals/field, allocation-
+    // free); nested structs and other field types stay interpreted.
+    case st: StructType if st.fields.nonEmpty && st.fields.forall { f =>
+        isIntegral(f.dataType) || (f.dataType match {
+          case s: StringType => s == StringType
+          case _ => false
+        })
+      } =>
+      // Field accessor widened to long for the integral shapes.
+      def prim(row: String, i: Int): String = st.fields(i).dataType match {
+        case LongType | TimestampType | TimestampNTZType => s"$row.getLong($i)"
+        case IntegerType | DateType => s"(long) $row.getInt($i)"
+        case ShortType => s"(long) $row.getShort($i)"
+        case ByteType => s"(long) $row.getByte($i)"
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      def fEq(a: String, b: String, i: Int): String = {
+        val v = st.fields(i).dataType match {
+          case _: StringType =>
+            s"$a.getUTF8String($i).equals($b.getUTF8String($i))"
+          case _ => s"${prim(a, i)} == ${prim(b, i)}"
+        }
+        s"($a.isNullAt($i) ? $b.isNullAt($i) : (!$b.isNullAt($i) && $v))"
+      }
+      def fCmp(a: String, b: String, i: Int): String = {
+        val v = st.fields(i).dataType match {
+          case _: StringType =>
+            s"$a.getUTF8String($i).compareTo($b.getUTF8String($i))"
+          case _ => s"java.lang.Long.compare(${prim(a, i)}, ${prim(b, i)})"
+        }
+        s"($a.isNullAt($i) ? ($b.isNullAt($i) ? 0 : -1) : " +
+          s"($b.isNullAt($i) ? 1 : $v))"
+      }
+      val n = st.fields.length
+      Some(KeyCodegen(
+        "InternalRow", "null", v => v,
+        (a, b) => (0 until n).foldRight("0") { (i, rest) =>
+          s"(${fCmp(a, b, i)} != 0 ? ${fCmp(a, b, i)} : $rest)"
+        },
+        (a, b) => (0 until n).map(fEq(a, b, _)).mkString("(", " && ", ")"),
+        v => s"((InternalRow) $v.copy())"))
     case _ => None
   }
 

@@ -173,9 +173,9 @@ case class RangeJoinExec(
   // returning mid-buffer would need SMJ-style resumable inner-loop
   // state for no correctness gain, and the buffer is already the
   // operator's declared memory bound.
-  // Integral and default-collation string keys codegen (see
-  // PlanUtil.keyCodegen and the AsofJoinExec note); everything else
-  // runs the interpreted path above.
+  // Integral, default-collation string, and composite struct keys
+  // codegen (see PlanUtil.keyCodegen and the AsofJoinExec note);
+  // everything else runs the interpreted path above.
   override def supportCodegen: Boolean =
     PlanUtil.keyCodegen(leftKey.dataType).isDefined &&
       leftTime.dataType == LongType && rightTime.dataType == LongType

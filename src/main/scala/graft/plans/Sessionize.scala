@@ -143,8 +143,10 @@ case class SessionizeExec(
   // instantiated once per partition, so the zero-initialized mutable
   // state doubles as the per-partition reset.
   //
-  // Codegen covers integral AND default-collation string keys (the
-  // two common LLM-pipeline id shapes — see PlanUtil.keyCodegen);
+  // Codegen covers integral, default-collation string, AND composite
+  // struct-of-(integral|string) keys (the common LLM-pipeline id
+  // shapes, incl. (user_id, device_id) packed via struct — see
+  // PlanUtil.keyCodegen);
   // other orderable keys run the interpreted doExecute below, which
   // remains the semantic reference (PlanShapeSpec asserts both paths
   // equal the window form, for long and string keys). The LongType

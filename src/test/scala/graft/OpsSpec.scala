@@ -588,6 +588,36 @@ class OpsSpec extends GraftSuite {
     assert(lists(ops.GraphOps.capNeighbors(e, 2)) === two)
   }
 
+  test("bfsFrontiers keyed (shuffle_hash) strategy agrees with broadcast, and plans no broadcast") {
+    import spark.implicits._
+    // Star-plus-chain: hop 1 = the 4 spokes, hop 2 = {x2} (the chain
+    // continues, a/b/c dead-end back into visited h), hop 3 = {x3} —
+    // asymmetric enough that a wrong anti join changes a count.
+    val edges0 = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "x1"),
+        ("x1", "x2"), ("x2", "x3"))
+      .toDF("src", "dst")
+    val edges = edges0.unionByName(
+      edges0.select($"dst".as("src"), $"src".as("dst")))
+    val seed = Seq("h").toDF("node")
+    def run(b: Boolean) = ops.GraphOps.bfsFrontiers(edges, seed, 3, b)
+    val bc = run(true).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val ky = run(false).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(bc === Seq((1, 4L), (2, 1L), (3, 1L)))
+    assert(bc === ky, "set-join strategy must be semantics-free")
+    // The keyed variant must not silently re-broadcast: one hop's
+    // frontier expansion plans ShuffledHashJoin on both set joins.
+    val probe = edges.join(seed.hint("shuffle_hash"),
+        $"src" === $"node")
+      .select($"dst".as("node")).distinct()
+      .join(seed.hint("shuffle_hash"), Seq("node"), "left_anti")
+    probe.collect()
+    val p = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastExchange"),
+      s"hinted set joins must stay keyed:\n$p")
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q_win_anomaly scores against a frame that excludes the current row") {
     import org.apache.spark.sql.functions.col
     val hist = ops.Tables.t(spark, sf0001, "events")

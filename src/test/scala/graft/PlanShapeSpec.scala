@@ -399,4 +399,97 @@ class PlanShapeSpec extends GraftSuite {
     assert(got === pairs(plans.RangeJoin(strEvents, strRight,
       "user_id", "ts", "event_id", "r_user", "r_ts", "r_eid", band)))
   }
+
+  // ---- COMPOSITE (struct) keys through the native trio (round 8) -------
+  //
+  // Multi-column ids — (user_id, device_id)-style session keys — pack
+  // into ONE struct column and ride the same three checks as the
+  // string keys: (1) the codegen star fires for a struct-of-
+  // (integral, string) key (PlanUtil.keyCodegen's field-wise
+  // fragments), (2) codegen agrees with the interpreted generic-key
+  // merge (GenericMergeKeys via the struct's interpreted ordering),
+  // (3) the result equals the LONG-key run — the struct below is an
+  // injective re-keying of user_id (second field alone determines
+  // it), so semantics must be unchanged.
+
+  /** events keyed by a 2-field struct (string bucket, long id) that is
+    * injective in user_id. */
+  private def structEvents = {
+    val s = spark
+    import s.implicits._
+    ops.Tables.t(spark, sf0001, "events")
+      .select(struct(format_string("b%d", $"user_id" % 3).as("bucket"),
+          $"user_id".as("uid")).as("ck"),
+        $"user_id", $"ts", $"event_id", $"value")
+  }
+
+  private def structRight = {
+    val s = spark
+    import s.implicits._
+    ops.Tables.fresh(spark, sf0001, "events")
+      .where($"event_id" % 3 === 0)
+      .select(struct(format_string("b%d", $"user_id" % 3).as("bucket"),
+          $"user_id".as("uid")).as("r_ck"),
+        $"user_id".as("r_user"), $"ts".as("r_ts"),
+        $"event_id".as("r_eid"), $"value".as("r_val"))
+  }
+
+  test("struct-key sessionize: codegen star, interpreted agreement, long-key equivalence") {
+    def run() = plans.Sessionize(
+      structEvents, "ck", "ts", "event_id", 12L * 3600 * 1000000)
+    val df = run()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.find(_.contains("Sessionize "))
+      .exists(_.contains("*(")),
+      s"struct-key Sessionize must codegen:\n$p")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("event_id"), col("session_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = key(df)
+    assert(got === codegenOff(key(run())))
+    assert(got === key(plans.Sessionize(
+      ops.Tables.t(spark, sf0001, "events"), "user_id", "ts", "event_id",
+      12L * 3600 * 1000000)))
+  }
+
+  test("struct-key as-of join: codegen star, interpreted agreement, long-key equivalence") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("r_eid"), col("r_val")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sorted.toSeq
+    def run() = plans.AsofJoin(structEvents, structRight,
+      "ck", "ts", "event_id", "r_ck", "r_ts", "r_eid")
+    val df = run()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.find(_.contains("AsofJoin "))
+      .exists(_.contains("*(")),
+      s"struct-key AsofJoin must codegen:\n$p")
+    val got = pairs(df)
+    assert(got === codegenOff(pairs(run())))
+    assert(got === pairs(plans.AsofJoin(strEvents, strRight,
+      "user_id", "ts", "event_id", "r_user", "r_ts", "r_eid")))
+  }
+
+  test("struct-key range join: codegen star, interpreted agreement, long-key equivalence") {
+    val band = 30L * 60 * 1000000
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("r_eid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def run() = plans.RangeJoin(structEvents, structRight,
+      "ck", "ts", "event_id", "r_ck", "r_ts", "r_eid", band)
+    val df = run()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.find(_.contains("RangeJoin "))
+      .exists(_.contains("*(")),
+      s"struct-key RangeJoin must codegen:\n$p")
+    val got = pairs(df)
+    assert(got.nonEmpty, "fixture must produce in-band pairs")
+    assert(got === codegenOff(pairs(run())))
+    assert(got === pairs(plans.RangeJoin(strEvents, strRight,
+      "uid", "ts", "event_id", "r_uid", "r_ts", "r_eid", band)))
+  }
 }
