@@ -66,6 +66,52 @@ object ExtOps {
       .where($"sim" >= 0.4)
   }
 
+  /** (vec_id, cluster) membership of the [[embedPairs]] near-dup
+    * graph — connected components per label BLOCK via union-find,
+    * shared by `q_dedup_cluster` (per-cluster rollup) and
+    * `q_pipe_groupsplit` (leakage-safe split key). Blocked components
+    * are the shape LSH/blocked dedup pipelines produce at 100 TB
+    * (bounded blocks — each fits one task); only an UNblocked graph
+    * needs iterative min-label propagation. Only vecs appearing in
+    * some pair are present; singleton callers coalesce to self. */
+  private[graft] def clusterMembers(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    import s.implicits._
+    embedPairs(s, d)
+      .select($"la".as("label"), $"va", $"vb")
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val es = it.map(e => (e._2, e._3)).toArray
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        // Iterative find with path halving: a recursive find would
+        // recurse once per parent-chain link and a chain-ordered
+        // edge list builds O(n) chains — a 100k-member component in
+        // one block must not overflow the task stack.
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) {
+            val gp = parent.getOrElse(p, p)
+            parent(x) = gp
+            x = gp
+            p = parent.getOrElse(x, x)
+          }
+          x
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          // union by min id keeps the canonical root deterministic
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        es.flatMap { case (a, b) => Seq(a, b) }.distinct
+          .map(m => (m, find(m)))
+      }
+      .toDF("vec_id", "cluster")
+  }
+
   /** The same pair graph in DuckDB SQL (oracle side). */
   private val embedPairsSql: String = """
     SELECT a.vec_id AS va, b.vec_id AS vb
@@ -333,43 +379,42 @@ object ExtOps {
     // differential. Output: per-cluster canonical (min) id, size.
     "q_dedup_cluster" -> ((s, d) => {
       import s.implicits._
-      embedPairs(s, d)
-        .select($"la".as("label"), $"va", $"vb")
-        .as[(Int, Long, Long)]
-        .groupByKey(_._1)
-        .flatMapGroups { (_, it) =>
-          val es = it.map(e => (e._2, e._3)).toArray
-          val parent = scala.collection.mutable.Map.empty[Long, Long]
-          // Iterative find with path halving: a recursive find would
-          // recurse once per parent-chain link and a chain-ordered
-          // edge list builds O(n) chains — a 100k-member component in
-          // one block must not overflow the task stack.
-          def find(x0: Long): Long = {
-            var x = x0
-            var p = parent.getOrElse(x, x)
-            while (p != x) {
-              val gp = parent.getOrElse(p, p)
-              parent(x) = gp
-              x = gp
-              p = parent.getOrElse(x, x)
-            }
-            x
-          }
-          es.foreach { case (a, b) =>
-            val (ra, rb) = (find(a), find(b))
-            // union by min id keeps the canonical root deterministic
-            if (ra != rb) {
-              if (ra < rb) parent(rb) = ra else parent(ra) = rb
-            }
-          }
-          es.flatMap { case (a, b) => Seq(a, b) }.distinct
-            .groupBy(find)
-            .map { case (root, members) =>
-              (root, members.length.toLong, members.max)
-            }
-        }
-        .toDF("cluster", "n_members", "max_member")
+      clusterMembers(s, d)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max($"vec_id").as("max_member"))
         .orderBy($"cluster")
+    }),
+
+    // Leakage-safe (cluster-aware) train/val/test split: the
+    // q_sample_hash 80/10/10 hash split keyed on the DUPLICATE-CLUSTER
+    // id instead of the doc id. A doc-level split puts near-duplicate
+    // pairs on both sides of the train/eval boundary — the exact
+    // contamination q_pipe_contamination audits for after the fact;
+    // splitting by the connected-component key moves every near-dup
+    // group ATOMICALLY, so no cluster (hence no near-dup pair) can
+    // span two splits, by construction — and the invariant is also
+    // asserted member-level in OpsSpec. Singletons (vecs in no pair)
+    // are their own cluster. Scale: membership is the same block-local
+    // union-find as q_dedup_cluster; the split is a map expression +
+    // two partial-aggregable keyed aggs (the count-distinct Expand is
+    // over |clusters| ≤ |V| rows).
+    "q_pipe_groupsplit" -> ((s, d) => {
+      import s.implicits._
+      val members = clusterMembers(s, d)
+      t(s, d, "embeddings").select($"vec_id")
+        .join(members, Seq("vec_id"), "left")
+        .select($"vec_id",
+          coalesce($"cluster", $"vec_id").as("cluster"))
+        .withColumn("bucket",
+          Tables.h60($"cluster".cast("string")) % 100)
+        .withColumn("split",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "val").otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct($"cluster").as("n_clusters"))
+        .orderBy($"split")
     }),
 
     // IVF-style ANN: coarse cells = argmax-dot assignment against a
@@ -638,6 +683,34 @@ object ExtOps {
         FROM comp
         GROUP BY cluster
         ORDER BY cluster""",
+
+      // The same exact transitive closure, then the identical
+      // cluster-keyed md5 split — the differential proves the
+      // member→cluster→split assignment end to end.
+      "q_pipe_groupsplit" -> s"""
+        WITH RECURSIVE pairs AS ($embedPairsSql),
+        edges AS (SELECT va, vb FROM pairs
+                  UNION ALL SELECT vb, va FROM pairs),
+        reach(id, m) AS (
+          SELECT va, va FROM edges
+          UNION
+          SELECT e.vb, r.m FROM reach r JOIN edges e ON e.va = r.id),
+        comp AS (SELECT id, MIN(m) AS cluster FROM reach GROUP BY id),
+        lab AS (
+          SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster
+          FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id),
+        sp AS (
+          SELECT vec_id, cluster,
+                 CAST('0x' || substring(md5(CAST(cluster AS VARCHAR)),
+                   1, 15) AS BIGINT) % 100 AS bucket
+          FROM lab)
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+               count(*) AS n_vecs,
+               count(DISTINCT cluster) AS n_clusters
+        FROM sp
+        GROUP BY 1
+        ORDER BY 1""",
 
       "q_sim_ann_ivf" -> """
         WITH cents AS (

@@ -100,6 +100,35 @@ object PipeOps {
         .orderBy($"lang", $"split")
     }),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    // each doc draws a deterministic hash uniform u ∈ (0, 1] and is
+    // ranked by ln(u)/w with w = n_chars — the exponential-sort trick
+    // whose top-k is EXACTLY a weight-proportional without-replacement
+    // sample (P(doc first) = w/Σw, recursively). The importance-
+    // sampling step of corpus curation: upweight long/high-quality
+    // docs without the with-replacement duplicate problem of
+    // q_pipe_oversample. Deterministic u (the q_pipe_dpnoise hash-
+    // uniform pattern) makes the draw reproducible AND oracle-
+    // recomputable; the SORT key is floor-rounded to 1e-9 in both
+    // engines so ordering never hinges on ln's last ulp (the accepted
+    // repo-wide ln caveat), with doc_id as the total-order tiebreak.
+    // Scale: a pure map expression + global top-k —
+    // TakeOrderedAndProject's per-partition heaps ship k rows per
+    // task, never a global sort. The weight-law (heavier docs win at
+    // equal uniforms; selection invariant under corpus order) is
+    // pinned in PipeOpsSpec.
+    "q_sample_weighted" -> ((s, d) => {
+      import s.implicits._
+      // +1 keeps u strictly positive (h60 = 0 would put ln at -inf).
+      val u = (h60($"doc_id".cast("string")) + 1).cast("double") /
+        1.152921504606846976e18
+      t(s, d, "documents")
+        .select($"doc_id", $"lang", $"n_chars",
+          (floor(log(u) / $"n_chars" * 1e9 + 0.5) / 1e9).as("skey"))
+        .orderBy($"skey".desc, $"doc_id")
+        .limit(32)
+    }),
+
     // Deterministic stratified sample: 20 docs per language, chosen
     // by hash order (not "first 20 in storage order", which changes
     // with file layout). Window top-k per stratum.
@@ -867,6 +896,18 @@ object PipeOps {
       FROM b
       GROUP BY lang, split
       ORDER BY lang, split""",
+
+    // Identical exponential-sort algebra over the identical hash
+    // uniform; the sort key is floor-rounded to 1e-9 in both engines
+    // before ordering (ln last-ulp caveat), doc_id breaks ties.
+    "q_sample_weighted" -> """
+      SELECT doc_id, lang, n_chars,
+             FLOOR(LN((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                        1, 15) AS BIGINT) + 1) / 1152921504606846976.0)
+               / n_chars * 1e9 + 0.5) / 1e9 AS skey
+      FROM documents
+      ORDER BY skey DESC, doc_id
+      LIMIT 32""",
 
     "q_pipe_contamination" -> """
       WITH b AS (

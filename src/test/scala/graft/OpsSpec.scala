@@ -525,6 +525,35 @@ class OpsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("q_pipe_groupsplit: no near-dup cluster (hence no pair) spans two splits") {
+    import org.apache.spark.sql.functions.{coalesce, col, when}
+    val s = spark
+    import s.implicits._
+    val members = ops.ExtOps.clusterMembers(spark, sf0001)
+    val labeled = ops.Tables.t(spark, sf0001, "embeddings")
+      .select($"vec_id")
+      .join(members, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"cluster", $"vec_id").as("cluster"))
+      .withColumn("bucket", ops.Tables.h60($"cluster".cast("string")) % 100)
+      .withColumn("split", when($"bucket" < 80, "train")
+        .when($"bucket" < 90, "val").otherwise("test"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // The leakage guarantee, member-level: one split per cluster.
+    labeled.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length === 1,
+        s"cluster $c spans splits ${ms.map(_._3).distinct.toSeq}")
+    }
+    assert(labeled.groupBy(_._2).exists(_._2.length > 1),
+      "fixture must contain at least one multi-member cluster")
+    // And the declared rollup is exactly this assignment aggregated.
+    val got = q("q_pipe_groupsplit", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = labeled.groupBy(_._3).map { case (sp, ms) =>
+      (sp, ms.length.toLong, ms.map(_._2).distinct.length.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got === expect)
+  }
+
   test("q_agg_quantile_approx: GK rank-error law per group vs the exact data") {
     import org.apache.spark.sql.functions.col
     // The sketch guarantees RANK error ≤ eps·n (eps = 1/accuracy),

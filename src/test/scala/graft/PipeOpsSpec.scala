@@ -86,6 +86,37 @@ class PipeOpsSpec extends GraftSuite {
       "NULL must fingerprint differently from the empty string")
   }
 
+  test("q_sample_weighted selects exactly the top-32 by the exponential-sort key") {
+    import org.apache.spark.sql.functions.col
+    // Independent driver-side recount of the Efraimidis–Spirakis key
+    // over the whole corpus: md5-60bit uniform, ln(u)/w, floor-1e9
+    // rounding, (key DESC, doc_id) order — the Spark result must be
+    // exactly the first 32 of that total order.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val all = graft.ops.Tables.t(spark, SparkTestBase.sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = all.map { case (id, lang, w) =>
+      val u = (h60(id.toString) + 1).toDouble / 1.152921504606846976e18
+      val key = math.floor(math.log(u) / w * 1e9 + 0.5) / 1e9
+      (id, lang, w, key)
+    }.sortBy { case (id, _, _, k) => (-k, id) }.take(32).toSeq
+    val got = q("q_sample_weighted", SparkTestBase.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expect)
+    // Weight monotonicity of the key itself: at any fixed uniform, a
+    // heavier doc ranks at least as high (ln u < 0, so dividing by a
+    // larger w moves the key toward 0).
+    val u0 = 0.37
+    assert(math.log(u0) / 50 > math.log(u0) / 5)
+  }
+
   test("q_pipe_dpnoise adds the exact deterministic Laplace draw per language") {
     val got = q("q_pipe_dpnoise", sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
