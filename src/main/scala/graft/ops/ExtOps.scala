@@ -75,7 +75,11 @@ object ExtOps {
     * needs iterative min-label propagation. Only vecs appearing in
     * some pair are present; singleton callers coalesce to self. */
   private[graft] def clusterMembers(s: org.apache.spark.sql.SparkSession,
-      d: String) = {
+      d: String) = Tables.derived(s, d, "cluster_members") {
+    // Memoized + materialized once per (session, dir) — the pair
+    // generation (label-blocked embeddings self-join) is the cost
+    // driver and now has two consumers (q_dedup_cluster rollup,
+    // q_pipe_groupsplit split key); same move as GraphOps.tradeEdges.
     import s.implicits._
     embedPairs(s, d)
       .select($"la".as("label"), $"va", $"vb")
@@ -110,6 +114,7 @@ object ExtOps {
           .map(m => (m, find(m)))
       }
       .toDF("vec_id", "cluster")
+      .localCheckpoint(eager = false)
   }
 
   /** The same pair graph in DuckDB SQL (oracle side). */

@@ -198,19 +198,6 @@ object GraphOps {
         .localCheckpoint(eager = false)
     }
 
-  /** [[tradeEdgesW]] written ONCE per (session, dir) as a table
-    * BUCKETED on `src` — the static side of the CO-PARTITIONED rank
-    * join. A bucketed scan reports `HashPartitioning(src, nBuckets)`,
-    * so every iteration's rank join plans NO exchange on the
-    * |E|-sized edges side: the edge layout is paid once at write time
-    * and each join moves only the |V|-sized rank table. Storage
-    * bucketing is the one layout Catalyst can PROVE per-plan — a
-    * `repartition(src).localCheckpoint()` does not work here because
-    * under AQE the checkpointed LogicalRDD records
-    * UnknownPartitioning, so the SQL layer would silently re-shuffle
-    * edges every iteration. Same move GraphX makes by partitioning
-    * its edge RDD once; 8 buckets at fixture scale, ≈ cluster width
-    * in production. */
   /** Frontier sizes for hops 1..`hops` of a BFS over `edges` from
     * `seed`. Each hop is ONE keyed join (frontier⋈edges) + one anti
     * join against the visited set — the standard BFS-on-MapReduce
@@ -245,6 +232,19 @@ object GraphOps {
     sizes.reduce(_ unionByName _).orderBy(col("hop"))
   }
 
+  /** [[tradeEdgesW]] written ONCE per (session, dir) as a table
+    * BUCKETED on `src` — the static side of the CO-PARTITIONED rank
+    * join. A bucketed scan reports `HashPartitioning(src, nBuckets)`,
+    * so every iteration's rank join plans NO exchange on the
+    * |E|-sized edges side: the edge layout is paid once at write time
+    * and each join moves only the |V|-sized rank table. Storage
+    * bucketing is the one layout Catalyst can PROVE per-plan — a
+    * `repartition(src).localCheckpoint()` does not work here because
+    * under AQE the checkpointed LogicalRDD records
+    * UnknownPartitioning, so the SQL layer would silently re-shuffle
+    * edges every iteration. Same move GraphX makes by partitioning
+    * its edge RDD once; 8 buckets at fixture scale, ≈ cluster width
+    * in production. */
   private[graft] def tradeEdgesBkt(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val tag = d.replaceAll("[^A-Za-z0-9_]", "_")

@@ -123,6 +123,13 @@ object PipeOps {
       val u = (h60($"doc_id".cast("string")) + 1).cast("double") /
         1.152921504606846976e18
       t(s, d, "documents")
+        // w > 0 is the Efraimidis–Spirakis precondition (w = 0 rows
+        // have zero selection probability anyway) — enforced rather
+        // than assumed, identically in the oracle: ln(u)/0 = -inf,
+        // where Spark's long-valued floor saturates to Long.MinValue
+        // while DuckDB's FLOOR keeps -inf, so an unguarded zero-weight
+        // row would diverge the engines besides being meaningless.
+        .where($"n_chars" > 0)
         .select($"doc_id", $"lang", $"n_chars",
           (floor(log(u) / $"n_chars" * 1e9 + 0.5) / 1e9).as("skey"))
         .orderBy($"skey".desc, $"doc_id")
@@ -899,13 +906,15 @@ object PipeOps {
 
     // Identical exponential-sort algebra over the identical hash
     // uniform; the sort key is floor-rounded to 1e-9 in both engines
-    // before ordering (ln last-ulp caveat), doc_id breaks ties.
+    // before ordering (ln last-ulp caveat), doc_id breaks ties, and
+    // the identical w > 0 precondition guard.
     "q_sample_weighted" -> """
       SELECT doc_id, lang, n_chars,
              FLOOR(LN((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
                         1, 15) AS BIGINT) + 1) / 1152921504606846976.0)
                / n_chars * 1e9 + 0.5) / 1e9 AS skey
       FROM documents
+      WHERE n_chars > 0
       ORDER BY skey DESC, doc_id
       LIMIT 32""",
 

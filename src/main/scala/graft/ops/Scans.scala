@@ -123,8 +123,16 @@ object Scans {
         // Write-then-ATOMIC_MOVE, same posture as q_scan_multiformat's
         // commit marker: a Files.write that dies partway must not
         // leave a truncated payload that later invocations in this
-        // JVM would silently serve (corrupting n_good/n_bad).
-        val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
+        // JVM would silently serve (corrupting n_good/n_bad). The tmp
+        // name is PER-INVOCATION unique (createTempFile in the same
+        // directory, so the move stays a same-filesystem rename):
+        // concurrent sessions that both pass the exists guard then
+        // each commit their own complete payload — last rename wins
+        // with identical bytes — instead of racing on one shared tmp
+        // (truncated commit for one, NoSuchFileException for the
+        // other).
+        val tmp = java.nio.file.Files.createTempFile(
+          file.getParent, file.getFileName.toString, ".tmp")
         java.nio.file.Files.write(tmp,
           (good ++ bad).mkString("\n").getBytes("UTF-8"))
         java.nio.file.Files.move(tmp, file,

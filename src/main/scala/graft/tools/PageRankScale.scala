@@ -108,8 +108,11 @@ object PageRankScale {
       // Equal row counts, rank sums within float aggregation-order
       // wobble (the partitioning changes double-add order; the
       // declared query rounds ranks to 1e-6 for the same reason).
-      require(csB._1 == csC._1 &&
-        math.abs(csB._2 - csC._2) <= 1e-9 * math.abs(csB._2),
+      // Reassociation error over n positive doubles grows ~n·eps, so
+      // the tolerance scales with the node count (a fixed 1e-9 bound
+      // fails spuriously past ~10M nodes: 8M measured ~9e-10).
+      val tol = math.max(1e-9, nodes * 4e-16) * math.abs(csB._2)
+      require(csB._1 == csC._1 && math.abs(csB._2 - csC._2) <= tol,
         s"strategies disagree: $csB vs $csC")
       bBest = math.min(bBest, tB); cBest = math.min(cBest, tC)
       println(f"rep$rep bcast $tB%.1f s  copart $tC%.1f s  (checksums agree)")

@@ -101,6 +101,7 @@ class PipeOpsSpec extends GraftSuite {
     val all = graft.ops.Tables.t(spark, SparkTestBase.sf0001, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0) // the query's w > 0 precondition guard
     val expect = all.map { case (id, lang, w) =>
       val u = (h60(id.toString) + 1).toDouble / 1.152921504606846976e18
       val key = math.floor(math.log(u) / w * 1e9 + 0.5) / 1e9

@@ -489,7 +489,12 @@ class PlanShapeSpec extends GraftSuite {
     val got = pairs(df)
     assert(got.nonEmpty, "fixture must produce in-band pairs")
     assert(got === codegenOff(pairs(run())))
-    assert(got === pairs(plans.RangeJoin(strEvents, strRight,
-      "uid", "ts", "event_id", "r_uid", "r_ts", "r_eid", band)))
+    assert(got === pairs(plans.RangeJoin(
+      ops.Tables.t(spark, sf0001, "events"),
+      ops.Tables.fresh(spark, sf0001, "events")
+        .where(col("event_id") % 3 === 0)
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+          col("event_id").as("r_eid"), col("value").as("r_val")),
+      "user_id", "ts", "event_id", "r_user", "r_ts", "r_eid", band)))
   }
 }
