@@ -22,17 +22,21 @@ import org.apache.spark.sql.functions._
   * against its two-window emulation on one synthetic sorted stream.
   *
   * A trailing `str` arg re-keys both A/Bs on STRING user ids
-  * (`u%09d`) — the round-7 UTF8String codegen path — so native-vs-
-  * emulated is measured for the LLM-pipeline key shape too.
+  * (`u%09d`) — the round-7 UTF8String codegen path; a trailing
+  * `struct` arg re-keys on a COMPOSITE (string bucket, long id)
+  * struct — the round-8 field-wise codegen path — so native-vs-
+  * emulated is measured for every LLM-pipeline key shape.
   *
-  * usage: runMain graft.tools.NativeScale [nLeft] [nUsers] [reps] [str]
-  *        runMain graft.tools.NativeScale sessionize [n] [nUsers] [reps] [str]
+  * usage: runMain graft.tools.NativeScale [nLeft] [nUsers] [reps] [str|struct]
+  *        runMain graft.tools.NativeScale sessionize [n] [nUsers] [reps] [str|struct]
   */
 object NativeScale {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("sessionize")) return sessionizeMain(args.drop(1))
-    val strKeys = args.contains("str")
-    val nums = args.filterNot(_ == "str")
+    val keyMode =
+      if (args.contains("struct")) "struct"
+      else if (args.contains("str")) "str" else "long"
+    val nums = args.filterNot(a => a == "str" || a == "struct")
     val nLeft = if (nums.length > 0) nums(0).toLong else 10000000L
     val nUsers = if (nums.length > 1) nums(1).toLong else 100000L
     val reps = if (nums.length > 2) nums(2).toInt else 3
@@ -52,8 +56,14 @@ object NativeScale {
     // Deterministic scatter: times from a 64-bit mix of the row id.
     def mix(c: org.apache.spark.sql.Column) =
       pmod(hash(c, lit(42)).cast("long") * 2654435761L, lit(span))
-    def k(c: org.apache.spark.sql.Column) =
-      if (strKeys) format_string("u%09d", c) else c
+    def k(c: org.apache.spark.sql.Column) = keyMode match {
+      case "str" => format_string("u%09d", c)
+      // injective in c (the lo field alone determines it) — the
+      // (bucket, id) composite shape PlanUtil.keyCodegen field-codegens
+      case "struct" => struct(
+        format_string("b%d", pmod(c, lit(16))).as("hi"), c.as("lo"))
+      case _ => c
+    }
     def purchases: DataFrame = spark.range(nLeft).select(
       $"id".as("event_id"),
       k(pmod($"id" * 31L, lit(nUsers))).as("user_id"),
@@ -96,7 +106,7 @@ object NativeScale {
     // warm both paths once (codegen, strategy lowering)
     val n0 = native(); val w0 = window()
     require(n0 == w0, s"native $n0 != window $w0")
-    println(s"[scale] nLeft=$nLeft nUsers=$nUsers strKeys=$strKeys checksum=$n0")
+    println(s"[scale] nLeft=$nLeft nUsers=$nUsers keys=$keyMode checksum=$n0")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val nv = native()
@@ -111,8 +121,10 @@ object NativeScale {
   }
 
   private def sessionizeMain(args: Array[String]): Unit = {
-    val strKeys = args.contains("str")
-    val nums = args.filterNot(_ == "str")
+    val keyMode =
+      if (args.contains("struct")) "struct"
+      else if (args.contains("str")) "str" else "long"
+    val nums = args.filterNot(a => a == "str" || a == "struct")
     val n = if (nums.length > 0) nums(0).toLong else 20000000L
     val nUsers = if (nums.length > 1) nums(1).toLong else 100000L
     val reps = if (nums.length > 2) nums(2).toInt else 3
@@ -129,8 +141,12 @@ object NativeScale {
     val base = 1700000000000000L
     val span = 30L * 24 * 3600 * 1000000
     val gapUs = 12L * 3600 * 1000000
-    def k(c: org.apache.spark.sql.Column) =
-      if (strKeys) format_string("u%09d", c) else c
+    def k(c: org.apache.spark.sql.Column) = keyMode match {
+      case "str" => format_string("u%09d", c)
+      case "struct" => struct(
+        format_string("b%d", pmod(c, lit(16))).as("hi"), c.as("lo"))
+      case _ => c
+    }
     def events: DataFrame = spark.range(n).select(
       $"id".as("event_id"),
       k(pmod($"id" * 31L, lit(nUsers))).as("user_id"),
@@ -153,7 +169,7 @@ object NativeScale {
     }
     val n0 = native(); val w0 = window()
     require(n0 == w0, s"native $n0 != window $w0")
-    println(s"[scale] sessionize n=$n nUsers=$nUsers strKeys=$strKeys checksum=$n0")
+    println(s"[scale] sessionize n=$n nUsers=$nUsers keys=$keyMode checksum=$n0")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val nv = native()
