@@ -341,4 +341,74 @@ class PropertySpec extends GraftSuite {
     }
     assert(err.getMessage.contains("key types must match"))
   }
+
+  // A deterministic pseudo-random (string, long) struct key with NULL
+  // FIELDS mixed in — the null fragments of PlanUtil.keyCodegen's
+  // field-wise cmp/eq are exactly what the fixture pins (non-null ids)
+  // never exercise. Keys collide across rows by construction (small
+  // domains) so runs actually group.
+  private def structKey(seed: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val id = org.apache.spark.sql.functions.col("id")
+    struct(
+      when(pmod(hash(id, lit(seed)), lit(7)) === 0,
+        lit(null).cast("string"))
+        .otherwise(format_string("b%d", pmod(hash(id, lit(seed + 1)),
+          lit(3)))).as("hi"),
+      when(pmod(hash(id, lit(seed + 2)), lit(11)) === 0,
+        lit(null).cast("long"))
+        .otherwise(pmod(hash(id, lit(seed + 3)), lit(5)).cast("long"))
+        .as("lo"))
+  }
+
+  private def codegenOff[A](body: => A): A = {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try body
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("struct-key sessionize: codegen ≡ interpreted on random data incl. null fields") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(50, 97, 1000).zipWithIndex.foreach { case (n, i) =>
+      val df = s.range(n).select(
+        $"id".as("event_id"),
+        structKey(13 * i + 1).as("ck"),
+        (lit(1700000000000000L) +
+          pmod(hash($"id", lit(i + 4)).cast("long") * 2654435761L,
+            lit(86400000000L))).as("t"))
+      def run() = plans.Sessionize(df, "ck", "t", "event_id",
+          3600000000L)
+        .select($"event_id", $"session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val on = run()
+      assert(on === codegenOff(run()), s"case n=$n diverged")
+    }
+  }
+
+  test("struct-key as-of join: codegen ≡ interpreted on random data incl. null fields") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(60, 500).zipWithIndex.foreach { case (n, i) =>
+      def times(seed: Int) =
+        lit(1700000000000000L) +
+          pmod(hash($"id", lit(seed)).cast("long") * 2654435761L,
+            lit(86400000000L))
+      val left = s.range(n).select(
+        $"id".as("event_id"), structKey(29 * i + 3).as("ck"),
+        times(i + 40).as("t"))
+      val right = s.range(n / 3 + 1).select(
+        ($"id" + 1000000L).as("r_eid"), structKey(29 * i + 3).as("r_ck"),
+        times(i + 41).as("r_t"))
+      def run() = plans.AsofJoin(left, right,
+          "ck", "t", "event_id", "r_ck", "r_t", "r_eid")
+        .select($"event_id", $"r_eid")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+      val on = run()
+      assert(on.nonEmpty && on === codegenOff(run()), s"case n=$n diverged")
+    }
+  }
 }
