@@ -453,6 +453,24 @@ object TextOps {
     // within (lang) blocks and must match row-for-row.
     "q_dedup_minhash" -> ((s, d) => minhashPairs(s, d, BucketCap)),
 
+    // INCREMENTAL near-dup dedup — the production shape corpus-level
+    // self-dedup (q_dedup_minhash) never exercises: an incoming batch
+    // (doc_id ≡ 0 mod 3, ~1/3 of the corpus — stand-in for "today's
+    // crawl") is LSH-probed against the EXISTING corpus (the other
+    // 2/3), and each new doc with a verified shingle-Jaccard ≥ 0.6
+    // match in the corpus is dropped before ingest. Per language:
+    // batch size, dropped, kept. The asymmetry is the point — the
+    // corpus side's band index is what a deployment keeps
+    // MATERIALIZED between batches, so a batch costs
+    // O(|batch| signatures + probe join), never a corpus re-pairing;
+    // candidates still come only from shared band buckets with the
+    // q_dedup_minhash hot-bucket cap on the corpus side, and
+    // verification touches candidates only. Batch docs with < 3
+    // tokens cannot match (no shingles) and are kept — identical
+    // semantics in the oracle, which brute-forces the batch⋈corpus
+    // Jaccard within language blocks.
+    "q_dedup_incremental" -> ((s, d) => incrementalDedup(s, d, BucketCap)),
+
     // Skip-gram co-occurrence extraction: unordered token pairs within
     // a ±3-position window, the pair-counting pass that feeds word2vec
     // /GloVe-style embedding training (q_text_pmi is the ADJACENT-only
@@ -536,6 +554,51 @@ object TextOps {
       .where($"jac" >= 0.6)
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q_dedup_incremental body, parameterized by the corpus-side
+    * hot-bucket cap (same role as in [[minhashPairs]]). The batch
+    * predicate is `doc_id % 3 == 0`; everything else is the corpus. */
+  private[graft] def incrementalDedup(s: org.apache.spark.sql.SparkSession,
+      d: String, bucketCap: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val isNew = col("doc_id") % 3 === 0
+    val words = t(s, d, "documents")
+      .select($"doc_id", $"lang", split($"text", " ").as("w"))
+    val tk = words.where(size($"w") >= 3)
+      .select($"doc_id", $"lang", expr("shingle_hash(w, 3)").as("tok"))
+    val sig = tk.select($"doc_id", $"lang",
+      expr(s"minhash_sig(tok, $NumBands)").as("sig"))
+    val bands = sig.select($"doc_id", $"lang",
+      posexplode($"sig").as(Seq("band", "hval")))
+    // Cap the CORPUS side per bucket (the side that grows without
+    // bound as the corpus accretes); the batch side is the probe.
+    val bw = Window.partitionBy($"lang", $"band", $"hval")
+    val corpusBands = bands.where(!isNew)
+      .withColumn("bsz", count(lit(1)).over(bw))
+      .where($"bsz" <= bucketCap)
+      .select($"doc_id".as("old_id"), $"lang", $"band", $"hval")
+    val batchBands = bands.where(isNew)
+      .select($"doc_id".as("new_id"), $"lang", $"band", $"hval")
+    val cand = batchBands.join(corpusBands, Seq("lang", "band", "hval"))
+      .select($"new_id", $"old_id").distinct()
+    val ta = tk.select($"doc_id".as("new_id"), $"tok".as("tok_a"))
+    val tb = tk.select($"doc_id".as("old_id"), $"tok".as("tok_b"))
+    val dropped = cand.join(ta, "new_id").join(tb, "old_id")
+      .withColumn("inter",
+        expr("sorted_intersect_count(tok_a, tok_b)").cast("double"))
+      .where($"inter" / (size($"tok_a") + size($"tok_b") - $"inter")
+        >= 0.6)
+      .select($"new_id").distinct()
+      .withColumn("is_dup", lit(1L))
+    t(s, d, "documents").where(isNew)
+      .select($"doc_id".as("new_id"), $"lang")
+      .join(dropped, Seq("new_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_batch"),
+        count($"is_dup").as("n_dropped"),
+        (count(lit(1)) - count($"is_dup")).as("n_kept"))
+      .orderBy($"lang")
   }
 
   val oracle: Map[String, String] = Map(
@@ -868,6 +931,39 @@ object TextOps {
         FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE jac >= 0.6
       ORDER BY doc_a, doc_b""",
+
+    // Brute-force batch⋈corpus shingle Jaccard within language
+    // blocks — the LSH probe's recall is effectively 1 at ≥ 0.6
+    // (b=16 r=1, the q_dedup_minhash argument), so the exact compare
+    // must match row-for-row.
+    "q_dedup_incremental" -> """
+      WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      sh AS (
+        SELECT doc_id, lang,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      tk AS (
+        SELECT doc_id, lang, list(DISTINCT shingle) AS tok
+        FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang),
+      dups AS (
+        SELECT DISTINCT n.doc_id AS new_id
+        FROM tk n JOIN tk o
+          ON n.lang = o.lang
+         AND n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+        WHERE CAST(len(list_intersect(n.tok, o.tok)) AS DOUBLE)
+              / (len(n.tok) + len(o.tok)
+                 - len(list_intersect(n.tok, o.tok))) >= 0.6)
+      SELECT d.lang, count(*) AS n_batch,
+             count(dp.new_id) AS n_dropped,
+             count(*) - count(dp.new_id) AS n_kept
+      FROM documents d LEFT JOIN dups dp ON d.doc_id = dp.new_id
+      WHERE d.doc_id % 3 = 0
+      GROUP BY d.lang
+      ORDER BY d.lang""",
 
     "q_text_cooccur" -> """
       WITH tk AS (

@@ -525,6 +525,42 @@ class OpsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("q_dedup_incremental matches a driver-side batch-vs-corpus Jaccard recount") {
+    import org.apache.spark.sql.functions.col
+    val docs = ops.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(text: String): Set[String] = {
+      val w = text.split(" ")
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val byLang = docs.groupBy(_._2)
+    val dropped = byLang.values.flatten.collect {
+      case (id, lang, text) if id % 3 == 0 =>
+        val sNew = shingles(text)
+        val isDup = sNew.nonEmpty && byLang(lang).exists {
+          case (oid, _, otext) if oid % 3 != 0 =>
+            val sOld = shingles(otext)
+            val inter = (sNew & sOld).size.toDouble
+            sOld.nonEmpty &&
+              inter / (sNew.size + sOld.size - inter) >= 0.6
+          case _ => false
+        }
+        (id, lang, isDup)
+    }.toSeq
+    val expect = dropped.groupBy(_._2).map { case (lang, xs) =>
+      (lang, xs.size.toLong, xs.count(_._3).toLong,
+        (xs.size - xs.count(_._3)).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(expect.map(_._3).sum >= 1,
+      "fixture must contain at least one cross-batch near-dup")
+    val got = q("q_dedup_incremental", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+  }
+
   test("q_pipe_groupsplit: no near-dup cluster (hence no pair) spans two splits") {
     import org.apache.spark.sql.functions.{coalesce, col, when}
     val s = spark
