@@ -38,6 +38,17 @@ object LayoutOps {
   private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 100 + 0.5) / 100
 
+  /** One lock object per table name (JVM-wide): sessions of one
+    * context share the catalog and warehouse, so the check-then-write
+    * below must be serialized per table or two threads declaring the
+    * same table concurrently both pass the exists check and race
+    * their CREATEs (second one fails TABLE_ALREADY_EXISTS, or worse
+    * interleaves file writes). Keying by name alone over-serializes
+    * across distinct warehouses — harmless, this is a once-per-table
+    * setup path. Concurrency pinned in LayoutOpsSpec. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Write a managed table once per (session, name), idempotent even
     * across JVMs sharing a persistent warehouse dir: a fresh session's
     * in-memory catalog forgets the table while its files persist, so
@@ -47,12 +58,14 @@ object LayoutOps {
     * warehouse behavior is pinned in LayoutOpsSpec. */
   private[graft] def ensureTable(s: org.apache.spark.sql.SparkSession,
       name: String)(write: => Unit): Unit =
-    if (!s.catalog.tableExists(name)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        org.apache.spark.sql.graftbridge.Bridge.defaultTablePath(s, name))
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      write
+    tableLocks.computeIfAbsent(name, _ => new Object).synchronized {
+      if (!s.catalog.tableExists(name)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          org.apache.spark.sql.graftbridge.Bridge.defaultTablePath(s, name))
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        write
+      }
     }
 
   val queries: Map[String, Q] = Map(

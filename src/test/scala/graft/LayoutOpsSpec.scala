@@ -240,4 +240,28 @@ class LayoutOpsSpec extends GraftSuite {
       }
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
+
+  test("ensureTable serializes concurrent declarations: write runs exactly once") {
+    // Concurrent queries in one JVM share the catalog, so two threads
+    // declaring the same table must not both pass the exists check —
+    // the second CREATE would fail TABLE_ALREADY_EXISTS mid-race (the
+    // posture DeterminismSpec models for read-only queries, here for
+    // the table-writing ones: q_join_bucket / q_join_dpp /
+    // q_graph_pagerank_part's tradeEdgesBkt).
+    val name = "graft_concurrent_ensure_probe"
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try {
+      Await.result(Future.sequence((1 to 8).map(_ => Future {
+        ops.LayoutOps.ensureTable(spark, name) {
+          writes.incrementAndGet()
+          spark.range(7).write.mode("overwrite").saveAsTable(name)
+        }
+      })), 2.minutes)
+      assert(writes.get() === 1, "exactly one thread may run the write")
+      assert(spark.table(name).count() === 7)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
 }
