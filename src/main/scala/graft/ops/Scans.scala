@@ -14,6 +14,19 @@ import Tables.{Q, t}
   */
 object Scans {
 
+  /** One lock per export path (JVM-wide): the fixture exports below
+    * are check-then-write (commit marker / file existence), so
+    * concurrent sessions declaring the same export must serialize —
+    * the same posture LayoutOps.ensureTable pins for tables; two
+    * interleaved Spark overwrite jobs on one directory can corrupt
+    * each other's staging. */
+  private val exportLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def exportLock[A](key: String)(body: => A): A =
+    exportLocks.computeIfAbsent(key, _ => new Object)
+      .synchronized(body)
+
   val queries: Map[String, Q] = Map(
     // Projection + derived column + pushable key filter. The filter
     // and the 4-column ReadSchema both reach the parquet scan (plan-
@@ -77,12 +90,14 @@ object Scans {
       // would otherwise silently misassign fields on the read path.
       val nationCols = org.apache.spark.sql.types.StructType
         .fromDDL(Tables.expectedDdl("nation")).fieldNames.map(col)
-      if (!committed(csvDir))
-        t(s, d, "nation").select(nationCols.toIndexedSeq: _*)
-          .write.option("header", "true")
-          .mode("overwrite").csv(csvDir.toString)
-      if (!committed(jsonDir))
-        t(s, d, "region").write.mode("overwrite").json(jsonDir.toString)
+      exportLock(base.toString) {
+        if (!committed(csvDir))
+          t(s, d, "nation").select(nationCols.toIndexedSeq: _*)
+            .write.option("header", "true")
+            .mode("overwrite").csv(csvDir.toString)
+        if (!committed(jsonDir))
+          t(s, d, "region").write.mode("overwrite").json(jsonDir.toString)
+      }
       val nation = s.read
         .schema(Tables.expectedDdl("nation"))
         .option("header", "true").csv(csvDir.toString)
@@ -114,7 +129,7 @@ object Scans {
       import s.implicits._
       val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
       val file = graft.TempWarehouse.path.resolve(s"badjson_$tag.json")
-      if (!java.nio.file.Files.exists(file)) {
+      exportLock(file.toString) { if (!java.nio.file.Files.exists(file)) {
         val good = t(s, d, "region").select($"r_regionkey", $"r_name")
           .collect().sortBy(_.getInt(0)).map(r =>
             s"""{"r_regionkey":${r.getInt(0)},"r_name":"${r.getString(1)}"}""")
@@ -137,7 +152,7 @@ object Scans {
           (good ++ bad).mkString("\n").getBytes("UTF-8"))
         java.nio.file.Files.move(tmp, file,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
+      } }
       // n_good counts the parsed key column (corrupt rows parse it to
       // NULL) — deliberately referencing a DATA column alongside the
       // quarantine column: Spark refuses a query whose referenced
