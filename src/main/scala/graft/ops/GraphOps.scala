@@ -428,6 +428,61 @@ object GraphOps {
       bfsFrontiers(edges, seed, 3, broadcastSets = true)
     }),
 
+    // Connected components by ITERATIVE MIN-LABEL PROPAGATION — the
+    // UNblocked-CC path that q_dedup_cluster's block-local union-find
+    // explicitly cannot take (no blocking key bounds a component
+    // there; here components span the whole graph). Each round every
+    // node takes the min of its own label and its neighbors' labels —
+    // one keyed join + one partial-aggregable min per round, the
+    // PageRank iteration shape — and the loop stops when a round
+    // changes NOTHING (a fixpoint of this update IS the exact
+    // component labeling, so the converged result matches the
+    // oracle's transitive closure regardless of how many rounds that
+    // took; rounds needed = graph diameter, runaway-capped at 100).
+    // The label table is |V|-sized and broadcasts, exactly like the
+    // rank table; at billion-vertex scale the same loop runs
+    // co-partitioned — the strategy swap PROVEN semantics-free for
+    // PageRank (q_graph_pagerank_part), and this is the identical
+    // join shape. Graph: high-value high-quantity trade edges —
+    // sparse enough (244 edges at sf0.01) to have real component
+    // structure (54 components) rather than one giant blob.
+    "q_graph_cc" -> ((s, d) => {
+      import s.implicits._
+      val e0 = Tables.derived(s, d, "cc_edges") {
+        t(s, d, "orders").where($"o_totalprice" > 450000)
+          .join(t(s, d, "lineitem"),
+            $"o_orderkey" === $"l_orderkey" && $"l_quantity" >= 49)
+          .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
+                  concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
+          .distinct()
+          .localCheckpoint(eager = false)
+      }
+      val edges = e0.unionByName(
+        e0.select($"dst".as("src"), $"src".as("dst")))
+      var lab = edges.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("lab")).localCheckpoint()
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < 100) {
+        // Symmetric edges ⇒ every node occurs as dst, so the inner
+        // joins cover the full vertex set each round.
+        val nbr = edges.join(broadcast(lab), $"src" === $"node")
+          .groupBy($"dst").agg(min($"lab").as("nlab"))
+          .select($"dst".as("node2"), $"nlab")
+        val next = lab.join(nbr, $"node" === $"node2")
+          .select($"node", least($"lab", $"nlab").as("lab"))
+          .localCheckpoint()
+        // The changed count is a metadata-scale driver scalar per
+        // round (same class as pagerank's L1 delta).
+        changed = next.join(lab.select($"node", $"lab".as("old")), "node")
+          .where($"lab" =!= $"old").count()
+        lab = next
+        it += 1
+      }
+      lab.groupBy($"lab").agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"n_nodes".desc, $"lab")
+    }),
+
     // Degree-distribution summary of the symmetrized trade graph,
     // bucketed by decimal magnitude (digit count of the degree —
     // exact INTEGER bucketing on both engines, where floor(log2(d))
@@ -539,6 +594,25 @@ object GraphOps {
       UNION ALL SELECT 2, count(*) FROM h2
       UNION ALL SELECT 3, count(*) FROM h3
       ORDER BY hop""",
+
+      // Exact transitive closure (the q_dedup_cluster oracle shape) —
+      // the converged propagation must equal it exactly.
+      "q_graph_cc" -> """
+      WITH RECURSIVE e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_totalprice > 450000 AND l_quantity >= 49),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      reach(id, m) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, MIN(m) AS lab FROM reach GROUP BY id)
+      SELECT lab, count(*) AS n_nodes
+      FROM comp
+      GROUP BY lab
+      ORDER BY n_nodes DESC, lab""",
 
       "q_graph_degreedist" -> """
       WITH e0 AS (

@@ -525,6 +525,73 @@ class OpsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("q_graph_cc matches a driver-side union-find over the same edges") {
+    import org.apache.spark.sql.functions.col
+    val edges = ops.Tables.t(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > 450000)
+      .join(ops.Tables.t(spark, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey") && col("l_quantity") >= 49)
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct().collect()
+      .map(r => (s"c${r.getLong(0)}", s"s${r.getLong(1)}"))
+    assert(edges.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x0: String): String = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val members = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    // canonical root = component MIN id (string order), as both the
+    // query's min-label fixpoint and the oracle's MIN(m) define it
+    val byComp = members.groupBy(find).map { case (_, ms) =>
+      (ms.min, ms.length.toLong)
+    }
+    val expect = byComp.toSeq.sortBy { case (l, n) => (-n, l) }
+    val got = q("q_graph_cc", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expect)
+    assert(got.map(_._2).sum === members.length.toLong)
+  }
+
+  test("q_graph_cc propagation converges past a long path (multi-round labels)") {
+    // A 12-node path has diameter 11: the min label must walk the
+    // whole chain, proving the loop genuinely iterates to fixpoint
+    // (one round of min-with-neighbors would stop far short).
+    // Exercised through the same edge algebra the query uses.
+    import spark.implicits._
+    val e0 = (0 until 11).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+      .toDF("src", "dst")
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    var lab = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lab")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 100) {
+      val nbr = edges.join(org.apache.spark.sql.functions.broadcast(lab),
+          $"src" === $"node")
+        .groupBy($"dst")
+        .agg(org.apache.spark.sql.functions.min($"lab").as("nlab"))
+        .select($"dst".as("node2"), $"nlab")
+      val next = lab.join(nbr, $"node" === $"node2")
+        .select($"node",
+          org.apache.spark.sql.functions.least($"lab", $"nlab").as("lab"))
+        .localCheckpoint()
+      changed = next.join(lab.select($"node", $"lab".as("old")), "node")
+        .where($"lab" =!= $"old").count()
+      lab = next
+      rounds += 1
+    }
+    val labs = lab.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(labs.forall(_._2 == "n00"), s"all labels must reach n00: ${labs.toSeq}")
+    assert(rounds >= 6 && rounds <= 13,
+      s"a diameter-11 path must take ~11 rounds, took $rounds")
+  }
+
   test("q_dedup_incremental matches a driver-side batch-vs-corpus Jaccard recount") {
     import org.apache.spark.sql.functions.col
     val docs = ops.Tables.t(spark, sf0001, "documents")
