@@ -143,6 +143,102 @@ object GraphOps {
     (r, it)
   }
 
+  /** Connected-component labels of a SYMMETRIC edge set (both
+    * directions present): iterative min-label propagation — each
+    * round every node takes the min of its own and its neighbors'
+    * labels (one keyed join + one partial-aggregable min, the
+    * PageRank iteration shape; the |V|-sized label table broadcasts
+    * like the rank table, and at billion-vertex scale the same loop
+    * runs co-partitioned — the swap q_graph_pagerank_part proves
+    * semantics-free on the identical join shape). The loop stops when
+    * a round changes NOTHING: a fixpoint of the update IS the exact
+    * component labeling, so correctness never depends on the round
+    * count. The per-round changed count is a metadata-scale driver
+    * scalar (same class as pagerank's L1 delta), and the lazy
+    * checkpoint makes it the round's ONLY action — the next label
+    * table materializes inside it; two propagation steps run per
+    * action, since per-action latency (not data) dominates an
+    * iterative loop over a bounded label table.
+    *
+    * `doubling = false`: labels hop ONE edge per step → steps =
+    * graph diameter, edge set untouched (linear memory).
+    * `doubling = true`: after each step the edge set also unions its
+    * own 2-hop composition, so step k covers 2^k-hop reachability →
+    * log(diameter) steps. The trade is edge growth toward the
+    * per-component closure: on LONG-DIAMETER SPARSE structure
+    * (paths, trees, grids — where plain propagation is hopeless) the
+    * composition stays near-linear and doubling wins outright; on
+    * dense bounded components the composition degenerates toward
+    * Σ sᵢ³ intermediate tuples and measured SLOWER than plain
+    * propagation on the fixture graph (12.8 s vs 5.3 s at sf0.1 on
+    * a diameter-29 variant) — which is why the declared query runs
+    * PLAIN. A
+    * 100 TB deployment picks per graph shape, or a
+    * large-star/small-star scheme (log rounds at linear edges) for
+    * the general case. Both variants' agreement and their step
+    * counts are pinned in OpsSpec.
+    *
+    * Returns (labels `(node, lab)`, propagation steps run — batch
+    * granularity of 2, so the count overshoots the fixpoint by up to
+    * one batch). */
+  private[graft] def ccLabels(edges0: org.apache.spark.sql.DataFrame,
+      doubling: Boolean, maxRounds: Int = 100)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    var edges = edges0
+    // Self-loops fold "min with own label" INTO the neighbor
+    // aggregate: one broadcast join + one partial-aggregable min per
+    // step — a single shuffle — where joining the neighbor mins back
+    // against the label table would pay a second. In a loop whose
+    // wall clock is stage latency × step count, that halves the step.
+    val selfLoops = edges0.select(col("src")).distinct()
+      .select(col("src"), col("src").as("dst"))
+      .localCheckpoint(eager = false)
+    var lab = edges0.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")).localCheckpoint()
+    // One min-label propagation step over the CURRENT edge set
+    // (symmetric ⇒ every node occurs on both sides, and the
+    // self-loops keep every node in its own aggregate).
+    def step(l: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      edges.unionByName(selfLoops)
+        .join(broadcast(l), col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("lab")).as("lab"))
+        .select(col("src").as("node"), col("lab"))
+    def double(): Unit = if (doubling) {
+      val hop2 = edges.as("a").join(edges.as("b"),
+          col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      edges = edges.unionByName(hop2).distinct()
+        .localCheckpoint(eager = false)
+    }
+    var changed = 1L
+    var steps = 0
+    // TWO propagation steps per materialization: iterative jobs here
+    // are latency-bound (the data per round is tiny next to the fixed
+    // per-action cost), so the changed-count — the round's ONLY
+    // action, the lazy checkpoints piggyback on it — runs once per
+    // step PAIR. The fixpoint check stays exact: no change across a
+    // pair ⟹ no change in either step.
+    while (changed > 0 && steps < maxRounds) {
+      // The intermediate table is ALSO lazily checkpointed: step(l1)
+      // references l1 on both join sides, and Spark has no general
+      // plan CSE — un-checkpointed, each reference would replay the
+      // whole step (and the replay compounds per batch). The lazy
+      // checkpoint makes both references share one RDD, still
+      // materialized inside the batch's single count action.
+      val l1 = step(lab).localCheckpoint(eager = false)
+      double()
+      val next = step(l1).localCheckpoint(eager = false)
+      double()
+      changed = next
+        .join(lab.select(col("node"), col("lab").as("old")), "node")
+        .where(col("lab") =!= col("old")).count()
+      lab = next
+      steps += 2
+    }
+    (lab, steps)
+  }
+
   /** The symmetrized customer—supplier trade graph (distinct
     * (custkey, suppkey) pairs that share an order; node ids namespaced
     * 'c…'/'s…' so the key spaces can't collide), materialized ONCE per
@@ -431,27 +527,24 @@ object GraphOps {
     // Connected components by ITERATIVE MIN-LABEL PROPAGATION — the
     // UNblocked-CC path that q_dedup_cluster's block-local union-find
     // explicitly cannot take (no blocking key bounds a component
-    // there; here components span the whole graph). Each round every
-    // node takes the min of its own label and its neighbors' labels —
-    // one keyed join + one partial-aggregable min per round, the
-    // PageRank iteration shape — and the loop stops when a round
-    // changes NOTHING (a fixpoint of this update IS the exact
-    // component labeling, so the converged result matches the
-    // oracle's transitive closure regardless of how many rounds that
-    // took; rounds needed = graph diameter, runaway-capped at 100).
-    // The label table is |V|-sized and broadcasts, exactly like the
-    // rank table; at billion-vertex scale the same loop runs
-    // co-partitioned — the strategy swap PROVEN semantics-free for
-    // PageRank (q_graph_pagerank_part), and this is the identical
-    // join shape. Graph: high-value high-quantity trade edges —
-    // sparse enough (244 edges at sf0.01) to have real component
-    // structure (54 components) rather than one giant blob.
+    // there; here components span the whole graph). See [[ccLabels]]
+    // for the two propagation variants; the declared query runs the
+    // PLAIN one — on this graph's dense bounded components the
+    // path-doubling composition degenerates toward the closure and
+    // measured slower (numbers at [[ccLabels]]). A fixpoint of
+    // the min-label update is the exact component labeling, so the
+    // converged result matches the oracle's transitive closure
+    // regardless of how many steps convergence took. Graph:
+    // high-value high-quantity trade edges — sparse enough (481 edges
+    // at sf0.01) to have real component structure (14 components)
+    // rather than one giant blob, dense enough that the diameter (and
+    // with it the latency-bound step count) stays bounded.
     "q_graph_cc" -> ((s, d) => {
       import s.implicits._
       val e0 = Tables.derived(s, d, "cc_edges") {
         t(s, d, "orders").where($"o_totalprice" > 450000)
           .join(t(s, d, "lineitem"),
-            $"o_orderkey" === $"l_orderkey" && $"l_quantity" >= 49)
+            $"o_orderkey" === $"l_orderkey" && $"l_quantity" >= 47)
           .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
                   concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
           .distinct()
@@ -459,26 +552,7 @@ object GraphOps {
       }
       val edges = e0.unionByName(
         e0.select($"dst".as("src"), $"src".as("dst")))
-      var lab = edges.select($"src".as("node")).distinct()
-        .select($"node", $"node".as("lab")).localCheckpoint()
-      var changed = 1L
-      var it = 0
-      while (changed > 0 && it < 100) {
-        // Symmetric edges ⇒ every node occurs as dst, so the inner
-        // joins cover the full vertex set each round.
-        val nbr = edges.join(broadcast(lab), $"src" === $"node")
-          .groupBy($"dst").agg(min($"lab").as("nlab"))
-          .select($"dst".as("node2"), $"nlab")
-        val next = lab.join(nbr, $"node" === $"node2")
-          .select($"node", least($"lab", $"nlab").as("lab"))
-          .localCheckpoint()
-        // The changed count is a metadata-scale driver scalar per
-        // round (same class as pagerank's L1 delta).
-        changed = next.join(lab.select($"node", $"lab".as("old")), "node")
-          .where($"lab" =!= $"old").count()
-        lab = next
-        it += 1
-      }
+      val (lab, _) = ccLabels(edges, doubling = false)
       lab.groupBy($"lab").agg(count(lit(1)).as("n_nodes"))
         .orderBy($"n_nodes".desc, $"lab")
     }),
@@ -602,7 +676,7 @@ object GraphOps {
         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                         's' || CAST(l_suppkey AS VARCHAR) AS dst
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE o_totalprice > 450000 AND l_quantity >= 49),
+        WHERE o_totalprice > 450000 AND l_quantity >= 47),
       edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
       reach(id, m) AS (
         SELECT src, src FROM edges

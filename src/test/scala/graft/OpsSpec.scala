@@ -530,7 +530,7 @@ class OpsSpec extends GraftSuite {
     val edges = ops.Tables.t(spark, sf0001, "orders")
       .filter(col("o_totalprice") > 450000)
       .join(ops.Tables.t(spark, sf0001, "lineitem"),
-        col("o_orderkey") === col("l_orderkey") && col("l_quantity") >= 49)
+        col("o_orderkey") === col("l_orderkey") && col("l_quantity") >= 47)
       .select(col("o_custkey"), col("l_suppkey"))
       .distinct().collect()
       .map(r => (s"c${r.getLong(0)}", s"s${r.getLong(1)}"))
@@ -558,38 +558,31 @@ class OpsSpec extends GraftSuite {
     assert(got.map(_._2).sum === members.length.toLong)
   }
 
-  test("q_graph_cc propagation converges past a long path (multi-round labels)") {
+  test("ccLabels: plain walks the diameter, doubling takes log rounds, labels agree") {
     // A 12-node path has diameter 11: the min label must walk the
-    // whole chain, proving the loop genuinely iterates to fixpoint
-    // (one round of min-with-neighbors would stop far short).
-    // Exercised through the same edge algebra the query uses.
+    // whole chain under plain propagation (~11 rounds — one round of
+    // min-with-neighbors would stop far short), while path doubling
+    // covers 2^k hops by round k and must land the SAME labels in
+    // ~log2(11) rounds.
     import spark.implicits._
     val e0 = (0 until 11).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
       .toDF("src", "dst")
     val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-    var lab = edges.select($"src".as("node")).distinct()
-      .select($"node", $"node".as("lab")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 100) {
-      val nbr = edges.join(org.apache.spark.sql.functions.broadcast(lab),
-          $"src" === $"node")
-        .groupBy($"dst")
-        .agg(org.apache.spark.sql.functions.min($"lab").as("nlab"))
-        .select($"dst".as("node2"), $"nlab")
-      val next = lab.join(nbr, $"node" === $"node2")
-        .select($"node",
-          org.apache.spark.sql.functions.least($"lab", $"nlab").as("lab"))
-        .localCheckpoint()
-      changed = next.join(lab.select($"node", $"lab".as("old")), "node")
-        .where($"lab" =!= $"old").count()
-      lab = next
-      rounds += 1
+    def labelsOf(doubling: Boolean): (Seq[(String, String)], Int) = {
+      val (lab, rounds) = ops.GraphOps.ccLabels(edges, doubling)
+      (lab.collect().map(r => (r.getString(0), r.getString(1)))
+        .sorted.toSeq, rounds)
     }
-    val labs = lab.collect().map(r => (r.getString(0), r.getString(1)))
-    assert(labs.forall(_._2 == "n00"), s"all labels must reach n00: ${labs.toSeq}")
-    assert(rounds >= 6 && rounds <= 13,
-      s"a diameter-11 path must take ~11 rounds, took $rounds")
+    val (plain, plainSteps) = labelsOf(doubling = false)
+    val (doubled, doubledSteps) = labelsOf(doubling = true)
+    assert(plain.forall(_._2 == "n00"), s"all labels must reach n00: $plain")
+    assert(plain === doubled, "variants must produce identical labels")
+    // Steps are counted at batch-of-2 granularity (up to one batch of
+    // overshoot past the fixpoint): the 11-hop walk lands at 12-16.
+    assert(plainSteps >= 11 && plainSteps <= 16,
+      s"plain must walk a diameter-11 path (~11 steps), took $plainSteps")
+    assert(doubledSteps <= 8,
+      s"doubling must converge in ~log2(11) steps, took $doubledSteps")
   }
 
   test("q_dedup_incremental matches a driver-side batch-vs-corpus Jaccard recount") {
