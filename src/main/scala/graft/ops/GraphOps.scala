@@ -239,6 +239,102 @@ object GraphOps {
     (lab, steps)
   }
 
+  /** Connected-component labels by alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014 — a published algorithm, re-expressed on
+    * DataFrames) — the GENERAL-CASE unbounded-graph CC scheme
+    * [[ccLabels]]'s scaladoc points to: O(log |V|) rounds like path
+    * doubling, but the edge set stays LINEAR (each phase rewrites
+    * edges toward per-star minima instead of composing 2-hop paths),
+    * and no phase REQUIRES a broadcast — each is one keyed aggregate
+    * plus one join ON THE SAME KEY, so the grouped side arrives
+    * already hash-partitioned and the plan stays valid unchanged when
+    * the min-table outgrows every executor (AQE is free to pick
+    * broadcast while it still fits, as at fixture scale). That is the
+    * shape that survives a graph whose label table itself exceeds
+    * executor memory, where both [[ccLabels]] variants die (broadcast
+    * label table / cubic edge growth respectively).
+    *
+    * Phases over undirected edges held as ordered pairs:
+    *  - large-star(u): m = min(N(u) ∪ {u}); every STRICTLY LARGER
+    *    neighbor v > u re-attaches to m — emit (v, m).
+    *  - small-star: each edge keyed at its LARGER endpoint h;
+    *    m = min of h's smaller neighbors; those neighbors and h
+    *    itself re-attach to m.
+    * Both phases preserve connectivity exactly (each rewrite stays
+    * inside the star it came from, through its center), every node
+    * keeps at least one incident edge, and the fixpoint is a star
+    * forest whose centers are the component minima — so the CONVERGED
+    * labels equal the transitive-closure oracle regardless of round
+    * count, the same converged-fixpoint contract as [[ccLabels]].
+    * Convergence = the canonicalized edge set is unchanged over a
+    * round (checked with one anti-join count per round — edge-scale
+    * but linear and keyed; the lazy checkpoints materialize inside
+    * it). Labels need the min over N(u) ∪ {u}, so every node of the
+    * original graph appears: a final self-paired union restores any
+    * node the star rewrites folded away before the last grouping.
+    *
+    * Returns (labels `(node, lab)`, rounds run — one round = one
+    * large-star + one small-star). */
+  private[graft] def ccStar(edges0: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = 50): (org.apache.spark.sql.DataFrame, Int) = {
+    import org.apache.spark.sql.DataFrame
+    // Ordered-pair canonical form (u < v lexicographically): the
+    // phases direct edges differently, so equality — the convergence
+    // test — is on this form.
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("u"),
+               greatest(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      // min over N(u) ∪ {u}: least(v, u) folds the self term into the
+      // same partial-aggregable min, exactly the ccLabels self-loop
+      // move. The join key equals the grouping key, so the aggregate
+      // output is already partitioned for it — no |V| broadcast.
+      val m = sym.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      canon(sym.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("h"),
+                         least(col("u"), col("v")).as("l"))
+      val m = dir.groupBy(col("h")).agg(min(col("l")).as("m"))
+      // Smaller neighbors re-attach to the min; (h, m) keeps the
+      // larger endpoint connected. m < h always, so no self-loop.
+      canon(dir.join(m, "h")
+        .select(col("l").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("h").as("u"), col("m").as("v"))))
+    }
+    var edges = canon(edges0).localCheckpoint(eager = false)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges).localCheckpoint(eager = false))
+        .localCheckpoint(eager = false)
+      // Symmetric difference via two keyed anti joins, ONE action.
+      changed = next.join(edges, Seq("u", "v"), "left_anti")
+        .unionByName(edges.join(next, Seq("u", "v"), "left_anti"))
+        .count()
+      edges = next
+      rounds += 1
+    }
+    // At the fixpoint every edge is (center, member) in canonical
+    // order with center = component min: min(least(v,u)) per node is
+    // the label, and the self union restores nodes whose edges were
+    // all rewritten to point elsewhere in earlier rounds (centers in
+    // particular appear only on the u side of canonical pairs).
+    val sym = edges.unionByName(
+      edges.select(col("v").as("u"), col("u").as("v")))
+    val nodes = edges0.select(col("u")).unionByName(
+      edges0.select(col("v").as("u"))).distinct()
+    val lab = sym.unionByName(nodes.select(col("u"), col("u").as("v")))
+      .groupBy(col("u")).agg(min(least(col("v"), col("u"))).as("lab"))
+      .select(col("u").as("node"), col("lab"))
+    (lab, rounds)
+  }
+
   /** The symmetrized customer—supplier trade graph (distinct
     * (custkey, suppkey) pairs that share an order; node ids namespaced
     * 'c…'/'s…' so the key spaces can't collide), materialized ONCE per
@@ -557,6 +653,32 @@ object GraphOps {
         .orderBy($"n_nodes".desc, $"lab")
     }),
 
+    // The SAME component census by the LARGE-STAR / SMALL-STAR scheme
+    // ([[ccStar]]) — the general-case unbounded-graph CC: log rounds
+    // like path doubling but at LINEAR edges, no broadcast required.
+    // Identical graph, identical output, and the exact-closure oracle
+    // is shared verbatim with q_graph_cc: both algorithms converge to
+    // a fixpoint that IS the exact component labeling, so the two
+    // agreeing with one oracle is itself the proof the algorithm swap
+    // is semantics-free — the q_graph_pagerank /
+    // q_graph_pagerank_part differential pattern, applied to
+    // algorithms instead of join strategies.
+    "q_graph_cc_star" -> ((s, d) => {
+      import s.implicits._
+      val e0 = Tables.derived(s, d, "cc_edges") {
+        t(s, d, "orders").where($"o_totalprice" > 450000)
+          .join(t(s, d, "lineitem"),
+            $"o_orderkey" === $"l_orderkey" && $"l_quantity" >= 47)
+          .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
+                  concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
+          .distinct()
+          .localCheckpoint(eager = false)
+      }
+      val (lab, _) = ccStar(e0.select($"src".as("u"), $"dst".as("v")))
+      lab.groupBy($"lab").agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"n_nodes".desc, $"lab")
+    }),
+
     // Degree-distribution summary of the symmetrized trade graph,
     // bucketed by decimal magnitude (digit count of the degree —
     // exact INTEGER bucketing on both engines, where floor(log2(d))
@@ -608,6 +730,22 @@ object GraphOps {
       FROM r$Iters
       ORDER BY rank DESC, node
       LIMIT 20"""
+    val ccSql = """
+      WITH RECURSIVE e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_totalprice > 450000 AND l_quantity >= 47),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      reach(id, m) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, MIN(m) AS lab FROM reach GROUP BY id)
+      SELECT lab, count(*) AS n_nodes
+      FROM comp
+      GROUP BY lab
+      ORDER BY n_nodes DESC, lab"""
     Map(
       "q_graph_pagerank" -> pagerankSql,
       "q_graph_pagerank_part" -> pagerankSql,
@@ -670,23 +808,13 @@ object GraphOps {
       ORDER BY hop""",
 
       // Exact transitive closure (the q_dedup_cluster oracle shape) —
-      // the converged propagation must equal it exactly.
-      "q_graph_cc" -> """
-      WITH RECURSIVE e0 AS (
-        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                        's' || CAST(l_suppkey AS VARCHAR) AS dst
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE o_totalprice > 450000 AND l_quantity >= 47),
-      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-      reach(id, m) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.id),
-      comp AS (SELECT id, MIN(m) AS lab FROM reach GROUP BY id)
-      SELECT lab, count(*) AS n_nodes
-      FROM comp
-      GROUP BY lab
-      ORDER BY n_nodes DESC, lab""",
+      // the converged propagation must equal it exactly. ONE string
+      // for BOTH declared CC algorithms (min-label propagation and
+      // large-star/small-star): each converges to a fixpoint that is
+      // the exact labeling, so sharing the oracle is the differential
+      // proof the algorithm swap changes nothing.
+      "q_graph_cc" -> ccSql,
+      "q_graph_cc_star" -> ccSql,
 
       "q_graph_degreedist" -> """
       WITH e0 AS (

@@ -583,6 +583,33 @@ class OpsSpec extends GraftSuite {
       s"plain must walk a diameter-11 path (~11 steps), took $plainSteps")
     assert(doubledSteps <= 8,
       s"doubling must converge in ~log2(11) steps, took $doubledSteps")
+    // The star scheme must land the SAME labels in log-ish rounds —
+    // on a path, plain propagation's worst case — WITHOUT the
+    // doubling variant's edge composition. ccStar takes the directed
+    // edge half (it canonicalizes internally).
+    val (starLab, starRounds) =
+      ops.GraphOps.ccStar(e0.select($"src".as("u"), $"dst".as("v")))
+    val star = starLab.collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq
+    assert(star === plain, "star labels must equal propagation labels")
+    assert(starRounds <= 8,
+      s"large/small-star must converge in O(log) rounds, took $starRounds")
+  }
+
+  test("ccStar handles multi-component graphs and isolated stars") {
+    // Three components with different shapes: a triangle + pendant, a
+    // 2-node edge, and a 5-cycle — labels must be each component's
+    // lexicographic min, sizes 4/2/5.
+    import spark.implicits._
+    val e0 = Seq(
+      ("t1", "t2"), ("t2", "t3"), ("t1", "t3"), ("t3", "t4"),
+      ("e9", "e8"),
+      ("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c5"), ("c5", "c1"))
+      .toDF("u", "v")
+    val (lab, _) = ops.GraphOps.ccStar(e0)
+    val sizes = lab.groupBy($"lab").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(sizes.toSeq === Seq(("c1", 5L), ("e8", 2L), ("t1", 4L)))
   }
 
   test("q_dedup_incremental matches a driver-side batch-vs-corpus Jaccard recount") {
