@@ -143,6 +143,64 @@ object Joins {
         .orderBy($"user_id")
     }),
 
+    // INTERVAL-OVERLAP self-join on a GRID: count, per supplier, the
+    // pairs of its shipments whose transit windows overlap in time —
+    // the interval×interval shape (temporal concurrency, genomics
+    // range intersection, booking conflicts) that q_join_range's
+    // point-vs-point band join cannot express. The fixture has no
+    // receipt date, so the window is SYNTHESIZED deterministically in
+    // BOTH engines: [ship, ship + 1 + floor(quantity) % 28 days],
+    // held as integer day offsets from a fixed epoch so all interval
+    // arithmetic after one datediff is exact integer math.
+    //
+    // Scale mechanics: each interval explodes to the 32-day grid
+    // cells it covers (cell width ≥ max interval length ⇒ ≤ 2 cells
+    // per row, bounding the explode at 2×), the join key is
+    // (supplier, cell) — so comparisons are Σ per-cell density², the
+    // cell width is the knob, and no pair of distant-in-time
+    // shipments ever meets. Overlapping intervals share every cell in
+    // their overlap, so a naive grid join double-counts; the
+    // FIRST-CELL rule — count (a,b) only in cell
+    // max(startCell(a), startCell(b)), which overlap guarantees both
+    // cover — makes each pair meet exactly once WITHOUT the
+    // de-duplicating distinct (and its shuffle) the naive form needs.
+    // The rule ≡ distinct is pinned as a law in OpsSpec.
+    // Pair identity: the fixture's (l_orderkey, l_linenumber) is NOT
+    // unique, so rows are collapsed to DISTINCT (supplier, order,
+    // line, start, end) tuples — identically in both engines — and
+    // pairs are ordered by the tuple itself (struct comparison here,
+    // row comparison in DuckDB: both lexicographic), which is a total
+    // order on distinct tuples with no synthetic id to keep unique.
+    "q_join_interval" -> ((s, d) => {
+      import s.implicits._
+      val cellW = 32
+      val li = t(s, d, "lineitem").select(
+          $"l_suppkey".as("sk"), $"l_orderkey".as("ok"),
+          $"l_linenumber".as("ln"),
+          datediff($"l_shipdate", lit("1992-01-01")).as("st"),
+          (datediff($"l_shipdate", lit("1992-01-01")) + lit(1)
+            + floor($"l_quantity").cast("long") % 28).as("en"))
+        .distinct()
+        .withColumn("c0", floor($"st" / cellW))
+        .withColumn("c1", floor($"en" / cellW))
+      val a = li.select($"sk",
+        struct($"ok", $"ln", $"st", $"en").as("ida"), $"st".as("sa"),
+        $"en".as("ea"), $"c0".as("ca0"),
+        explode(sequence($"c0", $"c1")).as("cell"))
+      val b = li.select($"sk".as("skb"),
+        struct($"ok", $"ln", $"st", $"en").as("idb"), $"st".as("sb"),
+        $"en".as("eb"), $"c0".as("cb0"),
+        explode(sequence($"c0", $"c1")).as("cellb"))
+      a.join(b, $"sk" === $"skb" && $"cell" === $"cellb"
+          && $"ida" < $"idb"
+          && $"sa" <= $"eb" && $"sb" <= $"ea"
+          && $"cell" === greatest($"ca0", $"cb0"))
+        .groupBy($"sk")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select($"sk".as("suppkey"), $"n_pairs")
+        .orderBy($"suppkey")
+    }),
+
     "q_join_range" -> ((s, d) => {
       import s.implicits._
       val ev = t(s, d, "events").select($"user_id", $"ts")
@@ -404,6 +462,25 @@ object Joins {
         ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
       GROUP BY s_nationkey
       ORDER BY nationkey""",
+
+    // The grid + first-cell machinery is pure execution strategy: the
+    // oracle is the plain interval-overlap theta join.
+    "q_join_interval" -> """
+      WITH li AS (
+        SELECT DISTINCT l_suppkey AS sk, l_orderkey AS ok,
+               l_linenumber AS ln,
+               datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                 AS st,
+               datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                 + 1 + CAST(FLOOR(l_quantity) AS BIGINT) % 28 AS en
+        FROM lineitem)
+      SELECT a.sk AS suppkey, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM li a JOIN li b
+        ON a.sk = b.sk
+       AND (a.ok, a.ln, a.st, a.en) < (b.ok, b.ln, b.st, b.en)
+       AND a.st <= b.en AND b.st <= a.en
+      GROUP BY a.sk
+      ORDER BY suppkey""",
 
     "q_join_range" -> """
       SELECT e1.user_id AS user_id, count(*) AS n_pairs

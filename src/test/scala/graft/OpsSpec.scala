@@ -596,6 +596,46 @@ class OpsSpec extends GraftSuite {
       s"large/small-star must converge in O(log) rounds, took $starRounds")
   }
 
+  test("q_join_interval first-cell rule equals naive grid join + distinct") {
+    // The law behind the dedup-free grid join: counting a pair only
+    // in cell max(startCell(a), startCell(b)) yields exactly the
+    // per-pair-once census a naive all-shared-cells join needs a
+    // distinct to reach. Same interval synthesis as the query, at
+    // sf0.001.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cellW = 32
+    val li = ops.Tables.t(spark, sf0001, "lineitem").select(
+        col("l_suppkey").as("sk"), col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"),
+        datediff(col("l_shipdate"), lit("1992-01-01")).as("st"),
+        (datediff(col("l_shipdate"), lit("1992-01-01")) + lit(1)
+          + floor(col("l_quantity")).cast("long") % 28).as("en"))
+      .distinct()
+      .withColumn("c0", floor(col("st") / cellW))
+      .withColumn("c1", floor(col("en") / cellW))
+    val a = li.select(col("sk"),
+      struct(col("ok"), col("ln"), col("st"), col("en")).as("ida"),
+      col("st").as("sa"), col("en").as("ea"), col("c0").as("ca0"),
+      explode(sequence(col("c0"), col("c1"))).as("cell"))
+    val b = li.select(col("sk").as("skb"),
+      struct(col("ok"), col("ln"), col("st"), col("en")).as("idb"),
+      col("st").as("sb"), col("en").as("eb"), col("c0").as("cb0"),
+      explode(sequence(col("c0"), col("c1"))).as("cellb"))
+    val shared = a.join(b, col("sk") === col("skb")
+      && col("cell") === col("cellb") && col("ida") < col("idb")
+      && col("sa") <= col("eb") && col("sb") <= col("ea"))
+    val firstCell = shared
+      .where(col("cell") === greatest(col("ca0"), col("cb0")))
+      .groupBy(col("sk")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = shared.select(col("sk"), col("ida"), col("idb")).distinct()
+      .groupBy(col("sk")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(firstCell === naive)
+    assert(firstCell.nonEmpty && firstCell.values.sum > 0)
+  }
+
   test("ccStar handles multi-component graphs and isolated stars") {
     // Three components with different shapes: a triangle + pendant, a
     // 2-node edge, and a 5-cycle — labels must be each component's
