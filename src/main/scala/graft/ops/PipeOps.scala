@@ -315,6 +315,47 @@ object PipeOps {
         .orderBy($"source")
     }),
 
+    // TEMPERATURE-scaled language resampling (α = 0.5) — the
+    // multilingual data-mixing move q_pipe_mix's FIXED per-source
+    // rates cannot express: the per-language rate is DERIVED FROM THE
+    // CORPUS ITSELF, r_l = (n_min/n_l)^(1-α) = sqrt(n_min/n_l), so
+    // the rarest language keeps everything and dominant languages are
+    // downsampled toward the α-tempered distribution (the standard
+    // move for balancing multilingual pretraining without starving
+    // low-resource languages). Two corpus passes, both
+    // partial-aggregable: one |langs|-key count, then the keep filter
+    // against the broadcast |langs|-sized rate table — per-row
+    // hash-gated like every mix/split row, so reruns never swap
+    // documents and the decision needs no shuffle.
+    //
+    // Cross-engine exactness: the rate is computed as
+    // floor(sqrt(n_min/n_l)·1e6) — an integer ppm threshold. sqrt is
+    // IEEE-correctly-rounded in BOTH engines (unlike pow, which is
+    // only ulp-accurate and why α is fixed at 0.5 here), so the
+    // threshold integers — and therefore every keep decision — are
+    // bit-identical, with no float tolerance anywhere in the row.
+    "q_pipe_temperature" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val cnt = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      val nmin = cnt.agg(min($"n_docs").as("n_min"))
+      val rates = cnt.crossJoin(broadcast(nmin))
+        .withColumn("sample_ppm",
+          floor(sqrt($"n_min".cast("double") / $"n_docs") * 1e6)
+            .cast("long"))
+      val kept = docs
+        .join(broadcast(rates.select($"lang", $"sample_ppm")), "lang")
+        .where(h60(concat(lit("temp:"), $"doc_id".cast("string")))
+          % 1000000 < $"sample_ppm")
+        .groupBy($"lang").agg(count(lit(1)).as("n_kept"),
+          sum($"n_chars").as("chars_kept"))
+      rates.join(kept, Seq("lang"), "left")
+        .select($"lang", $"n_docs", $"sample_ppm",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"chars_kept", lit(0L)).as("chars_kept"))
+        .orderBy($"lang")
+    }),
+
     // Benford's-law first-digit audit over order values — the classic
     // fabricated-data / generator-quality check: observed first-digit
     // shares vs log10(1+1/d), with absolute deviation per digit (the
@@ -1016,6 +1057,31 @@ object PipeOps {
       SELECT seg, count(*) AS n,
              FLOOR(SUM(bal) * 100 + 0.5) / 100 AS sum_bal
       FROM merged GROUP BY seg ORDER BY seg""",
+
+    // Identical α=0.5 rate algebra; integer ppm thresholds make every
+    // keep decision exact (correctly-rounded sqrt in both engines).
+    "q_pipe_temperature" -> """
+      WITH cnt AS (SELECT lang, count(*) AS n_docs
+                   FROM documents GROUP BY lang),
+      nmin AS (SELECT min(n_docs) AS n_min FROM cnt),
+      rates AS (
+        SELECT lang, n_docs,
+               CAST(FLOOR(sqrt(CAST(n_min AS DOUBLE) / n_docs) * 1e6)
+                 AS BIGINT) AS sample_ppm
+        FROM cnt, nmin),
+      kept AS (
+        SELECT d.lang, count(*) AS n_kept,
+               CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE CAST('0x' || substring(md5('temp:' ||
+                CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              % 1000000 < r.sample_ppm
+        GROUP BY d.lang)
+      SELECT r.lang, r.n_docs, r.sample_ppm,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             COALESCE(k.chars_kept, 0) AS chars_kept
+      FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+      ORDER BY r.lang""",
 
     "q_pipe_mix" -> """
       WITH b AS (

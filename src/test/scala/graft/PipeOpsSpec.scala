@@ -118,6 +118,43 @@ class PipeOpsSpec extends GraftSuite {
     assert(math.log(u0) / 50 > math.log(u0) / 5)
   }
 
+  test("q_pipe_temperature recounts exactly and tempers toward the rare languages") {
+    // Full driver-side recount at sf0.001: per-language counts, the
+    // sqrt(n_min/n_l) ppm threshold, and every hash-gated keep
+    // decision must match the query bit-for-bit.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.ops.Tables.t(spark, SparkTestBase.sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nByLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nMin = nByLang.values.min
+    val ppm = nByLang.view.mapValues(n =>
+      math.floor(math.sqrt(nMin.toDouble / n) * 1e6).toLong).toMap
+    val expect = nByLang.keys.toSeq.sorted.map { lang =>
+      val keptDocs = docs.filter(d => d._2 == lang &&
+        h60(s"temp:${d._1}") % 1000000 < ppm(lang))
+      (lang, nByLang(lang), ppm(lang),
+        keptDocs.length.toLong, keptDocs.map(_._3).sum)
+    }
+    val got = q("q_pipe_temperature", SparkTestBase.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+    // The tempering laws: the rarest language is kept in full, and
+    // the threshold is strictly monotone decreasing in corpus share.
+    val rarest = nByLang.minBy(_._2)._1
+    assert(ppm(rarest) === 1000000L)
+    val byN = nByLang.toSeq.sortBy(_._2).map(x => ppm(x._1))
+    assert(byN === byN.sorted.reverse, s"ppm must fall as n grows: $byN")
+  }
+
   test("q_pipe_dpnoise adds the exact deterministic Laplace draw per language") {
     val got = q("q_pipe_dpnoise", sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
