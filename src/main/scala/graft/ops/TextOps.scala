@@ -37,6 +37,44 @@ object TextOps {
     * index as an explicit seed column. */
   private val NumBands = 16
 
+  /** Per-doc character-bigram LM scores `(doc_id, lang, score)` —
+    * score = count-weighted mean ln P(c2|c1) under the corpus bigram
+    * model — memoized per (session, dir) and shared by
+    * `q_text_charlm` (per-language stats) and `q_text_lmbucket`
+    * (CCNet-style tercile split).
+    *
+    * Occurrences collapse to per-doc bigram COUNTS first (one explode
+    * + one keyed agg); the model derives from the counts and the
+    * score is the count-weighted mean — so the corpus is tokenized
+    * once, not once per pass, and the scoring join carries |distinct
+    * bigrams per doc| rows, not |chars|. Per-doc counts come straight
+    * from the codegen'd kernel (one JVM pass per document, one row
+    * per DISTINCT bigram) — the declarative per-character explode +
+    * re-aggregate walked an interpreted HOF over |chars| rows. The
+    * count table feeds BOTH the model build and the scoring join (a
+    * diamond); column pruning specializes the two branches so
+    * Catalyst can't ReusedExchange them — materialize the shared
+    * stage once. The model (≤ |alphabet|² rows) broadcasts, so at
+    * 100 TB the score pass is map-side only. */
+  private def lmScores(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.derived(s, d, "charlm_scores") {
+      import s.implicits._
+      val bgc = t(s, d, "documents")
+        .select($"doc_id", $"lang", lower($"text").as("t"))
+        .select($"doc_id", $"lang",
+          explode(expr("char_bigram_counts(t)")).as("e"))
+        .select($"doc_id", $"lang", $"e.bg".as("bg"), $"e.c".as("c"))
+        .localCheckpoint(eager = false)
+      val model = bgc.groupBy($"bg").agg(sum($"c").as("n_bg"))
+        .withColumn("c1", substring($"bg", 1, 1))
+      val prefix = model.groupBy($"c1").agg(sum($"n_bg").as("n_c1"))
+      val probs = model.join(prefix, "c1").select($"bg", $"n_bg", $"n_c1")
+      bgc.join(broadcast(probs), "bg")
+        .groupBy($"doc_id", $"lang")
+        .agg((sum($"c" * log($"n_bg" / $"n_c1")) / sum($"c")).as("score"))
+        .localCheckpoint(eager = false)
+    }
+
   val queries: Map[String, Q] = Map(
     // Per-source Jensen–Shannon divergence from the corpus unigram
     // distribution — the data-mixing diagnostic ("which sources are
@@ -110,37 +148,49 @@ object TextOps {
     // the canonical shape for model-based quality filtering.
     "q_text_charlm" -> ((s, d) => {
       import s.implicits._
-      // Occurrences collapse to per-doc bigram COUNTS first (one
-      // explode + one keyed agg); the model derives from the counts
-      // and the score is the count-weighted mean — so the corpus is
-      // tokenized once, not once per pass, and the scoring join
-      // carries |distinct bigrams per doc| rows, not |chars|.
-      // Per-doc counts come straight from the codegen'd kernel (one
-      // JVM pass per document, one row per DISTINCT bigram) — the
-      // declarative per-character explode + re-aggregate walked an
-      // interpreted HOF over |chars| rows. The count table feeds BOTH
-      // the model build and the scoring join (a diamond); column
-      // pruning specializes the two branches so Catalyst can't
-      // ReusedExchange them — materialize the shared stage once.
-      val bgc = t(s, d, "documents")
-        .select($"doc_id", $"lang", lower($"text").as("t"))
-        .select($"doc_id", $"lang",
-          explode(expr("char_bigram_counts(t)")).as("e"))
-        .select($"doc_id", $"lang", $"e.bg".as("bg"), $"e.c".as("c"))
-        .localCheckpoint(eager = false)
-      val model = bgc.groupBy($"bg").agg(sum($"c").as("n_bg"))
-        .withColumn("c1", substring($"bg", 1, 1))
-      val prefix = model.groupBy($"c1").agg(sum($"n_bg").as("n_c1"))
-      val probs = model.join(prefix, "c1").select($"bg", $"n_bg", $"n_c1")
-      val scored = bgc.join(broadcast(probs), "bg")
-        .groupBy($"doc_id", $"lang")
-        .agg((sum($"c" * log($"n_bg" / $"n_c1")) / sum($"c")).as("score"))
-      scored.groupBy($"lang").agg(
+      lmScores(s, d).groupBy($"lang").agg(
           count(lit(1)).as("n_docs"),
           (floor(avg($"score") * 10000 + 0.5) / 10000).as("avg_lm"),
           (floor(min($"score") * 10000 + 0.5) / 10000).as("min_lm"),
           (floor(max($"score") * 10000 + 0.5) / 10000).as("max_lm"))
         .orderBy($"lang")
+    }),
+
+    // CCNet-style LM-score bucketing (Wenzek et al., LREC 2020,
+    // simplified): split each language's documents into head / middle
+    // / tail TERCILES of the shared charlm score ([[lmScores]]) —
+    // head = most-fluent third, the slice a quality-filtered pretrain
+    // mix keeps, tail = the candidate discard. Per-language cutoffs,
+    // not global: fluency scores are not comparable across languages
+    // (alphabet priors differ), which is the whole reason CCNet
+    // buckets per language.
+    //
+    // Scale shape: cutoffs are a per-language EXACT percentile over
+    // the r4-ROUNDED score (rounded first so the cutoff comparison
+    // can never hinge on ln()'s last ulp; interpolation arithmetic is
+    // then identical on identical 1e-4-grid inputs in both engines),
+    // producing a |langs|×2 table that broadcasts back for a map-side
+    // bucket assignment — the aggregate-broadcast-compare shape of
+    // q_pipe_temperature. At unbounded per-language cardinality the
+    // exact percentile swaps for approx_percentile's mergeable GK
+    // sketch — the documented q_agg_quantile / q_agg_quantile_approx
+    // trade, verbatim.
+    "q_text_lmbucket" -> ((s, d) => {
+      import s.implicits._
+      val sr = lmScores(s, d)
+        .select($"doc_id", $"lang",
+          (floor($"score" * 1e4 + 0.5) / 1e4).as("sr"))
+      val cut = sr.groupBy($"lang").agg(
+        percentile($"sr", lit(1.0 / 3)).as("c33"),
+        percentile($"sr", lit(2.0 / 3)).as("c67"))
+      sr.join(broadcast(cut), "lang")
+        .withColumn("bucket",
+          when($"sr" <= $"c33", "tail")
+            .when($"sr" <= $"c67", "middle").otherwise("head"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(avg($"sr") * 1e4 + 0.5) / 1e4).as("avg_lm"))
+        .orderBy($"lang", $"bucket")
     }),
 
     // tf-idf, corpus restricted to doc_id < 50 (bounded at every sf).
@@ -601,6 +651,31 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** The shared `scored` CTE chain of [[lmScores]] — ONE source of
+    * truth for the per-doc charlm score on the oracle side, used by
+    * both q_text_charlm and q_text_lmbucket so the two differentials
+    * pin the same model algebra. */
+  private val charlmScoredCtes = """
+      WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      bgc AS (
+        SELECT doc_id, lang, bg, count(*) AS c FROM (
+          SELECT doc_id, lang, substring(t, i, 2) AS bg FROM (
+            SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i FROM d))
+        GROUP BY doc_id, lang, bg),
+      model AS (
+        SELECT bg, CAST(SUM(c) AS BIGINT) AS n_bg FROM bgc GROUP BY bg),
+      pref AS (
+        SELECT substring(bg, 1, 1) AS c1, CAST(SUM(n_bg) AS BIGINT) AS n_c1
+        FROM model GROUP BY c1),
+      scored AS (
+        SELECT o.doc_id, o.lang,
+               SUM(o.c * ln(CAST(m.n_bg AS DOUBLE) / p.n_c1))
+                 / CAST(SUM(o.c) AS BIGINT) AS score
+        FROM bgc o
+        JOIN model m ON o.bg = m.bg
+        JOIN pref p ON substring(o.bg, 1, 1) = p.c1
+        GROUP BY o.doc_id, o.lang)"""
+
   val oracle: Map[String, String] = Map(
     "q_text_jsd" -> """
       WITH toks AS (
@@ -765,26 +840,8 @@ object TextOps {
       WHERE rn <= 10
       ORDER BY lang, n DESC, bigram""",
 
-    "q_text_charlm" -> """
-      WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
-      bgc AS (
-        SELECT doc_id, lang, bg, count(*) AS c FROM (
-          SELECT doc_id, lang, substring(t, i, 2) AS bg FROM (
-            SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i FROM d))
-        GROUP BY doc_id, lang, bg),
-      model AS (
-        SELECT bg, CAST(SUM(c) AS BIGINT) AS n_bg FROM bgc GROUP BY bg),
-      pref AS (
-        SELECT substring(bg, 1, 1) AS c1, CAST(SUM(n_bg) AS BIGINT) AS n_c1
-        FROM model GROUP BY c1),
-      scored AS (
-        SELECT o.doc_id, o.lang,
-               SUM(o.c * ln(CAST(m.n_bg AS DOUBLE) / p.n_c1))
-                 / CAST(SUM(o.c) AS BIGINT) AS score
-        FROM bgc o
-        JOIN model m ON o.bg = m.bg
-        JOIN pref p ON substring(o.bg, 1, 1) = p.c1
-        GROUP BY o.doc_id, o.lang)
+    "q_text_charlm" -> s"""
+      $charlmScoredCtes
       SELECT lang, count(*) AS n_docs,
              FLOOR(AVG(score) * 10000 + 0.5) / 10000 AS avg_lm,
              FLOOR(MIN(score) * 10000 + 0.5) / 10000 AS min_lm,
@@ -792,6 +849,25 @@ object TextOps {
       FROM scored
       GROUP BY lang
       ORDER BY lang""",
+
+    // The r4 rounding happens BEFORE the percentile on both sides, so
+    // the tercile cutoffs interpolate identical 1e-4-grid inputs.
+    "q_text_lmbucket" -> s"""
+      $charlmScoredCtes,
+      sr AS (SELECT doc_id, lang,
+                    FLOOR(score * 1e4 + 0.5) / 1e4 AS sr FROM scored),
+      cut AS (SELECT lang, quantile_cont(sr, 1.0/3) AS c33,
+                     quantile_cont(sr, 2.0/3) AS c67
+              FROM sr GROUP BY lang)
+      SELECT s.lang,
+             CASE WHEN s.sr <= c.c33 THEN 'tail'
+                  WHEN s.sr <= c.c67 THEN 'middle'
+                  ELSE 'head' END AS bucket,
+             count(*) AS n_docs,
+             FLOOR(AVG(s.sr) * 1e4 + 0.5) / 1e4 AS avg_lm
+      FROM sr s JOIN cut c ON s.lang = c.lang
+      GROUP BY 1, 2
+      ORDER BY s.lang, bucket""",
 
     "q_text_tfidf" -> """
       WITH docs AS (SELECT * FROM documents WHERE doc_id < 50),

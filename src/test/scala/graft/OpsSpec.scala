@@ -636,6 +636,27 @@ class OpsSpec extends GraftSuite {
     assert(firstCell.nonEmpty && firstCell.values.sum > 0)
   }
 
+  test("q_text_lmbucket partitions each language and orders bucket means") {
+    import spark.implicits._
+    val rows = q("q_text_lmbucket", sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val perLang = rows.groupBy(_._1)
+    val docs = ops.Tables.t(spark, sf0001, "documents")
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, bs) =>
+      // The buckets partition the language's documents...
+      assert(bs.map(_._3).sum === docs(lang), s"lang=$lang")
+      // ...and their means are ordered tail ≤ middle ≤ head (the
+      // cutoffs are score terciles, so this must hold by construction).
+      val m = bs.map(b => b._2 -> b._4).toMap
+      for (t <- m.get("tail"); mid <- m.get("middle")) assert(t <= mid)
+      for (mid <- m.get("middle"); h <- m.get("head")) assert(mid <= h)
+    }
+    assert(perLang.nonEmpty)
+  }
+
   test("ccStar handles multi-component graphs and isolated stars") {
     // Three components with different shapes: a triangle + pendant, a
     // 2-node edge, and a 5-cycle — labels must be each component's
