@@ -315,6 +315,36 @@ object PipeOps {
         .orderBy($"source")
     }),
 
+    // CDC CHANGELOG COMPACTION — materialize the current snapshot of
+    // a keyed changelog (the Debezium/CDF apply shape, batch form):
+    // the event stream is read as ordered ops on user_id — any
+    // non-'error' event upserts the user's value, 'error' is the
+    // DELETE TOMBSTONE — and last-writer-wins per key, tombstoned
+    // keys dropped from the snapshot. The ordering key is the
+    // globally-unique event ts (asserted unique at every SF).
+    //
+    // The scale point is HOW last-writer-wins runs: max_by/arg_max is
+    // a commutative, partial-aggregable aggregate — map-side combine
+    // reduces each partition to one candidate per key before the
+    // shuffle, and NOTHING is sorted. The window alternative
+    // (row_number DESC, the q_dedup_exact survivor shape) must
+    // shuffle and sort EVERY changelog row per key before discarding
+    // all but one — the compaction equivalence of the two forms is
+    // pinned as a law in PipeOpsSpec, and the agg form is what a
+    // 100 TB changelog wants.
+    "q_pipe_cdc" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_ops"),
+          max_by($"event_type", $"ts").as("last_op"),
+          (floor(max_by($"value", $"ts") * 100 + 0.5) / 100)
+            .as("last_value"))
+        .where($"last_op" =!= "error")
+        .select($"user_id", $"n_ops", $"last_op", $"last_value")
+        .orderBy($"user_id")
+    }),
+
     // TEMPERATURE-scaled language resampling (α = 0.5) — the
     // multilingual data-mixing move q_pipe_mix's FIXED per-source
     // rates cannot express: the per-language rate is DERIVED FROM THE
@@ -1057,6 +1087,17 @@ object PipeOps {
       SELECT seg, count(*) AS n,
              FLOOR(SUM(bal) * 100 + 0.5) / 100 AS sum_bal
       FROM merged GROUP BY seg ORDER BY seg""",
+
+    // arg_max is DuckDB's max_by; ts is globally unique, so
+    // last-writer-wins is deterministic with no tiebreak column.
+    "q_pipe_cdc" -> """
+      SELECT user_id, count(*) AS n_ops,
+             arg_max(event_type, ts) AS last_op,
+             FLOOR(arg_max(value, ts) * 100 + 0.5) / 100 AS last_value
+      FROM events
+      GROUP BY user_id
+      HAVING arg_max(event_type, ts) <> 'error'
+      ORDER BY user_id""",
 
     // Identical α=0.5 rate algebra; integer ppm thresholds make every
     // keep decision exact (correctly-rounded sqrt in both engines).

@@ -155,6 +155,33 @@ class PipeOpsSpec extends GraftSuite {
     assert(byN === byN.sorted.reverse, s"ppm must fall as n grows: $byN")
   }
 
+  test("q_pipe_cdc agg compaction equals window compaction, tombstones drop") {
+    // The law behind the sort-free shape: per-key max_by over a
+    // unique ordering key must equal the row_number-DESC window
+    // survivor — the form that shuffles and sorts every row.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables.t(spark, SparkTestBase.sf0001, "events")
+    val w = W.partitionBy($"user_id").orderBy($"ts".desc)
+    val windowed = ev.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1 && $"event_type" =!= "error")
+      .join(ev.groupBy($"user_id").agg(count(lit(1)).as("n_ops")),
+        "user_id")
+      .select($"user_id", $"n_ops", $"event_type".as("last_op"),
+        (floor($"value" * 100 + 0.5) / 100).as("last_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    val agg = q("q_pipe_cdc", SparkTestBase.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(agg === windowed)
+    // The tombstone filter must actually fire: at least one user's
+    // final op is an error at this fixture scale.
+    val users = ev.select($"user_id").distinct().count()
+    assert(agg.size < users, "some user must end tombstoned")
+  }
+
   test("q_pipe_dpnoise adds the exact deterministic Laplace draw per language") {
     val got = q("q_pipe_dpnoise", sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
