@@ -214,27 +214,33 @@ object GraphOps {
     var changed = 1L
     var steps = 0
     // TWO propagation steps per materialization: iterative jobs here
-    // are latency-bound (the data per round is tiny next to the fixed
-    // per-action cost), so the changed-count — the round's ONLY
-    // action, the lazy checkpoints piggyback on it — runs once per
-    // step PAIR. The fixpoint check stays exact: no change across a
-    // pair ⟹ no change in either step.
+    // are latency-bound, so the changed-count — the batch's ONLY
+    // explicit action, the lazy checkpoints piggyback on it — runs
+    // once per step PAIR. The fixpoint check stays exact: no change
+    // across a batch ⟹ no change in any step of it. Batching HARDER
+    // does not pay: each step's BROADCAST of the previous label table
+    // forces a driver materialization round regardless of the action
+    // schedule, so batch=4 saves only the tiny count-join jobs while
+    // adding lineage/planning depth — measured ~6.0 s vs batch=2's
+    // ~5.0 s on the sf0.1 fixture graph.
+    val batch = 2
     while (changed > 0 && steps < maxRounds) {
-      // The intermediate table is ALSO lazily checkpointed: step(l1)
-      // references l1 on both join sides, and Spark has no general
+      // Every intermediate table is ALSO lazily checkpointed: step(l)
+      // references l on both join sides, and Spark has no general
       // plan CSE — un-checkpointed, each reference would replay the
       // whole step (and the replay compounds per batch). The lazy
       // checkpoint makes both references share one RDD, still
       // materialized inside the batch's single count action.
-      val l1 = step(lab).localCheckpoint(eager = false)
-      double()
-      val next = step(l1).localCheckpoint(eager = false)
-      double()
+      var next = lab
+      for (_ <- 1 to batch) {
+        next = step(next).localCheckpoint(eager = false)
+        double()
+      }
       changed = next
         .join(lab.select(col("node"), col("lab").as("old")), "node")
         .where(col("lab") =!= col("old")).count()
       lab = next
-      steps += 2
+      steps += batch
     }
     (lab, steps)
   }
