@@ -113,6 +113,36 @@ object Scans {
         .orderBy($"r_name")
     }),
 
+    // ORC as a declared source format, completing the source matrix
+    // (parquet native, CSV/JSON via q_scan_multiformat): the supplier
+    // dim is exported ONCE per (session, dir) as ORC — a BINARY
+    // columnar format, so the DOUBLE column round-trips bit-exactly
+    // (no text formatting on the path, unlike CSV/JSON where floats
+    // are deliberately kept out) — then read back with an explicit
+    // schema and joined against parquet dims. ORC carries the same
+    // scan-level machinery as parquet (column pruning, predicate
+    // pushdown into stripe/row-group stats) — the s_acctbal filter
+    // below reaches the ORC reader as a pushed filter, pinned in
+    // SourcesSpec. The result must equal the all-parquet oracle, so
+    // the ORC writer+reader pair is differentially checked.
+    "q_scan_orc" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val dir = graft.TempWarehouse.path.resolve(s"supplier_orc_$tag")
+      exportLock(dir.toString) {
+        if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+          t(s, d, "supplier").write.mode("overwrite").orc(dir.toString)
+      }
+      val sup = s.read.schema(Tables.expectedDdl("supplier"))
+        .orc(dir.toString)
+      sup.where($"s_acctbal" > 1000.0)
+        .join(t(s, d, "nation"), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name").agg(
+          count(lit(1)).as("n_suppliers"),
+          (floor(avg($"s_acctbal") * 100 + 0.5) / 100).as("avg_bal"))
+        .orderBy($"n_name")
+    }),
+
     // Malformed-input quarantine — the ingest posture for landing-zone
     // text data: a line-delimited JSON file containing the region dim
     // plus two CONTRACTUALLY corrupt lines (one type-broken, one
@@ -239,6 +269,17 @@ object Scans {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name
       ORDER BY r_name""",
+
+    // The all-parquet equivalent: equality proves the ORC writer +
+    // reader pair round-tripped the dim (doubles included) exactly.
+    "q_scan_orc" -> """
+      SELECT n_name, count(*) AS n_suppliers,
+             FLOOR(AVG(s_acctbal) * 100 + 0.5) / 100 AS avg_bal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_acctbal > 1000.0
+      GROUP BY n_name
+      ORDER BY n_name""",
 
     "q_sql_q3" -> sqlQ3,
   )

@@ -78,6 +78,18 @@ class SourcesSpec extends GraftSuite {
       src.orderBy($"s_suppkey").collect().toSeq)
   }
 
+  test("q_scan_orc pushes the balance filter into the ORC scan") {
+    // The declared ORC row must keep parquet-class scan machinery:
+    // the s_acctbal predicate reaches the reader as a pushed filter
+    // (stripe/row-group stats pruning), not a post-scan Filter only.
+    val plan = q("q_scan_orc", SparkTestBase.sf0001)
+      .queryExecution.executedPlan.toString
+    val orcLine = plan.linesIterator
+      .find(l => l.contains("orc") && l.contains("PushedFilters"))
+    assert(orcLine.isDefined, s"no ORC scan with PushedFilters in:\n$plan")
+    assert(orcLine.get.contains("GreaterThan(s_acctbal,1000.0)"), orcLine.get)
+  }
+
   test("schema evolution: mergeSchema unions columns across parquet file generations") {
     import spark.implicits._
     // Generation 1 lacks the column generation 2 adds — the normal
