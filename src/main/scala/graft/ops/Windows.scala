@@ -147,6 +147,49 @@ object Windows {
         .orderBy($"user_id", $"h")
     }),
 
+    // LINEAR INTERPOLATION of missing series values — the numeric
+    // gap-repair q_win_fill's LOCF cannot do: 'error' events are read
+    // as MISSING observations in each user's value series, and each
+    // missing point is reconstructed as the time-weighted blend of
+    // its nearest known neighbors, v_prev + (v_next − v_prev)·(t −
+    // t_prev)/(t_next − t_prev). Boundary gaps (no known neighbor on
+    // one side) stay null — interpolation honestly refuses to
+    // extrapolate, and the n_missing/n_interp split reports exactly
+    // how many gaps were repairable. Two keyed window passes
+    // (forward last-known, backward first-known, both ignoreNulls
+    // running frames) — partitioned by user like every window here,
+    // never global. Time enters as EXACT integer epoch-µs on both
+    // engines; the lerp is the only float step and its operands and
+    // operation order are identical, with the r4 floor on the
+    // aggregate.
+    "q_win_interp" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", $"ts", unix_micros($"ts").as("tm"),
+          when($"event_type" =!= "error", $"value").as("v"))
+      val wf = Window.partitionBy($"user_id").orderBy($"ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wb = Window.partitionBy($"user_id").orderBy($"ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev
+        .withColumn("vp", last($"v", ignoreNulls = true).over(wf))
+        .withColumn("tp",
+          last(when($"v".isNotNull, $"tm"), ignoreNulls = true).over(wf))
+        .withColumn("vn", first($"v", ignoreNulls = true).over(wb))
+        .withColumn("tn",
+          first(when($"v".isNotNull, $"tm"), ignoreNulls = true).over(wb))
+        .where($"v".isNull)
+        .withColumn("vi",
+          when($"vp".isNotNull && $"vn".isNotNull && $"tn" =!= $"tp",
+            $"vp" + ($"vn" - $"vp")
+              * (($"tm" - $"tp").cast("double") / ($"tn" - $"tp"))))
+        .groupBy($"user_id").agg(
+          count(lit(1)).as("n_missing"),
+          count($"vi").as("n_interp"),
+          (floor(avg($"vi") * 1e4 + 0.5) / 1e4).as("avg_interp"))
+        .orderBy($"user_id")
+    }),
+
     // Rolling z-score spike detection: each event scored against the
     // mean/std of its user's previous ≤10 events (a trailing frame
     // that EXCLUDES the current row — scoring a point against a
@@ -406,6 +449,38 @@ object Windows {
       FROM grid g LEFT JOIN hourly hh
         ON g.user_id = hh.user_id AND g.h = hh.h
       ORDER BY g.user_id, g.h""",
+
+    // Identical neighbor windows (IGNORE NULLS running frames) and
+    // identical lerp expression over exact epoch-µs integers.
+    "q_win_interp" -> """
+      WITH ev AS (
+        SELECT user_id, ts, epoch_us(ts) AS tm,
+               CASE WHEN event_type <> 'error' THEN value END AS v
+        FROM events),
+      nb AS (
+        SELECT user_id, tm, v,
+               last_value(v IGNORE NULLS) OVER wf AS vp,
+               last_value(CASE WHEN v IS NOT NULL THEN tm END IGNORE NULLS)
+                 OVER wf AS tp,
+               first_value(v IGNORE NULLS) OVER wb AS vn,
+               first_value(CASE WHEN v IS NOT NULL THEN tm END IGNORE NULLS)
+                 OVER wb AS tn
+        FROM ev
+        WINDOW wf AS (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wb AS (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      gaps AS (
+        SELECT user_id,
+               CASE WHEN vp IS NOT NULL AND vn IS NOT NULL AND tn <> tp
+                 THEN vp + (vn - vp) * (CAST(tm - tp AS DOUBLE) / (tn - tp))
+               END AS vi
+        FROM nb WHERE v IS NULL)
+      SELECT user_id, count(*) AS n_missing, count(vi) AS n_interp,
+             FLOOR(AVG(vi) * 1e4 + 0.5) / 1e4 AS avg_interp
+      FROM gaps
+      GROUP BY user_id
+      ORDER BY user_id""",
 
     "q_win_gap" -> """
       WITH g AS (

@@ -657,6 +657,54 @@ class OpsSpec extends GraftSuite {
     assert(perLang.nonEmpty)
   }
 
+  test("q_win_interp matches a driver-side lerp recount; boundaries refuse") {
+    // Recompute the whole interpolation at sf0.001 on the driver:
+    // per-user ts-ordered scan, nearest known neighbors, exact lerp.
+    import spark.implicits._
+    val ev = ops.Tables.t(spark, sf0001, "events")
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000,
+        r.getString(2), r.getDouble(3)))
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val vis = sorted.indices.filter(i => sorted(i)._3 == "error").map { i =>
+        val prev = (i - 1 to 0 by -1).find(j => sorted(j)._3 != "error")
+        val next = (i + 1 until sorted.length).find(j => sorted(j)._3 != "error")
+        (prev, next) match {
+          case (Some(p), Some(n)) =>
+            val (tp, vp) = (sorted(p)._2, sorted(p)._4)
+            val (tn, vn) = (sorted(n)._2, sorted(n)._4)
+            Some(vp + (vn - vp) * ((sorted(i)._2 - tp).toDouble / (tn - tp)))
+          case _ => None
+        }
+      }
+      val interp = vis.flatten
+      (u, (vis.length.toLong, interp.length.toLong,
+        if (interp.isEmpty) None else Some(interp.sum / interp.length)))
+    }
+    val got = q("q_win_interp", sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.keySet === expect.map(_._1).toSet)
+    expect.foreach { case (u, (nm, ni, avg)) =>
+      val (gm, gi, gavg) = got(u)
+      assert(gm === nm && gi === ni, s"user $u counts")
+      (avg, gavg) match {
+        case (Some(a), Some(g)) =>
+          // r4-floored on the query side; driver sums in ts order, so
+          // allow one grid step of reassociation slack.
+          assert(math.abs(g - a) < 2e-4, s"user $u avg: $g vs $a")
+        case (None, None) =>
+        case other => fail(s"user $u avg mismatch: $other")
+      }
+    }
+    // The boundary-refusal law must actually bite somewhere: at least
+    // one user has an unrepairable gap (missing at series edge).
+    assert(expect.exists { case (_, (nm, ni, _)) => nm > ni })
+  }
+
   test("ccStar handles multi-component graphs and isolated stars") {
     // Three components with different shapes: a triangle + pendant, a
     // 2-node edge, and a 5-cycle — labels must be each component's
