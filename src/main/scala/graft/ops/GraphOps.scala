@@ -344,6 +344,27 @@ object GraphOps {
     (lab, rounds)
   }
 
+  /** The DIRECTED half of the sparse CC fixture graph, shared by BOTH
+    * declared CC algorithms (q_graph_cc / q_graph_cc_star) and their
+    * oracles' edge CTE: high-value (o_totalprice > 450000),
+    * high-quantity (l_quantity ≥ 47) trade edges — sparse enough (481
+    * edges at sf0.01) for real component structure (14 components),
+    * dense enough that the diameter stays bounded. ONE definition so
+    * the threshold constants can never drift between the two queries
+    * (Tables.derived is first-build-wins per session — a drifted
+    * second copy would silently never run). */
+  private def ccEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.derived(s, d, "cc_edges") {
+      import s.implicits._
+      t(s, d, "orders").where($"o_totalprice" > 450000)
+        .join(t(s, d, "lineitem"),
+          $"o_orderkey" === $"l_orderkey" && $"l_quantity" >= 47)
+        .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
+                concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
+        .distinct()
+        .localCheckpoint(eager = false)
+    }
+
   /** The symmetrized customer—supplier trade graph (distinct
     * (custkey, suppkey) pairs that share an order; node ids namespaced
     * 'c…'/'s…' so the key spaces can't collide), materialized ONCE per
@@ -639,22 +660,11 @@ object GraphOps {
     // measured slower (numbers at [[ccLabels]]). A fixpoint of
     // the min-label update is the exact component labeling, so the
     // converged result matches the oracle's transitive closure
-    // regardless of how many steps convergence took. Graph:
-    // high-value high-quantity trade edges — sparse enough (481 edges
-    // at sf0.01) to have real component structure (14 components)
-    // rather than one giant blob, dense enough that the diameter (and
-    // with it the latency-bound step count) stays bounded.
+    // regardless of how many steps convergence took. Graph: the
+    // shared [[ccEdges]] fixture.
     "q_graph_cc" -> ((s, d) => {
       import s.implicits._
-      val e0 = Tables.derived(s, d, "cc_edges") {
-        t(s, d, "orders").where($"o_totalprice" > 450000)
-          .join(t(s, d, "lineitem"),
-            $"o_orderkey" === $"l_orderkey" && $"l_quantity" >= 47)
-          .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
-                  concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
-          .distinct()
-          .localCheckpoint(eager = false)
-      }
+      val e0 = ccEdges(s, d)
       val edges = e0.unionByName(
         e0.select($"dst".as("src"), $"src".as("dst")))
       val (lab, _) = ccLabels(edges, doubling = false)
@@ -674,15 +684,7 @@ object GraphOps {
     // algorithms instead of join strategies.
     "q_graph_cc_star" -> ((s, d) => {
       import s.implicits._
-      val e0 = Tables.derived(s, d, "cc_edges") {
-        t(s, d, "orders").where($"o_totalprice" > 450000)
-          .join(t(s, d, "lineitem"),
-            $"o_orderkey" === $"l_orderkey" && $"l_quantity" >= 47)
-          .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
-                  concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
-          .distinct()
-          .localCheckpoint(eager = false)
-      }
+      val e0 = ccEdges(s, d)
       val (lab, _) = ccStar(e0.select($"src".as("u"), $"dst".as("v")))
       lab.groupBy($"lab").agg(count(lit(1)).as("n_nodes"))
         .orderBy($"n_nodes".desc, $"lab")

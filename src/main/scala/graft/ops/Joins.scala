@@ -18,6 +18,46 @@ import Tables.{Q, t}
   */
 object Joins {
 
+  /** q_join_interval's grid cell width in days — ≥ the max synthetic
+    * interval length (29), so every interval covers ≤ 2 cells and the
+    * explode is bounded at 2×. */
+  private[graft] val IntervalCellDays = 32
+
+  /** The interval-overlap candidate pairs of q_join_interval, at ALL
+    * shared grid cells (an overlapping pair appears once per cell
+    * both sides cover): distinct (supplier, order, line, start, end)
+    * tuples with the synthesized transit window held as integer day
+    * offsets, exploded to their [[IntervalCellDays]]-wide cells,
+    * self-joined on (supplier, cell) with the overlap predicate and
+    * the lexicographic tuple ordering. ONE definition used by the
+    * declared query (which adds the first-cell residual) AND the
+    * first-cell ≡ distinct law in OpsSpec — so the pinned law always
+    * covers the shipped grid, not a copy of it. */
+  private[graft] def intervalCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val li = t(s, d, "lineitem").select(
+        $"l_suppkey".as("sk"), $"l_orderkey".as("ok"),
+        $"l_linenumber".as("ln"),
+        datediff($"l_shipdate", lit("1992-01-01")).as("st"),
+        (datediff($"l_shipdate", lit("1992-01-01")) + lit(1)
+          + floor($"l_quantity").cast("long") % 28).as("en"))
+      .distinct()
+      .withColumn("c0", floor($"st" / IntervalCellDays))
+      .withColumn("c1", floor($"en" / IntervalCellDays))
+    val a = li.select($"sk",
+      struct($"ok", $"ln", $"st", $"en").as("ida"), $"st".as("sa"),
+      $"en".as("ea"), $"c0".as("ca0"),
+      explode(sequence($"c0", $"c1")).as("cell"))
+    val b = li.select($"sk".as("skb"),
+      struct($"ok", $"ln", $"st", $"en").as("idb"), $"st".as("sb"),
+      $"en".as("eb"), $"c0".as("cb0"),
+      explode(sequence($"c0", $"c1")).as("cellb"))
+    a.join(b, $"sk" === $"skb" && $"cell" === $"cellb"
+      && $"ida" < $"idb"
+      && $"sa" <= $"eb" && $"sb" <= $"ea")
+  }
+
   val queries: Map[String, Q] = Map(
     // Reduce-side repartition join → Spark picks broadcast-hash here
     // (customer is small); at 100 TB with a huge build side it
@@ -173,28 +213,8 @@ object Joins {
     // order on distinct tuples with no synthetic id to keep unique.
     "q_join_interval" -> ((s, d) => {
       import s.implicits._
-      val cellW = 32
-      val li = t(s, d, "lineitem").select(
-          $"l_suppkey".as("sk"), $"l_orderkey".as("ok"),
-          $"l_linenumber".as("ln"),
-          datediff($"l_shipdate", lit("1992-01-01")).as("st"),
-          (datediff($"l_shipdate", lit("1992-01-01")) + lit(1)
-            + floor($"l_quantity").cast("long") % 28).as("en"))
-        .distinct()
-        .withColumn("c0", floor($"st" / cellW))
-        .withColumn("c1", floor($"en" / cellW))
-      val a = li.select($"sk",
-        struct($"ok", $"ln", $"st", $"en").as("ida"), $"st".as("sa"),
-        $"en".as("ea"), $"c0".as("ca0"),
-        explode(sequence($"c0", $"c1")).as("cell"))
-      val b = li.select($"sk".as("skb"),
-        struct($"ok", $"ln", $"st", $"en").as("idb"), $"st".as("sb"),
-        $"en".as("eb"), $"c0".as("cb0"),
-        explode(sequence($"c0", $"c1")).as("cellb"))
-      a.join(b, $"sk" === $"skb" && $"cell" === $"cellb"
-          && $"ida" < $"idb"
-          && $"sa" <= $"eb" && $"sb" <= $"ea"
-          && $"cell" === greatest($"ca0", $"cb0"))
+      intervalCandidates(s, d)
+        .where($"cell" === greatest($"ca0", $"cb0"))
         .groupBy($"sk")
         .agg(count(lit(1)).as("n_pairs"))
         .select($"sk".as("suppkey"), $"n_pairs")

@@ -43,13 +43,16 @@ import org.apache.spark.sql.functions._
   * the star scheme contracts stars instead of composing paths and
   * dodges that blowup.)
   *
-  * usage: runMain graft.tools.CCScale [nodes] [chainLen] [blobSize] [reps]
+  * usage: runMain graft.tools.CCScale
+  *          [nodes] [chainLen] [blobSize] [reps] [both|chain|blob]
+  * The scaladoc's recorded numbers are the DEFAULT args (1M / 128 /
+  * 8 / 2) — rerun with them to reproduce.
   */
 object CCScale {
   def main(args: Array[String]): Unit = {
     val nodes = if (args.length > 0) args(0).toLong else 1000000L
     val chainLen = if (args.length > 1) args(1).toInt else 128
-    val blobSize = if (args.length > 2) args(2).toInt else 64
+    val blobSize = if (args.length > 2) args(2).toInt else 8
     val reps = if (args.length > 3) args(3).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -73,11 +76,16 @@ object CCScale {
     // block, plus the closing edge) — bounded diameter blobSize/2 but
     // NOT already a star forest: a hub-shaped blob would hand the
     // star scheme a one-round converged input and measure nothing.
+    // Both branches bound their targets below `nodes` (the chain
+    // generator's guard): a partial final block degrades to a path
+    // instead of emitting edges to phantom node ids.
     def blobEdges: DataFrame = spark.range(nodes)
-      .where((col("id") % blobSize) =!= (blobSize - 1))
+      .where((col("id") % blobSize) =!= (blobSize - 1)
+        && col("id") + 1 < nodes)
       .select(col("id").as("u"), (col("id") + 1).as("v"))
       .unionByName(spark.range(nodes)
-        .where(col("id") % blobSize === 0)
+        .where(col("id") % blobSize === 0
+          && col("id") + blobSize - 1 < nodes)
         .select(col("id").as("u"),
           (col("id") + blobSize - 1).as("v")))
 

@@ -600,31 +600,14 @@ class OpsSpec extends GraftSuite {
     // The law behind the dedup-free grid join: counting a pair only
     // in cell max(startCell(a), startCell(b)) yields exactly the
     // per-pair-once census a naive all-shared-cells join needs a
-    // distinct to reach. Same interval synthesis as the query, at
-    // sf0.001.
-    import spark.implicits._
+    // distinct to reach. Runs against the SHARED candidate builder
+    // the query itself uses (ops.Joins.intervalCandidates), so the
+    // law covers the shipped grid parameters, at sf0.001.
     import org.apache.spark.sql.functions._
-    val cellW = 32
-    val li = ops.Tables.t(spark, sf0001, "lineitem").select(
-        col("l_suppkey").as("sk"), col("l_orderkey").as("ok"),
-        col("l_linenumber").as("ln"),
-        datediff(col("l_shipdate"), lit("1992-01-01")).as("st"),
-        (datediff(col("l_shipdate"), lit("1992-01-01")) + lit(1)
-          + floor(col("l_quantity")).cast("long") % 28).as("en"))
-      .distinct()
-      .withColumn("c0", floor(col("st") / cellW))
-      .withColumn("c1", floor(col("en") / cellW))
-    val a = li.select(col("sk"),
-      struct(col("ok"), col("ln"), col("st"), col("en")).as("ida"),
-      col("st").as("sa"), col("en").as("ea"), col("c0").as("ca0"),
-      explode(sequence(col("c0"), col("c1"))).as("cell"))
-    val b = li.select(col("sk").as("skb"),
-      struct(col("ok"), col("ln"), col("st"), col("en")).as("idb"),
-      col("st").as("sb"), col("en").as("eb"), col("c0").as("cb0"),
-      explode(sequence(col("c0"), col("c1"))).as("cellb"))
-    val shared = a.join(b, col("sk") === col("skb")
-      && col("cell") === col("cellb") && col("ida") < col("idb")
-      && col("sa") <= col("eb") && col("sb") <= col("ea"))
+    val shared = ops.Joins.intervalCandidates(spark, sf0001)
+    // The documented ≤2-cells-per-row explode bound requires the cell
+    // width to dominate the max synthetic interval length (29 days).
+    assert(ops.Joins.IntervalCellDays >= 29)
     val firstCell = shared
       .where(col("cell") === greatest(col("ca0"), col("cb0")))
       .groupBy(col("sk")).agg(count(lit(1)).as("n"))
