@@ -315,6 +315,36 @@ object PipeOps {
         .orderBy($"source")
     }),
 
+    // SINGLE-SCAN COLUMN PROFILE — the Deequ-style first query run
+    // against any new dataset before anything else is built on it:
+    // per-column non-null and exact distinct counts (completeness +
+    // cardinality), every column in ONE scan. Multi-column DISTINCT
+    // aggregates plan through Expand — the input multiplies by the
+    // distinct-column count into partial-aggregable streams, so the
+    // corpus is still read once and nothing driver-side touches data;
+    // the wide one-row aggregate then unpivots via stack() into the
+    // narrow (col_name, …) report. At 100 TB the exact distincts swap
+    // for HLL sketches per column — the q_agg_hll mergeable-sketch
+    // twin, documented trade — cutting Expand's multiplication too.
+    "q_pipe_profile" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").agg(
+          count(lit(1)).as("n"),
+          count($"doc_id").as("nn1"), countDistinct($"doc_id").as("nd1"),
+          count($"lang").as("nn2"), countDistinct($"lang").as("nd2"),
+          count($"source").as("nn3"), countDistinct($"source").as("nd3"),
+          count($"n_chars").as("nn4"), countDistinct($"n_chars").as("nd4"),
+          count($"text").as("nn5"), countDistinct($"text").as("nd5"))
+        .select($"n", expr("""stack(5,
+            'doc_id',  nn1, nd1,
+            'lang',    nn2, nd2,
+            'n_chars', nn4, nd4,
+            'source',  nn3, nd3,
+            'text',    nn5, nd5) AS (col_name, n_nonnull, n_distinct)"""))
+        .select($"col_name", $"n", $"n_nonnull", $"n_distinct")
+        .orderBy($"col_name")
+    }),
+
     // CDC CHANGELOG COMPACTION — materialize the current snapshot of
     // a keyed changelog (the Debezium/CDF apply shape, batch form):
     // the event stream is read as ordered ops on user_id — any
@@ -1087,6 +1117,27 @@ object PipeOps {
       SELECT seg, count(*) AS n,
              FLOOR(SUM(bal) * 100 + 0.5) / 100 AS sum_bal
       FROM merged GROUP BY seg ORDER BY seg""",
+
+    // One UNION ALL branch per profiled column — the oracle need not
+    // be single-pass, only equal.
+    "q_pipe_profile" -> """
+      SELECT col_name, n, n_nonnull, n_distinct FROM (
+        SELECT 'doc_id' AS col_name, count(*) AS n,
+               count(doc_id) AS n_nonnull,
+               count(DISTINCT doc_id) AS n_distinct FROM documents
+        UNION ALL
+        SELECT 'lang', count(*), count(lang), count(DISTINCT lang)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars)
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(source), count(DISTINCT source)
+        FROM documents
+        UNION ALL
+        SELECT 'text', count(*), count(text), count(DISTINCT text)
+        FROM documents)
+      ORDER BY col_name""",
 
     // arg_max is DuckDB's max_by; ts is globally unique, so
     // last-writer-wins is deterministic with no tiebreak column.

@@ -32,6 +32,14 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("PushedFilters: ["))
   }
 
+  test("q_pipe_profile profiles every column off ONE scan via Expand") {
+    val p = plan("q_pipe_profile")
+    assert(p.contains("Expand"), "multi-distinct must plan through Expand")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans === 1, s"single-scan profile, found $scans scans:\n$p")
+  }
+
   test("q_agg_group aggregates partial then final (map-side combine)") {
     val occurrences = "HashAggregate".r.findAllIn(plan("q_agg_group")).size
     assert(occurrences >= 2, s"expected partial+final HashAggregate, saw $occurrences")
