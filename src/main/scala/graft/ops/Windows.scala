@@ -190,6 +190,46 @@ object Windows {
         .orderBy($"user_id")
     }),
 
+    // EXACT finite-window EWMA — the exponentially-weighted smoothing
+    // pass behind activity scores and rate-limit baselines, computed
+    // EXACTLY instead of via the recursive form (which a shuffle
+    // engine cannot express without a sequential scan): each event's
+    // smoothed value is the weight-2^-j blend of its last ≤10
+    // observations, ewma_t = Σ_j w_j·v_{t-j} / Σ_j w_j with
+    // w_j = 2^(9-j). The trailing terms are ten lag() references over
+    // ONE keyed window (one shuffle, one sort — Spark evaluates all
+    // ten in a single window pass), so the plan is exactly
+    // q_win_lag's shape, not ten. Arithmetic is EXACT END TO END:
+    // values enter as integer cents, weights are integer powers of
+    // two, numerator/denominator are BIGINT sums — the only float op
+    // is the final single division, identical operand-for-operand in
+    // both engines (the cross-engine float-sum-order trap has no
+    // surface to bite). At 100 TB this is one window shuffle keyed on
+    // user — the same story as every window in this file; the decay
+    // horizon (10 taps) bounds per-row work, not data volume.
+    "q_win_ewma" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val taps = 10
+      val base = t(s, d, "events")
+        .where($"user_id" < 100)
+        .select($"user_id", $"event_id", $"ts",
+          floor($"value" * 100 + 0.5).cast("long").as("vi"))
+      val terms = (0 until taps).map { j =>
+        val v = if (j == 0) $"vi" else lag($"vi", j).over(w)
+        val wt = 1L << (taps - 1 - j)
+        (coalesce(v, lit(0L)) * wt,
+          when(v.isNotNull, lit(wt)).otherwise(lit(0L)))
+      }
+      base
+        .withColumn("num", terms.map(_._1).reduce(_ + _))
+        .withColumn("den", terms.map(_._2).reduce(_ + _) * 100)
+        .select($"user_id", $"event_id",
+          (floor($"num".cast("double") / $"den" * 1e4 + 0.5) / 1e4)
+            .as("ewma"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // Rolling z-score spike detection: each event scored against the
     // mean/std of its user's previous ≤10 events (a trailing frame
     // that EXCLUDES the current row — scoring a point against a
@@ -449,6 +489,44 @@ object Windows {
       FROM grid g LEFT JOIN hourly hh
         ON g.user_id = hh.user_id AND g.h = hh.h
       ORDER BY g.user_id, g.h""",
+
+    // Identical ten-tap integer algebra: cents × power-of-two weights
+    // summed in BIGINT, one final double division.
+    "q_win_ewma" -> """
+      WITH v AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vi
+        FROM events WHERE user_id < 100),
+      l AS (
+        SELECT user_id, event_id,
+               vi AS v0,
+               lag(vi, 1) OVER w AS v1, lag(vi, 2) OVER w AS v2,
+               lag(vi, 3) OVER w AS v3, lag(vi, 4) OVER w AS v4,
+               lag(vi, 5) OVER w AS v5, lag(vi, 6) OVER w AS v6,
+               lag(vi, 7) OVER w AS v7, lag(vi, 8) OVER w AS v8,
+               lag(vi, 9) OVER w AS v9
+        FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id,
+             FLOOR(CAST(
+                 COALESCE(v0, 0) * 512 + COALESCE(v1, 0) * 256
+               + COALESCE(v2, 0) * 128 + COALESCE(v3, 0) * 64
+               + COALESCE(v4, 0) * 32  + COALESCE(v5, 0) * 16
+               + COALESCE(v6, 0) * 8   + COALESCE(v7, 0) * 4
+               + COALESCE(v8, 0) * 2   + COALESCE(v9, 0)
+               AS DOUBLE) / ((
+                 CASE WHEN v0 IS NULL THEN 0 ELSE 512 END
+               + CASE WHEN v1 IS NULL THEN 0 ELSE 256 END
+               + CASE WHEN v2 IS NULL THEN 0 ELSE 128 END
+               + CASE WHEN v3 IS NULL THEN 0 ELSE 64 END
+               + CASE WHEN v4 IS NULL THEN 0 ELSE 32 END
+               + CASE WHEN v5 IS NULL THEN 0 ELSE 16 END
+               + CASE WHEN v6 IS NULL THEN 0 ELSE 8 END
+               + CASE WHEN v7 IS NULL THEN 0 ELSE 4 END
+               + CASE WHEN v8 IS NULL THEN 0 ELSE 2 END
+               + CASE WHEN v9 IS NULL THEN 0 ELSE 1 END) * 100)
+               * 1e4 + 0.5) / 1e4 AS ewma
+      FROM l
+      ORDER BY user_id, event_id""",
 
     // Identical neighbor windows (IGNORE NULLS running frames) and
     // identical lerp expression over exact epoch-µs integers.
