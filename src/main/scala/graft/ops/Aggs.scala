@@ -228,6 +228,35 @@ object Aggs {
         .orderBy($"l_returnflag")
     }),
 
+    // CORRELATION MATRIX in ONE scan — the feature-redundancy screen
+    // run before training on tabular features: Pearson r (and sample
+    // covariance) for every unordered pair of the four lineitem
+    // measures. The pair fan-out is a per-row Generate (explode of a
+    // 6-struct literal array), so the table is READ ONCE and each row
+    // contributes its 6 pair observations map-side; the only shuffle
+    // is the 6-key partial+final hash agg. The k-scans alternative
+    // reads the corpus C(k,2) times — at 100 TB the difference between
+    // one pass and six. Generate + single-scan pinned in
+    // PlanShapeSpec. corr/covar round at the shared floor grid (the
+    // ratio is numerically stable; q_agg_stats set the precedent).
+    "q_agg_corrmat" -> ((s, d) => {
+      import s.implicits._
+      val cols = Seq("quantity", "extendedprice", "discount", "tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield struct(
+        lit(cols(i) + "~" + cols(j)).as("pair"),
+        col("l_" + cols(i)).as("x"), col("l_" + cols(j)).as("y"))
+      t(s, d, "lineitem")
+        .select(explode(array(pairs: _*)).as("p"))
+        .select($"p.pair".as("pair"), $"p.x".as("x"), $"p.y".as("y"))
+        .groupBy($"pair")
+        .agg(count(lit(1)).as("n"),
+          (floor(corr($"x", $"y") * 1e4 + 0.5) / 1e4).as("corr_xy"),
+          (floor(covar_samp($"x", $"y") * 100 + 0.5) / 100).as("covar_xy"))
+        .orderBy($"pair")
+    }),
+
     "q_agg_collect" -> ((s, d) => {
       import s.implicits._
       // collect_set order is nondeterministic; sort_array canonicalizes.
@@ -500,6 +529,27 @@ object Aggs {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // The oracle reads the table once per pair — it need not be
+    // single-pass, only equal to the one-scan Generate form.
+    "q_agg_corrmat" -> """
+      WITH p AS (
+        SELECT 'quantity~extendedprice' AS pair,
+               l_quantity AS x, l_extendedprice AS y FROM lineitem
+        UNION ALL SELECT 'quantity~discount', l_quantity, l_discount
+        FROM lineitem
+        UNION ALL SELECT 'quantity~tax', l_quantity, l_tax FROM lineitem
+        UNION ALL SELECT 'extendedprice~discount', l_extendedprice,
+               l_discount FROM lineitem
+        UNION ALL SELECT 'extendedprice~tax', l_extendedprice, l_tax
+        FROM lineitem
+        UNION ALL SELECT 'discount~tax', l_discount, l_tax FROM lineitem)
+      SELECT pair, count(*) AS n,
+             FLOOR(corr(x, y) * 1e4 + 0.5) / 1e4 AS corr_xy,
+             FLOOR(covar_samp(x, y) * 100 + 0.5) / 100 AS covar_xy
+      FROM p
+      GROUP BY pair
+      ORDER BY pair""",
 
     "q_agg_collect" -> """
       SELECT lang,

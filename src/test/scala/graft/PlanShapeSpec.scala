@@ -40,6 +40,16 @@ class PlanShapeSpec extends GraftSuite {
     assert(scans === 1, s"single-scan profile, found $scans scans:\n$p")
   }
 
+  test("q_agg_corrmat fans out pairs via Generate off ONE scan") {
+    val p = plan("q_agg_corrmat")
+    assert(p.contains("Generate"), "pair fan-out must be a per-row Generate")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans === 1, s"single-scan corr matrix, found $scans scans:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair aggregation must combine map-side (partial+final)")
+  }
+
   test("q_agg_group aggregates partial then final (map-side combine)") {
     val occurrences = "HashAggregate".r.findAllIn(plan("q_agg_group")).size
     assert(occurrences >= 2, s"expected partial+final HashAggregate, saw $occurrences")
