@@ -482,6 +482,45 @@ object TextOps {
         .orderBy($"lang", $"n".desc, $"pair")
     }),
 
+    // C4-STYLE BOILERPLATE REMOVAL — the cross-document repeated-span
+    // scrub (C4 drops any ≥3-sentence line seen ≥3× in the corpus;
+    // RefinedWeb/Gopher run the same pass on nav/footer lines): each
+    // doc splits into non-overlapping 3-token chunks, a chunk TEXT
+    // occurring in ≥ 3 DISTINCT docs is boilerplate, and every doc is
+    // REASSEMBLED from its surviving chunks in order — the output is
+    // the cleaned corpus plus per-doc drop accounting, not just a
+    // report. Chunking is a zero-shuffle per-row generator
+    // (posexplode of a slice-transform — the ordinal IS the chunk
+    // id); the corpus-frequency pass is one partial-aggregable keyed
+    // agg on the chunk text; the mark join is keyed the same way; and
+    // reassembly sorts only WITHIN each doc (collect_list bounded by
+    // doc length, array_sort on (cid, chunk) structs — never a global
+    // or per-partition order dependence). At 100 TB the chunk key is
+    // hashed to 64 bits first (the q_dedup_ngram move) so the two
+    // chunk-keyed shuffles carry 8-byte keys, and the ≥3-doc counter
+    // is exactly the kind of count countDistinct partial-aggregates.
+    "q_text_boilerplate" -> ((s, d) => {
+      import s.implicits._
+      val ch = t(s, d, "documents")
+        .withColumn("w", split($"text", " "))
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(w) / 3.0) as int) - 1), " +
+            "i -> array_join(slice(w, i * 3 + 1, 3), ' '))"))
+          .as(Seq("cid", "chunk")))
+      val bp = ch.groupBy($"chunk")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .where($"nd" >= 3).select($"chunk", lit(1).as("hit"))
+      ch.join(bp, Seq("chunk"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+          array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN hit IS NULL " +
+              "THEN struct(cid, chunk) END)), x -> x.chunk)"), " ")
+            .as("clean_text"))
+        .orderBy($"doc_id")
+    }),
+
     // Exact dedup on (lang, source) keeping min doc_id — window
     // row_number, NOT dropDuplicates (nondeterministic survivor).
     "q_dedup_exact" -> ((s, d) => {
@@ -982,6 +1021,32 @@ object TextOps {
       SELECT doc_id, lang, source FROM documents
       QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
       ORDER BY doc_id""",
+
+    // Same chunking (1-based inclusive list slice = Spark's
+    // slice(w, i*3+1, 3)), same ≥3-distinct-doc threshold; string_agg
+    // skips the NULL (dropped) chunks and orders by chunk id, and the
+    // all-dropped doc coalesces to '' to match Spark's array_join.
+    "q_text_boilerplate" -> """
+      WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+      t1 AS (SELECT doc_id, w,
+                    unnest(range(0, CAST(ceil(len(w) / 3.0) AS INT)))
+                      AS cid
+             FROM t0),
+      ch AS (SELECT doc_id, cid,
+                    array_to_string(w[cid * 3 + 1 : cid * 3 + 3], ' ')
+                      AS chunk
+             FROM t1),
+      bp AS (SELECT chunk FROM ch
+             GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3)
+      SELECT ch.doc_id, count(*) AS n_chunks,
+             CAST(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dropped,
+             COALESCE(string_agg(CASE WHEN b.chunk IS NULL THEN ch.chunk END,
+               ' ' ORDER BY cid), '') AS clean_text
+      FROM ch LEFT JOIN bp b ON ch.chunk = b.chunk
+      GROUP BY ch.doc_id
+      ORDER BY ch.doc_id""",
 
     // Brute-force exact shingle-set Jaccard within (lang) blocks — the
     // LSH path's verified output must equal this or the LSH missed a
