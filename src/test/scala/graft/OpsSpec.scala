@@ -558,6 +558,19 @@ class OpsSpec extends GraftSuite {
     assert(got.map(_._2).sum === members.length.toLong)
   }
 
+  test("q_graph_cc_star is the size distribution of q_graph_cc's census") {
+    // The two declared CC rows are projections of ONE memoized
+    // converged labeling (GraphOps.ccStarLabels); this pins that the
+    // size-distribution row is exactly the census re-aggregated, so
+    // the sharing can never drift the outputs apart.
+    val census = q("q_graph_cc", sf0001).collect().map(_.getLong(1))
+    val expect = census.groupBy(identity)
+      .map { case (n, xs) => (n, xs.length.toLong) }.toSeq.sortBy(_._1)
+    val got = q("q_graph_cc_star", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expect)
+  }
+
   test("ccLabels: plain walks the diameter, doubling takes log rounds, labels agree") {
     // A 12-node path has diameter 11: the min label must walk the
     // whole chain under plain propagation (~11 rounds — one round of
