@@ -331,10 +331,16 @@ object ExtOps {
     // stride 10 over each doc, a window text appearing in ≥ 2 distinct
     // docs marks a duplicated span; report each affected doc's
     // duplicated-window fraction. Window extraction is a zero-shuffle
-    // per-row generator; the only shuffles are keyed on the window
-    // text (count-distinct + the mark join) — at 100 TB the window
-    // column would be hashed first (same move as q_dedup_ngram) so the
-    // shuffle carries 8-byte keys instead of 30-char strings.
+    // per-row generator, and the window TEXT never shuffles at all:
+    // the output needs only doc-level counts, so each window hashes to
+    // a 64-bit xxhash64 key right after extraction (the q_dedup_ngram
+    // move) and both window-keyed shuffles — the distinct-doc counter
+    // and the mark join — carry 8-byte keys instead of 30-char
+    // strings. Collision note: a cross-window xxhash64 collision could
+    // only over-mark a window as duplicated (merging two windows'
+    // doc sets); at ~2^-64 per pair that is negligible at any corpus
+    // size this runs at, and the DuckDB oracle keys on the RAW window
+    // text, so the fixture differential also guards the hashed path.
     "q_dedup_substr" -> ((s, d) => {
       import s.implicits._
       val wins = t(s, d, "documents")
@@ -342,10 +348,11 @@ object ExtOps {
         .select($"doc_id", explode(expr("""
           transform(sequence(0, CAST(floor((length(text) - 30) / 10) AS INT)),
                     i -> substring(text, i * 10 + 1, 30))""")).as("win"))
-      val dup = wins.groupBy($"win")
+        .select($"doc_id", xxhash64($"win").as("wk"))
+      val dup = wins.groupBy($"wk")
         .agg(countDistinct($"doc_id").as("nd"))
-        .where($"nd" >= 2).select($"win")
-      wins.join(dup.withColumn("hit", lit(1)), Seq("win"), "left")
+        .where($"nd" >= 2).select($"wk")
+      wins.join(dup.withColumn("hit", lit(1)), Seq("wk"), "left")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_windows"),
           sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_dup"),

@@ -345,13 +345,56 @@ object PipeOps {
         .orderBy($"col_name")
     }),
 
+    // SKETCH TWIN of q_pipe_profile — the 100 TB shape that row
+    // documents, declared: per-column cardinality via
+    // approx_count_distinct (HyperLogLog++, rsd 1%) instead of exact
+    // countDistinct. The exact form plans through Expand — the input
+    // multiplies by the distinct-column count into 5 parallel streams
+    // — while the sketches are plain commutative partial aggregates:
+    // ONE un-multiplied scan, map-side-combined |sketch|-sized
+    // partials, mergeable across partitions/days exactly like
+    // q_agg_hll. PlanShapeSpec pins the difference (exact plans
+    // Expand, approx plans none); the completeness columns (n,
+    // n_nonnull) stay exact. NO-ORACLE BY DESIGN (the q_agg_approx /
+    // q_agg_hll precedent): DuckDB's approx_distinct is a different
+    // HLL implementation, so cross-engine equality is undefined —
+    // OpsSpec instead pins each sketch within ±5% of the exact
+    // per-column cardinality on the fixture (rsd 1% makes that bound
+    // loose) and the exact columns against q_pipe_profile itself.
+    "q_pipe_profile_approx" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").agg(
+          count(lit(1)).as("n"),
+          count($"doc_id").as("nn1"),
+          approx_count_distinct($"doc_id", 0.01).as("nd1"),
+          count($"lang").as("nn2"),
+          approx_count_distinct($"lang", 0.01).as("nd2"),
+          count($"source").as("nn3"),
+          approx_count_distinct($"source", 0.01).as("nd3"),
+          count($"n_chars").as("nn4"),
+          approx_count_distinct($"n_chars", 0.01).as("nd4"),
+          count($"text").as("nn5"),
+          approx_count_distinct($"text", 0.01).as("nd5"))
+        .select($"n", expr("""stack(5,
+            'doc_id',  nn1, nd1,
+            'lang',    nn2, nd2,
+            'n_chars', nn4, nd4,
+            'source',  nn3, nd3,
+            'text',    nn5, nd5) AS (col_name, n_nonnull, n_distinct_approx)"""))
+        .select($"col_name", $"n", $"n_nonnull", $"n_distinct_approx")
+        .orderBy($"col_name")
+    }),
+
     // CDC CHANGELOG COMPACTION — materialize the current snapshot of
     // a keyed changelog (the Debezium/CDF apply shape, batch form):
     // the event stream is read as ordered ops on user_id — any
     // non-'error' event upserts the user's value, 'error' is the
     // DELETE TOMBSTONE — and last-writer-wins per key, tombstoned
     // keys dropped from the snapshot. The ordering key is the
-    // globally-unique event ts (asserted unique at every SF).
+    // globally-unique event ts — PipeOpsSpec asserts uniqueness at
+    // every fixture SF, because max_by vs DuckDB arg_max tie-break
+    // differently on duplicates and a regenerated fixture must fail
+    // the spec, not flake the differential.
     //
     // The scale point is HOW last-writer-wins runs: max_by/arg_max is
     // a commutative, partial-aggregable aggregate — map-side combine

@@ -56,7 +56,7 @@ object TextOps {
     * Catalyst can't ReusedExchange them — materialize the shared
     * stage once. The model (≤ |alphabet|² rows) broadcasts, so at
     * 100 TB the score pass is map-side only. */
-  private def lmScores(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def lmScores(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.derived(s, d, "charlm_scores") {
       import s.implicits._
       val bgc = t(s, d, "documents")
@@ -180,9 +180,17 @@ object TextOps {
       val sr = lmScores(s, d)
         .select($"doc_id", $"lang",
           (floor($"score" * 1e4 + 0.5) / 1e4).as("sr"))
+      // The cutoffs themselves are ALSO snapped to the 1e-4 grid:
+      // Spark's percentile interpolates as a*(1-f)+b*f where DuckDB's
+      // quantile_cont lerps a+(b-a)*f — algebraically equal but not
+      // bit-equal, so an un-snapped cutoff could differ in the last
+      // ulp and flip an `sr <= cutoff` tie. Snapped, every boundary
+      // compare is between exact grid values (and the snap cannot
+      // itself flip: interpolated grid values land at thirds of a
+      // grid step, never at the round-half boundary).
       val cut = sr.groupBy($"lang").agg(
-        percentile($"sr", lit(1.0 / 3)).as("c33"),
-        percentile($"sr", lit(2.0 / 3)).as("c67"))
+        (floor(percentile($"sr", lit(1.0 / 3)) * 1e4 + 0.5) / 1e4).as("c33"),
+        (floor(percentile($"sr", lit(2.0 / 3)) * 1e4 + 0.5) / 1e4).as("c67"))
       sr.join(broadcast(cut), "lang")
         .withColumn("bucket",
           when($"sr" <= $"c33", "tail")
@@ -492,13 +500,18 @@ object TextOps {
     // report. Chunking is a zero-shuffle per-row generator
     // (posexplode of a slice-transform — the ordinal IS the chunk
     // id); the corpus-frequency pass is one partial-aggregable keyed
-    // agg on the chunk text; the mark join is keyed the same way; and
+    // agg on the chunk KEY; the mark join is keyed the same way; and
     // reassembly sorts only WITHIN each doc (collect_list bounded by
     // doc length, array_sort on (cid, chunk) structs — never a global
-    // or per-partition order dependence). At 100 TB the chunk key is
-    // hashed to 64 bits first (the q_dedup_ngram move) so the two
-    // chunk-keyed shuffles carry 8-byte keys, and the ≥3-doc counter
-    // is exactly the kind of count countDistinct partial-aggregates.
+    // or per-partition order dependence). Both chunk-keyed shuffles
+    // carry an 8-byte xxhash64 of the chunk (the q_dedup_ngram move),
+    // not the chunk text: the frequency agg ships only (key, doc_id),
+    // and the mark join ships the text strictly as PAYLOAD (reassembly
+    // needs it) while hashing its key. Collision note: a cross-chunk
+    // xxhash64 collision could only over-mark a chunk as boilerplate
+    // (merging two chunks' doc counts) — ~2^-64 per pair, negligible
+    // at any corpus size — and the DuckDB oracle keys on the RAW chunk
+    // text, so the fixture differential also guards the hashed path.
     "q_text_boilerplate" -> ((s, d) => {
       import s.implicits._
       val ch = t(s, d, "documents")
@@ -507,10 +520,11 @@ object TextOps {
           "transform(sequence(0, cast(ceil(size(w) / 3.0) as int) - 1), " +
             "i -> array_join(slice(w, i * 3 + 1, 3), ' '))"))
           .as(Seq("cid", "chunk")))
-      val bp = ch.groupBy($"chunk")
+        .withColumn("ck", xxhash64($"chunk"))
+      val bp = ch.groupBy($"ck")
         .agg(countDistinct($"doc_id").as("nd"))
-        .where($"nd" >= 3).select($"chunk", lit(1).as("hit"))
-      ch.join(bp, Seq("chunk"), "left")
+        .where($"nd" >= 3).select($"ck", lit(1).as("hit"))
+      ch.join(bp, Seq("ck"), "left")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_dropped"),
@@ -890,13 +904,17 @@ object TextOps {
       ORDER BY lang""",
 
     // The r4 rounding happens BEFORE the percentile on both sides, so
-    // the tercile cutoffs interpolate identical 1e-4-grid inputs.
+    // the tercile cutoffs interpolate identical 1e-4-grid inputs; the
+    // CUTOFFS are then snapped to the same grid too (as in the query),
+    // so boundary compares are between exact grid values in both
+    // engines.
     "q_text_lmbucket" -> s"""
       $charlmScoredCtes,
       sr AS (SELECT doc_id, lang,
                     FLOOR(score * 1e4 + 0.5) / 1e4 AS sr FROM scored),
-      cut AS (SELECT lang, quantile_cont(sr, 1.0/3) AS c33,
-                     quantile_cont(sr, 2.0/3) AS c67
+      cut AS (SELECT lang,
+                     FLOOR(quantile_cont(sr, 1.0/3) * 1e4 + 0.5) / 1e4 AS c33,
+                     FLOOR(quantile_cont(sr, 2.0/3) * 1e4 + 0.5) / 1e4 AS c67
               FROM sr GROUP BY lang)
       SELECT s.lang,
              CASE WHEN s.sr <= c.c33 THEN 'tail'

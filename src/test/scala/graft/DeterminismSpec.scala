@@ -55,7 +55,7 @@ class DeterminismSpec extends GraftSuite {
   test("every query has an oracle or is a documented no-oracle row") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set("q_agg_approx", "q_stream_late", "q_agg_hll",
-      "q_agg_quantile_approx"),
+      "q_agg_quantile_approx", "q_pipe_profile_approx"),
       "only the documented no-oracle rows (SURVEY §2.12 totals) may omit SQL")
   }
 }

@@ -93,6 +93,88 @@ class OpsSpec extends GraftSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("q_pipe_profile_approx matches the exact profile within the sketch bound") {
+    // The no-oracle law for the sketch twin: exact columns (n,
+    // n_nonnull) must EQUAL q_pipe_profile's, and each per-column
+    // HLL++ cardinality must land within ±5% of the exact distinct
+    // (rsd 1% makes the bound loose — the q_agg_approx precedent).
+    val exact = q("q_pipe_profile", sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = q("q_pipe_profile_approx", sf0001).collect()
+    assert(approx.map(_.getString(0)).toSet === exact.keySet)
+    approx.foreach { r =>
+      val (n, nn, nd) = exact(r.getString(0))
+      assert(r.getLong(1) === n && r.getLong(2) === nn,
+        s"exact completeness columns must match for ${r.getString(0)}")
+      val est = r.getLong(3)
+      assert(math.abs(est - nd).toDouble / nd <= 0.05,
+        s"${r.getString(0)}: approx=$est exact=$nd")
+    }
+  }
+
+  test("q_text_lmbucket terciles through approx_percentile honor the GK rank bound") {
+    // Pins the documented unbounded-cardinality cutover: the same
+    // per-language tercile cutoffs computed via approx_percentile's
+    // mergeable GK sketch (accuracy 1000) must (a) satisfy the GK
+    // rank-error law per language — at most n/accuracy ranks from the
+    // target — and (b) flip a document's bucket ONLY when its score
+    // lies in the gap between the exact and approx cutoff for that
+    // tercile; any flip outside a gap would mean the sketch path
+    // changed the assignment logic, not just the cutoff estimate.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{floor => ffloor, expr => fexpr, col => fcol}
+    val acc = 1000
+    val srDf = ops.TextOps.lmScores(spark, sf0001)
+      .select($"doc_id", $"lang",
+        (ffloor($"score" * 1e4 + 0.5) / 1e4).as("sr"))
+    // The cutover path itself: the GK sketch through the per-language
+    // aggregate, exactly where the exact percentile sits in the query.
+    val ap = srDf.groupBy($"lang")
+      .agg(fexpr(s"approx_percentile(sr, array(1.0d/3, 2.0d/3), $acc)").as("a"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[Double](1)(0), r.getSeq[Double](1)(1))).toMap
+    val byLang = srDf.collect()
+      .map(r => (r.getString(1), r.getDouble(2))).groupBy(_._1)
+      .map { case (l, xs) => l -> xs.map(_._2).sorted }
+    assert(byLang.nonEmpty && byLang.keySet === ap.keySet)
+    byLang.foreach { case (lang, xs) =>
+      val n = xs.length
+      val (a33, a67) = ap(lang)
+      Seq(1.0 / 3 -> a33, 2.0 / 3 -> a67).foreach { case (p, ca) =>
+        // GK rank law: the returned value's rank window must overlap
+        // [p·n − n/acc, p·n + n/acc] (±1 for rank-definition slack).
+        val below = xs.count(_ < ca)
+        val atOrBelow = xs.count(_ <= ca)
+        val tol = n.toDouble / acc + 1
+        assert(below <= p * n + tol && atOrBelow >= p * n - tol,
+          s"$lang p=$p: rank window [$below, $atOrBelow] vs target ${p * n} ± $tol")
+      }
+      // Exact cutoffs as the declared query computes them (snapped),
+      // recounted driver-side with the same interpolation algebra.
+      def exactCut(p: Double): Double = {
+        val pos = p * (n - 1)
+        val (lo, f) = (pos.toInt, pos - pos.toInt)
+        val c = xs(lo) * (1 - f) + xs(math.min(lo + 1, n - 1)) * f
+        math.floor(c * 1e4 + 0.5) / 1e4
+      }
+      val (e33, e67) = (exactCut(1.0 / 3), exactCut(2.0 / 3))
+      def bucket(s: Double, c1: Double, c2: Double): String =
+        if (s <= c1) "tail" else if (s <= c2) "middle" else "head"
+      xs.foreach { s =>
+        val (be, ba) = (bucket(s, e33, e67), bucket(s, a33, a67))
+        if (be != ba) {
+          val inGap33 = s > math.min(e33, a33) && s <= math.max(e33, a33)
+          val inGap67 = s > math.min(e67, a67) && s <= math.max(e67, a67)
+          assert(inGap33 || inGap67,
+            s"$lang: flip at sr=$s outside both cutoff gaps " +
+              s"(exact=($e33,$e67) approx=($a33,$a67))")
+        }
+      }
+    }
+  }
+
   test("q_win_rank rank values never exceed group size and start at 1") {
     val rows = q("q_win_rank", sf0001).collect()
     assert(rows.nonEmpty)

@@ -182,6 +182,26 @@ class PipeOpsSpec extends GraftSuite {
     assert(agg.size < users, "some user must end tombstoned")
   }
 
+  test("events.ts is globally unique at every fixture SF (cdc/interp ordering contract)") {
+    // q_pipe_cdc's max_by and q_win_interp's ts-ordered windows are
+    // deterministic across engines ONLY because no two events share a
+    // ts: max_by vs DuckDB arg_max tie-break differently on
+    // duplicates. This asserts the property the comments claim, so a
+    // regenerated fixture with a duplicate ts fails HERE with a clear
+    // message instead of as a silent differential flake.
+    import org.apache.spark.sql.functions._
+    Seq(SparkTestBase.sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d).isDirectory)
+      .foreach { d =>
+        val r = graft.ops.Tables.t(spark, d, "events")
+          .agg(count(lit(1)).as("n"), count_distinct(col("ts")).as("nd"))
+          .head
+        assert(r.getLong(0) === r.getLong(1),
+          s"$d/events: ${r.getLong(0)} rows but only ${r.getLong(1)} distinct ts " +
+            "— cdc/interp ordering is no longer deterministic")
+      }
+  }
+
   test("q_pipe_dpnoise adds the exact deterministic Laplace draw per language") {
     val got = q("q_pipe_dpnoise", sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -40,6 +40,18 @@ class PlanShapeSpec extends GraftSuite {
     assert(scans === 1, s"single-scan profile, found $scans scans:\n$p")
   }
 
+  test("q_pipe_profile_approx sketches cardinality with NO Expand") {
+    // The whole point of the sketch twin: HLL++ partials are plain
+    // commutative aggregates, so the exact form's Expand (input ×
+    // distinct-column count) must be gone while the scan stays single.
+    val p = plan("q_pipe_profile_approx")
+    assert(!p.contains("Expand"),
+      s"sketch profile must not multiply the input through Expand:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans === 1, s"single-scan profile, found $scans scans:\n$p")
+  }
+
   test("q_agg_corrmat fans out pairs via Generate off ONE scan") {
     val p = plan("q_agg_corrmat")
     assert(p.contains("Generate"), "pair fan-out must be a per-row Generate")
