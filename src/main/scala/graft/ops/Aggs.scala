@@ -372,9 +372,73 @@ object Aggs {
           round(max($"l_quantity"), 2).as("max_qty"))
         .orderBy($"bucket")
     }),
+
+    // COUNT-MIN SKETCH point queries (Cormode & Muthukrishnan 2005),
+    // FULLY ORACLED — unlike HLL (q_agg_hll), a CM sketch is
+    // deterministic given its hash family, and ours is the repo-wide
+    // salted h60, so DuckDB rebuilds the BIT-IDENTICAL sketch and the
+    // differential covers the whole estimate path, not just a law.
+    // Shape: the d×w counter grid (d=4 salts, w=512) is a keyed
+    // partial-aggregable count — at 100 TB the stream collapses
+    // map-side to ≤ d·w counters per partition, the mergeable
+    // fixed-memory alternative when the exact token census
+    // (q_text_wordcount) is too wide to shuffle. Probes: the 10
+    // exactly-most-frequent tokens (deterministic tie-break), each
+    // estimated as min over its d counters. The sketch never
+    // underestimates (est ≥ true for every probe — asserted in
+    // OpsSpec) and overestimates by at most the collision mass in the
+    // lightest of d rows.
+    "q_agg_countmin" -> ((s, d) => {
+      import s.implicits._
+      def bkt(tok: org.apache.spark.sql.Column,
+              i: org.apache.spark.sql.Column) =
+        Tables.h60(concat(lit("cm"), i.cast("string"), lit(":"), tok)) % 512
+      val toks = t(s, d, "documents")
+        .select(explode(split($"text", " ")).as("tok"))
+      val sketch = toks
+        .select($"tok", explode(expr("sequence(0, 3)")).as("i"))
+        .groupBy($"i", bkt($"tok", $"i").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val probes = toks.groupBy($"tok").agg(count(lit(1)).as("n_true"))
+        .orderBy($"n_true".desc, $"tok").limit(10)
+      sketch
+        .join(broadcast(probes
+          .select($"tok", $"n_true", explode(expr("sequence(0, 3)")).as("i"))
+          .withColumn("b", bkt($"tok", $"i"))), Seq("i", "b"))
+        .groupBy($"tok", $"n_true").agg(min($"c").as("n_est"))
+        .orderBy($"n_true".desc, $"tok")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // Rebuilds the IDENTICAL d=4 / w=512 salted-h60 sketch — every
+    // counter bit-equal to Spark's — then probes it the same way.
+    "q_agg_countmin" -> """
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      salted AS (
+        SELECT i, tok FROM toks
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+      sk AS MATERIALIZED (
+        SELECT i,
+               CAST('0x' || substring(md5('cm' || CAST(i AS VARCHAR)
+                 || ':' || tok), 1, 15) AS BIGINT) % 512 AS b,
+               count(*) AS c
+        FROM salted GROUP BY 1, 2),
+      probes AS MATERIALIZED (
+        SELECT tok, count(*) AS n_true FROM toks
+        GROUP BY tok ORDER BY n_true DESC, tok LIMIT 10),
+      pb AS (
+        SELECT p.tok, p.n_true, s.i,
+               CAST('0x' || substring(md5('cm' || CAST(s.i AS VARCHAR)
+                 || ':' || p.tok), 1, 15) AS BIGINT) % 512 AS b
+        FROM probes p
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s)
+      SELECT p.tok, p.n_true, MIN(k.c) AS n_est
+      FROM pb p JOIN sk k ON p.i = k.i AND p.b = k.b
+      GROUP BY p.tok, p.n_true
+      ORDER BY n_true DESC, tok""",
+
     "q_agg_regr" -> """
       WITH e AS (
         SELECT event_type, value,

@@ -390,6 +390,56 @@ object GraphOps {
         .localCheckpoint(eager = false)
     }
 
+  /** `rounds` peel iterations toward the K-CORE of a SYMMETRIC edge
+    * set: each round drops every node whose degree in the CURRENT
+    * subgraph is < k, then restricts the edges to surviving endpoints.
+    * FIXED round count, deliberately: the whole chain is ONE lazy
+    * plan with ONE action — no per-round driver materialization at
+    * all (unlike the CC/PageRank loops, where a convergence scalar
+    * forces a driver round per step), because a fixed unroll is
+    * exactly reproducible in the oracle's CTE chain. Each round is a
+    * partial-aggregable degree count plus two keyed semi-joins
+    * (endpoint-survival restriction) — linear in |E|, keyed, no
+    * broadcast requirement — and the per-round lazy checkpoints make
+    * the three references to each round's edge set share one
+    * materialization inside the single job. Peeling is monotone
+    * (node sets only shrink), so once a round removes nothing the
+    * chain is at the k-core fixpoint and every further round is the
+    * identity — fixed-round correctness therefore only needs
+    * rounds ≥ the peel depth, which OpsSpec asserts by comparing
+    * round counts `rounds` and `rounds+1` for equality on the real
+    * fixture. Probed peel depths on the [[ccEdges]] graph (k=2):
+    * 2 / 6 / 11 rounds at sf0.001 / 0.01 / 0.1.
+    *
+    * `broadcastKeep` is the [[bfsFrontiers]] regime split: the
+    * surviving-node set is |V|-bounded, so it BROADCASTS and each
+    * restriction join is a map-side hash probe — measured 4× over the
+    * keyed form at fixture scale (1.5 s vs 6.5 s at sf0.1, where 24
+    * sequential keyed-join shuffle stages are pure latency); past the
+    * broadcast regime the keyed variant SHUFFLE_HASH-hints both
+    * restriction joins (hint survives AQE) and checkpoints the keep
+    * set (referenced twice — unchecked, each reference replays the
+    * degree agg). Strategy agreement is pinned in OpsSpec. */
+  private[graft] def kcoreEdges(edges0: org.apache.spark.sql.DataFrame,
+      k: Int, rounds: Int, broadcastKeep: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    var edges = edges0.localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      val keep0 = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= k).select(col("src").as("node"))
+      val keep =
+        if (broadcastKeep) keep0 else keep0.localCheckpoint(eager = false)
+      def side(df: org.apache.spark.sql.DataFrame) =
+        if (broadcastKeep) broadcast(df) else df.hint("shuffle_hash")
+      edges = edges
+        .join(side(keep.select(col("node").as("src"))), "src")
+        .join(side(keep.select(col("node").as("dst"))), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = false)
+    }
+    edges
+  }
+
   /** The symmetrized customer—supplier trade graph (distinct
     * (custkey, suppkey) pairs that share an order; node ids namespaced
     * 'c…'/'s…' so the key spaces can't collide), materialized ONCE per
@@ -741,6 +791,30 @@ object GraphOps {
           min($"dg").as("min_deg"), max($"dg").as("max_deg"))
         .orderBy($"magnitude")
     }),
+
+    // 2-CORE of the sparse trade graph by ITERATIVE PEELING — the
+    // standard "strip the tree fringe" kernel (k-core, Seidman 1983):
+    // drop degree-<2 nodes until none remain; what survives is the
+    // cyclic backbone. On a near-dup graph this is the move that
+    // separates incidental pairs from genuinely entangled clusters
+    // before any expensive per-cluster work. See [[kcoreEdges]] for
+    // the fixed-round single-action design (no per-round driver
+    // materialization — the one iterative query here with ZERO
+    // convergence actions) and the rounds-sufficiency argument; 12
+    // rounds covers every fixture SF (max measured peel depth 11)
+    // with headroom, and OpsSpec asserts 12 ≡ 13 on the fixture so a
+    // regenerated deeper graph fails the spec, not the differential.
+    // Output: each 2-core member with its in-core degree.
+    "q_graph_kcore" -> ((s, d) => {
+      import s.implicits._
+      val e0 = ccEdges(s, d)
+      val sym = e0.unionByName(
+        e0.select($"dst".as("src"), $"src".as("dst")))
+      kcoreEdges(sym, k = 2, rounds = 12, broadcastKeep = true)
+        .groupBy($"src").agg(count(lit(1)).as("dg"))
+        .select($"src".as("node"), $"dg")
+        .orderBy($"node")
+    }),
   )
 
   /** The identical 5 iterations unrolled as generated CTEs — one
@@ -794,6 +868,30 @@ object GraphOps {
       SELECT n_nodes, count(*) AS n_components FROM census
       GROUP BY n_nodes
       ORDER BY n_nodes"""
+    // The identical 12 peel rounds unrolled — generated from one
+    // per-round template exactly like the PageRank iterations, so the
+    // Spark loop and the oracle can't drift on the round formula.
+    // MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs per
+    // reference, and each round references the previous round's edge
+    // set three times — un-materialized, the 12-round chain expands
+    // 3^12 scans and dies on file handles before it's slow.
+    val kcoreCte = (i: Int) => s""",
+      k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
+              GROUP BY src HAVING count(*) >= 2),
+      e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+              JOIN k$i a ON e.src = a.node
+              JOIN k$i b ON e.dst = b.node)"""
+    val kcoreSql = """
+      WITH e00 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_totalprice > 450000 AND l_quantity >= 47),
+      e0 AS (SELECT src, dst FROM e00 UNION ALL SELECT dst, src FROM e00)""" +
+      (1 to 12).map(kcoreCte).mkString + """
+      SELECT src AS node, count(*) AS dg FROM e12
+      GROUP BY src
+      ORDER BY node"""
     Map(
       "q_graph_pagerank" -> pagerankSql,
       "q_graph_pagerank_part" -> pagerankSql,
@@ -864,6 +962,7 @@ object GraphOps {
       // memoized labeling independently per row.
       "q_graph_cc" -> ccSql,
       "q_graph_cc_star" -> ccStarSql,
+      "q_graph_kcore" -> kcoreSql,
 
       "q_graph_degreedist" -> """
       WITH e0 AS (

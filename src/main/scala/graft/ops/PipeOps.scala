@@ -347,34 +347,39 @@ object PipeOps {
 
     // SKETCH TWIN of q_pipe_profile — the 100 TB shape that row
     // documents, declared: per-column cardinality via
-    // approx_count_distinct (HyperLogLog++, rsd 1%) instead of exact
+    // approx_count_distinct (HyperLogLog++, rsd 2%) instead of exact
     // countDistinct. The exact form plans through Expand — the input
     // multiplies by the distinct-column count into 5 parallel streams
     // — while the sketches are plain commutative partial aggregates:
     // ONE un-multiplied scan, map-side-combined |sketch|-sized
     // partials, mergeable across partitions/days exactly like
-    // q_agg_hll. PlanShapeSpec pins the difference (exact plans
-    // Expand, approx plans none); the completeness columns (n,
+    // q_agg_hll. rsd is 2%, not tighter: Spark sizes the register
+    // array as rsd shrinks (1% measured 3.3 s vs 2%'s 0.85 s at
+    // sf0.1 — the per-partition merge of 5 large dense sketches, not
+    // the scan, dominates), and a profile needs magnitude, not the
+    // third digit. PlanShapeSpec pins the plan difference (exact
+    // plans Expand, approx plans none); the completeness columns (n,
     // n_nonnull) stay exact. NO-ORACLE BY DESIGN (the q_agg_approx /
     // q_agg_hll precedent): DuckDB's approx_distinct is a different
     // HLL implementation, so cross-engine equality is undefined —
     // OpsSpec instead pins each sketch within ±5% of the exact
-    // per-column cardinality on the fixture (rsd 1% makes that bound
-    // loose) and the exact columns against q_pipe_profile itself.
+    // per-column cardinality on the fixture (deterministic given the
+    // data — HLL has no runtime randomness) and the exact columns
+    // against q_pipe_profile itself.
     "q_pipe_profile_approx" -> ((s, d) => {
       import s.implicits._
       t(s, d, "documents").agg(
           count(lit(1)).as("n"),
           count($"doc_id").as("nn1"),
-          approx_count_distinct($"doc_id", 0.01).as("nd1"),
+          approx_count_distinct($"doc_id", 0.02).as("nd1"),
           count($"lang").as("nn2"),
-          approx_count_distinct($"lang", 0.01).as("nd2"),
+          approx_count_distinct($"lang", 0.02).as("nd2"),
           count($"source").as("nn3"),
-          approx_count_distinct($"source", 0.01).as("nd3"),
+          approx_count_distinct($"source", 0.02).as("nd3"),
           count($"n_chars").as("nn4"),
-          approx_count_distinct($"n_chars", 0.01).as("nd4"),
+          approx_count_distinct($"n_chars", 0.02).as("nd4"),
           count($"text").as("nn5"),
-          approx_count_distinct($"text", 0.01).as("nd5"))
+          approx_count_distinct($"text", 0.02).as("nd5"))
         .select($"n", expr("""stack(5,
             'doc_id',  nn1, nd1,
             'lang',    nn2, nd2,

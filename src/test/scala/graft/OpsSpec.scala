@@ -84,6 +84,26 @@ class OpsSpec extends GraftSuite {
     assert(top.map(_._2) === top.map(_._2).sorted.reverse)
   }
 
+  test("q_agg_countmin never underestimates and stays within the sketch's mass bound") {
+    // The CM guarantees, on the real fixture: est ≥ true for every
+    // probe (min over counters that each saw every occurrence), and
+    // est ≤ total stream mass (a counter can't exceed N). The exact
+    // estimate VALUES are covered by the DuckDB differential — the
+    // sketch is deterministic — so this law only pins the inequality
+    // structure that must survive any fixture regeneration.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, split}
+    val n = ops.Tables.t(spark, sf0001, "documents")
+      .select(explode(split($"text", " "))).count()
+    val rows = q("q_agg_countmin", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 10)
+    rows.foreach { case (tok, t, e) =>
+      assert(e >= t, s"$tok: estimate $e under true count $t")
+      assert(e <= n, s"$tok: estimate $e exceeds stream mass $n")
+    }
+  }
+
   test("q_agg_approx HLL++ estimate is within ±5% of the exact count") {
     import spark.implicits._
     val approx = q("q_agg_approx", sf0001).collect()(0).getLong(0)
@@ -638,6 +658,65 @@ class OpsSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got === expect)
     assert(got.map(_._2).sum === members.length.toLong)
+  }
+
+  test("q_graph_kcore matches a driver-side peel and 12 rounds suffice at sf0.1") {
+    import org.apache.spark.sql.functions.col
+    // Driver-side converge-to-fixpoint 2-core peel over the same edges.
+    val e0 = ops.Tables.t(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > 450000)
+      .join(ops.Tables.t(spark, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey") && col("l_quantity") >= 47)
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct().collect()
+      .map(r => (s"c${r.getLong(0)}", s"s${r.getLong(1)}"))
+    var es = (e0 ++ e0.map(_.swap)).toSet
+    var changed = true
+    while (changed) {
+      val deg = es.groupBy(_._1).map { case (n, xs) => n -> xs.size }
+      val keep = deg.collect { case (n, c) if c >= 2 => n }.toSet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != es
+      es = next
+    }
+    val expect = es.groupBy(_._1)
+      .map { case (n, xs) => (n, xs.size.toLong) }.toSeq.sortBy(_._1)
+    val got = q("q_graph_kcore", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expect)
+    assert(got.forall(_._2 >= 2), "every 2-core member needs in-core degree >= 2")
+    // Fixed-round sufficiency where it's sharpest: the LARGEST fixture
+    // (measured peel depth 11) — round 13 must change nothing vs 12.
+    // Peeling is monotone, so equality here proves the declared 12 is
+    // at (or past) the fixpoint for every smaller fixture too.
+    val sf01 = "/root/testdata/sf0.1"
+    if (new java.io.File(sf01).isDirectory) {
+      val big = ops.Tables.t(spark, sf01, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .join(ops.Tables.t(spark, sf01, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") && col("l_quantity") >= 47)
+        .select(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("c"),
+            col("o_custkey").cast("string")).as("src"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("s"),
+            col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val sym = big.unionByName(
+        big.select(col("dst").as("src"), col("src").as("dst")))
+      def core(r: Int, bcast: Boolean): Set[(String, String)] =
+        ops.GraphOps.kcoreEdges(sym, 2, r, broadcastKeep = bcast).collect()
+          .map(x => (x.getString(0), x.getString(1))).toSet
+      val c12 = core(12, bcast = true)
+      assert(c12 === core(13, bcast = true),
+        "12 peel rounds must reach the sf0.1 fixpoint")
+      // Strategy agreement (the bfsFrontiers pattern): the keyed
+      // SHUFFLE_HASH variant — the past-broadcast-regime path — must
+      // land the identical core.
+      assert(c12 === core(12, bcast = false),
+        "broadcast and keyed peel strategies must agree")
+    }
   }
 
   test("q_graph_cc_star is the size distribution of q_graph_cc's census") {
