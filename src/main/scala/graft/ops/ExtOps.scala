@@ -377,6 +377,48 @@ object ExtOps {
         .orderBy($"label")
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // near-dup removal blocked by LEARNED PROTOTYPES instead of a
+    // given label — the move q_dedup_embed cannot make at 100 TB,
+    // where no curated label bounds the pair scan. Every vector is
+    // assigned to its nearest of K prototype vectors (the
+    // q_sim_kmeans assignment pass, verbatim: broadcast K centroids,
+    // rounded-dot argmax, deterministic cid tie-break); pairs are
+    // then scanned ONLY within a prototype cell, and the
+    // keep-lowest-id survivor policy drops the higher id of any pair
+    // with cosine ≥ 0.4 (the q_dedup_embed policy, so the two rows
+    // differ in exactly one thing: who defines the block). Scale: the
+    // assignment is one broadcast map-side pass; the pair scan is
+    // keyed on cid and quadratic only in cell size — K is the knob
+    // that bounds cells (the paper's clusters), exactly the
+    // label-block trade with the label learned. Output: per-cell
+    // census + drop count.
+    "q_dedup_semdedup" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "embeddings").select($"vec_id", $"embedding")
+      val cents = e.where($"vec_id" < 8)
+        .select($"vec_id".cast("int").as("cid"), $"embedding".as("cv"))
+      val w = Window.partitionBy($"vec_id").orderBy($"dp".desc, $"cid")
+      val asn = e.crossJoin(broadcast(cents))
+        .select($"vec_id", $"embedding", $"cid",
+          (floor(graft.functions.FloatDot.dotF($"embedding", $"cv")
+            * 1e6 + 0.5) / 1e6).as("dp"))
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"cid", $"vec_id", $"embedding")
+      val a = asn.select($"cid", $"vec_id".as("va"), $"embedding".as("ea"))
+      val b = asn.select($"cid", $"vec_id".as("vb"), $"embedding".as("eb"))
+      val dropped = a.join(b, "cid").where($"va" < $"vb")
+        .where(floor(graft.functions.FloatDot.dotF($"ea", $"eb")
+          * 1e4 + 0.5) / 1e4 >= 0.4)
+        .select($"cid", $"vb".as("vec_id")).distinct()
+      asn.join(dropped.withColumn("dup", lit(1)),
+          Seq("cid", "vec_id"), "left")
+        .groupBy($"cid").agg(
+          count(lit(1)).as("n_members"),
+          sum(when($"dup".isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy($"cid")
+    }),
+
     // Duplicate-CLUSTER resolution: the near-dup pair graph collapsed
     // to connected components (a pair list alone over-drops when A~B
     // and B~C but the pipeline keeps one doc per GROUP). The pair
@@ -677,6 +719,38 @@ object ExtOps {
         FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
         GROUP BY e.label
         ORDER BY e.label""",
+
+      // The q_sim_kmeans assignment CTE verbatim (same 1e-6 rounded
+      // dot, same cid tie-break), then the q_dedup_embed pair scan
+      // re-keyed on the learned cell.
+      "q_dedup_semdedup" -> """
+        WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                       FROM embeddings WHERE vec_id < 8),
+        asn AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     FLOOR(list_sum(list_transform(list_zip(e.embedding, c.cv),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       * 1e6 + 0.5) / 1e6 DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT pa.cid, b.vec_id
+          FROM asn pa JOIN asn pb ON pa.cid = pb.cid
+                                 AND pa.vec_id < pb.vec_id
+          JOIN embeddings a ON a.vec_id = pa.vec_id
+          JOIN embeddings b ON b.vec_id = pb.vec_id
+          WHERE FLOOR(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  * 1e4 + 0.5) / 1e4 >= 0.4)
+        SELECT s.cid, count(*) AS n_members,
+               CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped
+        FROM asn s LEFT JOIN dropped d
+          ON s.cid = d.cid AND s.vec_id = d.vec_id
+        GROUP BY s.cid
+        ORDER BY s.cid""",
 
       // Exact transitive closure via recursive CTE — if the Spark
       // side's propagation-round bound were ever insufficient, this

@@ -878,6 +878,38 @@ class OpsSpec extends GraftSuite {
     assert(sizes.toSeq === Seq(("c1", 5L), ("e8", 2L), ("t1", 4L)))
   }
 
+  test("q_dedup_semdedup matches a driver-side prototype-blocked recount") {
+    // Full recount of the SemDeDup pipeline: nearest-prototype
+    // assignment (1e-6 rounded dot, cid tie-break), in-cell pair scan
+    // at the 1e-4 rounded 0.4 threshold, keep-lowest-id survivors.
+    import spark.implicits._
+    val e = ops.Tables.t(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = e.filter(_._1 < 8).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.iterator.zip(b.iterator)
+        .map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val asn = e.map { case (id, v) =>
+      val (_, cid) = cents.map { case (c, cv) => (r6(dot(v, cv)), -c) }.max
+      (-cid, id, v)
+    }
+    val expect = asn.groupBy(_._1).map { case (cid, xs) =>
+      val dropped = (for {
+        (_, va, ea) <- xs; (_, vb, eb) <- xs
+        if va < vb && r4(dot(ea, eb)) >= 0.4
+      } yield vb).toSet
+      (cid.toInt, xs.length.toLong, dropped.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = q("q_dedup_semdedup", sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.map(_._2).sum === e.length.toLong,
+      "every vector must land in exactly one prototype cell")
+  }
+
   test("q_dedup_incremental matches a driver-side batch-vs-corpus Jaccard recount") {
     import org.apache.spark.sql.functions.col
     val docs = ops.Tables.t(spark, sf0001, "documents")
