@@ -170,13 +170,19 @@ object Bench {
         // drop the derived-plan memos and their checkpoint blocks, so a
         // full-surface JVM doesn't carry every graph/text query's persisted
         // blocks as GC ballast into every later query's measurement.
-        // Exception: the alphabetically-consecutive q_graph_* run shares
-        // one checkpointed trade graph (Tables.derived) — resetting
-        // mid-family would force each member to rebuild it; the family's
-        // few |E|-sized block sets drop at its end instead.
+        // Exception: alphabetically-consecutive runs WITHIN a family
+        // that shares Tables.derived intermediates keep the memo alive
+        // — q_graph_* share the checkpointed trade graph / cc edges /
+        // star labels, q_text_* share the memoized charlm score table
+        // (q_text_charlm and q_text_lmbucket would otherwise each pay
+        // the tokenize+score pass). Resetting mid-family would force
+        // each member to rebuild; the family's few bounded block sets
+        // drop at its end instead.
         val next = if (i + 1 < ordered.size) ordered(i + 1)._1 else ""
-        if (!(name.startsWith("q_graph_") && next.startsWith("q_graph_")))
-          ops.Tables.resetDerived(spark)
+        val sharedFamilies = Seq("q_graph_", "q_text_")
+        val sameFamily = sharedFamilies.exists(f =>
+          name.startsWith(f) && next.startsWith(f))
+        if (!sameFamily) ops.Tables.resetDerived(spark)
       }
       // Full precision to the plain file after each pass; the stdout
       // line below stays COMPACT: the driver keeps only the last

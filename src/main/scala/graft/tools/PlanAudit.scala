@@ -24,11 +24,12 @@ import org.apache.spark.sql.SparkSession
   *    q_pipe_oversample / q_pipe_drift / q_pipe_benford /
   *    q_pipe_tokenbudget / q_pipe_curriculum / q_pipe_zorder /
   *    q_graph_pagerank (1-row scalar totals, vocab grids, or
-  *    |V|-sized rank tables), q_sim_kmeans (8-row centroid batch),
-  *    q_sim_recall (two 10-row top-k sets), q_dedup_ngram (broadcast
-  *    block table for triangle blocking; the pair join itself is
-  *    keyed), q_win_ntile (DistRank's ≤32-row offset triangle +
-  *    1-row total).
+  *    |V|-sized rank tables), q_sim_kmeans / q_dedup_semdedup (8-row
+  *    centroid/prototype batch), q_sim_recall (two 10-row top-k
+  *    sets), q_dedup_ngram (broadcast block table for triangle
+  *    blocking; the pair join itself is keyed), q_win_ntile
+  *    (DistRank's ≤32-row offset triangle + 1-row total),
+  *    q_pipe_temperature (|langs|-row rate table).
   */
 object PlanAudit {
 
