@@ -574,6 +574,30 @@ object TextOps {
     // Jaccard within language blocks.
     "q_dedup_incremental" -> ((s, d) => incrementalDedup(s, d, BucketCap)),
 
+    // EXACT set-containment near-dup join via PREFIX FILTERING
+    // (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search",
+    // WWW 2007 — the AllPairs family, re-expressed on DataFrames) —
+    // the asymmetric measure MinHash-LSH is structurally bad at: a
+    // short doc pasted inside a long one has containment
+    // |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so its band-collision
+    // probability vanishes exactly when the signal is strongest.
+    // Prefix filtering is EXACT, not probabilistic: if the smaller
+    // doc's ⌊(1−t)·|A|⌋+1 RAREST shingles all miss B, the remaining
+    // ones number < t·|A|, so containment < t — no candidate is ever
+    // lost (the bound holds for ANY prefix of that size; ranking by
+    // ascending document frequency is purely the optimization that
+    // makes prefix postings short). Candidates come only from
+    // (lang, rare-shingle) postings matches, the verify touches
+    // candidates only, and every join/agg is keyed — at 100 TB the
+    // known residual is a hot shingle whose full postings list is
+    // long; prefixes reference it only from docs where it ranks among
+    // the rarest fifth, and the production extensions (positional +
+    // length filters, PPJoin) are the published answer. Output: one
+    // row per pair at containment ≥ 0.8, oriented contained → container
+    // (C(small→large) ≥ C(large→small), so this is the max-containment
+    // direction; ties orient by doc_id).
+    "q_dedup_containment" -> ((s, d) => containmentPairs(s, d)),
+
     // Skip-gram co-occurrence extraction: unordered token pairs within
     // a ±3-position window, the pair-counting pass that feeds word2vec
     // /GloVe-style embedding training (q_text_pmi is the ADJACENT-only
@@ -657,6 +681,59 @@ object TextOps {
       .where($"jac" >= 0.6)
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q_dedup_containment body — exact prefix-filter containment
+    * self-join (see the queries-map entry for the algorithm and the
+    * exactness argument). Threshold t = 0.8 over 3-token shingle
+    * sets; sets are hashed to sorted long arrays by the same
+    * `shingle_hash` kernel as q_dedup_minhash (set sizes and
+    * intersections are hash-invariant w.h.p. at 64 bits, the
+    * q_dedup_ngram adjudication), while the ORACLE brute-forces raw
+    * shingle strings within (lang) blocks — so the candidate
+    * machinery itself is under differential test. */
+  private[graft] def containmentPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val T = 0.8
+    val tk = t(s, d, "documents")
+      .select($"doc_id", $"lang", split($"text", " ").as("w"))
+      .where(size($"w") >= 3)
+      .select($"doc_id", $"lang", expr("shingle_hash(w, 3)").as("tok"))
+    // Exploded postings (doc, lang, sz, shingle-hash). The shingle
+    // table feeds the df count, the prefix ranking, AND the postings
+    // side of the candidate join — like minhashPairs' tok diamond,
+    // deliberately NOT materialized (the codegen'd kernel re-run is
+    // cheaper than checkpointing |shingle| rows).
+    val post = tk.withColumn("sz", size($"tok"))
+      .select($"doc_id", $"lang", $"sz", explode($"tok").as("sh"))
+    // Per-(lang, shingle) document frequency — ranking rare-first is
+    // what keeps prefix postings short; correctness needs no order at
+    // all (any ⌊(1−t)·sz⌋+1 missing shingles bound the overlap).
+    val dfq = post.groupBy($"lang", $"sh").agg(count(lit(1)).as("df"))
+    val prefix = post.join(dfq, Seq("lang", "sh"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"sh")))
+      .where($"rnk" <= floor($"sz" * (1 - T)) + 1)
+      .select($"doc_id", $"lang", $"sz", $"sh")
+    // Candidates: the SMALLER doc's prefix against ANY doc's postings
+    // (ties orient by doc_id, so each unordered pair is generated in
+    // exactly one direction — the direction whose containment is max).
+    val cand = prefix.as("a").join(post.as("b"),
+        $"a.lang" === $"b.lang" && $"a.sh" === $"b.sh" &&
+          ($"a.sz" < $"b.sz" ||
+            ($"a.sz" === $"b.sz" && $"a.doc_id" < $"b.doc_id")))
+      .select($"a.doc_id".as("doc_in"), $"b.doc_id".as("doc_of"))
+      .distinct()
+    val ta = tk.select($"doc_id".as("doc_in"), $"tok".as("tok_a"))
+    val tb = tk.select($"doc_id".as("doc_of"), $"tok".as("tok_b"))
+    cand.join(ta, "doc_in").join(tb, "doc_of")
+      .withColumn("inter",
+        expr("sorted_intersect_count(tok_a, tok_b)").cast("double"))
+      .withColumn("cont", $"inter" / least(size($"tok_a"), size($"tok_b")))
+      .where($"cont" >= T)
+      .select($"doc_in", $"doc_of", round($"cont", 4).as("containment"))
+      .orderBy($"doc_in", $"doc_of")
   }
 
   /** q_dedup_incremental body, parameterized by the corpus-side
@@ -1090,6 +1167,37 @@ object TextOps {
         FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE jac >= 0.6
       ORDER BY doc_a, doc_b""",
+
+    // Brute-force exact shingle-set CONTAINMENT within (lang) blocks:
+    // inter / min(|A|,|B|), pair oriented contained → container
+    // (smaller set first; ties by doc_id). The Spark side's
+    // prefix-filter candidate generation must lose no pair — that
+    // exactness claim IS what this differential checks.
+    "q_dedup_containment" -> """
+      WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      sh AS (
+        SELECT doc_id, lang,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      tk AS (
+        SELECT doc_id, lang, list(DISTINCT shingle) AS tok
+        FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang)
+      SELECT doc_in, doc_of, ROUND(cont, 4) AS containment FROM (
+        SELECT CASE WHEN len(a.tok) < len(b.tok)
+                      OR (len(a.tok) = len(b.tok) AND a.doc_id < b.doc_id)
+                    THEN a.doc_id ELSE b.doc_id END AS doc_in,
+               CASE WHEN len(a.tok) < len(b.tok)
+                      OR (len(a.tok) = len(b.tok) AND a.doc_id < b.doc_id)
+                    THEN b.doc_id ELSE a.doc_id END AS doc_of,
+               CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                 / LEAST(len(a.tok), len(b.tok)) AS cont
+        FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      WHERE cont >= 0.8
+      ORDER BY doc_in, doc_of""",
 
     // Brute-force batch⋈corpus shingle Jaccard within language
     // blocks — the LSH probe's recall is effectively 1 at ≥ 0.6

@@ -63,6 +63,41 @@ class OpsSpec extends GraftSuite {
     assert(rows === Seq((0L, 1L, 1.0)))
   }
 
+  test("q_dedup_containment: prefix filter loses no pair vs all-pairs brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The exactness claim under independent test: regenerate the SAME
+    // verified output with candidates = EVERY within-lang pair (no
+    // prefix pruning at all) and require row-for-row agreement — any
+    // pair the rare-shingle prefix join failed to surface would be
+    // missing from the declared query but present here.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"lang", split($"text", " ").as("w"))
+      .where(size($"w") >= 3)
+      .select($"doc_id", $"lang", expr("shingle_hash(w, 3)").as("tok"),
+        size(expr("shingle_hash(w, 3)")).as("sz"))
+    val brute = docs.as("a").join(docs.as("b"),
+        $"a.lang" === $"b.lang" &&
+          ($"a.sz" < $"b.sz" ||
+            ($"a.sz" === $"b.sz" && $"a.doc_id" < $"b.doc_id")))
+      .select($"a.doc_id".as("doc_in"), $"b.doc_id".as("doc_of"),
+        expr("sorted_intersect_count(a.tok, b.tok)").cast("double")
+          .as("inter"),
+        least($"a.sz", $"b.sz").as("mn"))
+      .withColumn("cont", $"inter" / $"mn")
+      .where($"cont" >= 0.8)
+      .select($"doc_in", $"doc_of", round($"cont", 4).as("containment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val got = q("q_dedup_containment", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture must exercise the ≥0.8 band")
+    // Orientation law: the emitted direction is the max-containment
+    // one, contained → container, so containment ≤ 1 and ≥ threshold.
+    assert(got.forall { case (_, _, c) => c >= 0.8 && c <= 1.0 })
+  }
+
   test("q_stream_session splits on the 30-minute gap, merges within it") {
     val rows = q("q_stream_session", microDir).collect()
       .filter(_.getLong(0) == 7L)
