@@ -619,6 +619,21 @@ object TextOps {
         .orderBy($"n".desc, $"w1", $"w2")
         .limit(30)
     }),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al.
+    // 2023, NeurIPS, arXiv:2302.03169), the published answer to "pick
+    // the raw-web documents that look most like a trusted target
+    // corpus": hashed uni+bigram bag-of-ngrams models for the target
+    // (source = src0, the trusted-domain stand-in) and the raw pool,
+    // per-doc importance weight log p(feat)/q(feat), then GUMBEL
+    // TOP-K resampling of the raw pool. Every piece is deterministic
+    // and cross-engine exact: features hash through the salted h60
+    // (DuckDB rebuilds them bit-identically), per-bucket log-ratios
+    // and Gumbel perturbations round to integer MICRO-nats before any
+    // sum (the q_pipe_temperature integer-gate move — exact
+    // order-independent BIGINT arithmetic, no float-summation drift),
+    // and the Gumbel noise is the hash of the doc id, not a PRNG.
+    "q_text_dsir" -> ((s, d) => dsirSelect(s, d)),
   )
 
   /** The maximum docs a single LSH bucket may contribute to the pair
@@ -734,6 +749,80 @@ object TextOps {
       .where($"cont" >= T)
       .select($"doc_in", $"doc_of", round($"cont", 4).as("containment"))
       .orderBy($"doc_in", $"doc_of")
+  }
+
+  /** q_text_dsir body (see the queries-map entry for the method and
+    * determinism argument). B = 1024 feature buckets, K = 100 docs
+    * resampled. 100 TB shape: bucket stats are partial-aggregable
+    * keyed counts collapsing to ≤ B rows; the B-row log-ratio table
+    * BROADCASTS back onto the per-doc features (B is the knob — the
+    * paper uses 10k; a cluster run raises it, and the table stays
+    * broadcast-sized up to millions of buckets); the per-doc weight
+    * is one keyed agg; selection is a global top-K (TakeOrdered, no
+    * full sort). The corpus-total scalar rides the whitelisted
+    * tiny-broadcast cross join. */
+  private[graft] def dsirSelect(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val K = 100
+    val docs = t(s, d, "documents")
+      .select($"doc_id", $"lang", $"source")
+    val lam = dsirWeights(s, d)
+    // Gumbel top-K over the raw pool: g = -ln(-ln(u)) with u the
+    // doc-id hash scaled to (0,1) — reproducible noise, micro-rounded
+    // like the ratios so the sort key is an exact BIGINT.
+    docs.where($"source" =!= "src0").select($"doc_id", $"lang")
+      .join(lam, Seq("doc_id"))
+      .withColumn("u",
+        (pmod(Tables.h60(concat(lit("dsirg:"), $"doc_id".cast("string"))),
+          lit(1000000L)).cast("double") + 0.5) / 1e6)
+      .withColumn("gkey",
+        $"lam_micro" + round(-log(-log($"u")) * 1e6).cast("long"))
+      .orderBy($"gkey".desc, $"doc_id")
+      .limit(K)
+      .select($"doc_id", $"lang", round($"lam_micro" / 1e6, 6).as("logw"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_text_dsir's importance-weight stage, exposed for the OpsSpec
+    * separation law (mean λ over target docs must exceed mean λ over
+    * the raw pool — the model must recognize what it was fit on).
+    * Returns (doc_id, lam_micro) for EVERY doc, target included. */
+  private[graft] def dsirWeights(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val B = 1024L
+    val docs = t(s, d, "documents")
+      .select($"doc_id", $"lang", $"source", split($"text", " ").as("w"))
+    // Hashed uni+bigram features. Bigrams via the zero-shuffle array
+    // transform (index lambda + element_at), not a per-doc window —
+    // no shuffle before the feature counts.
+    val uni = docs.select($"doc_id", $"source", explode($"w").as("g"))
+    val bi = docs.select($"doc_id", $"source",
+      explode(expr(
+        "transform(slice(w, 1, size(w) - 1)," +
+          " (x, i) -> concat(x, ' ', element_at(w, i + 2)))")).as("g"))
+    val grams = uni.unionByName(bi)
+      .withColumn("b", pmod(Tables.h60(concat(lit("dsir:"), $"g")), lit(B)))
+    // Per-bucket occurrence counts under target and raw — ≤ B rows.
+    val stats = grams.groupBy($"b").agg(
+      sum(when($"source" === "src0", 1L).otherwise(0L)).as("tc"),
+      sum(when($"source" =!= "src0", 1L).otherwise(0L)).as("rc"))
+    val tot = stats.agg(sum($"tc").as("tt"), sum($"rc").as("rt"))
+    // Laplace-smoothed per-bucket log-ratio in integer micro-nats.
+    // The ONLY transcendental step — rounded to the 1e-6 grid before
+    // any summation, so the engines' last-ulp ln() differences cannot
+    // accumulate (a flip needs ln() to land within an ulp of a
+    // half-micro-nat boundary; the differential would catch it).
+    val ratio = stats.crossJoin(broadcast(tot))
+      .withColumn("r_micro", round(
+        (log(($"tc" + 1.0) / ($"tt" + B.toDouble)) -
+          log(($"rc" + 1.0) / ($"rt" + B.toDouble))) * 1e6).cast("long"))
+      .select($"b", $"r_micro")
+    val feat = grams.groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+    // λ in micro-nats: exact BIGINT dot product, order-independent.
+    feat.join(broadcast(ratio), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"c" * $"r_micro").as("lam_micro"))
   }
 
   /** q_dedup_incremental body, parameterized by the corpus-side
@@ -1198,6 +1287,57 @@ object TextOps {
         FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE cont >= 0.8
       ORDER BY doc_in, doc_of""",
+
+    // The identical DSIR pipeline in SQL: same salted-h60 feature
+    // buckets, same integer micro-nat ratio/Gumbel rounding, same
+    // Gumbel-top-K — every arithmetic step is exact BIGINT after the
+    // per-value ln() rounding, so the selection is bit-reproducible.
+    "q_text_dsir" -> """
+      WITH tok AS (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      grams AS (
+        SELECT doc_id, source,
+               CAST('0x' || substring(md5('dsir:' || g), 1, 15) AS BIGINT)
+                 % 1024 AS b
+        FROM (
+          SELECT doc_id, source, t AS g FROM tok
+          UNION ALL
+          SELECT doc_id, source, g FROM (
+            SELECT doc_id, source,
+                   t || ' ' || lead(t, 1)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM tok) WHERE g IS NOT NULL)),
+      stats AS (
+        SELECT b,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc,
+               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS rc
+        FROM grams GROUP BY b),
+      tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM stats),
+      ratio AS (
+        SELECT b,
+               CAST(ROUND((ln((tc + 1.0) / (tt + 1024.0))
+                         - ln((rc + 1.0) / (rt + 1024.0))) * 1e6)
+                 AS BIGINT) AS r_micro
+        FROM stats, tot),
+      feat AS (SELECT doc_id, b, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+      lam AS (
+        SELECT f.doc_id, SUM(f.c * r.r_micro) AS lam_micro
+        FROM feat f JOIN ratio r USING (b) GROUP BY 1),
+      scored AS (
+        SELECT d.doc_id, d.lang, l.lam_micro,
+               l.lam_micro + CAST(ROUND(-ln(-ln(
+                 (CAST(CAST('0x' || substring(
+                    md5('dsirg:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1e6))
+                 * 1e6) AS BIGINT) AS gkey
+        FROM documents d JOIN lam l USING (doc_id)
+        WHERE d.source <> 'src0')
+      SELECT doc_id, lang, ROUND(lam_micro / 1e6, 6) AS logw
+      FROM (SELECT * FROM scored ORDER BY gkey DESC, doc_id LIMIT 100)
+      ORDER BY doc_id""",
 
     // Brute-force batch⋈corpus shingle Jaccard within language
     // blocks — the LSH probe's recall is effectively 1 at ≥ 0.6

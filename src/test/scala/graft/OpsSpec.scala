@@ -98,6 +98,33 @@ class OpsSpec extends GraftSuite {
     assert(got.forall { case (_, _, c) => c >= 0.8 && c <= 1.0 })
   }
 
+  test("q_text_dsir: importance model separates target from raw; selection is biased toward it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // DSIR's core semantic claim, as a law: the bag-of-hashed-ngrams
+    // importance model fit on the target domain must assign HIGHER
+    // mean weight to target docs than to the raw pool (it recognizes
+    // what it was fit on), and the Gumbel-top-K selection must in
+    // turn be biased toward high-weight raw docs.
+    val lam = graft.ops.TextOps.dsirWeights(spark, sf0001)
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"source")
+    val means = lam.join(src, "doc_id")
+      .groupBy($"source" === "src0").agg(avg($"lam_micro").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"target mean λ ${means(true)} must exceed raw mean ${means(false)}")
+    // Selected docs: all from the raw pool, distinct, and their mean
+    // logw strictly above the full raw pool's mean (sf0.001 margin
+    // measured ≈ 14 nats — assert half of it to absorb fixture drift).
+    val sel = q("q_text_dsir", sf0001).collect()
+    assert(sel.map(_.getLong(0)).distinct.length === sel.length)
+    val selAvg = sel.map(_.getDouble(2)).sum / sel.length
+    val poolAvg = means(false) / 1e6
+    assert(selAvg > poolAvg + 7.0,
+      s"selected mean $selAvg must clear pool mean $poolAvg by ≥ 7 nats")
+  }
+
   test("q_stream_session splits on the 30-minute gap, merges within it") {
     val rows = q("q_stream_session", microDir).collect()
       .filter(_.getLong(0) == 7L)
