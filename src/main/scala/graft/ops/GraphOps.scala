@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables.{Q, t}
 
@@ -351,6 +352,38 @@ object GraphOps {
       .groupBy(col("u")).agg(min(least(col("v"), col("u"))).as("lab"))
       .select(col("u").as("node"), col("lab"))
     (lab, rounds)
+  }
+
+  /** `rounds` synchronous label-propagation steps over a SYMMETRIC
+    * edge set (see the q_graph_lpa entry for semantics). Per round:
+    * one keyed join (labels onto edge sources — broadcast-sized at
+    * fixture scale; at billion-vertex scale the label table rides the
+    * co-partitioned layout exactly as q_graph_pagerank_part pins for
+    * the identical join shape), one partial-aggregable (node, label)
+    * vote count, and one per-node argmax window (keyed by node, never
+    * global; a production run fuses the window into min_by on a
+    * (-count, label) key — kept as row_number here so the Spark and
+    * DuckDB round formulas are textually identical). FIXED unroll,
+    * zero driver actions: synchronous LPA may oscillate rather than
+    * converge, so a convergence-scalar loop could spin forever — the
+    * fixed round count is the published mitigation AND what makes the
+    * oracle's unrolled CTE chain exactly reproducible. */
+  private[graft] def lpaLabels(edges: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    (1 to rounds).foreach { _ =>
+      val votes = edges
+        .join(lbl.select(col("node").as("src"), col("lbl").as("l")), Seq("src"))
+        .select(col("dst").as("node"), col("l"))
+        .unionByName(lbl.select(col("node"), col("lbl").as("l")))
+        .groupBy(col("node"), col("l")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("l"))
+      lbl = votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("node"), col("l").as("lbl"))
+    }
+    lbl
   }
 
   /** The DIRECTED half of the sparse CC fixture graph, shared by BOTH
@@ -770,6 +803,31 @@ object GraphOps {
         .orderBy($"n_nodes")
     }),
 
+    // LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007, Phys. Rev.
+    // E 76) over the shared [[ccEdges]] fixture graph — the standard
+    // near-linear community detector, and the sub-component structure
+    // CC cannot see (CC answers "connected at all?", LPA answers
+    // "densely connected to WHOM?"). SYNCHRONOUS deterministic
+    // variant: every node simultaneously adopts the most frequent
+    // label among its neighbors plus ONE self-vote (the self-vote
+    // damps the 2-cycle oscillation synchronous LPA is known for;
+    // ties break to the lexicographically smallest label, so no RNG
+    // anywhere — the published async-random variant trades
+    // determinism for convergence speed, the wrong trade under a
+    // differential). FIXED 8-round unroll as one lazy plan, the
+    // q_graph_kcore move: exactly reproducible in the oracle's 8
+    // MATERIALIZED CTE rounds, zero per-round driver actions. Output:
+    // community census (label, size), largest first.
+    "q_graph_lpa" -> ((s, d) => {
+      import s.implicits._
+      val e0 = ccEdges(s, d)
+      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+      lpaLabels(edges, 8)
+        .groupBy($"lbl").agg(count(lit(1)).as("n_nodes"))
+        .select($"lbl".as("community"), $"n_nodes")
+        .orderBy($"n_nodes".desc, $"community")
+    }),
+
     // Degree-distribution summary of the symmetrized trade graph,
     // bucketed by decimal magnitude (digit count of the degree —
     // exact INTEGER bucketing on both engines, where floor(log2(d))
@@ -892,9 +950,39 @@ object GraphOps {
       SELECT src AS node, count(*) AS dg FROM e12
       GROUP BY src
       ORDER BY node"""
+    // The identical 8 synchronous LPA rounds unrolled from one
+    // per-round template (the kcore/pagerank move): neighbor votes +
+    // one self-vote, argmax by (count DESC, label ASC) via the same
+    // row_number formula the Spark loop uses. MATERIALIZED for the
+    // same reason as kcore — each round reads the previous label
+    // table twice.
+    val lpaCte = (i: Int) => s""",
+      v$i AS MATERIALIZED (
+        SELECT node, l, count(*) AS c FROM (
+          SELECT e.dst AS node, p.lbl AS l
+          FROM edges e JOIN l${i - 1} p ON e.src = p.node
+          UNION ALL SELECT node, lbl FROM l${i - 1})
+        GROUP BY node, l),
+      l$i AS MATERIALIZED (
+        SELECT node, l AS lbl FROM v$i
+        QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, l) = 1)"""
+    val lpaSql = """
+      WITH e00 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_totalprice > 450000 AND l_quantity >= 47),
+      edges AS (SELECT src, dst FROM e00 UNION ALL SELECT dst, src FROM e00),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges)""" +
+      (1 to 8).map(lpaCte).mkString + """
+      SELECT lbl AS community, count(*) AS n_nodes FROM l8
+      GROUP BY lbl
+      ORDER BY n_nodes DESC, community"""
     Map(
       "q_graph_pagerank" -> pagerankSql,
       "q_graph_pagerank_part" -> pagerankSql,
+      "q_graph_lpa" -> lpaSql,
 
       "q_graph_triangles" -> """
       WITH e AS (

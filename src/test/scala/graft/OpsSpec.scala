@@ -794,6 +794,45 @@ class OpsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("q_graph_lpa strictly refines connected components on the fixture graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Refinement law on the fixture: every LPA community must lie
+    // INSIDE one connected component (LPA labels only ever travel
+    // along edges, so a community spanning two components is
+    // impossible — a violation means the vote join corrupted node
+    // identity). Checked per NODE, not per census row.
+    val lpaNodes = {
+      val e0 = spark.sql(
+        s"""SELECT DISTINCT concat('c', o_custkey) AS src,
+                            concat('s', l_suppkey) AS dst
+            FROM parquet.`$sf0001/orders.parquet` o
+            JOIN parquet.`$sf0001/lineitem.parquet` l
+              ON o_orderkey = l_orderkey
+            WHERE o_totalprice > 450000 AND l_quantity >= 47""")
+      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+      ops.GraphOps.lpaLabels(edges, 8)
+    }
+    // CC labels over the same edge set via the star engine.
+    val e0 = spark.sql(
+      s"""SELECT DISTINCT concat('c', o_custkey) AS u,
+                          concat('s', l_suppkey) AS v
+          FROM parquet.`$sf0001/orders.parquet` o
+          JOIN parquet.`$sf0001/lineitem.parquet` l
+            ON o_orderkey = l_orderkey
+          WHERE o_totalprice > 450000 AND l_quantity >= 47""")
+    val cc = ops.GraphOps.ccStar(e0)._1.toDF("node", "comp")
+    val spans = lpaNodes.join(cc, "node")
+      .groupBy($"lbl").agg(countDistinct($"comp").as("ncomp"))
+      .where($"ncomp" > 1).count()
+    assert(spans === 0L, "an LPA community must never span two components")
+    // And LPA is strictly finer than CC on this graph (real
+    // sub-component structure, not a relabeled CC).
+    val nLpa = lpaNodes.select($"lbl").distinct().count()
+    val nCc = cc.select($"comp").distinct().count()
+    assert(nLpa > nCc, s"expected finer communities: lpa=$nLpa cc=$nCc")
+  }
+
   test("ccLabels: plain walks the diameter, doubling takes log rounds, labels agree") {
     // A 12-node path has diameter 11: the min label must walk the
     // whole chain under plain propagation (~11 rounds — one round of
