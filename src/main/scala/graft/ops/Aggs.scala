@@ -413,6 +413,59 @@ object Aggs {
         .groupBy($"tok", $"n_true").agg(min($"c").as("n_est"))
         .orderBy($"n_true".desc, $"tok")
     }),
+
+    // BLOOM-FILTER MEMBERSHIP (Bloom 1970), FULLY ORACLED — the same
+    // determinism argument as q_agg_countmin: given the hash family
+    // (salted h60, k = 4 functions as four DISJOINT 14-bit slices of
+    // ONE digest — the hash-once move), the m = 16384-bit filter is a
+    // pure function of the member set, so DuckDB rebuilds it
+    // BIT-IDENTICALLY and the differential covers build + probe +
+    // the actual false positives, not just a rate law. The filter is
+    // represented as the DISTINCT set-bit-position table (≤ m rows):
+    // the member stream collapses map-side to ≤ m positions per
+    // partition, and two filters MERGE as a union of bit sets — the
+    // mergeable membership sketch that backs semi-join pruning when
+    // the build side is too big to broadcast raw (q_join_bloom is
+    // Spark's built-in consumer of the idea; this row is the sketch
+    // itself under test). Semantics: members = customers with a
+    // > 490000 order (~18% of customers at every SF); probes = EVERY
+    // customer; output (c_custkey, truly_member, bloom_hit) — no
+    // false negative is possible (OpsSpec law), false positives
+    // appear as truly_member=false / bloom_hit=true rows (m = 4096 is
+    // sized so the sf0.01 differential EXERCISES them; production
+    // sizes m ≈ 10·n bits for ~1% fp, and the m=16384 headroom swap
+    // changes nothing else).
+    "q_agg_bloom" -> ((s, d) => {
+      import s.implicits._
+      val members = t(s, d, "orders").where($"o_totalprice" > 490000)
+        .select($"o_custkey".cast("long").as("k")).distinct()
+      val bits = members
+        .withColumn("h", Tables.h60(concat(lit("bf:"), $"k".cast("string"))))
+        .select(explode(expr("sequence(0, 3)")).as("i"), $"h")
+        .select(expr("shiftright(h, i * 12) & 4095").as("pos"))
+        .distinct()
+      val probes = t(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"))
+      // Each probe's 4 hash slots checked against the bit set: a slot
+      // matches at most one (distinct) bit row, so k_hit counts slots
+      // found and membership is k_hit = 4 — duplicate positions
+      // within one probe stay correct by construction.
+      val hits = probes
+        .withColumn("h",
+          Tables.h60(concat(lit("bf:"), $"c_custkey".cast("string"))))
+        .select($"c_custkey", explode(expr("sequence(0, 3)")).as("i"), $"h")
+        .withColumn("pos", expr("shiftright(h, i * 12) & 4095"))
+        .join(broadcast(bits), Seq("pos"))
+        .groupBy($"c_custkey").agg(count(lit(1)).as("k_hit"))
+      probes
+        .join(hits, Seq("c_custkey"), "left")
+        .join(members.withColumn("m", lit(true))
+          .select($"k".as("c_custkey"), $"m"), Seq("c_custkey"), "left")
+        .select($"c_custkey",
+          coalesce($"m", lit(false)).as("truly_member"),
+          coalesce($"k_hit" === 4, lit(false)).as("bloom_hit"))
+        .orderBy($"c_custkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -446,6 +499,41 @@ object Aggs {
       FROM pb p JOIN sk k ON p.i = k.i AND p.b = k.b
       GROUP BY p.tok, p.n_true
       ORDER BY n_true DESC, tok""",
+
+    // Rebuilds the IDENTICAL m=4096 / k=4 Bloom filter — hash once
+    // per member, four disjoint 12-bit slices as the bit positions,
+    // the filter as the distinct-positions table — then probes every
+    // customer the same way. bloom_hit must agree bit-for-bit, false
+    // positives included.
+    "q_agg_bloom" -> """
+      WITH members AS MATERIALIZED (
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k
+        FROM orders WHERE o_totalprice > 490000),
+      bits AS MATERIALIZED (
+        SELECT DISTINCT
+               (CAST('0x' || substring(md5('bf:' || CAST(k AS VARCHAR)),
+                  1, 15) AS BIGINT) >> (i * 12)) & 4095 AS pos
+        FROM members
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+      probes AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer),
+      pb AS (
+        SELECT p.c_custkey,
+               (CAST('0x' || substring(
+                  md5('bf:' || CAST(p.c_custkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) >> (s.i * 12)) & 4095 AS pos
+        FROM probes p
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s),
+      hits AS (
+        SELECT pb.c_custkey, count(*) AS k_hit
+        FROM pb JOIN bits USING (pos) GROUP BY pb.c_custkey)
+      SELECT p.c_custkey,
+             (m.k IS NOT NULL) AS truly_member,
+             COALESCE(h.k_hit = 4, FALSE) AS bloom_hit
+      FROM probes p
+      LEFT JOIN hits h ON p.c_custkey = h.c_custkey
+      LEFT JOIN members m ON p.c_custkey = m.k
+      ORDER BY p.c_custkey""",
 
     "q_agg_regr" -> """
       WITH e AS (

@@ -794,6 +794,29 @@ class OpsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("q_agg_bloom: zero false negatives, bounded false-positive rate") {
+    // The Bloom guarantee as laws: a member can NEVER miss (its k
+    // positions were all set during the build), and at the fixture's
+    // load factor (n=27 members into m=4096 bits at sf0.001) the fp
+    // rate stays far under 5%. The exact fp ROWS are covered by the
+    // DuckDB differential; these laws pin the semantics the
+    // differential can't express (no-miss ∀ member). microDir has NO
+    // qualifying order — the EMPTY-filter edge: zero bits set, every
+    // probe must come back negative.
+    for (dir <- Seq(sf0001, microDir)) {
+      val rows = q("q_agg_bloom", dir).collect()
+        .map(r => (r.getBoolean(1), r.getBoolean(2)))
+      assert(rows.nonEmpty)
+      assert(rows.forall { case (member, hit) => !member || hit },
+        "a true member must never miss the filter")
+      val nonMembers = rows.count(!_._1)
+      val fps = rows.count { case (m, h) => !m && h }
+      assert(nonMembers > 0, "fixture must exercise non-members")
+      assert(fps.toDouble / nonMembers < 0.05,
+        s"fp rate $fps/$nonMembers exceeds the sized-for bound")
+    }
+  }
+
   test("q_graph_lpa strictly refines connected components on the fixture graph") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
