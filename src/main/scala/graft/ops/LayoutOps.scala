@@ -131,6 +131,32 @@ object LayoutOps {
     // filter excludes. The dim must be a FILE source — a filtered
     // LocalRelation constant-folds away before DPP's selective-
     // predicate check (see SinksSpec).
+    // HIVE-PARTITIONED LAYOUT + STATIC partition pruning — the most
+    // common 100 TB layout idiom (date/lang/source directory
+    // partitioning) and the STATIC complement to q_join_dpp's RUNTIME
+    // pruning: the filter is a literal, so Catalyst prunes partitions
+    // at PLANNING time — non-matching directories are never even
+    // listed, the strongest possible pushdown (DPP needs a join to
+    // discover the same thing at runtime). The corpus is written ONCE
+    // per (session, dir) partitioned by lang (the ensureTable memo,
+    // same as the bucket tables); the read filters two of five
+    // languages, and LayoutOpsSpec pins PartitionFilters on the scan
+    // with partition count 2 — a plan that lists all five directories
+    // would be wrong even though its rows agree.
+    "q_scan_hivepart" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val pt = s"graft_docs_bylang_$tag"
+      ensureTable(s, pt) {
+        t(s, d, "documents").write.partitionBy("lang")
+          .mode("overwrite").saveAsTable(pt)
+      }
+      s.table(pt).where($"lang".isin("en", "fr"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang", $"source")
+    }),
+
     "q_join_dpp" -> ((s, d) => {
       import s.implicits._
       val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
@@ -323,6 +349,16 @@ object LayoutOps {
 
     // Pruning must not change results: the oracle is the PLAIN join
     // over the raw parquet, no partitioned table involved.
+    // Partitioned layout must not change results: plain filter + agg
+    // over the raw parquet.
+    "q_scan_hivepart" -> """
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE lang IN ('en', 'fr')
+      GROUP BY lang, source
+      ORDER BY lang, source""",
+
     "q_join_dpp" -> """
       WITH dim(st, label) AS
         (VALUES ('O','open'), ('F','finished'), ('P','pending'))

@@ -317,6 +317,55 @@ object PipeOps {
 
     // SINGLE-SCAN COLUMN PROFILE — the Deequ-style first query run
     // against any new dataset before anything else is built on it:
+    // THE PREPROCESSING FUNNEL REPORT — the per-stage attrition
+    // accounting every production training-data pipeline publishes
+    // next to its dataset card (how many docs/tokens survived each
+    // gate?), as ONE lazy DAG over four chained stages: raw →
+    // prefix-FINGERPRINT dedup (min-doc_id survivor per md5 of the
+    // first 8 tokens — the cheap CCNet-style first-pass content
+    // fingerprint run before any MinHash machinery; the fixture
+    // carries 24 such shared-prefix near-dups) → Gopher-style length
+    // gates (30 ≤ words ≤ 90, dropping both tails) → per-language
+    // TOKEN BUDGET (keep docs in doc_id order while the language's
+    // cumulative tokens stay ≤ 50% of its post-gate total — the
+    // integer cap broadcasts back, the q_pipe_temperature move).
+    // Stages compose the operators declared individually elsewhere
+    // (q_dedup_exact / q_text_quality / q_pipe_tokenbudget) — this
+    // row proves the COMPOSITION end-to-end under one differential.
+    // Scale: fingerprint window keys on fp (unbounded groups, fine);
+    // the per-lang cumsum is ONE partition per language — at 100 TB
+    // the budget applies per (lang, shard) or through DistRank's
+    // distributed ranking (the q_pipe_curriculum engine), documented
+    // trade. Output: (stage_id, stage, n_docs, n_tokens), 4 rows.
+    "q_pipe_prepfunnel" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"lang", split($"text", " ").as("w"))
+        .withColumn("ntok", size($"w").cast("long"))
+      val s1 = docs
+        .withColumn("fp", md5(concat_ws(" ", slice($"w", 1, 8))))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+        .where($"rn" === 1).drop("fp", "rn")
+      val s2 = s1.where($"ntok".between(30, 90))
+      val caps = s2.groupBy($"lang")
+        .agg(floor(sum($"ntok") * 0.5).as("cap"))
+      val s3 = s2
+        .withColumn("cum",
+          sum($"ntok").over(Window.partitionBy($"lang").orderBy($"doc_id")))
+        .join(broadcast(caps), Seq("lang"))
+        .where($"cum" <= $"cap")
+      def st(df: org.apache.spark.sql.DataFrame, id: Int, nm: String) =
+        df.agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
+          .select(lit(id).as("stage_id"), lit(nm).as("stage"),
+            $"n_docs", $"n_tokens")
+      st(docs, 0, "raw")
+        .unionByName(st(s1, 1, "fingerprint_dedup"))
+        .unionByName(st(s2, 2, "quality_rules"))
+        .unionByName(st(s3, 3, "token_budget"))
+        .orderBy($"stage_id")
+    }),
+
     // per-column non-null and exact distinct counts (completeness +
     // cardinality), every column in ONE scan. Multi-column DISTINCT
     // aggregates plan through Expand — the input multiplies by the
@@ -1168,6 +1217,42 @@ object PipeOps {
 
     // One UNION ALL branch per profiled column — the oracle need not
     // be single-pass, only equal.
+    // The identical four-stage funnel in SQL; sums cast to BIGINT
+    // (DuckDB widens sum(int) to HUGEINT).
+    "q_pipe_prepfunnel" -> """
+      WITH docs AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+               md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                 AS fp
+        FROM documents),
+      s1 AS MATERIALIZED (
+        SELECT * FROM docs
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+      s2 AS MATERIALIZED (SELECT * FROM s1 WHERE ntok BETWEEN 30 AND 90),
+      caps AS (
+        SELECT lang, FLOOR(SUM(ntok) * 0.5) AS cap FROM s2 GROUP BY lang),
+      s3 AS (
+        SELECT s2.*,
+               SUM(ntok) OVER (PARTITION BY s2.lang ORDER BY doc_id) AS cum,
+               cap
+        FROM s2 JOIN caps USING (lang)
+        QUALIFY cum <= cap)
+      SELECT * FROM (
+        SELECT 0 AS stage_id, 'raw' AS stage,
+               count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        FROM docs
+        UNION ALL
+        SELECT 1, 'fingerprint_dedup', count(*), CAST(SUM(ntok) AS BIGINT)
+        FROM s1
+        UNION ALL
+        SELECT 2, 'quality_rules', count(*), CAST(SUM(ntok) AS BIGINT)
+        FROM s2
+        UNION ALL
+        SELECT 3, 'token_budget', count(*), CAST(SUM(ntok) AS BIGINT)
+        FROM s3)
+      ORDER BY stage_id""",
+
     "q_pipe_profile" -> """
       SELECT col_name, n, n_nonnull, n_distinct FROM (
         SELECT 'doc_id' AS col_name, count(*) AS n,

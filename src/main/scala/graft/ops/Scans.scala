@@ -217,6 +217,28 @@ object Scans {
       }
       s.sql(sql)
     }),
+
+    // TPC-H Q5 shape — local-supplier revenue by nation: the classic
+    // SIX-table star-plus-snowflake join (lineitem at the center;
+    // orders/customer up the order path; supplier/nation/region down
+    // the geography path; customer and supplier constrained to the
+    // SAME nation). ONE SQL string runs verbatim on both engines (the
+    // q_sql_q3 move), so what's under test is Catalyst's whole
+    // multi-join pipeline: region/nation/supplier/customer all
+    // broadcast (dims), lineitem⋈orders is the one big keyed join,
+    // join REORDERING pushes the region filter through nation before
+    // any fact-side work, and the same aggregate shuffles once on
+    // n_name. At 100 TB this is the plan the optimizer must find on
+    // its own — no hints in the SQL, deliberately.
+    "q_sql_q5" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val sql = Seq("customer", "orders", "lineitem", "supplier",
+        "nation", "region").foldLeft(sqlQ5) { (acc, n) =>
+          t(s, d, n).createOrReplaceTempView(s"graft_${n}_$tag")
+          acc.replaceAll(s"\\b$n\\b", s"graft_${n}_$tag")
+      }
+      s.sql(sql)
+    }),
   )
 
   /** Shared by the Spark query (modulo dir-scoped view names) and the
@@ -238,6 +260,25 @@ object Scans {
       GROUP BY o_orderkey, o_orderdate
       ORDER BY revenue DESC, o_orderkey
       LIMIT 10"""
+
+  /** TPC-H Q5 shape on the fixture's timestamp order dates; revenue
+    * rounded half-up to cents so the cross-engine double compare is
+    * exact (the sqlQ3 rule). */
+  private val sqlQ5 = """
+      SELECT n_name,
+             FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+               AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""
 
   val oracle: Map[String, String] = Map(
     "q_scan_project" -> """
@@ -282,5 +323,6 @@ object Scans {
       ORDER BY n_name""",
 
     "q_sql_q3" -> sqlQ3,
+    "q_sql_q5" -> sqlQ5,
   )
 }

@@ -148,6 +148,40 @@ class LayoutOpsSpec extends GraftSuite {
     assert(got === picked)
   }
 
+  test("q_scan_hivepart: static partition pruning lists only the two filtered dirs") {
+    val df = q("q_scan_hivepart", sf0001)
+    // The scan must prune at PLANNING time: the FileSourceScan's
+    // selected partition count is 2 (en, fr) of 5 — a scan listing
+    // all five lang directories would be wrong even with equal rows.
+    // collect() does not descend through the AQE wrapper (the inner
+    // plan is a field, not a child) — unwrap it first.
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScan over the table")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"lang IN (en, fr) must land in partitionFilters: $scan")
+    assert(scan.selectedPartitions.partitionCount === 2,
+      s"exactly 2 of 5 lang partitions must survive pruning, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+    // And the layout must not change results vs the raw parquet.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val plain = ops.Tables.t(spark, sf0001, "documents")
+      .where($"lang".isin("en", "fr"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang", $"source").collect().toSeq
+    assert(df.collect().toSeq === plain)
+  }
+
   test("q_join_dpp: fact scan carries a dynamicpruning partition filter") {
     val df = q("q_join_dpp", sf0001)
     val p = df.queryExecution.executedPlan.toString

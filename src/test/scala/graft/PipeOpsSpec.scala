@@ -9,6 +9,23 @@ import SparkTestBase.{microDir, sf0001}
   */
 class PipeOpsSpec extends GraftSuite {
 
+  test("q_pipe_prepfunnel: strict monotone attrition; the 50% budget cap binds") {
+    val rows = q("q_pipe_prepfunnel", sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2, 3), "four ordered stages")
+    // Every stage must DROP something on the fixture (a vacuous stage
+    // means the gate constants no longer bite this data).
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 < a._2 && b._3 <= a._3,
+        s"stage ${b._1} must attrit docs vs stage ${a._1}: $b vs $a")
+    }
+    // Budget law: per-language caps are ≤ 50% of the language's
+    // post-gate tokens, so the global stage-3 total is too (floors
+    // only shrink caps).
+    assert(rows(3)._3 <= rows(2)._3 / 2,
+      s"token budget ${rows(3)._3} must be ≤ half of ${rows(2)._3}")
+  }
+
   test("q_pipe_manifest signature flips on a one-row change and ignores order") {
     import spark.implicits._
     def write(rows: Seq[(Long, String, String, String, Long)], dir: String) =
