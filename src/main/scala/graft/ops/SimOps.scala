@@ -373,7 +373,59 @@ object SimOps {
           $"sim_a".as("sim"), $"score".as("score")))
         .orderBy($"pick")
     }),
+
+    // SEMANTIC CLUSTERING via kNN-GRAPH + LABEL PROPAGATION — the
+    // label-free clustering pass that balances a pretraining mix or
+    // scopes dedup work when no curated grouping exists (SemDeDup's
+    // clusters, NN-descent pipelines): every vector's 3 nearest
+    // neighbors WITHIN its random-hyperplane LSH cell become graph
+    // edges, then 4 deterministic LPA rounds (GraphOps.lpaLabels — the
+    // q_graph_lpa engine re-applied to a DIFFERENT graph, proving the
+    // kernel composes) label the communities; output the cluster
+    // census. Candidates come ONLY from the 2^6-cell LSH partition —
+    // keyed self-join, never a cartesian; the cell count is the knob
+    // at 10^9 vectors (more bits → smaller cells) with multi-probe
+    // (q_sim_ann_lsh) as the recall path; the kNN cut is a per-vector
+    // keyed window. Vectors alone in their cell stay singleton
+    // clusters (left join, label defaults to own id). NOTE the
+    // fixture's `label` column deliberately plays NO role and can't:
+    // the fixture embeddings are geometrically unstructured by label
+    // (mean within-label dot ≈ across-label ≈ 0, measured), so the
+    // OpsSpec laws are STRUCTURAL — the census conserves every
+    // vector exactly once, and every cluster sits inside one
+    // connected component of the kNN graph (labels only travel along
+    // edges).
+    "q_sim_cluster" -> ((s, d) => {
+      import s.implicits._
+      val lab = GraphOps.lpaLabels(simKnnEdges(s, d), 4)
+      t(s, d, "embeddings").select($"vec_id")
+        .join(lab, $"vec_id" === $"node", "left")
+        .select(coalesce($"lbl", $"vec_id").as("cluster"))
+        .groupBy($"cluster").agg(count(lit(1)).as("n_vecs"))
+        .orderBy($"n_vecs".desc, $"cluster")
+    }),
   )
+
+  /** q_sim_cluster's symmetric kNN-graph edges (3 NNs per vector
+    * within its LSH cell), exposed so the OpsSpec containment law can
+    * run connected components over the SAME graph the query labels. */
+  private[graft] def simKnnEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+      .withColumn("bucket", expr(lshBucketSpark))
+    val a = emb.select($"bucket", $"vec_id".as("va"), $"embedding".as("ea"))
+    val b = emb.select($"bucket", $"vec_id".as("vb"), $"embedding".as("eb"))
+    val knn = a.join(b, Seq("bucket")).where($"va" =!= $"vb")
+      .select($"va", $"vb",
+        (floor(dot($"ea", $"eb") * 1e4 + 0.5) / 1e4).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"va").orderBy($"sim".desc, $"vb")))
+      .where($"rn" <= 3)
+      .select($"va".as("src"), $"vb".as("dst"))
+    knn.unionByName(knn.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+  }
 
   // Extracted so q_sim_recall can reuse both sides as CTEs.
   // list_zip structs are unnamed in DuckDB → numeric access p[1]/p[2].
@@ -403,8 +455,56 @@ object SimOps {
       ORDER BY sim DESC, vec_id
       LIMIT 10"""
 
+  /** q_sim_cluster oracle: identical LSH cells (same hyperplane
+    * literals), identical within-cell 3-NN cut, then the q_graph_lpa
+    * round template — numeric node ids this time — unrolled 4×. */
+  private val simClusterSql = {
+    val lpaCte = (i: Int) => s""",
+      v$i AS MATERIALIZED (
+        SELECT node, l, count(*) AS c FROM (
+          SELECT e.dst AS node, p.lbl AS l
+          FROM edges e JOIN l${i - 1} p ON e.src = p.node
+          UNION ALL SELECT node, lbl FROM l${i - 1})
+        GROUP BY node, l),
+      l$i AS MATERIALIZED (
+        SELECT node, l AS lbl FROM v$i
+        QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, l) = 1)"""
+    s"""
+      WITH sigs AS MATERIALIZED (
+        SELECT vec_id, embedding, $lshBucketDuck AS bucket
+        FROM embeddings),
+      cand AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               FLOOR(list_sum(list_transform(
+                 list_zip(a.embedding, b.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM sigs a JOIN sigs b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      knn AS (
+        SELECT va, vb FROM (
+          SELECT va, vb,
+                 row_number() OVER (PARTITION BY va
+                   ORDER BY sim DESC, vb) AS rn
+          FROM cand) WHERE rn <= 3),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT va AS src, vb AS dst FROM knn
+          UNION ALL SELECT vb, va FROM knn)),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges)""" +
+      (1 to 4).map(lpaCte).mkString + """
+      SELECT cluster, count(*) AS n_vecs FROM (
+        SELECT COALESCE(l4.lbl, e.vec_id) AS cluster
+        FROM (SELECT vec_id FROM embeddings) e
+        LEFT JOIN l4 ON e.vec_id = l4.node)
+      GROUP BY cluster
+      ORDER BY n_vecs DESC, cluster"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q_sim_cosine_topk" -> cosineTopkSql,
+    "q_sim_cluster" -> simClusterSql,
 
     "q_sim_range" -> """
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

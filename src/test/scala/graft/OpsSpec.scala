@@ -856,6 +856,31 @@ class OpsSpec extends GraftSuite {
     assert(nLpa > nCc, s"expected finer communities: lpa=$nLpa cc=$nCc")
   }
 
+  test("q_sim_cluster: census conserves vectors; clusters sit inside kNN components") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Conservation: every vector lands in exactly one cluster.
+    val census = q("q_sim_cluster", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(census.map(_._2).sum === total,
+      "cluster census must conserve the vector count")
+    // Containment: a cluster label only ever travels along kNN-graph
+    // edges, so no LPA cluster may span two connected components of
+    // the SAME graph the query built.
+    val edges = ops.SimOps.simKnnEdges(spark, sf0001)
+    val cc = ops.GraphOps
+      .ccStar(edges.where($"src" < $"dst")
+        .select($"src".cast("string").as("u"), $"dst".cast("string").as("v")))
+      ._1.toDF("node", "comp")
+    val lab = ops.GraphOps.lpaLabels(edges, 4)
+      .select($"node".cast("string").as("node"), $"lbl")
+    val spans = lab.join(cc, "node")
+      .groupBy($"lbl").agg(countDistinct($"comp").as("nc"))
+      .where($"nc" > 1).count()
+    assert(spans === 0L, "an LPA cluster must never span two components")
+  }
+
   test("ccLabels: plain walks the diameter, doubling takes log rounds, labels agree") {
     // A 12-node path has diameter 11: the min label must walk the
     // whole chain under plain propagation (~11 rounds — one round of
