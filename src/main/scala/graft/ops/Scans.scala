@@ -239,6 +239,24 @@ object Scans {
       }
       s.sql(sql)
     }),
+
+    // TPC-H Q18 shape — large-volume customers: the AGGREGATION-
+    // DERIVED-FILTER plan q_sql_q3/q5 don't exercise. The IN-subquery
+    // is itself a grouped HAVING over the FACT table, so Catalyst
+    // must plan two coordinated passes over lineitem: the inner
+    // group-by collapses to qualifying orderkeys (partial-aggregable,
+    // tiny result), which then SEMI-join back against the same fact —
+    // at 100 TB the inner aggregate is the cheap pass and the
+    // re-join is keyed on its shrunken output, never fact×fact.
+    "q_sql_q18" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val sql = Seq("customer", "orders", "lineitem")
+        .foldLeft(sqlQ18) { (acc, n) =>
+          t(s, d, n).createOrReplaceTempView(s"graft_${n}_$tag")
+          acc.replaceAll(s"\\b$n\\b", s"graft_${n}_$tag")
+      }
+      s.sql(sql)
+    }),
   )
 
   /** Shared by the Spark query (modulo dir-scoped view names) and the
@@ -279,6 +297,23 @@ object Scans {
         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY n_name
       ORDER BY revenue DESC, n_name"""
+
+  /** TPC-H Q18 shape; the 300-quantity gate is the spec's own
+    * constant and bites at every fixture SF (max per-order quantity
+    * sum 378/458/475). */
+  private val sqlQ18 = """
+      SELECT c_custkey, o_orderkey,
+             FLOOR(o_totalprice * 100 + 0.5) / 100 AS totalprice,
+             SUM(l_quantity) AS sum_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+      GROUP BY c_custkey, o_orderkey, o_totalprice
+      ORDER BY totalprice DESC, o_orderkey
+      LIMIT 20"""
 
   val oracle: Map[String, String] = Map(
     "q_scan_project" -> """
@@ -324,5 +359,6 @@ object Scans {
 
     "q_sql_q3" -> sqlQ3,
     "q_sql_q5" -> sqlQ5,
+    "q_sql_q18" -> sqlQ18,
   )
 }
