@@ -414,6 +414,29 @@ object Aggs {
         .orderBy($"n_true".desc, $"tok")
     }),
 
+    // OHLC DOWNSAMPLING — first/high/low/last per (user, day) over
+    // the event series: the standard time-bucket downsample (finance
+    // bars; a metrics pipeline reads the same shape as "daily open/
+    // peak/trough/close per counter", and "latest snapshot per key
+    // per day" is the close column alone). ONE partial-aggregable
+    // pass: min_by/max_by carry (value, ts) pairs through the map-side
+    // combine, so no window and no per-bucket sort anywhere — at
+    // 100 TB this is a plain keyed agg on (user, day), nothing else.
+    // Deterministic because events.ts is globally unique (asserted in
+    // PipeOpsSpec); values compare raw (selection only, no float
+    // arithmetic to drift).
+    "q_agg_ohlc" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(min_by($"value", $"ts").as("open"),
+          max($"value").as("high"),
+          min($"value").as("low"),
+          max_by($"value", $"ts").as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"day")
+    }),
+
     // BLOOM-FILTER MEMBERSHIP (Bloom 1970), FULLY ORACLED — the same
     // determinism argument as q_agg_countmin: given the hash family
     // (salted h60, k = 4 functions as four DISJOINT 14-bit slices of
@@ -499,6 +522,16 @@ object Aggs {
       FROM pb p JOIN sk k ON p.i = k.i AND p.b = k.b
       GROUP BY p.tok, p.n_true
       ORDER BY n_true DESC, tok""",
+
+    "q_agg_ohlc" -> """
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             arg_min(value, ts) AS open,
+             MAX(value) AS high, MIN(value) AS low,
+             arg_max(value, ts) AS close,
+             count(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY user_id, day""",
 
     // Rebuilds the IDENTICAL m=4096 / k=4 Bloom filter — hash once
     // per member, four disjoint 12-bit slices as the bit positions,

@@ -364,6 +364,30 @@ object Windows {
         .orderBy($"user_id")
     }),
 
+    // MAXIMUM DRAWDOWN per user — the running-max-then-gap composition
+    // (finance's drawdown; a training pipeline reads the same shape as
+    // "worst regression from best-so-far" over a metric series): one
+    // keyed running MAX window over the event series, relative gap
+    // per row, keyed max per user. The window's default RANGE frame is
+    // safe because events.ts is globally unique (asserted per fixture
+    // in PipeOpsSpec — the q_pipe_cdc ordering contract); gaps round
+    // to the 1e-4 grid BEFORE the outer max (identical operand
+    // doubles both engines, so the division is bit-equal). Fixture
+    // values are strictly positive (0.01 min), so runmax never
+    // divides by zero.
+    "q_win_drawdown" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      t(s, d, "events")
+        .withColumn("runmax", max($"value").over(w))
+        .withColumn("dd",
+          floor(($"runmax" - $"value") / $"runmax" * 1e4 + 0.5) / 1e4)
+        .groupBy($"user_id")
+        .agg(max($"dd").as("max_drawdown"),
+          (floor(max($"runmax") * 100 + 0.5) / 100).as("peak"))
+        .orderBy($"user_id")
+    }),
+
     "q_win_running" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey")
@@ -671,6 +695,22 @@ object Windows {
         FROM events)
       SELECT user_id, max(trail) AS peak_1h
       FROM x GROUP BY user_id
+      ORDER BY user_id""",
+
+    "q_win_drawdown" -> """
+      WITH r AS (
+        SELECT user_id, value,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS runmax
+        FROM events),
+      d AS (
+        SELECT user_id,
+               FLOOR((runmax - value) / runmax * 1e4 + 0.5) / 1e4 AS dd,
+               runmax
+        FROM r)
+      SELECT user_id, MAX(dd) AS max_drawdown,
+             FLOOR(MAX(runmax) * 100 + 0.5) / 100 AS peak
+      FROM d GROUP BY user_id
       ORDER BY user_id""",
 
     "q_win_running" -> """

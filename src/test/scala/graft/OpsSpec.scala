@@ -856,6 +856,38 @@ class OpsSpec extends GraftSuite {
     assert(nLpa > nCc, s"expected finer communities: lpa=$nLpa cc=$nCc")
   }
 
+  test("q_agg_ohlc: bar invariants hold and the census conserves events") {
+    import spark.implicits._
+    val rows = q("q_agg_ohlc", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      assert(l <= o && o <= h && l <= c && c <= h,
+        s"bar invariant violated: open=$o high=$h low=$l close=$c")
+      assert(r.getLong(6) >= 1L)
+    }
+    val total = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(rows.map(_.getLong(6)).sum === total,
+      "every event must land in exactly one (user, day) bar")
+  }
+
+  test("q_win_drawdown: bounded in [0,1); peak equals the user's max value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = q("q_win_drawdown", sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, dd, _) => dd >= 0.0 && dd < 1.0 },
+      "drawdown is a fraction of a positive running peak")
+    // The final running max IS the user's overall max.
+    val peaks = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy($"user_id")
+      .agg((floor(max($"value") * 100 + 0.5) / 100).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (u, _, peak) => assert(peak === peaks(u)) }
+  }
+
   test("q_sim_cluster: census conserves vectors; clusters sit inside kNN components") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
