@@ -620,6 +620,28 @@ object TextOps {
         .limit(30)
     }),
 
+    // BPE MERGE TRAINING (Sennrich et al., ACL 2016) — the actual
+    // iterative tokenizer-training loop, not just q_text_bpe's
+    // first-round pair census: 6 rounds of (count adjacent symbol
+    // pairs weighted by word frequency → pick the most frequent pair,
+    // ties to the lexicographically smallest → merge every
+    // greedy-leftmost occurrence corpus-wide), emitting the learned
+    // merge table (round, pair_a, pair_b, n) — the artifact a
+    // tokenizer ships. ONE lazy plan, zero per-round driver actions
+    // (the q_graph_kcore move): each round's winning pair is a 1-row
+    // broadcast that the merge step cross-joins in. The merge itself
+    // is DECLARATIVE: symbols live in a '||'-joined string bounded by
+    // '||', so replacing '|a||b|' with '|ab|' consumes one bar from
+    // each double boundary and leaves one for the neighbor — plain
+    // left-to-right non-overlapping replace() IS greedy-leftmost BPE
+    // merging ('aaa' + (a,a) → 'aa','a' — verified equivalent to the
+    // reference fold, and the differential would catch any engine
+    // replace() divergence). At 100 TB the pair census is a keyed
+    // partial-aggregable agg over the distinct-WORD table (vocabulary
+    // scale, not corpus scale — the standard BPE trick) and the merge
+    // is a map-side string op; rounds scale the plan linearly.
+    "q_text_bpetrain" -> ((s, d) => bpeTrain(s, d, 6)),
+
     // DSIR — Data Selection via Importance Resampling (Xie et al.
     // 2023, NeurIPS, arXiv:2302.03169), the published answer to "pick
     // the raw-web documents that look most like a trusted target
@@ -749,6 +771,42 @@ object TextOps {
       .where($"cont" >= T)
       .select($"doc_in", $"doc_of", round($"cont", 4).as("containment"))
       .orderBy($"doc_in", $"doc_of")
+  }
+
+  /** q_text_bpetrain body (see the queries-map entry). `rounds`
+    * parameterized so the spec can check merge-table prefix stability
+    * (training R rounds then R+1 must agree on the first R merges —
+    * the loop is greedy, later rounds can't rewrite history). */
+  private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val words = t(s, d, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .where(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+    var cur = words.select($"wc",
+      concat(lit("||"), array_join(split($"word", ""), "||"), lit("||"))
+        .as("symstr"))
+    var merges = Vector.empty[org.apache.spark.sql.DataFrame]
+    (1 to rounds).foreach { r =>
+      val best = cur
+        .select($"wc", split($"symstr", "\\|\\|").as("sy"))
+        .select($"wc", explode(expr(
+          "filter(transform(sequence(1, size(sy) - 1)," +
+            " i -> struct(element_at(sy, i) AS pa," +
+            " element_at(sy, i + 1) AS pb))," +
+            " p -> p.pa <> '' AND p.pb <> '')")).as("p"))
+        .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+        .agg(sum($"wc").as("n"))
+        .orderBy($"n".desc, $"pa", $"pb").limit(1)
+      merges :+= best.select(lit(r).as("round"),
+        $"pa".as("pair_a"), $"pb".as("pair_b"), $"n")
+      cur = cur.crossJoin(broadcast(best))
+        .select($"wc", expr(
+          "replace(symstr, concat('|', pa, '||', pb, '|')," +
+            " concat('|', pa, pb, '|'))").as("symstr"))
+    }
+    merges.reduce(_ unionByName _).orderBy($"round")
   }
 
   /** q_text_dsir body (see the queries-map entry for the method and
@@ -895,7 +953,49 @@ object TextOps {
         JOIN pref p ON substring(o.bg, 1, 1) = p.c1
         GROUP BY o.doc_id, o.lang)"""
 
+  /** q_text_bpetrain oracle: the identical 6 rounds as MATERIALIZED
+    * CTEs — same pair census (positions via generate_subscripts +
+    * i/i+1 self-join on the word key), same (n DESC, pa, pb) argmax,
+    * same double-bar replace() merge. */
+  private val bpeTrainSql = {
+    val round = (r: Int) => s""",
+      e$r AS (
+        SELECT word, wc, unnest(sy) AS sym,
+               generate_subscripts(sy, 1) AS i
+        FROM (SELECT word, wc, string_split(symstr, '||') AS sy
+              FROM s${r - 1})),
+      p$r AS MATERIALIZED (
+        SELECT a.sym AS pa, b.sym AS pb, CAST(SUM(a.wc) AS BIGINT) AS n
+        FROM e$r a JOIN e$r b ON a.word = b.word AND b.i = a.i + 1
+        WHERE a.sym <> '' AND b.sym <> ''
+        GROUP BY 1, 2),
+      b$r AS MATERIALIZED (
+        SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
+      s$r AS MATERIALIZED (
+        SELECT word, wc,
+               replace(symstr, '|' || pa || '||' || pb || '|',
+                 '|' || pa || pb || '|') AS symstr
+        FROM s${r - 1}, b$r)"""
+    """
+      WITH w AS MATERIALIZED (
+        SELECT word, count(*) AS wc FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE length(word) >= 2 GROUP BY word),
+      s0 AS MATERIALIZED (
+        SELECT word, wc,
+               '||' || array_to_string(string_split(word, ''), '||')
+                 || '||' AS symstr
+        FROM w)""" +
+      (1 to 6).map(round).mkString + """
+      SELECT * FROM (""" +
+      (1 to 6).map(r =>
+        s"SELECT $r AS round, pa AS pair_a, pb AS pair_b, n FROM b$r")
+        .mkString("\n        UNION ALL ") + """)
+      ORDER BY round"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_text_bpetrain" -> bpeTrainSql,
     "q_text_jsd" -> """
       WITH toks AS (
         SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -856,6 +856,28 @@ class OpsSpec extends GraftSuite {
     assert(nLpa > nCc, s"expected finer communities: lpa=$nLpa cc=$nCc")
   }
 
+  test("q_text_bpetrain: greedy merge table is prefix-stable and strictly ordered") {
+    // Greedy BPE can't rewrite history: training R+1 rounds must agree
+    // with training R rounds on the first R merges (any disagreement
+    // means a round's merge leaked into an earlier round's census).
+    val m4 = graft.ops.TextOps.bpeTrain(spark, sf0001, 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val m5 = graft.ops.TextOps.bpeTrain(spark, sf0001, 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m5.take(4).toSeq === m4.toSeq, "merge-table prefix must be stable")
+    // Counts never increase round over round: a merge can only remove
+    // occurrences of OTHER pairs, and the argmax is over what's left.
+    m5.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4, s"round ${b._1} count ${b._4} exceeds ${a._4}")
+    }
+    // Later rounds may merge MULTI-character symbols (the thing the
+    // one-shot q_text_bpe census can't learn) — at sf0.001 round 5
+    // within the first five merges already does on this fixture; pin
+    // loosely: at least the table is non-trivial.
+    assert(m5.map(t => (t._2, t._3)).distinct.length === 5,
+      "five distinct learned merges")
+  }
+
   test("q_agg_ohlc: bar invariants hold and the census conserves events") {
     import spark.implicits._
     val rows = q("q_agg_ohlc", sf0001).collect()
