@@ -132,7 +132,13 @@ object Bench {
     // pass 2 still leaves a complete pass-1 result on disk.
     val passes =
       math.max(1, sys.env.getOrElse("GRAFT_BENCH_PASSES", "2").toInt)
+    // GRAFT_BENCH_ONLY=q_a,q_b restricts the sweep (local per-query
+    // A/B iteration; the driver never sets it, so its runs stay full).
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     var attempted = Set.empty[String]
     // errors = attempted but never-yet-succeeded, recomputed at every

@@ -439,8 +439,8 @@ object Aggs {
 
     // BLOOM-FILTER MEMBERSHIP (Bloom 1970), FULLY ORACLED — the same
     // determinism argument as q_agg_countmin: given the hash family
-    // (salted h60, k = 4 functions as four DISJOINT 14-bit slices of
-    // ONE digest — the hash-once move), the m = 16384-bit filter is a
+    // (salted h60, k = 4 functions as four DISJOINT 12-bit slices of
+    // ONE digest — the hash-once move), the m = 4096-bit filter is a
     // pure function of the member set, so DuckDB rebuilds it
     // BIT-IDENTICALLY and the differential covers build + probe +
     // the actual false positives, not just a rate law. The filter is

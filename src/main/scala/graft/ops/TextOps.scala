@@ -622,14 +622,14 @@ object TextOps {
 
     // BPE MERGE TRAINING (Sennrich et al., ACL 2016) — the actual
     // iterative tokenizer-training loop, not just q_text_bpe's
-    // first-round pair census: 6 rounds of (count adjacent symbol
+    // first-round pair census: 12 rounds of (count adjacent symbol
     // pairs weighted by word frequency → pick the most frequent pair,
     // ties to the lexicographically smallest → merge every
     // greedy-leftmost occurrence corpus-wide), emitting the learned
     // merge table (round, pair_a, pair_b, n) — the artifact a
     // tokenizer ships. ONE lazy plan, zero per-round driver actions
     // (the q_graph_kcore move): each round's winning pair is a 1-row
-    // broadcast that the merge step cross-joins in. The merge itself
+    // broadcast that the merge step left-joins in. The merge itself
     // is DECLARATIVE: symbols live in a '||'-joined string bounded by
     // '||', so replacing '|a||b|' with '|ab|' consumes one bar from
     // each double boundary and leaves one for the neighbor — plain
@@ -639,8 +639,10 @@ object TextOps {
     // replace() divergence). At 100 TB the pair census is a keyed
     // partial-aggregable agg over the distinct-WORD table (vocabulary
     // scale, not corpus scale — the standard BPE trick) and the merge
-    // is a map-side string op; rounds scale the plan linearly.
-    "q_text_bpetrain" -> ((s, d) => bpeTrain(s, d, 6)),
+    // is a map-side string op; rounds scale the plan linearly —
+    // the per-round lazy localCheckpoint makes that LITERAL (without
+    // it the unroll re-derives the census up to 2^rounds times).
+    "q_text_bpetrain" -> ((s, d) => bpeTrain(s, d, 12)),
 
     // DSIR — Data Selection via Importance Resampling (Xie et al.
     // 2023, NeurIPS, arXiv:2302.03169), the published answer to "pick
@@ -747,11 +749,16 @@ object TextOps {
     // Per-(lang, shingle) document frequency — ranking rare-first is
     // what keeps prefix postings short; correctness needs no order at
     // all (any ⌊(1−t)·sz⌋+1 missing shingles bound the overlap).
+    // The prefix length is computed in EXACT integer arithmetic:
+    // ⌊(1−t)·sz⌋+1 = sz − ⌈t·sz⌉ + 1 = sz − ⌈4·sz/5⌉ + 1 at t = 4/5.
+    // (The float form floor(sz · (1−0.8)) evaluates 1−0.8 to
+    // 0.19999…96, so sz ≡ 0 (mod 5) lost one prefix slot — an
+    // exactness hole the brute-force oracle would eventually expose.)
     val dfq = post.groupBy($"lang", $"sh").agg(count(lit(1)).as("df"))
     val prefix = post.join(dfq, Seq("lang", "sh"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df", $"sh")))
-      .where($"rnk" <= floor($"sz" * (1 - T)) + 1)
+      .where($"rnk" <= expr("sz - ((sz * 4 + 4) div 5) + 1"))
       .select($"doc_id", $"lang", $"sz", $"sh")
     // Candidates: the SMALLER doc's prefix against ANY doc's postings
     // (ties orient by doc_id, so each unordered pair is generated in
@@ -776,7 +783,21 @@ object TextOps {
   /** q_text_bpetrain body (see the queries-map entry). `rounds`
     * parameterized so the spec can check merge-table prefix stability
     * (training R rounds then R+1 must agree on the first R merges —
-    * the loop is greedy, later rounds can't rewrite history). */
+    * the loop is greedy, later rounds can't rewrite history).
+    *
+    * Each round ends in a LAZY localCheckpoint — the lpaLabels fix
+    * applied here too: round r consumes `cur_{r-1}` TWICE (the pair
+    * census feeding `best_r`, and the merge rewrite), so an unchecked
+    * R-round unroll re-derives the corpus-scale word census up to 2^R
+    * times. Checkpointing `cur` (and the 1-row `best`) makes each
+    * round's cost linear in rounds with zero driver actions.
+    *
+    * Empty-census guard: if a round finds NO mergeable pair (corpus
+    * fully merged), `best` is empty — the merge step is a LEFT join
+    * against the 1-row broadcast, so an empty round leaves the symbol
+    * table UNCHANGED (identity merge) and simply emits no merge row
+    * for that round, instead of silently emptying `cur`. The oracle
+    * mirrors this with LEFT JOIN ON TRUE. */
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -787,6 +808,7 @@ object TextOps {
     var cur = words.select($"wc",
       concat(lit("||"), array_join(split($"word", ""), "||"), lit("||"))
         .as("symstr"))
+      .localCheckpoint(eager = false)
     var merges = Vector.empty[org.apache.spark.sql.DataFrame]
     (1 to rounds).foreach { r =>
       val best = cur
@@ -799,12 +821,15 @@ object TextOps {
         .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
         .agg(sum($"wc").as("n"))
         .orderBy($"n".desc, $"pa", $"pb").limit(1)
+        .localCheckpoint(eager = false)
       merges :+= best.select(lit(r).as("round"),
         $"pa".as("pair_a"), $"pb".as("pair_b"), $"n")
-      cur = cur.crossJoin(broadcast(best))
+      cur = cur.join(broadcast(best), lit(true), "left")
         .select($"wc", expr(
-          "replace(symstr, concat('|', pa, '||', pb, '|')," +
-            " concat('|', pa, pb, '|'))").as("symstr"))
+          "CASE WHEN pa IS NULL THEN symstr ELSE" +
+            " replace(symstr, concat('|', pa, '||', pb, '|')," +
+            " concat('|', pa, pb, '|')) END").as("symstr"))
+        .localCheckpoint(eager = false)
     }
     merges.reduce(_ unionByName _).orderBy($"round")
   }
@@ -953,10 +978,12 @@ object TextOps {
         JOIN pref p ON substring(o.bg, 1, 1) = p.c1
         GROUP BY o.doc_id, o.lang)"""
 
-  /** q_text_bpetrain oracle: the identical 6 rounds as MATERIALIZED
+  /** q_text_bpetrain oracle: the identical 12 rounds as MATERIALIZED
     * CTEs — same pair census (positions via generate_subscripts +
     * i/i+1 self-join on the word key), same (n DESC, pa, pb) argmax,
-    * same double-bar replace() merge. */
+    * same double-bar replace() merge. The merge step LEFT JOINs the
+    * 1-row winner (identity when a round's census is empty), exactly
+    * mirroring the engine's empty-census guard. */
   private val bpeTrainSql = {
     val round = (r: Int) => s""",
       e$r AS (
@@ -973,9 +1000,10 @@ object TextOps {
         SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
       s$r AS MATERIALIZED (
         SELECT word, wc,
-               replace(symstr, '|' || pa || '||' || pb || '|',
-                 '|' || pa || pb || '|') AS symstr
-        FROM s${r - 1}, b$r)"""
+               CASE WHEN pa IS NULL THEN symstr
+                    ELSE replace(symstr, '|' || pa || '||' || pb || '|',
+                      '|' || pa || pb || '|') END AS symstr
+        FROM s${r - 1} LEFT JOIN b$r ON TRUE)"""
     """
       WITH w AS MATERIALIZED (
         SELECT word, count(*) AS wc FROM (
@@ -986,9 +1014,9 @@ object TextOps {
                '||' || array_to_string(string_split(word, ''), '||')
                  || '||' AS symstr
         FROM w)""" +
-      (1 to 6).map(round).mkString + """
+      (1 to 12).map(round).mkString + """
       SELECT * FROM (""" +
-      (1 to 6).map(r =>
+      (1 to 12).map(r =>
         s"SELECT $r AS round, pa AS pair_a, pb AS pair_b, n FROM b$r")
         .mkString("\n        UNION ALL ") + """)
       ORDER BY round"""

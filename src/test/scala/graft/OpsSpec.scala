@@ -894,13 +894,16 @@ class OpsSpec extends GraftSuite {
       "every event must land in exactly one (user, day) bar")
   }
 
-  test("q_win_drawdown: bounded in [0,1); peak equals the user's max value") {
+  test("q_win_drawdown: bounded in [0,1]; peak equals the user's max value") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val rows = q("q_win_drawdown", sf0001).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     assert(rows.nonEmpty)
-    assert(rows.forall { case (_, dd, _) => dd >= 0.0 && dd < 1.0 },
+    // <= 1.0, not < 1.0: the query's half-up 1e-4 grid rounds any
+    // ratio >= 0.99995 to exactly 1.0, so a fixture with a large
+    // peak-to-trough ratio legitimately touches the bound.
+    assert(rows.forall { case (_, dd, _) => dd >= 0.0 && dd <= 1.0 },
       "drawdown is a fraction of a positive running peak")
     // The final running max IS the user's overall max.
     val peaks = spark.read.parquet(s"$sf0001/events.parquet")
