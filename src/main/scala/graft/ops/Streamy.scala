@@ -150,6 +150,37 @@ object Streamy {
         .orderBy($"day")
     }),
 
+    // Stream-stream LEFT OUTER interval join — the attribution shape
+    // every click→purchase pipeline actually ships: purchases with NO
+    // prior same-user click inside 30 minutes still emit, null-padded
+    // ("organic" conversions). In a live stream this is the semantics
+    // batch can't fake: the null-padded row can only be EMITTED once
+    // the click-side watermark passes the purchase's join window (no
+    // more matching clicks can arrive) — StreamySpec pins exactly that
+    // late-emission behavior on two MemoryStreams; the batch form here
+    // is the plain LEFT JOIN the oracle replays. State bound is the
+    // same as the inner variant: the interval predicate caps retained
+    // clicks at 30 min per user; outer adds only the per-row "emitted
+    // yet?" bit. Daily rollup: attributed vs organic purchases and the
+    // raw matched-pair count.
+    "q_stream_join_outer" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val clicks = ev.where($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts".as("cts"))
+      val purchases = ev.where($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"ts".as("pts"), $"event_id".as("pid"))
+      purchases.join(clicks, $"cu" === $"pu" &&
+          $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES") && $"cts" <= $"pts",
+          "left")
+        .groupBy(to_date($"pts").as("day"))
+        .agg(countDistinct($"pid").as("n_purchases"),
+             countDistinct(when($"cu".isNotNull, $"pid")).as("n_attributed"),
+             countDistinct(when($"cu".isNull, $"pid")).as("n_organic"),
+             sum(when($"cu".isNotNull, 1L).otherwise(0L)).as("n_pairs"))
+        .orderBy($"day")
+    }),
+
     // Stream-static enrichment: the event stream joins a static dim
     // (customer) that Spark re-broadcasts per micro-batch — no state,
     // no watermark needed on the static side — then aggregates into
@@ -356,6 +387,23 @@ object Streamy {
              FLOOR(SUM(epoch_us(pts) - epoch_us(cts))
                / count(*) / 1e6 * 100 + 0.5) / 100 AS avg_delay_s
       FROM p JOIN c ON cu = pu
+        AND cts >= pts - INTERVAL 30 MINUTE AND cts <= pts
+      GROUP BY day
+      ORDER BY day""",
+
+    "q_stream_join_outer" -> """
+      WITH c AS (SELECT user_id AS cu, ts AS cts FROM events
+                 WHERE event_type = 'click'),
+           p AS (SELECT user_id AS pu, ts AS pts, event_id AS pid
+                 FROM events WHERE event_type = 'purchase')
+      SELECT CAST(pts AS DATE) AS day,
+             count(DISTINCT pid) AS n_purchases,
+             count(DISTINCT CASE WHEN cu IS NOT NULL THEN pid END)
+               AS n_attributed,
+             count(DISTINCT CASE WHEN cu IS NULL THEN pid END) AS n_organic,
+             CAST(SUM(CASE WHEN cu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs
+      FROM p LEFT JOIN c ON cu = pu
         AND cts >= pts - INTERVAL 30 MINUTE AND cts <= pts
       GROUP BY day
       ORDER BY day""",

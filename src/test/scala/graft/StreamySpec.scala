@@ -200,6 +200,57 @@ class StreamySpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits the null-padded row only after " +
+      "the watermark passes the join window (q_stream_join_outer)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val clickIn = MemoryStream[(Timestamp, Long)]
+    val purchIn = MemoryStream[(Timestamp, Long)]
+    val clicks = clickIn.toDF().toDF("cts", "cu")
+      .withWatermark("cts", "10 minutes")
+    val purchases = purchIn.toDF().toDF("pts", "pu")
+      .withWatermark("pts", "10 minutes")
+    val joined = purchases.join(clicks, $"cu" === $"pu" &&
+        $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES") && $"cts" <= $"pts",
+        "leftOuter")
+      .select($"pu", $"pts", $"cts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck6").toString
+    val query = joined.writeStream.format("memory").queryName("ssjo_test")
+      .outputMode(OutputMode.Append).option("checkpointLocation", dir).start()
+    try {
+      def rows() = s.table("ssjo_test").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(2)).map(_.toString)))
+        .sorted.toSeq
+      // Matched purchase (user 7, click 20 min prior) and an
+      // unmatched one (user 9, no click at all).
+      clickIn.addData((ts("2024-01-01 10:00:00"), 7L))
+      purchIn.addData((ts("2024-01-01 10:20:00"), 7L),
+                      (ts("2024-01-01 10:20:00"), 9L))
+      query.processAllAvailable()
+      // The INNER pair may emit immediately; the null-padded row for
+      // user 9 MUST NOT — a matching click (cts in [09:50, 10:20])
+      // could still arrive until the click watermark passes 10:20.
+      assert(rows() === Seq((7L, Some("2024-01-01 10:00:00.0"))),
+        "null-padded row leaked before the watermark closed the window")
+      // Advance event time on BOTH streams (the global watermark is
+      // the min): 12:00 − 10 min delay = 11:50 > 10:20, so user 9's
+      // join window is closed and the watermark EMITS the outer row.
+      clickIn.addData((ts("2024-01-01 12:00:00"), 99L))
+      purchIn.addData((ts("2024-01-01 12:00:00"), 98L))
+      query.processAllAvailable()
+      // One more micro-batch: the state-eviction pass that emits outer
+      // rows runs against the watermark SET by the previous batch.
+      clickIn.addData((ts("2024-01-01 12:01:00"), 99L))
+      purchIn.addData((ts("2024-01-01 12:01:00"), 98L))
+      query.processAllAvailable()
+      assert(rows().contains((9L, None)),
+        s"watermark must emit the unmatched purchase null-padded, got ${rows()}")
+      assert(rows().count(_._1 == 7L) === 1,
+        "the matched purchase must not re-emit as an outer row")
+    } finally query.stop()
+  }
+
   test("stream-static broadcast join enriches a stream against a dimension") {
     val s = spark
     import s.implicits._
