@@ -329,15 +329,29 @@ object GraphOps {
     var edges = canon(edges0).localCheckpoint(eager = false)
     var rounds = 0
     var changed = 1L
+    // TWO rounds per convergence check — the ccLabels batch=2
+    // adjudication applied here: the converged loop is latency-bound
+    // on the per-check driver action, and checking every other round
+    // halves those actions while the extra round in the final batch is
+    // a no-op fixpoint pass. The check stays EXACT: one alternation
+    // round strictly decreases the Kiveris et al. potential unless the
+    // edge set is already the star-forest fixpoint, so a 2-cycle
+    // (f(f(e)) = e with f(e) ≠ e) is impossible — batch-equality ⟹
+    // fixpoint. Measured at sf0.1: q_graph_cc 5.19 s → see BUILD_NOTES
+    // round 10.
+    val batch = 2
     while (changed > 0 && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges).localCheckpoint(eager = false))
-        .localCheckpoint(eager = false)
+      var next = edges
+      for (_ <- 1 to batch) {
+        next = smallStar(largeStar(next).localCheckpoint(eager = false))
+          .localCheckpoint(eager = false)
+      }
       // Symmetric difference via two keyed anti joins, ONE action.
       changed = next.join(edges, Seq("u", "v"), "left_anti")
         .unionByName(edges.join(next, Seq("u", "v"), "left_anti"))
         .count()
       edges = next
-      rounds += 1
+      rounds += batch
     }
     // At the fixpoint every edge is (center, member) in canonical
     // order with center = component min: min(least(v,u)) per node is
