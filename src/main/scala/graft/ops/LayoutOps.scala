@@ -68,6 +68,38 @@ object LayoutOps {
       }
     }
 
+  /** q_sql_cbo's catalog tag / table setup / SQL text, shared with
+    * the LayoutOpsSpec plan pin so the spec drives the EXACT declared
+    * query. Setup writes managed copies of nation/customer/orders and
+    * ANALYZEs them inside the same once-per-JVM ensureTable memo. */
+  private[graft] def cboTag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9_]", "_")
+
+  private[graft] def cboSetup(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    val tag = cboTag(d)
+    Seq("nation", "customer", "orders").foreach { tb =>
+      val name = s"graft_cbo_${tb}_$tag"
+      ensureTable(s, name) {
+        Tables.t(s, d, tb).write.mode("overwrite").saveAsTable(name)
+        s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    }
+  }
+
+  /** Deliberately worst-first syntactic order: the two large tables
+    * join before the selective nation filter can shrink anything —
+    * the shape CostBasedJoinReorder exists to fix. */
+  private[graft] def cboSql(tag: String): String = s"""
+    SELECT n_name, count(*) AS n_orders,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+    FROM graft_cbo_orders_$tag o
+    JOIN graft_cbo_customer_$tag c ON o.o_custkey = c.c_custkey
+    JOIN graft_cbo_nation_$tag n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY n_name
+    ORDER BY n_name"""
+
   val queries: Map[String, Q] = Map(
     // Z-order layout planning over lineitem's (partkey, suppkey):
     // scale each key to a 6-bit bucket, interleave to a 12-bit Morton
@@ -211,6 +243,30 @@ object LayoutOps {
           count(lit(1)).as("n_items"),
           r2(sum($"l_extendedprice")).as("sum_price"))
         .orderBy($"l_returnflag")
+    }),
+
+    // COST-BASED join reorder — the statistics leg of the layout
+    // family: every other join row trusts Catalyst's HEURISTIC order
+    // (syntactic, filter-pushdown-informed), which at 100 TB breaks
+    // exactly when the written order joins the two big tables first.
+    // This row feeds the optimizer real catalog statistics (ANALYZE
+    // TABLE ... FOR ALL COLUMNS — row counts + per-column NDV/min/max
+    // histograms) and enables CBO + joinReorder in a child session,
+    // then runs a 3-table star join DELIBERATELY written worst-first:
+    // orders ⋈ customer before the 2-of-25-nation filter. With stats,
+    // CostBasedJoinReorder moves the filtered nation dim against
+    // customer FIRST (shrinking the fact's build side ~12×) — the
+    // stats-vs-heuristic order difference is pinned in LayoutOpsSpec;
+    // the oracle is the plain join (reorder must not change results).
+    // Tables are the ensureTable-memoized managed copies; ANALYZE
+    // rides the same once-per-JVM memo (stats live in the shared
+    // catalog, so every later session sees them).
+    "q_sql_cbo" -> ((s0, d) => {
+      val s = Tables.childSession(s0, "cbo")(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true")
+      cboSetup(s, d)
+      s.sql(cboSql(cboTag(d)))
     }),
 
     // AQE runtime skew-split join — the RUNTIME complement to
@@ -377,6 +433,17 @@ object LayoutOps {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // Reorder must not change results: the plain 3-table join.
+    "q_sql_cbo" -> """
+      SELECT n_name, count(*) AS n_orders,
+             FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY n_name
+      ORDER BY n_name""",
 
     // The plain join — the runtime skew split must be result-invariant.
     "q_join_skew_aqe" -> """

@@ -222,6 +222,34 @@ class LayoutOpsSpec extends GraftSuite {
     assert(df.collect().toSeq === plain.collect().toSeq)
   }
 
+  test("q_sql_cbo: catalog statistics reorder the join (nation dim first)") {
+    // The declared query runs with CBO + joinReorder + ANALYZEd
+    // tables; the same SQL in a CBO-off child session keeps the
+    // deliberately-worst syntactic order. Pin the order DIFFERENCE:
+    // the innermost (first-executed) join under CBO is customer ⋈
+    // filtered-nation, under the heuristic it is orders ⋈ customer.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def innermostJoinLeaves(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.size === 2, s"expected a 2-join tree, got ${joins.size}")
+      // collect is pre-order, so the LAST join is the deepest one.
+      joins.last.collectLeaves().map(_.toString).toSet
+        .flatMap((l: String) => Seq("nation", "customer", "orders")
+          .filter(t => l.contains(s"graft_cbo_${t}_")))
+    }
+    val on = q("q_sql_cbo", sf0001)
+    assert(innermostJoinLeaves(on) === Set("customer", "nation"),
+      "with statistics the selective nation dim must join first")
+    val off = ops.Tables.childSession(spark, "cbooff")(
+      "spark.sql.cbo.enabled" -> "false")
+    ops.LayoutOps.cboSetup(off, sf0001)
+    val heuristic = off.sql(ops.LayoutOps.cboSql(ops.LayoutOps.cboTag(sf0001)))
+    assert(innermostJoinLeaves(heuristic) === Set("orders", "customer"),
+      "without statistics the syntactic worst-first order must survive")
+    // And the reorder must not change results.
+    assert(on.collect().toSeq === heuristic.collect().toSeq)
+  }
+
   test("q_pipe_compact bins match the first-fit-by-offset definition") {
     // Recompute the expected bin of every micro-file directly from the
     // files rollup (per source: running byte offset DIV target), then
