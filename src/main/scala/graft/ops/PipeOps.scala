@@ -1044,16 +1044,7 @@ object PipeOps {
     // makes, with every stage partition-parallel at 100 TB.
     "q_pipe_curriculum" -> ((s, d) => {
       import s.implicits._
-      val tk = t(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      val freq = tk.groupBy($"tok").agg(count(lit(1)).as("nu"))
-      val tot = freq.agg(sum($"nu").as("n_total"))
-      val scored = tk.join(broadcast(freq), "tok")
-        .crossJoin(broadcast(tot))
-        .groupBy($"doc_id").agg(
-          (floor(avg(-log($"nu" / $"n_total")) * 1e4 + 0.5) / 1e4)
-            .as("difficulty"),
-          count(lit(1)).as("tokens"))
+      val scored = curriculumScores(s, d)
       DistRank.withGlobalRank(scored, 32, $"difficulty", $"doc_id")
         .withColumn("quartile", DistRank.ntile(4))
         .groupBy($"quartile").agg(
@@ -1064,6 +1055,26 @@ object PipeOps {
         .orderBy($"quartile")
     }),
   )
+
+  /** q_pipe_curriculum's difficulty-scoring stage (per-doc mean token
+    * surprisal, 1e-4 grid), exposed so LayoutOpsSpec can drive the
+    * documented 100 TB quartile swap — exact DistRank ntile →
+    * approx_percentile's mergeable GK sketch — through the REAL stage
+    * logic and pin the GK rank bound + gap-confined bucket flips. */
+  private[graft] def curriculumScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val tk = t(s, d, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val freq = tk.groupBy($"tok").agg(count(lit(1)).as("nu"))
+    val tot = freq.agg(sum($"nu").as("n_total"))
+    tk.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id").agg(
+        (floor(avg(-log($"nu" / $"n_total")) * 1e4 + 0.5) / 1e4)
+          .as("difficulty"),
+        count(lit(1)).as("tokens"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_pipe_tokenbudget" -> """

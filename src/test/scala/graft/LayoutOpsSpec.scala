@@ -107,6 +107,58 @@ class LayoutOpsSpec extends GraftSuite {
       r.getAs[Double]("max_difficulty")))
   }
 
+  test("q_pipe_curriculum quartiles through approx_percentile honor the GK bound") {
+    // Pins the documented 100 TB cutover for the quartile stage: when
+    // exact distributed ranking gets too expensive, the cut swaps to
+    // approx_percentile's mergeable GK sketch over the SAME difficulty
+    // scores. Law (the q_text_lmbucket precedent): (a) each approx
+    // cutoff satisfies the GK rank-error bound (≤ n/accuracy ranks
+    // off target), and (b) a document changes quartile ONLY when its
+    // difficulty lies in the gap between the exact and approx cutoff —
+    // any flip outside a gap means the swap changed assignment logic,
+    // not just the cutoff estimate.
+    import spark.implicits._
+    val acc = 1000
+    val scored = ops.PipeOps.curriculumScores(spark, sf0001)
+    val a = scored
+      .agg(expr(s"approx_percentile(difficulty, array(0.25d, 0.5d, 0.75d)," +
+        s" $acc)").as("a"))
+      .collect()(0).getSeq[Double](0)
+    val xs = scored.select($"difficulty").collect().map(_.getDouble(0)).sorted
+    val n = xs.length
+    assert(n > 100, s"fixture too small for a meaningful bound: n=$n")
+    val tol = n.toDouble / acc + 1
+    Seq(0.25, 0.5, 0.75).zip(a).foreach { case (p, ca) =>
+      val below = xs.count(_ < ca)
+      val atOrBelow = xs.count(_ <= ca)
+      assert(below <= p * n + tol && atOrBelow >= p * n - tol,
+        s"p=$p: rank window [$below, $atOrBelow] vs target ${p * n} ± $tol")
+    }
+    // Exact cutoffs with percentile interpolation over the snapped
+    // scores (the grid the query itself emits).
+    def exactCut(p: Double): Double = {
+      val pos = p * (n - 1)
+      val (lo, f) = (pos.toInt, pos - pos.toInt)
+      xs(lo) * (1 - f) + xs(math.min(lo + 1, n - 1)) * f
+    }
+    val ecs = Seq(0.25, 0.5, 0.75).map(exactCut)
+    def bucket(s: Double, cs: Seq[Double]): Int = cs.count(s > _)
+    var flips = 0
+    xs.foreach { s =>
+      val (be, ba) = (bucket(s, ecs), bucket(s, a.toSeq))
+      if (be != ba) {
+        flips += 1
+        val inGap = ecs.zip(a).exists { case (e, ap) =>
+          s > math.min(e, ap) && s <= math.max(e, ap) }
+        assert(inGap, s"score $s flipped quartile $be→$ba outside every " +
+          s"exact↔approx cutoff gap (exact=$ecs approx=${a.toSeq})")
+      }
+    }
+    // Sanity on the law's teeth: the bound caps flips at ~3·(n/acc + ties).
+    assert(flips <= 3 * tol * 2,
+      s"$flips flips exceeds any plausible GK mass for acc=$acc, n=$n")
+  }
+
   test("q_text_cooccur counts exactly the pairs within +-3 positions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cooc").toString
