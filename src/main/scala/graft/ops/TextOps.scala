@@ -644,6 +644,19 @@ object TextOps {
     // it the unroll re-derives the census up to 2^rounds times).
     "q_text_bpetrain" -> ((s, d) => bpeTrain(s, d, 12)),
 
+    // BPE TOKENIZER APPLICATION — the inference half of q_text_bpetrain:
+    // the final per-word symbol table (the artifact a trained tokenizer
+    // serializes) applied corpus-wide, emitting the top-30 learned-
+    // vocabulary usage census (symbol, frequency-weighted count). The
+    // production shape is one broadcast join of text words against the
+    // vocabulary-scale symbol table — map-side tokenization, no
+    // shuffle beyond the census agg; here the apply rides the training
+    // loop's checkpointed final table directly. OpsSpec law: the census
+    // conserves total character mass (every input char lands in exactly
+    // one emitted symbol), and symbols are exactly the chars plus the
+    // learned merges.
+    "q_text_bpeapply" -> ((s, d) => bpeApply(s, d, 12)),
+
     // DSIR — Data Selection via Importance Resampling (Xie et al.
     // 2023, NeurIPS, arXiv:2302.03169), the published answer to "pick
     // the raw-web documents that look most like a trusted target
@@ -801,11 +814,22 @@ object TextOps {
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    bpeLoop(s, d, rounds)._2.reduce(_ unionByName _).orderBy($"round")
+  }
+
+  /** The shared BPE merge-training loop: returns the FINAL per-word
+    * symbol table (word, wc, symstr) and the per-round 1-row merge
+    * winners. bpeTrain emits the merge table; bpeApply (tokenizer
+    * INFERENCE) emits the final symbols applied corpus-wide. */
+  private def bpeLoop(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int): (org.apache.spark.sql.DataFrame,
+        Vector[org.apache.spark.sql.DataFrame]) = {
+    import s.implicits._
     val words = t(s, d, "documents")
       .select(explode(split($"text", " ")).as("word"))
       .where(length($"word") >= 2)
       .groupBy($"word").agg(count(lit(1)).as("wc"))
-    var cur = words.select($"wc",
+    var cur = words.select($"word", $"wc",
       concat(lit("||"), array_join(split($"word", ""), "||"), lit("||"))
         .as("symstr"))
       .localCheckpoint(eager = false)
@@ -825,13 +849,32 @@ object TextOps {
       merges :+= best.select(lit(r).as("round"),
         $"pa".as("pair_a"), $"pb".as("pair_b"), $"n")
       cur = cur.join(broadcast(best), lit(true), "left")
-        .select($"wc", expr(
+        .select($"word", $"wc", expr(
           "CASE WHEN pa IS NULL THEN symstr ELSE" +
             " replace(symstr, concat('|', pa, '||', pb, '|')," +
             " concat('|', pa, pb, '|')) END").as("symstr"))
         .localCheckpoint(eager = false)
     }
-    merges.reduce(_ unionByName _).orderBy($"round")
+    (cur, merges)
+  }
+
+  /** q_text_bpeapply body: the trained symbol table applied as a
+    * TOKENIZER — the learned-vocabulary usage histogram (top 30
+    * symbols by frequency-weighted occurrence). In production the
+    * final (word, symstr) table is the tokenizer artifact: applying
+    * it to new text is one broadcast join on word (vocabulary-scale,
+    * the standard BPE serving shape); here the corpus IS the training
+    * corpus, so the weighted explode over the final table gives the
+    * exact vocabulary census without touching documents again. */
+  private[graft] def bpeApply(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    bpeLoop(s, d, rounds)._1
+      .select($"wc", explode(split($"symstr", "\\|\\|")).as("sym"))
+      .where($"sym" =!= "")
+      .groupBy($"sym").agg(sum($"wc").as("n"))
+      .orderBy($"n".desc, $"sym")
+      .limit(30)
   }
 
   /** q_text_dsir body (see the queries-map entry for the method and
@@ -984,7 +1027,7 @@ object TextOps {
     * same double-bar replace() merge. The merge step LEFT JOINs the
     * 1-row winner (identity when a round's census is empty), exactly
     * mirroring the engine's empty-census guard. */
-  private val bpeTrainSql = {
+  private def bpeChainSql(rounds: Int): String = {
     val round = (r: Int) => s""",
       e$r AS (
         SELECT word, wc, unnest(sy) AS sym,
@@ -1014,16 +1057,31 @@ object TextOps {
                '||' || array_to_string(string_split(word, ''), '||')
                  || '||' AS symstr
         FROM w)""" +
-      (1 to 12).map(round).mkString + """
+      (1 to rounds).map(round).mkString
+  }
+
+  private val bpeTrainSql =
+    bpeChainSql(12) + """
       SELECT * FROM (""" +
       (1 to 12).map(r =>
         s"SELECT $r AS round, pa AS pair_a, pb AS pair_b, n FROM b$r")
         .mkString("\n        UNION ALL ") + """)
       ORDER BY round"""
-  }
+
+  /** q_text_bpeapply oracle: the identical chain, then the weighted
+    * symbol census over the FINAL table s12. */
+  private val bpeApplySql =
+    bpeChainSql(12) + """
+      SELECT sym, CAST(SUM(wc) AS BIGINT) AS n FROM (
+        SELECT wc, unnest(string_split(symstr, '||')) AS sym FROM s12)
+      WHERE sym <> ''
+      GROUP BY sym
+      ORDER BY n DESC, sym
+      LIMIT 30"""
 
   val oracle: Map[String, String] = Map(
     "q_text_bpetrain" -> bpeTrainSql,
+    "q_text_bpeapply" -> bpeApplySql,
     "q_text_jsd" -> """
       WITH toks AS (
         SELECT source, unnest(string_split(text, ' ')) AS tok

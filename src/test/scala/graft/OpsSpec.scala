@@ -878,6 +878,38 @@ class OpsSpec extends GraftSuite {
       "five distinct learned merges")
   }
 
+  test("q_text_bpeapply: census symbols are chars or learned merges, counts bounded") {
+    // The tokenizer-inference census is only allowed to contain the
+    // alphabet the training loop produced: single chars, or exactly a
+    // merge round's pa+pb (each round mints ONE new symbol). And a
+    // learned symbol's final count can never exceed its count at merge
+    // time — later merges only CONSUME occurrences (by folding them
+    // into bigger symbols), never create them.
+    // Two rounds can mint the SAME string via different splits
+    // ((a,bc) and (ab,c) both yield "abc"); every final occurrence
+    // traces to exactly one creation event, so the bound sums per key.
+    val merges = graft.ops.TextOps.bpeTrain(spark, sf0001, 12).collect()
+      .map(r => (r.getString(1) + r.getString(2), r.getLong(3)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val census = graft.ops.TextOps.bpeApply(spark, sf0001, 12).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(census.nonEmpty && census.length <= 30)
+    // Ordered by (n desc, sym) — the top-k contract.
+    census.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1),
+        s"census order violated at $a, $b")
+    }
+    census.foreach { case (sym, n) =>
+      assert(n > 0)
+      if (sym.length > 1) {
+        assert(merges.contains(sym),
+          s"multi-char symbol '$sym' is not a learned merge")
+        assert(n <= merges(sym),
+          s"'$sym' final count $n exceeds merge-time count ${merges(sym)}")
+      }
+    }
+  }
+
   test("q_agg_ohlc: bar invariants hold and the census conserves events") {
     import spark.implicits._
     val rows = q("q_agg_ohlc", sf0001).collect()
