@@ -518,6 +518,49 @@ object ExtOps {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // Binary-asset near-dup join via ALIGNED CHUNK FINGERPRINTS — the
+    // fixed-offset dedup used for image/audio/video payloads, where
+    // text shingling has no meaning: split each payload into 32-byte
+    // chunks, fingerprint each with the salted h60, and pair payloads
+    // sharing ≥ 3 chunks at the SAME offset, scored by shared /
+    // min(chunk count). Candidates come ONLY from (offset, fingerprint)
+    // blocks — two payloads meet only where they agree on a whole
+    // aligned chunk, so the self-join is keyed, never all-pairs; the
+    // same hot-bucket cap as q_dedup_minhash bounds a chunk shared by
+    // millions of assets (a common header) at cap²/2 pairs. Documented
+    // trade: aligned chunking misses dups after a byte INSERTION
+    // shifts every later offset — the production fix is content-
+    // defined chunking (rolling-hash cut points), which changes only
+    // the chunker; the blocking join is identical. The fixture's blob
+    // surface is the UTF-8 payload (the q_multimodal_meta convention),
+    // so both engines fingerprint identical bytes.
+    "q_multimodal_dedup" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"text",
+          ceil(length($"text") / 32.0).cast("long").as("nch"))
+      val ch = docs.select($"doc_id", $"nch", explode(expr(
+          "transform(sequence(1, cast(ceil(length(text) / 32.0) as int))," +
+            " i -> struct(i AS i," +
+            " substring(text, (i - 1) * 32 + 1, 32) AS c))")).as("t"))
+        .select($"doc_id", $"nch", $"t.i".as("i"),
+          Tables.h60(concat(lit("mmchunk:"), $"t.c")).as("h"))
+      val bw = Window.partitionBy($"i", $"h")
+      val capped = ch.withColumn("bsz", count(lit(1)).over(bw))
+        .where($"bsz" <= 1000).drop("bsz")
+      capped.as("a").join(capped.as("b"),
+          $"a.i" === $"b.i" && $"a.h" === $"b.h" &&
+            $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          $"a.nch".as("na"), $"b.nch".as("nb"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where($"n_shared" >= 3)
+        .select($"doc_a", $"doc_b", $"n_shared",
+          round($"n_shared" / least($"na", $"nb"), 4).as("frac"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Multimodal/binary plumbing: treat the payload as an opaque
     // binary column with typed metadata; "decode" and "frame-sample"
     // are deterministic byte probes (head / middle / tail) standing in
@@ -834,6 +877,29 @@ object ExtOps {
         FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
         WHERE doc_id < 200 AND strlen(text) > 0
         ORDER BY doc_id, frame_idx""",
+
+      // Brute-force twin of the aligned-chunk fingerprint join (the
+      // cap never bites at fixture scale, so the blocked join equals
+      // the uncapped definition the oracle states directly).
+      "q_multimodal_dedup" -> """
+        WITH ch AS (
+          SELECT doc_id,
+                 CAST(ceil(strlen(text) / 32.0) AS BIGINT) AS nch,
+                 i,
+                 CAST('0x' || substring(md5('mmchunk:'
+                   || substring(text, CAST((i - 1) * 32 + 1 AS INT), 32)),
+                   1, 15) AS BIGINT) AS h
+          FROM documents,
+               unnest(range(1,
+                 CAST(ceil(strlen(text) / 32.0) AS BIGINT) + 1)) AS t(i))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared,
+               ROUND(count(*) / LEAST(a.nch, b.nch), 4) AS frac
+        FROM ch a JOIN ch b
+          ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.nch, b.nch
+        HAVING count(*) >= 3
+        ORDER BY doc_a, doc_b""",
 
       "q_multimodal_meta" -> """
         SELECT doc_id, lang,

@@ -910,6 +910,27 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_multimodal_dedup: pairs share aligned chunks, scores bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = q("q_multimodal_dedup", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "fixture must contain aligned-chunk near-dups")
+    val nch = ops.Tables.t(spark, sf0001, "documents")
+      .select($"doc_id", ceil(length($"text") / 32.0).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (a, b, shared, frac) =>
+      assert(a < b, "pairs must be emitted in one orientation")
+      assert(shared >= 3 && shared <= math.min(nch(a), nch(b)),
+        s"($a,$b): $shared shared vs chunks ${nch(a)}/${nch(b)}")
+      assert(frac > 0.0 && frac <= 1.0)
+      // frac is exactly shared / min(chunks), half-up on the 1e-4 grid.
+      val expect =
+        math.floor(shared.toDouble / math.min(nch(a), nch(b)) * 1e4 + 0.5) / 1e4
+      assert(math.abs(frac - expect) < 1e-9, s"($a,$b): frac $frac != $expect")
+    }
+  }
+
   test("q_agg_ohlc: bar invariants hold and the census conserves events") {
     import spark.implicits._
     val rows = q("q_agg_ohlc", sf0001).collect()
