@@ -257,6 +257,23 @@ object Scans {
       }
       s.sql(sql)
     }),
+
+    // TPC-H Q10 shape — returned-item reporting: the SELECTIVE-FACT
+    // top-k the other SQL rows don't cover (Q3 filters the dim, Q18
+    // derives its filter from an aggregate): here BOTH fact tables
+    // carry predicates (quarter window on orders, returnflag on
+    // lineitem), and the plan's shape at 100 TB is filter-pushdown on
+    // both scans → keyed fact⋈fact join on the SHRUNKEN sides → small
+    // dim broadcasts (customer groups, nation name) → TakeOrdered 20.
+    "q_sql_q10" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val sql = Seq("customer", "orders", "lineitem", "nation")
+        .foldLeft(sqlQ10) { (acc, n) =>
+          t(s, d, n).createOrReplaceTempView(s"graft_${n}_$tag")
+          acc.replaceAll(s"\\b$n\\b", s"graft_${n}_$tag")
+      }
+      s.sql(sql)
+    }),
   )
 
   /** Shared by the Spark query (modulo dir-scoped view names) and the
@@ -315,6 +332,26 @@ object Scans {
       ORDER BY totalprice DESC, o_orderkey
       LIMIT 20"""
 
+  /** TPC-H Q10 shape on the fixture's columns (no address/phone/
+    * comment in the synthetic customer — the revenue ranking is the
+    * query's point); quarter window inside the fixture's 1995–2001
+    * date range; revenue rounded by the sqlQ3 rule. */
+  private val sqlQ10 = """
+      SELECT c_custkey, c_name, n_name,
+             FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+               AS revenue,
+             FLOOR(c_acctbal * 100 + 0.5) / 100 AS acctbal
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name, c_acctbal
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20"""
+
   val oracle: Map[String, String] = Map(
     "q_scan_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity,
@@ -360,5 +397,6 @@ object Scans {
     "q_sql_q3" -> sqlQ3,
     "q_sql_q5" -> sqlQ5,
     "q_sql_q18" -> sqlQ18,
+    "q_sql_q10" -> sqlQ10,
   )
 }
