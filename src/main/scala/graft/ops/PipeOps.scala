@@ -670,6 +670,39 @@ object PipeOps {
     // q_agg_moments' lesson). The fixture is an A/A test by
     // construction, so honest t-stats hover near 0. One partial-
     // aggregable pass to 10 stat rows; the arm join is trivial.
+    // PREFERENCE-PAIR MINING — the DPO/RLHF data-construction shape:
+    // within each (user, day) context, pair the best and worst
+    // purchase by value as (chosen, rejected) with the value margin —
+    // the exact contrastive-pair extraction a preference-tuning
+    // pipeline runs over response ratings. ONE keyed window pass
+    // ordered (value, event_id): rejected = rank 1, chosen = rank n
+    // (ties broken by event_id, so both engines pick identical rows);
+    // groups need ≥ 2 events and a STRICT margin (an all-equal context
+    // teaches nothing and is dropped). Per-(user, day) partitions —
+    // never global; at 100 TB the window keys on the context id
+    // exactly like every q_win_* row.
+    "q_pipe_prefpairs" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"day")
+        .orderBy($"value", $"event_id")
+      val ev = t(s, d, "events")
+        .where($"event_type" === "purchase")
+        .select($"user_id", to_date($"ts").as("day"), $"event_id", $"value")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"user_id", $"day")))
+      ev.groupBy($"user_id", $"day")
+        .agg(
+          min(when($"rn" === $"n", $"event_id")).as("chosen_id"),
+          min(when($"rn" === $"n", $"value")).as("cv"),
+          min(when($"rn" === 1, $"event_id")).as("rejected_id"),
+          min(when($"rn" === 1, $"value")).as("rv"),
+          max($"n").as("n_events"))
+        .where($"n_events" >= 2 && $"cv" > $"rv")
+        .select($"user_id", $"day", $"chosen_id", $"rejected_id",
+          (floor(($"cv" - $"rv") * 100 + 0.5) / 100).as("margin"))
+        .orderBy($"user_id", $"day")
+    }),
+
     "q_pipe_abtest" -> ((s, d) => {
       import s.implicits._
       val st = t(s, d, "events")
@@ -1443,6 +1476,26 @@ object PipeOps {
                     / (1 + (1.959964*1.959964)/n)) * 1e4 + 0.5) / 1e4
                AS wilson_hi
       FROM s ORDER BY day""",
+
+    "q_pipe_prefpairs" -> """
+      WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_id, value,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS n
+        FROM events WHERE event_type = 'purchase')
+      SELECT user_id, day,
+             MIN(CASE WHEN rn = n THEN event_id END) AS chosen_id,
+             MIN(CASE WHEN rn = 1 THEN event_id END) AS rejected_id,
+             FLOOR((MIN(CASE WHEN rn = n THEN value END)
+               - MIN(CASE WHEN rn = 1 THEN value END)) * 100 + 0.5) / 100
+               AS margin
+      FROM p
+      GROUP BY user_id, day
+      HAVING MAX(n) >= 2
+         AND MIN(CASE WHEN rn = n THEN value END)
+           > MIN(CASE WHEN rn = 1 THEN value END)
+      ORDER BY user_id, day""",
 
     "q_pipe_abtest" -> """
       WITH b AS (

@@ -910,6 +910,27 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_pipe_prefpairs: chosen strictly beats rejected within its context") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = q("q_pipe_prefpairs", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val vals = ops.Tables.t(spark, sf0001, "events")
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (u, chosen, rejected, margin) =>
+      assert(chosen != rejected, s"user $u: degenerate pair")
+      assert(vals(chosen) > vals(rejected),
+        s"user $u: chosen ${vals(chosen)} !> rejected ${vals(rejected)}")
+      assert(margin > 0.0)
+      val expect =
+        math.floor((vals(chosen) - vals(rejected)) * 100 + 0.5) / 100
+      assert(math.abs(margin - expect) < 1e-9)
+    }
+  }
+
   test("q_multimodal_dedup: pairs share aligned chunks, scores bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
