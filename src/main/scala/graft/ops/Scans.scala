@@ -196,6 +196,50 @@ object Scans {
           sum(when($"_bad".isNotNull, 1L).otherwise(0L)).as("n_bad"))
     }),
 
+    // The binaryFile SOURCE — Spark's whole-file ingestion path for
+    // multimodal payloads (images/audio land as (path, modTime, length,
+    // content) rows; this is how a 100 TB image corpus enters the
+    // engine before q_multimodal_* take over). Landing files are
+    // contractual, the q_scan_badrecords pattern: one payload per
+    // region row (r_name repeated r_regionkey+2 times), written once
+    // per JVM behind the export lock with a tmp-dir + atomic rename so
+    // a mid-write kill can't serve truncated blobs. The oracle derives
+    // every column arithmetically from the region table — the compare
+    // proves the reader returned exactly the bytes the contract wrote.
+    // Scale: binaryFile parallelizes per FILE (maxPartitionBytes packs
+    // small files per task); content is never shuffled here — the
+    // projection reduces each blob to metadata + head byte at the scan.
+    "q_scan_binaryfile" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val dir = graft.TempWarehouse.path.resolve(s"blobs_$tag")
+      exportLock(dir.toString) {
+        if (!java.nio.file.Files.isDirectory(dir)) {
+          val rows = t(s, d, "region").select($"r_regionkey", $"r_name")
+            .collect()
+          val tmp = java.nio.file.Files.createTempDirectory(
+            graft.TempWarehouse.path, s"blobs_$tag")
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              tmp.resolve(s"blob_${r.getInt(0)}.bin"),
+              (r.getString(1) * (r.getInt(0) + 2)).getBytes("UTF-8"))
+          }
+          try java.nio.file.Files.move(tmp, dir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.isDirectory(dir) => // lost the race
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+          }
+        }
+      }
+      s.read.format("binaryFile").load(dir.toString)
+        .select(element_at(split($"path", "/"), -1).as("fname"),
+          $"length".as("n_bytes"),
+          expr("ascii(substring(decode(content, 'UTF-8'), 1, 1))")
+            .as("head_byte"))
+        .orderBy($"fname")
+    }),
+
     // The SQL front door: the TPC-H-Q3-shaped shipping-priority query
     // submitted as SQL TEXT through spark.sql over registered views —
     // every other declared query drives the DataFrame API; a user
@@ -364,6 +408,16 @@ object Scans {
     "q_scan_count" -> Tables.names
       .map(n => s"SELECT '$n' AS tbl, count(*) AS n FROM $n")
       .mkString("SELECT tbl, n FROM (", " UNION ALL ", ") ORDER BY tbl"),
+
+    // The landing files are contractual (one blob per region row,
+    // r_name repeated r_regionkey+2 times), so every column derives
+    // arithmetically from the region table.
+    "q_scan_binaryfile" -> """
+      SELECT 'blob_' || r_regionkey || '.bin' AS fname,
+             CAST(strlen(r_name) * (r_regionkey + 2) AS BIGINT) AS n_bytes,
+             ascii(substring(r_name, 1, 1)) AS head_byte
+      FROM region
+      ORDER BY fname""",
 
     // The corruption is contractual (exactly 2 bad lines appended to
     // the full region render), so the oracle is the region count plus
