@@ -257,6 +257,43 @@ object Windows {
         .limit(20)
     }),
 
+    // CUSUM changepoint detection (Page 1954) — the sequential drift
+    // detector every data-quality monitor runs per key: the one-sided
+    // CUSUM s_i = max(0, s_{i-1} + (x_i − μ)) peaks where the series'
+    // level shifts. The recursion is window-expressible EXACTLY:
+    // s_i = cum_i − min(0, min_{j≤i} cum_j) with cum the running sum
+    // of deviations — a running sum and a running min, one keyed
+    // window pass. Determinism is ARITHMETIC, not luck: values snap
+    // to a half-up cent grid, then every deviation is scaled by the
+    // user's event count so μ never becomes a float — dev = cents·n −
+    // Σcents is exact BIGINT, and the whole CUSUM stays integer until
+    // one final division (overflow headroom: cents·n ≈ 5·10¹⁰ at a
+    // million events/user, cum ≈ 5·10¹⁶ — inside BIGINT). Output: per
+    // user, the peak CUSUM (per-event-normalized) and the EARLIEST
+    // event where it peaks — the changepoint. Per-user partitions,
+    // never global.
+    "q_win_cusum" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", $"ts", $"event_id",
+          floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      val st = ev.groupBy($"user_id")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cu = ev.join(st, "user_id")
+        .withColumn("cum", sum($"cents" * $"n" - $"sc").over(run))
+        .withColumn("cusum", $"cum" - least(min($"cum").over(run), lit(0L)))
+      cu.withColumn("mx", max($"cusum").over(Window.partitionBy($"user_id")))
+        .where($"cusum" === $"mx")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id",
+          (floor($"mx" / ($"n" * 100.0) * 1e4 + 0.5) / 1e4).as("max_cusum"),
+          $"event_id".as("cp_event"))
+        .orderBy($"user_id")
+    }),
+
     // Cohort retention curve: each user's activity days expressed as
     // offsets from their first-seen day, active-user counts per
     // offset — the product-analytics retention matrix collapsed to
@@ -438,6 +475,40 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_cusum" -> """
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      st AS (
+        SELECT user_id, CAST(SUM(cents) AS BIGINT) AS sc,
+               count(*) AS n
+        FROM ev GROUP BY user_id),
+      cu AS (
+        SELECT ev.user_id, ts, event_id, n,
+               SUM(cents * n - sc) OVER w AS cum
+        FROM ev JOIN st ON ev.user_id = st.user_id
+        WINDOW w AS (PARTITION BY ev.user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)),
+      cs AS (
+        SELECT user_id, ts, event_id, n,
+               cum - LEAST(MIN(cum) OVER w, 0) AS cusum
+        FROM cu
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)),
+      mx AS (
+        SELECT user_id, ts, event_id, n, cusum,
+               MAX(cusum) OVER (PARTITION BY user_id) AS mx
+        FROM cs)
+      SELECT user_id,
+             FLOOR(mx / (n * 100.0) * 1e4 + 0.5) / 1e4 AS max_cusum,
+             event_id AS cp_event
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn
+            FROM mx WHERE cusum = mx)
+      WHERE rn = 1
+      ORDER BY user_id""",
+
     "q_win_sessionid" -> """
       WITH m AS (
         SELECT user_id, event_id, ts, epoch_us(ts) AS us,

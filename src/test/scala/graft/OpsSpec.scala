@@ -910,6 +910,45 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_win_cusum window algebra equals the Page recursion, per user") {
+    // The query computes s_i = cum_i − min(0, min cum_j) with windows;
+    // the DEFINITION is the recursion s_i = max(0, s_{i-1} + dev_i).
+    // Recompute the recursion driver-side on the same snapped cents
+    // and check peak value and earliest-argmax event both match.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = q("q_win_cusum", sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val ev = ops.Tables.t(spark, sf0001, "events")
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(got.keySet === ev.keySet)
+    ev.foreach { case (u, rows) =>
+      // ts sorts at full microsecond precision (getTime drops micros).
+      val xs = rows.sortBy(r =>
+        (r._2.toInstant.getEpochSecond, r._2.getNanos, r._3))
+      val n = xs.length.toLong
+      val sc = xs.map(_._4).sum
+      var s = 0L
+      var best = 0L
+      var bestEv = xs.head._3
+      xs.foreach { case (_, _, eid, c) =>
+        s = math.max(0L, s + (c * n - sc))
+        if (s > best) { best = s; bestEv = eid }
+      }
+      val (gotMax, gotEv) = got(u)
+      val expect = math.floor(best / (n * 100.0) * 1e4 + 0.5) / 1e4
+      assert(math.abs(gotMax - expect) < 1e-9,
+        s"user $u: cusum $gotMax != recursion $expect")
+      if (best > 0)
+        assert(gotEv === bestEv, s"user $u: changepoint $gotEv != $bestEv")
+    }
+  }
+
   test("q_pipe_prefpairs: chosen strictly beats rejected within its context") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
