@@ -814,8 +814,32 @@ object TextOps {
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    bpeLoop(s, d, rounds)._2.reduce(_ unionByName _).orderBy($"round")
+    bpeMergesDf(s, d, rounds).orderBy($"round")
   }
+
+  /** The loop's two deliverables under the shared derived-plan memo
+    * (the lmScores move): q_text_bpetrain wants the merge table,
+    * q_text_bpeapply the final symbol table — ONE training pass feeds
+    * both when they run back-to-back (Bench keeps the q_text_* family
+    * memo alive), instead of each re-materializing 12 rounds of
+    * checkpoints. Whichever deliverable is asked first seeds the
+    * other's memo from the same loop. */
+  private def bpeMergesDf(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int): org.apache.spark.sql.DataFrame =
+    Tables.derived(s, d, s"bpe_merges_$rounds") {
+      val (cur, merges) = bpeLoop(s, d, rounds)
+      Tables.derived(s, d, s"bpe_cur_$rounds")(cur)
+      merges.reduce(_ unionByName _)
+    }
+
+  private def bpeCurDf(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int): org.apache.spark.sql.DataFrame =
+    Tables.derived(s, d, s"bpe_cur_$rounds") {
+      val (cur, merges) = bpeLoop(s, d, rounds)
+      Tables.derived(s, d, s"bpe_merges_$rounds")(
+        merges.reduce(_ unionByName _))
+      cur
+    }
 
   /** The shared BPE merge-training loop: returns the FINAL per-word
     * symbol table (word, wc, symstr) and the per-round 1-row merge
@@ -869,7 +893,7 @@ object TextOps {
   private[graft] def bpeApply(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    bpeLoop(s, d, rounds)._1
+    bpeCurDf(s, d, rounds)
       .select($"wc", explode(split($"symstr", "\\|\\|")).as("sym"))
       .where($"sym" =!= "")
       .groupBy($"sym").agg(sum($"wc").as("n"))
