@@ -76,6 +76,61 @@ object SimOps {
     // Top-10 neighbors of vec_id=0 by cosine (= dot on unit vectors).
     // Ranked on the ROUNDED similarity so a last-ulp summation-order
     // difference between engines cannot flip the cutoff.
+    // HYBRID RETRIEVAL — Reciprocal Rank Fusion (Cormack et al.,
+    // SIGIR'09) of a lexical BM25 ranking and a dense cosine ranking
+    // for one query (doc 0's terms / vec 0's embedding): rrf =
+    // Σ 1/(60 + rank) over the rankers that retrieved the doc, top-10.
+    // This is the serving-side join every RAG stack runs between its
+    // inverted index and its ANN index. Determinism is layered: each
+    // BM25 term contribution rounds to integer MICRO-nats BEFORE the
+    // per-doc sum (order-free BIGINT — the q_text_dsir move; a plain
+    // double sum over ~30 query terms could flip a rank), cosine snaps
+    // to the 1e-4 grid, and both rankings come from DistRank's
+    // distributed rank (range partition + broadcast offsets — never a
+    // single-task global window) with doc_id tie-breaks. At 100 TB
+    // each leg is the corpus scan it always was (postings join /
+    // broadcast-query dot scan); the fusion itself joins two ≤ k-row
+    // rank tables.
+    "q_sim_hybrid" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val qt = docs.where($"doc_id" === 0)
+        .select(explode(array_distinct(split($"text", " "))).as("term"))
+      val tok = docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+      val stats = dl.agg(count(lit(1)).as("n"), avg($"len" * 1.0).as("avgdl"))
+      val tf = tok.join(broadcast(qt), "term").where($"doc_id" =!= 0)
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfp = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val lexScore = tf.join(broadcast(dfp), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select($"doc_id", round(
+          log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * $"tf" * 2.2
+            / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"len" / $"avgdl"))
+            * 1e6).cast("long").as("c_micro"))
+        .groupBy($"doc_id").agg(sum($"c_micro").as("sc"))
+      val lexRank = DistRank.withGlobalRank(lexScore, 8, $"sc".desc, $"doc_id")
+        .where(col(DistRank.RankCol) <= 20)
+        .select($"doc_id", col(DistRank.RankCol).as("lex_rank"))
+      val emb = t(s, d, "embeddings")
+      val q0 = emb.where($"vec_id" === 0).select($"embedding".as("qe"))
+      val vecScore = emb.where($"vec_id" =!= 0).crossJoin(broadcast(q0))
+        .select($"vec_id".as("doc_id"),
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sv"))
+      val vecRank = DistRank.withGlobalRank(vecScore, 8, $"sv".desc, $"doc_id")
+        .where(col(DistRank.RankCol) <= 20)
+        .select($"doc_id", col(DistRank.RankCol).as("vec_rank"))
+      lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          (floor((coalesce(lit(1.0) / ($"lex_rank" + 60), lit(0.0))
+            + coalesce(lit(1.0) / ($"vec_rank" + 60), lit(0.0))) * 1e6 + 0.5)
+            / 1e6).as("rrf"),
+          $"lex_rank", $"vec_rank")
+        .orderBy($"rrf".desc, $"doc_id")
+        .limit(10)
+    }),
+
     "q_sim_cosine_topk" -> ((s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
@@ -504,6 +559,55 @@ object SimOps {
 
   val oracle: Map[String, String] = Map(
     "q_sim_cosine_topk" -> cosineTopkSql,
+
+    // Both legs recomputed with the identical micro-nat / 1e-4 grids
+    // and (score DESC, doc_id) tie-breaks, fused by the same RRF.
+    "q_sim_hybrid" -> """
+      WITH qt AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id = 0),
+      tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n, avg(len * 1.0) AS avgdl FROM dl),
+      tf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf
+        FROM tok t JOIN qt ON t.term = qt.term
+        WHERE t.doc_id <> 0 GROUP BY 1, 2),
+      dfp AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      lex AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))
+                 * 1e6) AS BIGINT)) AS BIGINT) AS sc
+        FROM tf JOIN dfp USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY doc_id),
+      lr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sc DESC, doc_id) AS lex_rank
+        FROM lex QUALIFY lex_rank <= 20),
+      vec AS (
+        SELECT e.vec_id AS doc_id,
+               FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS sv
+        FROM embeddings e CROSS JOIN
+          (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0),
+      vr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sv DESC, doc_id) AS vec_rank
+        FROM vec QUALIFY vec_rank <= 20)
+      SELECT doc_id,
+             FLOOR((COALESCE(1.0 / (lex_rank + 60), 0)
+               + COALESCE(1.0 / (vec_rank + 60), 0)) * 1e6 + 0.5) / 1e6
+               AS rrf,
+             lex_rank, vec_rank
+      FROM lr FULL OUTER JOIN vr USING (doc_id)
+      ORDER BY rrf DESC, doc_id
+      LIMIT 10""",
     "q_sim_cluster" -> simClusterSql,
 
     "q_sim_range" -> """

@@ -910,6 +910,29 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_sim_hybrid: RRF is exactly the rank formula, ordered, ranks bounded") {
+    val rows = q("q_sim_hybrid", sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (id, rrf, lr, vr) =>
+      assert(lr.isDefined || vr.isDefined, s"doc $id retrieved by neither leg")
+      Seq(lr, vr).flatten.foreach(r => assert(r >= 1 && r <= 20))
+      val expect = math.floor(
+        (lr.map(r => 1.0 / (r + 60)).getOrElse(0.0)
+          + vr.map(r => 1.0 / (r + 60)).getOrElse(0.0)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(rrf - expect) < 1e-12, s"doc $id: rrf $rrf != $expect")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1),
+        s"fusion order violated at $a, $b")
+    }
+    // Each leg contributes at most one doc per rank: ranks are unique.
+    Seq(rows.flatMap(_._3), rows.flatMap(_._4)).foreach(rs =>
+      assert(rs.distinct.length === rs.length, "duplicate rank in a leg"))
+  }
+
   test("q_win_cusum window algebra equals the Page recursion, per user") {
     // The query computes s_i = cum_i − min(0, min cum_j) with windows;
     // the DEFINITION is the recursion s_i = max(0, s_{i-1} + dev_i).
