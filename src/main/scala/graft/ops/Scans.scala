@@ -196,6 +196,52 @@ object Scans {
           sum(when($"_bad".isNotNull, 1L).otherwise(0L)).as("n_bad"))
     }),
 
+    // PARQUET SCHEMA EVOLUTION — the source-surface reality every
+    // long-lived 100 TB table hits: files written before a column
+    // existed sit next to files written after, and the reader must
+    // union the schemas (absent columns → NULL) instead of failing or
+    // silently dropping data. Landing layout is contractual: epoch v1
+    // writes region-derived rows WITHOUT the `extra` column, epoch v2
+    // writes them WITH it; one read with mergeSchema=true spans both
+    // epochs and the rollup counts rows and non-null `extra` per
+    // epoch. At scale, mergeSchema's footer-union cost is why
+    // production tables pin schemas in a catalog — the READER
+    // semantics under drift are what this row pins (per-file schemas
+    // differ; the union schema serves NULLs for pre-evolution files).
+    "q_scan_evolution" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val dir = graft.TempWarehouse.path.resolve(s"evo_$tag")
+      exportLock(dir.toString) {
+        if (!java.nio.file.Files.isDirectory(dir)) {
+          val tmp = java.nio.file.Files.createTempDirectory(
+            graft.TempWarehouse.path, s"evo_$tag")
+          val base = t(s, d, "region")
+            .select($"r_regionkey".as("k"), $"r_name".as("nm"))
+          base.withColumn("epoch", lit(1))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(tmp.resolve("e1").toString)
+          base.withColumn("epoch", lit(2))
+            .withColumn("extra", length($"nm").cast("long"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(tmp.resolve("e2").toString)
+          try java.nio.file.Files.move(tmp, dir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.isDirectory(dir) =>
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+          }
+        }
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/e1", s"$dir/e2")
+        .groupBy($"epoch").agg(
+          count(lit(1)).as("n_rows"),
+          count($"extra").as("n_extra"),
+          sum(coalesce($"extra", lit(0L))).as("sum_extra"))
+        .orderBy($"epoch")
+    }),
+
     // The binaryFile SOURCE — Spark's whole-file ingestion path for
     // multimodal payloads (images/audio land as (path, modTime, length,
     // content) rows; this is how a 100 TB image corpus enters the
@@ -408,6 +454,20 @@ object Scans {
     "q_scan_count" -> Tables.names
       .map(n => s"SELECT '$n' AS tbl, count(*) AS n FROM $n")
       .mkString("SELECT tbl, n FROM (", " UNION ALL ", ") ORDER BY tbl"),
+
+    // The two-epoch layout is contractual: epoch 1 has NO extra
+    // column (reader serves NULLs → count/sum 0), epoch 2 carries
+    // length(r_name) — both derivable from region directly.
+    "q_scan_evolution" -> """
+      SELECT 1 AS epoch, count(*) AS n_rows,
+             CAST(0 AS BIGINT) AS n_extra, CAST(0 AS BIGINT) AS sum_extra
+      FROM region
+      UNION ALL
+      SELECT 2 AS epoch, count(*) AS n_rows,
+             count(*) AS n_extra,
+             CAST(SUM(strlen(r_name)) AS BIGINT) AS sum_extra
+      FROM region
+      ORDER BY epoch""",
 
     // The landing files are contractual (one blob per region row,
     // r_name repeated r_regionkey+2 times), so every column derives
