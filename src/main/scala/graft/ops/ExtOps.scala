@@ -125,6 +125,41 @@ object ExtOps {
     WHERE FLOOR((list_sum(list_transform(list_zip(a.embedding, b.embedding),
             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) * 1e4 + 0.5) / 1e4 >= 0.4"""
 
+  /** q_multimodal_dedup body, parameterized by the hot-block cap so
+    * the pruning mechanism is testable (the minhashPairs precedent):
+    * a chunk shared by k payloads at one offset contributes k²/2
+    * candidate pairs, so an uncapped common header would quadratically
+    * dominate. OpsSpec runs cap=1 and asserts ZERO pairs survive
+    * (every 2+-payload block is pruned), proving the cap actually
+    * gates the candidate generator. */
+  private[graft] def mmChunkPairs(s: org.apache.spark.sql.SparkSession,
+      d: String, cap: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+      .select($"doc_id", $"text",
+        ceil(length($"text") / 32.0).cast("long").as("nch"))
+    val ch = docs.select($"doc_id", $"nch", explode(expr(
+        "transform(sequence(1, cast(ceil(length(text) / 32.0) as int))," +
+          " i -> struct(i AS i," +
+          " substring(text, (i - 1) * 32 + 1, 32) AS c))")).as("t"))
+      .select($"doc_id", $"nch", $"t.i".as("i"),
+        Tables.h60(concat(lit("mmchunk:"), $"t.c")).as("h"))
+    val bw = Window.partitionBy($"i", $"h")
+    val capped = ch.withColumn("bsz", count(lit(1)).over(bw))
+      .where($"bsz" <= cap).drop("bsz")
+    capped.as("a").join(capped.as("b"),
+        $"a.i" === $"b.i" && $"a.h" === $"b.h" &&
+          $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.nch".as("na"), $"b.nch".as("nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= 3)
+      .select($"doc_a", $"doc_b", $"n_shared",
+        round($"n_shared" / least($"na", $"nb"), 4).as("frac"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     // n-gram-heuristic language ID: count marker-token hits per
     // language profile, predict the argmax (ties → first profile in
@@ -534,32 +569,7 @@ object ExtOps {
     // the chunker; the blocking join is identical. The fixture's blob
     // surface is the UTF-8 payload (the q_multimodal_meta convention),
     // so both engines fingerprint identical bytes.
-    "q_multimodal_dedup" -> ((s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, d, "documents")
-        .select($"doc_id", $"text",
-          ceil(length($"text") / 32.0).cast("long").as("nch"))
-      val ch = docs.select($"doc_id", $"nch", explode(expr(
-          "transform(sequence(1, cast(ceil(length(text) / 32.0) as int))," +
-            " i -> struct(i AS i," +
-            " substring(text, (i - 1) * 32 + 1, 32) AS c))")).as("t"))
-        .select($"doc_id", $"nch", $"t.i".as("i"),
-          Tables.h60(concat(lit("mmchunk:"), $"t.c")).as("h"))
-      val bw = Window.partitionBy($"i", $"h")
-      val capped = ch.withColumn("bsz", count(lit(1)).over(bw))
-        .where($"bsz" <= 1000).drop("bsz")
-      capped.as("a").join(capped.as("b"),
-          $"a.i" === $"b.i" && $"a.h" === $"b.h" &&
-            $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-          $"a.nch".as("na"), $"b.nch".as("nb"))
-        .agg(count(lit(1)).as("n_shared"))
-        .where($"n_shared" >= 3)
-        .select($"doc_a", $"doc_b", $"n_shared",
-          round($"n_shared" / least($"na", $"nb"), 4).as("frac"))
-        .orderBy($"doc_a", $"doc_b")
-    }),
+    "q_multimodal_dedup" -> ((s, d) => mmChunkPairs(s, d, 1000)),
 
     // Multimodal/binary plumbing: treat the payload as an opaque
     // binary column with typed metadata; "decode" and "frame-sample"

@@ -993,6 +993,20 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_multimodal_dedup cap=1 prunes every shared-chunk block (mechanism)") {
+    // A pair needs ≥ 3 shared (offset, hash) blocks, and every shared
+    // block holds ≥ 2 payloads — so with cap=1 every candidate source
+    // is pruned and the join MUST emit nothing. This is the knob that
+    // bounds a boilerplate header shared by millions of assets.
+    assert(graft.ops.ExtOps.mmChunkPairs(spark, sf0001, 1).count() === 0L)
+    // And the declared cap (1000) is far above any fixture block, so
+    // the capped join equals the uncapped definition the oracle states.
+    val capped = graft.ops.ExtOps.mmChunkPairs(spark, sf0001, 1000).collect()
+    val uncapped =
+      graft.ops.ExtOps.mmChunkPairs(spark, sf0001, Int.MaxValue).collect()
+    assert(capped.map(_.toString).toSeq === uncapped.map(_.toString).toSeq)
+  }
+
   test("q_multimodal_dedup: pairs share aligned chunks, scores bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
