@@ -114,7 +114,7 @@ object ExtOps {
           .map(m => (m, find(m)))
       }
       .toDF("vec_id", "cluster")
-      .localCheckpoint(eager = false)
+      .transform(Tables.ck)
   }
 
   /** The same pair graph in DuckDB SQL (oracle side). */

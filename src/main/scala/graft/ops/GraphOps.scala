@@ -199,7 +199,7 @@ object GraphOps {
     // wall clock is stage latency × step count, that halves the step.
     val selfLoops = edges0.select(col("src")).distinct()
       .select(col("src"), col("src").as("dst"))
-      .localCheckpoint(eager = false)
+      .transform(Tables.ck)
     var lab = edges0.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab")).localCheckpoint()
     // One min-label propagation step over the CURRENT edge set
@@ -216,7 +216,7 @@ object GraphOps {
           col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
       edges = edges.unionByName(hop2).distinct()
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
     }
     var changed = 1L
     var steps = 0
@@ -240,7 +240,7 @@ object GraphOps {
       // materialized inside the batch's single count action.
       var next = lab
       for (_ <- 1 to batch) {
-        next = step(next).localCheckpoint(eager = false)
+        next = step(next).transform(Tables.ck)
         double()
       }
       changed = next
@@ -326,7 +326,7 @@ object GraphOps {
         .select(col("l").as("u"), col("m").as("v"))
         .unionByName(m.select(col("h").as("u"), col("m").as("v"))))
     }
-    var edges = canon(edges0).localCheckpoint(eager = false)
+    var edges = canon(edges0).transform(Tables.ck)
     var rounds = 0
     var changed = 1L
     // TWO rounds per convergence check — the ccLabels batch=2
@@ -343,8 +343,8 @@ object GraphOps {
     while (changed > 0 && rounds < maxRounds) {
       var next = edges
       for (_ <- 1 to batch) {
-        next = smallStar(largeStar(next).localCheckpoint(eager = false))
-          .localCheckpoint(eager = false)
+        next = smallStar(largeStar(next).transform(Tables.ck))
+          .transform(Tables.ck)
       }
       // Symmetric difference via two keyed anti joins, ONE action.
       changed = next.join(edges, Seq("u", "v"), "left_anti")
@@ -394,7 +394,7 @@ object GraphOps {
       rounds: Int): org.apache.spark.sql.DataFrame = {
     var lbl = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(eager = false)
+      .transform(Tables.ck)
     (1 to rounds).foreach { _ =>
       val votes = edges
         .join(lbl.select(col("node").as("src"), col("lbl").as("l")), Seq("src"))
@@ -405,7 +405,7 @@ object GraphOps {
       lbl = votes.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("node"), col("l").as("lbl"))
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
     }
     lbl
   }
@@ -428,7 +428,7 @@ object GraphOps {
         .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
                 concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
         .distinct()
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
     }
 
   /** The CONVERGED component labels of the [[ccEdges]] fixture graph
@@ -444,7 +444,7 @@ object GraphOps {
     Tables.derived(s, d, "cc_labels_star") {
       import s.implicits._
       ccStar(ccEdges(s, d).select($"src".as("u"), $"dst".as("v")))._1
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
     }
 
   /** `rounds` peel iterations toward the K-CORE of a SYMMETRIC edge
@@ -480,19 +480,19 @@ object GraphOps {
   private[graft] def kcoreEdges(edges0: org.apache.spark.sql.DataFrame,
       k: Int, rounds: Int, broadcastKeep: Boolean)
       : org.apache.spark.sql.DataFrame = {
-    var edges = edges0.localCheckpoint(eager = false)
+    var edges = edges0.transform(Tables.ck)
     for (_ <- 1 to rounds) {
       val keep0 = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
         .where(col("dg") >= k).select(col("src").as("node"))
       val keep =
-        if (broadcastKeep) keep0 else keep0.localCheckpoint(eager = false)
+        if (broadcastKeep) keep0 else keep0.transform(Tables.ck)
       def side(df: org.apache.spark.sql.DataFrame) =
         if (broadcastKeep) broadcast(df) else df.hint("shuffle_hash")
       edges = edges
         .join(side(keep.select(col("node").as("src"))), "src")
         .join(side(keep.select(col("node").as("dst"))), "dst")
         .select(col("src"), col("dst"))
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
     }
     edges
   }
@@ -520,7 +520,7 @@ object GraphOps {
         .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
                 concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
         .distinct()
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
       e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
     }
 
@@ -534,7 +534,7 @@ object GraphOps {
     Tables.derived(s, d, "trade_deg") {
       import s.implicits._
       tradeEdges(s, d).groupBy($"src").agg(count(lit(1)).as("d"))
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
     }
 
   /** [[tradeEdges]] with the source's degree folded onto each edge —
@@ -549,7 +549,7 @@ object GraphOps {
       import s.implicits._
       tradeEdges(s, d).join(broadcast(tradeDeg(s, d)), "src")
         .select($"src", $"dst", $"d")
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
     }
 
   /** Frontier sizes for hops 1..`hops` of a BFS over `edges` from
@@ -578,7 +578,7 @@ object GraphOps {
       frontier = edges.join(side(frontier), col("src") === col("node"))
         .select(col("dst").as("node")).distinct()
         .join(side(visited), Seq("node"), "left_anti")
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
       visited = visited.unionByName(frontier)
       frontier.agg(count(lit(1)).as("frontier"))
         .select(lit(hop).as("hop"), col("frontier"))
@@ -701,7 +701,7 @@ object GraphOps {
               $"a.l_partkey" < $"b.l_partkey")
           .select($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
           .distinct()
-          .localCheckpoint(eager = false)
+          .transform(Tables.ck)
       }
       val deg = e.select($"p1".as("n")).unionByName(e.select($"p2".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("dg"))
@@ -717,7 +717,7 @@ object GraphOps {
           when(fwd, $"p1").otherwise($"p2").as("src"),
           when(fwd, $"p2").otherwise($"p1").as("dst"),
           when(fwd, $"d2").otherwise($"d1").as("ddg"))
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
       val tri = dir.as("e1").join(dir.as("e2"),
           $"e1.src" === $"e2.src" &&
             ($"e1.ddg" < $"e2.ddg" ||
@@ -751,7 +751,7 @@ object GraphOps {
       // Checkpoint AFTER the cap: the capped list is what deg and
       // both self-join sides read (3 references), so this is the
       // table worth materializing once.
-      val e = capNeighbors(e0, JaccardCap).localCheckpoint(eager = false)
+      val e = capNeighbors(e0, JaccardCap).transform(Tables.ck)
       val deg = e.groupBy($"sup").agg(count(lit(1)).as("dg"))
       val pairs = e.as("a").join(e.as("b"),
           $"a.c" === $"b.c" && $"a.sup" < $"b.sup")

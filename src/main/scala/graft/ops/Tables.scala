@@ -33,6 +33,27 @@ object Tables {
   def h60Sql(x: String): String =
     s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
 
+  /** LAZY plan materialization point for the iterative operators
+    * (LPA, ccStar, BPE, BFS, PageRank): by default a lazy
+    * `localCheckpoint` — zero driver actions, blocks on executors, no
+    * lineage. On a real cluster an executor loss mid-query forces a
+    * rerun of the whole job (acceptable for these bounded-round jobs
+    * and standard GraphFrames practice); a deployment that wants
+    * fault-tolerant intermediates sets `spark.graft.reliableCheckpoint
+    * =true` AND a `sparkContext.setCheckpointDir` — then every
+    * iteration round lands in the reliable store instead (lazy too, so
+    * the zero-driver-action contract holds either way). Results are
+    * identical by construction — CkSpec pins lpaLabels under both
+    * modes. */
+  def ck(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val reliable =
+      s.conf.getOption("spark.graft.reliableCheckpoint").contains("true") &&
+        s.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+  }
+
   /** Base DataFrames are cached per (session, dir, table): a DataFrame
     * is an immutable plan, and rebuilding it per query repeats file
     * listing + parquet schema inference — pure fixed overhead that at

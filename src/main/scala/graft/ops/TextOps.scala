@@ -64,7 +64,7 @@ object TextOps {
         .select($"doc_id", $"lang",
           explode(expr("char_bigram_counts(t)")).as("e"))
         .select($"doc_id", $"lang", $"e.bg".as("bg"), $"e.c".as("c"))
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
       val model = bgc.groupBy($"bg").agg(sum($"c").as("n_bg"))
         .withColumn("c1", substring($"bg", 1, 1))
       val prefix = model.groupBy($"c1").agg(sum($"n_bg").as("n_c1"))
@@ -72,7 +72,7 @@ object TextOps {
       bgc.join(broadcast(probs), "bg")
         .groupBy($"doc_id", $"lang")
         .agg((sum($"c" * log($"n_bg" / $"n_c1")) / sum($"c")).as("score"))
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
     }
 
   val queries: Map[String, Q] = Map(
@@ -856,7 +856,7 @@ object TextOps {
     var cur = words.select($"word", $"wc",
       concat(lit("||"), array_join(split($"word", ""), "||"), lit("||"))
         .as("symstr"))
-      .localCheckpoint(eager = false)
+      .transform(Tables.ck)
     var merges = Vector.empty[org.apache.spark.sql.DataFrame]
     (1 to rounds).foreach { r =>
       val best = cur
@@ -869,7 +869,7 @@ object TextOps {
         .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
         .agg(sum($"wc").as("n"))
         .orderBy($"n".desc, $"pa", $"pb").limit(1)
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
       merges :+= best.select(lit(r).as("round"),
         $"pa".as("pair_a"), $"pb".as("pair_b"), $"n")
       cur = cur.join(broadcast(best), lit(true), "left")
@@ -877,7 +877,7 @@ object TextOps {
           "CASE WHEN pa IS NULL THEN symstr ELSE" +
             " replace(symstr, concat('|', pa, '||', pb, '|')," +
             " concat('|', pa, pb, '|')) END").as("symstr"))
-        .localCheckpoint(eager = false)
+        .transform(Tables.ck)
     }
     (cur, merges)
   }
