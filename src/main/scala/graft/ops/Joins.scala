@@ -153,6 +153,22 @@ object Joins {
         .orderBy($"nationkey")
     }),
 
+    // 1-BUCKET-THETA grid join (Okcan & Riedewald, SIGMOD 2011 —
+    // PAPERS.md): the scalable plan for an inequality join with NO
+    // equi key at all (q_join_theta leans on its nationkey block; here
+    // the predicate is a pure global s_acctbal > c_acctbal). The
+    // |A|×|B| comparison grid is tiled r×c: each supplier owns one
+    // hash-assigned ROW and replicates across the c columns, each
+    // customer one COLUMN replicated across the r rows — every pair
+    // meets in EXACTLY ONE cell, the join key is the CELL id (a plain
+    // equi shuffle, no cartesian node, no broadcast), and per-task
+    // work is balanced at (|A|/r)·(|B|/c) regardless of skew. At
+    // 100 TB r·c tracks the cluster's task count and replication cost
+    // is |A|·c + |B|·r — the paper's memory/replication trade, chosen
+    // so neither side broadcasts. JoinsSpec proves grid invariance:
+    // (1,1) ≡ (4,4) ≡ (8,2).
+    "q_join_theta_grid" -> ((s, d) => thetaGrid(s, d, 4, 4)),
+
     // Band self-join: equi on user_id, residual 5-minute window.
     // Timestamps are µs-truncated identically in both engines, so the
     // interval arithmetic is exact.
@@ -375,6 +391,33 @@ object Joins {
     }),
   )
 
+  /** q_join_theta_grid body, parameterized by the grid shape so the
+    * spec can prove PARTITION-INVARIANCE — the algorithm's defining
+    * property: every (supplier, customer) pair meets in EXACTLY ONE
+    * cell (the supplier's fixed row × the customer's fixed column),
+    * so any r×c grid computes the identical aggregate; (1,1)
+    * degenerates to the plain cross product. Money snaps to exact
+    * cent BIGINTs so the 150k-pair sum is order-free. */
+  private[graft] def thetaGrid(s: org.apache.spark.sql.SparkSession,
+      d: String, r: Int, c: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sup = t(s, d, "supplier")
+      .select(floor($"s_acctbal" * 100 + 0.5).cast("long").as("sa"),
+        pmod(Tables.h60(concat(lit("tg_s:"), $"s_suppkey".cast("string"))),
+          lit(r)).as("gi"))
+      .withColumn("gj", explode(expr(s"sequence(0, ${c - 1})")))
+    val cust = t(s, d, "customer")
+      .select(floor($"c_acctbal" * 100 + 0.5).cast("long").as("ca"),
+        pmod(Tables.h60(concat(lit("tg_c:"), $"c_custkey".cast("string"))),
+          lit(c)).as("gj"))
+      .withColumn("gi", explode(expr(s"sequence(0, ${r - 1})")))
+    sup.join(cust, Seq("gi", "gj"))
+      .where($"sa" > $"ca")
+      .agg(count(lit(1)).as("n_pairs"),
+        (floor(sum($"sa" - $"ca") / count(lit(1)) / 100.0 * 1e4 + 0.5)
+          / 1e4).as("avg_gap"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q_join_fuzzy" -> """
       WITH src AS (SELECT DISTINCT source FROM documents)
@@ -474,6 +517,18 @@ object Joins {
       FROM part
       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
       ORDER BY p_partkey""",
+
+    // The grid decomposition must be invisible in the result: plain
+    // inequality cross join over exact cents.
+    "q_join_theta_grid" -> """
+      WITH s AS (SELECT CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS sa
+                 FROM supplier),
+           c AS (SELECT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS ca
+                 FROM customer)
+      SELECT count(*) AS n_pairs,
+             FLOOR(CAST(SUM(sa - ca) AS DOUBLE) / count(*) / 100.0
+               * 1e4 + 0.5) / 1e4 AS avg_gap
+      FROM s JOIN c ON sa > ca""",
 
     "q_join_theta" -> """
       SELECT s_nationkey AS nationkey, count(*) AS n_pairs,

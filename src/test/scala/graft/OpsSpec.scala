@@ -910,6 +910,20 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_join_theta_grid is grid-invariant: (1,1) ≡ (4,4) ≡ (8,2)") {
+    // The 1-Bucket-Theta property: every pair meets in exactly one
+    // cell, so the aggregate cannot depend on the tiling — (1,1) is
+    // the plain cross product, the others are genuinely partitioned.
+    val shapes = Seq((1, 1), (4, 4), (8, 2))
+    val results = shapes.map { case (r, c) =>
+      val row = graft.ops.Joins.thetaGrid(spark, sf0001, r, c).collect()(0)
+      (row.getLong(0), row.getDouble(1))
+    }
+    assert(results(0)._1 > 0, "fixture must produce qualifying pairs")
+    assert(results.distinct.size === 1,
+      s"grid shape changed the result: ${shapes.zip(results)}")
+  }
+
   test("q_sim_hybrid: RRF is exactly the rank formula, ordered, ranks bounded") {
     val rows = q("q_sim_hybrid", sf0001).collect()
       .map(r => (r.getLong(0), r.getDouble(1),
