@@ -43,6 +43,28 @@ object Aggs {
         round(max($"l_extendedprice"), 2).as("max_price"))
     }),
 
+    // EXACT DECIMAL aggregation — the financial-correctness surface:
+    // every other money column here rides doubles disciplined by the
+    // repo's floor-cent snapping; this row instead casts to
+    // DECIMAL(18,2) at the scan and lets Tungsten's decimal aggregate
+    // carry EXACT cents end-to-end — sum order, partial aggregation,
+    // and engine choice provably cannot move a cent, which is the
+    // property a billing pipeline needs stated, not approximated.
+    // At 100 TB decimal sums stay partial-aggregable (128-bit
+    // accumulators); the cost vs doubles is the documented trade.
+    "q_agg_decimal" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select($"o_orderpriority",
+          $"o_totalprice".cast("decimal(18,2)").as("p"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"p").as("sum_price"),
+          min($"p").as("min_price"),
+          max($"p").as("max_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
     "q_agg_group" -> ((s, d) => {
       import s.implicits._
       t(s, d, "lineitem")
@@ -615,6 +637,17 @@ object Aggs {
              ROUND(MIN(l_extendedprice), 2) AS min_price,
              ROUND(MAX(l_extendedprice), 2) AS max_price
       FROM lineitem""",
+
+    // Exact decimals on both sides — no rounding anywhere: a one-cent
+    // divergence FAILS the differential instead of hiding in a grid.
+    "q_agg_decimal" -> """
+      SELECT o_orderpriority, count(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+             MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
+             MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
 
     "q_agg_group" -> """
       SELECT l_returnflag, l_linestatus,
