@@ -509,7 +509,7 @@ object GraphOps {
     * degree/count branches) re-reads it, and without it the unrolled
     * plan recomputes the join per reference — measured 11 s → ~1 s
     * at sf0.1. */
-  private def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.derived(s, d, "trade_edges_sym") {
       import s.implicits._
       // Checkpoint the DIRECTED half only: the symmetrizing union is a
@@ -530,7 +530,7 @@ object GraphOps {
     * re-broadcasts it per iteration and bfs seeds from it, and
     * without the checkpoint each broadcast re-aggregates the edge
     * table. */
-  private def tradeDeg(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def tradeDeg(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.derived(s, d, "trade_deg") {
       import s.implicits._
       tradeEdges(s, d).groupBy($"src").agg(count(lit(1)).as("d"))
