@@ -910,6 +910,29 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("round-10 operators on the micro fixture: edge semantics") {
+    // prefpairs: every micro context has exactly one purchase — no
+    // pair may be invented from a singleton context.
+    assert(q("q_pipe_prefpairs", microDir).count() === 0L)
+    // cusum: a single-event user has dev ≡ 0, so its peak CUSUM is 0
+    // (kept, not dropped) and the changepoint is its only event.
+    val cu = q("q_win_cusum", microDir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(cu.keySet === Set(7L, 99L))
+    assert(cu(99L) === ((0.0, 5L)))
+    // theta grid on countable rows: supplier balances {150, 50} vs
+    // customer balances {100, 200, 200, 50} → exactly the pairs
+    // 150>100 and 150>50, avg gap (50+100)/2 = 75.
+    val tg = ops.Joins.thetaGrid(spark, microDir, 4, 4).collect()(0)
+    assert(tg.getLong(0) === 2L && tg.getDouble(1) === 75.0)
+    // decimal aggregation: exact cents as BigDecimal, no drift.
+    val dec = q("q_agg_decimal", microDir).collect()
+      .map(r => r.getString(0) -> r.getDecimal(2)).toMap
+    assert(BigDecimal(dec("1-URGENT")) === BigDecimal("100.00"))
+    assert(BigDecimal(dec("2-HIGH")) === BigDecimal("200.00"))
+    assert(BigDecimal(dec("5-LOW")) === BigDecimal("300.00"))
+  }
+
   test("q_join_theta_grid is grid-invariant: (1,1) ≡ (4,4) ≡ (8,2)") {
     // The 1-Bucket-Theta property: every pair meets in exactly one
     // cell, so the aggregate cannot depend on the tiling — (1,1) is
