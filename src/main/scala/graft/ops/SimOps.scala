@@ -173,6 +173,43 @@ object SimOps {
     // WindowGroupLimit prunes to k per group BEFORE the shuffle — the
     // map-side heap of a distributed k-NN join. Rank on the ROUNDED
     // sim + vec_id so the cutoff is engine-invariant.
+    // HARD-NEGATIVE MINING — the contrastive-training data op behind
+    // every embedding-model pipeline (in-batch negatives are easy;
+    // the informative signal is the nearest vector with a DIFFERENT
+    // label): for each of the 20 query vectors, the top-1 most-similar
+    // different-label corpus vector plus the same-label top-1 for the
+    // margin diagnostic (negative harder than your positive ⇒ the pair
+    // the model most needs). Same scale shape as q_sim_knn_join: the
+    // 20-row query batch broadcasts (whitelisted tiny side), the
+    // corpus scans ONCE through the codegen'd dot kernel, and the
+    // per-query argmax is a keyed WindowGroupLimit heap — map-side
+    // top-1 per partition, never a global sort. 1e-4-snapped sims +
+    // vec_id ties keep both engines' argmax identical.
+    "q_sim_hardneg" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"label".as("qlabel"),
+          $"embedding".as("qe"))
+      val w = Window.partitionBy($"qid", $"grp")
+        .orderBy($"sim".desc, $"vec_id")
+      emb.where($"vec_id" >= 20)
+        .crossJoin(broadcast(qs))
+        .select($"qid", $"qlabel", $"vec_id", $"label",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"),
+          when($"label" === $"qlabel", lit("pos")).otherwise(lit("neg"))
+            .as("grp"))
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .groupBy($"qid")
+        .agg(min(when($"grp" === "neg", $"vec_id")).as("hard_neg"),
+          min(when($"grp" === "neg", $"sim")).as("neg_sim"),
+          min(when($"grp" === "pos", $"vec_id")).as("top_pos"),
+          min(when($"grp" === "pos", $"sim")).as("pos_sim"))
+        .withColumn("margin",
+          (floor(($"pos_sim" - $"neg_sim") * 1e4 + 0.5) / 1e4))
+        .orderBy($"qid")
+    }),
+
     "q_sim_knn_join" -> ((s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
@@ -559,6 +596,37 @@ object SimOps {
 
   val oracle: Map[String, String] = Map(
     "q_sim_cosine_topk" -> cosineTopkSql,
+
+    // Brute-force twin: per (query, pos/neg side), the (sim DESC,
+    // vec_id) argmax over the same snapped sims.
+    "q_sim_hardneg" -> """
+      WITH qs AS (
+        SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+        FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT q.qid, q.qlabel, e.vec_id, e.label,
+               FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS sim,
+               CASE WHEN e.label = q.qlabel THEN 'pos' ELSE 'neg' END AS grp
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id >= 20),
+      top1 AS (
+        SELECT qid, grp, vec_id, sim,
+               row_number() OVER (PARTITION BY qid, grp
+                 ORDER BY sim DESC, vec_id) AS rn
+        FROM scored QUALIFY rn = 1)
+      SELECT qid,
+             MIN(CASE WHEN grp = 'neg' THEN vec_id END) AS hard_neg,
+             MIN(CASE WHEN grp = 'neg' THEN sim END) AS neg_sim,
+             MIN(CASE WHEN grp = 'pos' THEN vec_id END) AS top_pos,
+             MIN(CASE WHEN grp = 'pos' THEN sim END) AS pos_sim,
+             FLOOR((MIN(CASE WHEN grp = 'pos' THEN sim END)
+               - MIN(CASE WHEN grp = 'neg' THEN sim END)) * 1e4 + 0.5) / 1e4
+               AS margin
+      FROM top1
+      GROUP BY qid
+      ORDER BY qid""",
 
     // Both legs recomputed with the identical micro-nat / 1e-4 grids
     // and (score DESC, doc_id) tie-breaks, fused by the same RRF.

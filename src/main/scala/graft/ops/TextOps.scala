@@ -657,6 +657,31 @@ object TextOps {
     // learned merges.
     "q_text_bpeapply" -> ((s, d) => bpeApply(s, d, 12)),
 
+    // TOKENIZER FERTILITY per language — tokens-per-word under the
+    // TRAINED BPE table, the standard tokenizer-fairness diagnostic
+    // (a vocabulary fit on one language's merges over-fragments the
+    // others; fertility is the number multilingual tokenizer papers
+    // report per language). Composition row: the per-word symbol
+    // count comes from the SAME trained table as q_text_bpeapply
+    // (shared derived memo — one training pass feeds all three BPE
+    // rows), broadcast back onto the (lang, word) stream — vocabulary-
+    // scale broadcast, corpus-scale map side, one keyed agg.
+    "q_text_fertility" -> ((s, d) => {
+      import s.implicits._
+      val wsym = bpeCurDf(s, d, 12)
+        .select($"word",
+          (size(split($"symstr", "\\|\\|")) - 2).as("nsym"))
+      t(s, d, "documents")
+        .select($"lang", explode(split($"text", " ")).as("word"))
+        .where(length($"word") >= 2)
+        .join(broadcast(wsym), "word")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"), sum($"nsym").as("n_tokens"),
+          (floor(sum($"nsym") / count(lit(1)) * 1e4 + 0.5) / 1e4)
+            .as("fertility"))
+        .orderBy($"lang")
+    }),
+
     // DSIR — Data Selection via Importance Resampling (Xie et al.
     // 2023, NeurIPS, arXiv:2302.03169), the published answer to "pick
     // the raw-web documents that look most like a trusted target
@@ -1106,6 +1131,19 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q_text_bpetrain" -> bpeTrainSql,
     "q_text_bpeapply" -> bpeApplySql,
+    "q_text_fertility" -> (bpeChainSql(12) + """
+      , wsym AS (
+        SELECT word, len(string_split(symstr, '||')) - 2 AS nsym
+        FROM s12)
+      SELECT lang, count(*) AS n_words,
+             CAST(SUM(nsym) AS BIGINT) AS n_tokens,
+             FLOOR(SUM(nsym) * 1.0 / count(*) * 1e4 + 0.5) / 1e4
+               AS fertility
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      JOIN wsym USING (word)
+      GROUP BY lang
+      ORDER BY lang"""),
     "q_text_jsd" -> """
       WITH toks AS (
         SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -910,6 +910,45 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_sim_hardneg: negatives differ in label, margin is the snapped gap") {
+    import spark.implicits._
+    val labels = ops.Tables.t(spark, sf0001, "embeddings")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = q("q_sim_hardneg", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, neg, pos) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(labels(neg) !== labels(qid),
+        s"query $qid: hard negative $neg shares its label")
+      assert(labels(pos) === labels(qid),
+        s"query $qid: top positive $pos has a different label")
+      val expect =
+        math.floor((r.getDouble(4) - r.getDouble(2)) * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(5) === expect, s"query $qid margin mismatch")
+    }
+  }
+
+  test("q_text_fertility: bounded per language and conserves the corpus census") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = q("q_text_fertility", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nw, nt, f) =>
+      assert(nt >= nw, s"$lang: fewer tokens than words")
+      assert(f >= 1.0 && f < 30.0, s"$lang: implausible fertility $f")
+      val expect = math.floor(nt.toDouble / nw * 1e4 + 0.5) / 1e4
+      assert(f === expect, s"$lang: fertility $f != $expect")
+    }
+    // Conservation: the per-lang census sums to the corpus word count
+    // (every ≥2-char word tokenizes to ≥1 symbol, exactly once).
+    val corpusWords = ops.Tables.t(spark, sf0001, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .where(length($"w") >= 2).count()
+    assert(rows.map(_._2).sum === corpusWords)
+  }
+
   test("round-10 operators on the micro fixture: edge semantics") {
     // prefpairs: every micro context has exactly one purchase — no
     // pair may be invented from a singleton context.
