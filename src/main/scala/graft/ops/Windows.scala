@@ -257,6 +257,35 @@ object Windows {
         .limit(20)
     }),
 
+    // TIME-WEIGHTED AVERAGE (TWAP) per user — the right mean for
+    // irregularly-sampled state series (a sensor reading or a price
+    // holds UNTIL the next observation; the unweighted mean
+    // over-counts bursts): each event's weight is its holding time
+    // (µs until the user's next event), the final observation carries
+    // no interval and drops out, twavg = Σ value·hold / Σ hold. One
+    // keyed window pass (lead on the same (ts, event_id) secondary
+    // sort every window row uses) + one keyed agg. Determinism is
+    // exact-integer: cents × whole µs sum as BIGINTs (headroom:
+    // 5·10⁴ cents × 2.6·10⁹ µs/month × 10⁶ events ≈ 10²⁰ overflows —
+    // so cents×SECONDS, 5·10⁴·2.6·10⁶·10⁶ ≈ 10¹⁷, inside BIGINT),
+    // one final double division on the 1e-4 grid.
+    "q_win_twavg" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .select($"user_id", $"ts", $"event_id",
+          floor($"value" * 100 + 0.5).cast("long").as("cents"),
+          (expr("unix_micros(ts)") / lit(1000000L)).cast("long").as("sec"))
+        .withColumn("hold", lead($"sec", 1).over(w) - $"sec")
+        .where($"hold".isNotNull && $"hold" > 0)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"hold").as("held_s"),
+          (floor(sum($"cents" * $"hold") / sum($"hold") / 100.0 * 1e4 + 0.5)
+            / 1e4).as("twavg"))
+        .orderBy($"user_id")
+    }),
+
     // CUSUM changepoint detection (Page 1954) — the sequential drift
     // detector every data-quality monitor runs per key: the one-sided
     // CUSUM s_i = max(0, s_{i-1} + (x_i − μ)) peaks where the series'
@@ -475,6 +504,26 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_twavg" -> """
+      WITH e AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               epoch_us(ts) // 1000000 AS sec
+        FROM events),
+      h AS (
+        SELECT user_id, cents,
+               lead(sec) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) - sec AS hold
+        FROM e)
+      SELECT user_id, count(*) AS n_intervals,
+             CAST(SUM(hold) AS BIGINT) AS held_s,
+             FLOOR(CAST(SUM(cents * hold) AS DOUBLE) / SUM(hold) / 100.0
+               * 1e4 + 0.5) / 1e4 AS twavg
+      FROM h
+      WHERE hold IS NOT NULL AND hold > 0
+      GROUP BY user_id
+      ORDER BY user_id""",
+
     "q_win_cusum" -> """
       WITH ev AS (
         SELECT user_id, ts, event_id,

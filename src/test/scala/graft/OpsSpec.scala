@@ -910,6 +910,36 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_win_twavg: bounded by min/max value and exact on a hand fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Convexity: a time-weighted average must sit inside the user's
+    // snapped value range.
+    val bounds = ops.Tables.t(spark, sf0001, "events")
+      .groupBy($"user_id").agg(
+        (floor(min($"value") * 100 + 0.5) / 100).as("lo"),
+        (floor(max($"value") * 100 + 0.5) / 100).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val rows = q("q_win_twavg", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, tw) = (r.getLong(0), r.getDouble(3))
+      val (lo, hi) = bounds(u)
+      assert(tw >= lo - 1e-4 && tw <= hi + 1e-4,
+        s"user $u: twavg $tw outside [$lo, $hi]")
+      assert(r.getLong(2) > 0)
+    }
+    // Hand fixture on the micro events (user 7: values 1,2,3,4 held
+    // 10 s / 2390 s / 60 s, last event zero-weight):
+    // twavg = (1·10 + 2·2390 + 3·60) / 2460 = 4970/2460.
+    val micro = q("q_win_twavg", microDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = math.floor(497000.0 / 2460 / 100.0 * 1e4 + 0.5) / 1e4
+    assert(micro.toSeq === Seq((7L, 3L, 2460L, expect)),
+      s"micro twavg mismatch: ${micro.toSeq} vs $expect")
+  }
+
   test("q_sim_hardneg: negatives differ in label, margin is the snapped gap") {
     import spark.implicits._
     val labels = ops.Tables.t(spark, sf0001, "embeddings")
