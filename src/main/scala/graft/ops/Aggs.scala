@@ -43,6 +43,27 @@ object Aggs {
         round(max($"l_extendedprice"), 2).as("max_price"))
     }),
 
+    // LISTAGG WITHIN GROUP (SQL:2023, new in Spark 4) — ordered string
+    // aggregation, the report-rendering surface ports keep tripping
+    // on: per market segment, the lexicographically-ordered roster of
+    // BUILDING-segment-beating customer names. The WITHIN GROUP order
+    // is part of the RESULT, not a hint — an unordered collect would
+    // be nondeterministic across partitions; listagg's sort happens
+    // inside the aggregate buffer per group (keyed, partial-merge
+    // capable), never a global sort. Roster bounded by the HAVING-
+    // style filter to keep row width sane at scale (the production
+    // guard for a group-sized string).
+    "q_agg_listagg" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .where($"c_acctbal" > 4000)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)")
+            .as("roster"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // EXACT DECIMAL aggregation — the financial-correctness surface:
     // every other money column here rides doubles disciplined by the
     // repo's floor-cent snapping; this row instead casts to
@@ -637,6 +658,14 @@ object Aggs {
              ROUND(MIN(l_extendedprice), 2) AS min_price,
              ROUND(MAX(l_extendedprice), 2) AS max_price
       FROM lineitem""",
+
+    "q_agg_listagg" -> """
+      SELECT c_mktsegment, count(*) AS n_customers,
+             string_agg(c_name, ',' ORDER BY c_name) AS roster
+      FROM customer
+      WHERE c_acctbal > 4000
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
 
     // Exact decimals on both sides — no rounding anywhere: a one-cent
     // divergence FAILS the differential instead of hiding in a grid.
