@@ -62,6 +62,28 @@ object SetOps {
           t(s, d, "supplier").select($"s_nationkey".cast("int").as("nationkey")))
         .orderBy($"nationkey")
     }),
+
+    // BAG-semantics set ops (EXCEPT ALL / INTERSECT ALL) — the
+    // multiplicity-aware variants the DISTINCT forms above can't
+    // express: per value, except-all keeps max(n_a − n_b, 0) copies
+    // and intersect-all min(n_a, n_b) — the reconciliation algebra for
+    // "which rows of feed A are NOT covered by feed B, counting
+    // duplicates". Both plan as a keyed count-diff aggregate (one
+    // shuffle on the value), not a join; rolled up per priority so the
+    // multiset is observable as exact counts.
+    "q_set_bag" -> ((s, d) => {
+      import s.implicits._
+      val a = t(s, d, "orders").where($"o_totalprice" > 200000)
+        .select($"o_orderpriority".as("priority"))
+      val b = t(s, d, "orders").where($"o_orderstatus" === "F")
+        .select($"o_orderpriority".as("priority"))
+      val ex = a.exceptAll(b).groupBy($"priority")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val in = a.intersectAll(b).groupBy($"priority")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(in).select($"op", $"priority", $"n")
+        .orderBy($"op", $"priority")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,6 +111,20 @@ object SetOps {
       INTERSECT
       SELECT s_nationkey AS nationkey FROM supplier
       ORDER BY nationkey""",
+
+    "q_set_bag" -> """
+      WITH a AS (SELECT o_orderpriority AS priority FROM orders
+                 WHERE o_totalprice > 200000),
+           b AS (SELECT o_orderpriority AS priority FROM orders
+                 WHERE o_orderstatus = 'F')
+      SELECT 'except_all' AS op, priority, count(*) AS n
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      GROUP BY priority
+      UNION ALL
+      SELECT 'intersect_all' AS op, priority, count(*) AS n
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      GROUP BY priority
+      ORDER BY op, priority""",
 
     "q_set_except" -> """
       SELECT c_nationkey AS nationkey FROM customer
