@@ -57,6 +57,28 @@ for name, sql in sorted(oracle.items()):
                                   " (CAST the oracle, e.g. SUM→BIGINT)")
         except Exception:
             pass
+        # Decimal blind spot (r10 q_agg_decimal): pandas maps every
+        # DECIMAL(p,s) to `object`, so width/scale drift passes the
+        # kind check above while the driver's width-sensitive hash
+        # fails. Diff the exact DuckDB-reported types and require
+        # DECIMAL(p,s) to agree EXACTLY between the Spark parquet and
+        # the oracle result (int widths stay tolerated, as the driver
+        # tolerates them).
+        try:
+            stype = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{out}/{name}/*.parquet'").fetchall()}
+            dtype = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE {sql}").fetchall()}
+            for c in stype:
+                a, b = stype.get(c, ""), dtype.get(c, "")
+                if (a.startswith("DECIMAL") or b.startswith("DECIMAL")) \
+                        and a != b:
+                    status.append(
+                        f"decimal type {c}: spark={a} duck={b}"
+                        " (match widths: e.g. .cast(\"decimal(38,2)\")"
+                        " on the Spark sum)")
+        except Exception:
+            pass
     if len(spark_rows) != len(duck_rows):
         status.append(f"rows: spark={len(spark_rows)} duck={len(duck_rows)}")
     if not status:

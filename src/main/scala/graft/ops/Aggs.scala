@@ -80,7 +80,11 @@ object Aggs {
           $"o_totalprice".cast("decimal(18,2)").as("p"))
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
-          sum($"p").as("sum_price"),
+          // Spark's sum(DECIMAL(18,2)) is decimal(28,2) (precision+10);
+          // DuckDB's is DECIMAL(38,2). The driver's hash is width-
+          // sensitive, so widen to DuckDB's natural SUM type — pure
+          // widening, values provably unchanged (r10 verdict).
+          sum($"p").cast("decimal(38,2)").as("sum_price"),
           min($"p").as("min_price"),
           max($"p").as("max_price"))
         .orderBy($"o_orderpriority")

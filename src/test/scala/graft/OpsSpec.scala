@@ -995,7 +995,14 @@ class OpsSpec extends GraftSuite {
     val tg = ops.Joins.thetaGrid(spark, microDir, 4, 4).collect()(0)
     assert(tg.getLong(0) === 2L && tg.getDouble(1) === 75.0)
     // decimal aggregation: exact cents as BigDecimal, no drift.
-    val dec = q("q_agg_decimal", microDir).collect()
+    val decDf = q("q_agg_decimal", microDir)
+    // Width pin (r10 FAIL): the sum column must be decimal(38,2) —
+    // DuckDB's SUM(DECIMAL(18,2)) type — because the driver's hash is
+    // decimal-width-sensitive. Spark's native sum type is (28,2); the
+    // query widens it explicitly.
+    assert(decDf.schema("sum_price").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 2))
+    val dec = decDf.collect()
       .map(r => r.getString(0) -> r.getDecimal(2)).toMap
     assert(BigDecimal(dec("1-URGENT")) === BigDecimal("100.00"))
     assert(BigDecimal(dec("2-HIGH")) === BigDecimal("200.00"))
