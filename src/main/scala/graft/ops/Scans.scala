@@ -364,6 +364,30 @@ object Scans {
       }
       s.sql(sql)
     }),
+
+    // RECURSIVE CTE — Spark's own WITH RECURSIVE (resolved by
+    // ResolveWithCTE into a UnionLoop plan; this build supports
+    // UNION ALL recursion only, so the query is written cycle-free):
+    // each supplier walks its binary-tree ancestor chain
+    // (parent = floor(key/2)), a DAG with natural termination at the
+    // root — no depth guard needed, and UNION ALL path multiplicity
+    // is exactly 1 per (child, ancestor) pair by construction.
+    // At 100 TB the recursion depth is log2|V| rounds of one keyed
+    // join each — the same bound as the large/small-star CC loop —
+    // and each round's frontier SHRINKS (nodes drop out at the root),
+    // so the loop's total work is O(N log N) rows. ONE SQL text runs
+    // verbatim on both engines (the q_sql_q3 move); the SUM casts in
+    // the text keep both engines' result types BIGINT (DuckDB's SUM
+    // is otherwise HUGEINT). PlanShapeSpec pins the plan to a real
+    // UnionLoop — not a hand-unrolled union.
+    "q_sql_recursive" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val sql = Seq("supplier").foldLeft(sqlRecursive) { (acc, n) =>
+        t(s, d, n).createOrReplaceTempView(s"graft_${n}_$tag")
+        acc.replaceAll(s"\\b$n\\b", s"graft_${n}_$tag")
+      }
+      s.sql(sql)
+    }),
   )
 
   /** Shared by the Spark query (modulo dir-scoped view names) and the
@@ -442,6 +466,28 @@ object Scans {
       ORDER BY revenue DESC, c_custkey
       LIMIT 20"""
 
+  /** CAST(FLOOR(x/2.0) AS INTEGER) is the one parent derivation both
+    * engines compute identically (integer `/` is float division in
+    * both; FLOOR makes the cast's rounding mode irrelevant). The
+    * final SUM casts pin BIGINT on both sides. */
+  private val sqlRecursive = """
+      WITH RECURSIVE
+      edges AS (
+        SELECT s_suppkey AS child,
+               CAST(FLOOR(s_suppkey / 2.0) AS INTEGER) AS parent
+        FROM supplier WHERE s_suppkey > 1
+      ),
+      anc(child, anc, depth) AS (
+        SELECT child, parent, 1 FROM edges
+        UNION ALL
+        SELECT a.child, e.parent, a.depth + 1
+        FROM anc a JOIN edges e ON a.anc = e.child
+      )
+      SELECT depth, count(*) AS n_pairs,
+             CAST(SUM(child) AS BIGINT) AS child_sum,
+             CAST(SUM(anc) AS BIGINT) AS anc_sum
+      FROM anc GROUP BY depth ORDER BY depth"""
+
   val oracle: Map[String, String] = Map(
     "q_scan_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity,
@@ -512,5 +558,6 @@ object Scans {
     "q_sql_q5" -> sqlQ5,
     "q_sql_q18" -> sqlQ18,
     "q_sql_q10" -> sqlQ10,
+    "q_sql_recursive" -> sqlRecursive,
   )
 }

@@ -32,6 +32,24 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("PushedFilters: ["))
   }
 
+  test("q_sql_recursive plans a real UnionLoop (recursive CTE), not a hand-unroll") {
+    val p = plan("q_sql_recursive")
+    assert(p.contains("UnionLoop"),
+      s"WITH RECURSIVE must lower to a UnionLoop iteration:\n$p")
+    assert(p.contains("UnionLoopRef"),
+      "the recursive self-reference must appear as UnionLoopRef")
+    // Six depths exist in the sf0.001 ancestor chain (10 suppliers →
+    // ceil(log2(9)) rounds); the row count is one per depth level.
+    val rows = q("q_sql_recursive", sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length),
+      "depth column must be the contiguous recursion levels")
+    // Every (child, ancestor) pair is unique by DAG construction, so
+    // level sizes must strictly shrink after the full-population start.
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b },
+      s"ancestor-chain level sizes must be non-increasing: ${sizes.toSeq}")
+  }
+
   test("q_pipe_profile profiles every column off ONE scan via Expand") {
     val p = plan("q_pipe_profile")
     assert(p.contains("Expand"), "multi-distinct must plan through Expand")
