@@ -126,6 +126,28 @@ object Streamy {
         .orderBy($"user_id", $"session_start")
     }),
 
+    // ARBITRARY STATEFUL processing as a declared row: the same
+    // 30-minute-gap sessionization as q_stream_session, but through
+    // `flatMapGroupsWithState` — the surface for logic session_window
+    // can't express (custom merge rules, early emission, side effects
+    // on close). Batch mode calls the state function once per key with
+    // all its events (flushAtEnd emits the final open session), so the
+    // output is the complete gaps-and-islands sessionization the
+    // DuckDB oracle replays; the STREAMING semantics this row can't
+    // show in batch — cross-batch state merge, EventTimeTimeout close,
+    // state eviction on emit — are pinned under MemoryStream in
+    // StreamySpec on the identical function. At 100 TB: one shuffle
+    // keyed on user_id; live state is one (start,last,n) triple per
+    // open key, bounded by the watermark.
+    "q_stream_custom_state" -> ((s, d) => {
+      import s.implicits._
+      val evs = t(s, d, "events").select($"user_id", $"ts")
+        .as[graft.streaming.SessEvent]
+      graft.streaming.CustomSessions.sessionize(evs, flushAtEnd = true)
+        .toDF()
+        .orderBy($"user_id", $"session_start")
+    }),
+
     // Stream-stream interval join (attribution): each purchase joins
     // to same-user clicks within the preceding 30 minutes, rolled up
     // per purchase day. The identical plan streams with a watermark on
@@ -449,6 +471,27 @@ object Streamy {
         FROM flagged)
       SELECT user_id, MIN(ts) AS session_start,
              count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+
+    // Same gaps-and-islands recursion, no value column — the batch
+    // form of the flatMapGroupsWithState sessionizer is definitionally
+    // this SQL (strict-< gap extension ≡ >= starts a new session).
+    "q_stream_custom_state" -> """
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, MIN(ts) AS session_start,
+             count(*) AS n_events
       FROM sess
       GROUP BY user_id, sid
       ORDER BY user_id, session_start""",

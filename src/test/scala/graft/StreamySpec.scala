@@ -162,7 +162,35 @@ class StreamySpec extends GraftSuite {
         .map(r => (r.getTimestamp(1).toString, r.getLong(2))).sorted.toSeq
       assert(got === Seq(("2024-01-01 10:00:00.0", 2L),
                          ("2024-01-01 10:50:00.0", 1L)))
+      // State-eviction law: every CLOSED session emits EXACTLY once
+      // (emit removes state, so a later watermark advance can't
+      // re-fire it), and the final still-open session (user 8 @ 20:00,
+      // watermark never passes its close) emits ZERO times — state is
+      // only ever released through the timeout path.
+      val all = s.table("fmgs_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      assert(all.length === all.distinct.length, s"duplicate emission: ${all.toSeq}")
+      assert(all.count(_._1 == 8L) === 1,
+        "user 8: first session closed by watermark, open session unemitted")
     } finally query.stop()
+  }
+
+  test("q_stream_custom_state (batch flush) ≡ session_window sessionization") {
+    // The declared batch form of the flatMapGroupsWithState sessionizer
+    // must agree row-for-row with the built-in session_window on the
+    // same gap — the law that the custom state machine implements
+    // exactly the operator semantics it claims to generalize.
+    val s = spark
+    import s.implicits._
+    val custom = q("q_stream_custom_state", SparkTestBase.sf0001).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    val builtin = ops.Tables.t(s, SparkTestBase.sf0001, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"), $"n_events")
+      .orderBy($"user_id", $"session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    assert(custom === builtin)
   }
 
   test("stream-stream interval join matches pairs across micro-batches (q_stream_join)") {
