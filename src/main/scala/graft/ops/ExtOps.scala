@@ -553,6 +553,30 @@ object ExtOps {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // REAL codec decode — the multimodal family's plumbing-proof
+    // upgraded to a codec-proof: per document, a tiny grayscale-ramp
+    // image (pixels an arithmetic function of (doc_id, x, y)) is
+    // ENCODED as a real 24-bit BMP via javax.imageio in one
+    // mapPartitions stage, carried as a binary column, then DECODED by
+    // javax.imageio in a second mapPartitions stage emitting (width,
+    // height, pixel probes, channel sum). The (0,0)/center probes are
+    // orientation-sensitive, so a decoder that forgets BMP's
+    // bottom-up row order fails the differential; the oracle never
+    // sees the bytes — it recomputes the pixel formula directly. At
+    // 100 TB this is the exact production shape: opaque binary column
+    // → per-partition codec (state kept per partition) → typed
+    // features; only the codec body changes for JPEG/video.
+    "q_multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      val imgs = t(s, d, "documents").where($"doc_id" < 200)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.sources.BinaryFrames.encodeBmp(id))))
+        .toDF("doc_id", "blob")
+      graft.sources.BinaryFrames.decodeImages(imgs).toDF()
+        .orderBy($"doc_id")
+    }),
+
     // Binary-asset near-dup join via ALIGNED CHUNK FINGERPRINTS — the
     // fixed-offset dedup used for image/audio/video payloads, where
     // text shingling has no meaning: split each payload into 32-byte
@@ -887,6 +911,30 @@ object ExtOps {
         FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
         WHERE doc_id < 200 AND strlen(text) > 0
         ORDER BY doc_id, frame_idx""",
+
+      // The decode oracle recomputes the pixel formula arithmetically
+      // — it never sees the BMP bytes, so agreement proves the whole
+      // encode→binary-column→ImageIO-decode round trip preserved every
+      // pixel at its coordinates.
+      "q_multimodal_decode" -> """
+        WITH d AS (
+          SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS width,
+                 CAST(3 + doc_id % 4 AS INT) AS height
+          FROM documents WHERE doc_id < 200),
+        px AS (
+          SELECT d.doc_id, d.width, d.height,
+                 (d.doc_id * 7 + x.x * 13 + y.y * 31) % 256 AS v
+          FROM d
+          JOIN range(0, 9) x(x) ON x.x < d.width
+          JOIN range(0, 7) y(y) ON y.y < d.height)
+        SELECT doc_id, width, height,
+               CAST(doc_id * 7 % 256 AS INT) AS px00,
+               CAST((doc_id * 7 + (width // 2) * 13 + (height // 2) * 31)
+                 % 256 AS INT) AS px_center,
+               CAST(SUM(v) AS BIGINT) AS red_sum
+        FROM px
+        GROUP BY doc_id, width, height
+        ORDER BY doc_id""",
 
       // Brute-force twin of the aligned-chunk fingerprint join (the
       // cap never bites at fixture scale, so the blocked join equals

@@ -5,6 +5,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 /** One "decoded frame" sampled from an opaque binary payload. */
 case class Frame(doc_id: Long, frame_idx: Int, byte_val: Int, feat: Double)
 
+/** Decoded-image features: dimensions plus orientation-sensitive pixel
+  * probes — px00 and px_center pin the decoder's coordinate frame (BMP
+  * stores rows bottom-up; a naive reader that forgets the flip fails
+  * the probes even though any channel SUM is flip-invariant). */
+case class ImgMeta(doc_id: Long, width: Int, height: Int,
+                   px00: Int, px_center: Int, red_sum: Long)
+
 /** Imperative decode plumbing for multimodal binary columns — the
   * Scala analog of a `mapInPandas` decode stage: a per-partition
   * iterator over (id, payload) pairs feeding a codec, emitting a
@@ -23,6 +30,68 @@ case class Frame(doc_id: Long, frame_idx: Int, byte_val: Int, feat: Double)
 object BinaryFrames {
 
   val FramesPerDoc = 4
+
+  /** The deterministic test image for `doc_id`: a (4 + id%5) ×
+    * (3 + id%4) grayscale ramp with pixel (x, y) =
+    * (id·7 + x·13 + y·31) mod 256 on all three channels, encoded as a
+    * REAL 24-bit BMP through `javax.imageio` (pure-JDK writer, no
+    * native codecs needed). The formula is what makes the decode
+    * differentially checkable: the DuckDB oracle recomputes the same
+    * arithmetic without ever seeing the bytes. */
+  def encodeBmp(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id * 7 + x * 13 + y * 31) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode through the same per-partition imperative path
+    * as [[decodeFrames]]: binary column in, `javax.imageio` BMP decode
+    * per row, typed features out. Expects (doc_id: long, blob: binary
+    * BMP payload); emits dimensions, the (0,0) and center pixel probes
+    * (orientation-sensitive — see [[ImgMeta]]), and the red-channel
+    * sum. Decoder state (ImageIO plugin lookup) is per-partition; a
+    * payload ImageIO can't parse is a hard error by design — silent
+    * nulls would hide codec drift from the differential. */
+  def decodeImages(df: DataFrame): Dataset[ImgMeta] = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id", $"blob").as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable payload for doc $id")
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += (img.getRGB(x, y) >> 16) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImgMeta(id, w, h,
+            img.getRGB(0, 0) & 0xff,
+            img.getRGB(w / 2, h / 2) & 0xff, sum)
+        }
+      }
+  }
 
   /** Expects columns (doc_id: long, blob: binary). */
   def decodeFrames(df: DataFrame): Dataset[Frame] = {

@@ -142,6 +142,34 @@ class SourcesSpec extends GraftSuite {
     assert(first.byte_val === firstChar)
   }
 
+  test("BinaryFrames BMP round trip: real ImageIO decode recovers every pixel") {
+    import graft.sources.BinaryFrames
+    // The encoded payload is a genuine BMP (magic 'BM'), not a stub.
+    val bytes = BinaryFrames.encodeBmp(5L)
+    assert(bytes(0) === 'B'.toByte && bytes(1) === 'M'.toByte)
+    // Decode independently of the query path and check the formula at
+    // every coordinate — this is what pins the codec's coordinate
+    // frame (BMP rows are stored bottom-up; ImageIO must unflip).
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth === (4 + 5 % 5) && img.getHeight === (3 + 5 % 4))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val v = ((5L * 7 + x * 13 + y * 31) % 256).toInt
+      assert((img.getRGB(x, y) & 0xff) === v, s"pixel ($x,$y)")
+    }
+    // And through the declared two-stage mapPartitions path.
+    import spark.implicits._
+    val metas = BinaryFrames.decodeImages(
+      spark.range(3).select($"id".as("doc_id"))
+        .as[Long].map(id => (id, BinaryFrames.encodeBmp(id)))
+        .toDF("doc_id", "blob")).collect().sortBy(_.doc_id)
+    assert(metas.map(_.doc_id).toSeq === Seq(0L, 1L, 2L))
+    metas.foreach { m =>
+      assert(m.px00 === (m.doc_id * 7 % 256).toInt)
+      assert(m.width === (4 + m.doc_id % 5).toInt)
+    }
+  }
+
   test("winnowing fingerprints are content-determined: same text, same summary") {
     import spark.implicits._
     val dir = tmp("graft_winnow")
