@@ -157,10 +157,27 @@ object Bench {
       val tot = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
       s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     }
+    // "_"-prefixed entries are separately-timed SHARED-MEMO builds,
+    // not declared queries — they appear in the detail map (and count
+    // toward the total, conserving cost) so family costs stop being
+    // mis-attributed to whichever member runs alphabetically first.
     def snapshot: Seq[(String, Double)] =
-      ordered.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
+      ordered.map { case (name, _) => name -> best.getOrElse(name, -1.0) } ++
+        best.toSeq.filter(_._1.startsWith("_")).sortBy(_._1)
     for (_ <- 1 to passes) {
       ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+        // Entering the graph family: build its shared edge/degree
+        // memo as its own timed line (r10 verdict task 6 — bfs's row
+        // was ~3 s memo + ~1.2 s of actual BFS).
+        val prev = if (i == 0) "" else ordered(i - 1)._1
+        if (name.startsWith("q_graph_") && !prev.startsWith("q_graph_")) {
+          val m0 = System.nanoTime()
+          try ops.GraphOps.warmSharedMemo(spark, sfDir)
+          catch { case scala.util.control.NonFatal(_) => () }
+          val mEl = (System.nanoTime() - m0) / 1e9
+          best("_memo_graph") =
+            math.min(best.getOrElse("_memo_graph", Double.MaxValue), mEl)
+        }
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
