@@ -140,6 +140,45 @@ object TextOps {
         .orderBy($"lang", $"n".desc, $"bigram")
     }),
 
+    // ROUGE-2 overlap scoring — the n-gram-overlap EVAL metric every
+    // summarization/RAG training pipeline computes between reference
+    // and candidate texts: per pair, distinct-bigram overlap →
+    // precision (vs candidate), recall (vs reference), F1. The pair
+    // list here is the banded same-lang (cand − ref ≤ 3) stand-in for
+    // what production supplies externally (eval manifests, or minhash
+    // candidates — the q_dedup_minhash path); the OP is the metric
+    // computation: per-row array algebra (array_distinct +
+    // array_intersect on each pair's own bigram sets), no shuffle
+    // beyond the banded join, so it scales as the pair list does.
+    // Floor-4dp rounding (tie-proof, SURVEY determinism rules).
+    "q_text_rouge" -> ((s, d) => {
+      import s.implicits._
+      val r4 = (c: org.apache.spark.sql.Column) =>
+        floor(c * 1e4 + 0.5) / 1e4
+      val bg = t(s, d, "documents").where($"doc_id" < 300)
+        .select($"doc_id", $"lang", split($"text", " ").as("w"))
+        .where(size($"w") >= 2)
+        .select($"doc_id", $"lang", array_distinct(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+          .as("bgs"))
+      val a = bg.select($"doc_id".as("ref_id"), $"lang",
+        $"bgs".as("ref_bgs"))
+      val b = bg.select($"doc_id".as("cand_id"), $"lang".as("lang_b"),
+        $"bgs".as("cand_bgs"))
+      val p = a.join(b, $"lang" === $"lang_b" &&
+          $"cand_id" > $"ref_id" && $"cand_id" <= $"ref_id" + 3)
+        .withColumn("overlap",
+          size(array_intersect($"ref_bgs", $"cand_bgs")).cast("long"))
+        .withColumn("prec", $"overlap" / size($"cand_bgs"))
+        .withColumn("rec", $"overlap" / size($"ref_bgs"))
+      p.select($"ref_id", $"cand_id", $"overlap",
+          r4($"prec").as("rouge2_p"), r4($"rec").as("rouge2_r"),
+          r4(when($"prec" + $"rec" > 0,
+              lit(2) * $"prec" * $"rec" / ($"prec" + $"rec"))
+            .otherwise(lit(0.0))).as("rouge2_f1"))
+        .orderBy($"ref_id", $"cand_id")
+    }),
+
     // Character-bigram LM quality score (KenLM-style filter,
     // simplified): model P(c2|c1) from corpus bigram counts, each doc
     // scored by mean ln-probability of its bigrams, per-lang stats.
@@ -1177,6 +1216,34 @@ object TextOps {
       GROUP BY token
       ORDER BY n DESC, token
       LIMIT 20""",
+
+    // Distinct-bigram ROUGE-2 on the same banded pair list; list
+    // comprehension mirrors Spark's transform(sequence(...)).
+    "q_text_rouge" -> """
+      WITH tok AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < 300),
+      bg AS (
+        SELECT doc_id, lang,
+               list_distinct([w[i] || ' ' || w[i+1]
+                              for i in range(1, len(w))]) AS bgs
+        FROM tok WHERE len(w) >= 2),
+      p AS (
+        SELECT a.doc_id AS ref_id, b.doc_id AS cand_id,
+               CAST(len(list_intersect(a.bgs, b.bgs)) AS BIGINT) AS overlap,
+               len(list_intersect(a.bgs, b.bgs)) * 1.0 / len(b.bgs) AS prec,
+               len(list_intersect(a.bgs, b.bgs)) * 1.0 / len(a.bgs) AS rec
+        FROM bg a JOIN bg b
+          ON a.lang = b.lang AND b.doc_id > a.doc_id
+         AND b.doc_id <= a.doc_id + 3)
+      SELECT ref_id, cand_id, overlap,
+             FLOOR(prec * 1e4 + 0.5) / 1e4 AS rouge2_p,
+             FLOOR(rec * 1e4 + 0.5) / 1e4 AS rouge2_r,
+             FLOOR(CASE WHEN prec + rec > 0
+                        THEN 2 * prec * rec / (prec + rec)
+                        ELSE 0.0 END * 1e4 + 0.5) / 1e4 AS rouge2_f1
+      FROM p
+      ORDER BY ref_id, cand_id""",
 
     "q_text_repetition" -> """
       WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws

@@ -288,6 +288,35 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_text_rouge: metric laws — bounds, F1 harmonic identity, self-score 1.0") {
+    val rows = q("q_text_rouge", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, rc, f1) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p >= 0 && p <= 1 && rc >= 0 && rc <= 1 && f1 >= 0 && f1 <= 1)
+      // F1 is the harmonic mean of the ROUNDED-INDEPENDENTLY p/r, so
+      // allow the 4dp grid slack; zero overlap must mean all-zero.
+      if (r.getLong(2) == 0L) assert(p == 0 && rc == 0 && f1 == 0)
+      else assert(math.abs(f1 - 2 * p * rc / (p + rc)) < 2e-4)
+    }
+    // Identity law straight through the array algebra the query uses:
+    // a text scored against itself is exactly (1, 1, 1).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val self = Seq((1L, "a b c a b"), (2L, "a b c a b")).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", array_distinct(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("bgs"))
+    val pair = self.as("a").join(self.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select(size(array_intersect($"a.bgs", $"b.bgs")).as("ov"),
+        size($"a.bgs").as("na"), size($"b.bgs").as("nb"))
+      .collect()(0)
+    assert(pair.getInt(0) === pair.getInt(1) && pair.getInt(0) === pair.getInt(2))
+  }
+
   test("q_text_sentiment scores stay within [-1, 1]") {
     q("q_text_sentiment", sf0001).collect().foreach { r =>
       val v = r.getDouble(1)
