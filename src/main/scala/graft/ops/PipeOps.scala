@@ -703,6 +703,60 @@ object PipeOps {
         .orderBy($"user_id", $"day")
     }),
 
+    // Bradley–Terry ratings from pairwise preferences — the model an
+    // RLHF/reward-model pipeline fits over its comparison data (Elo is
+    // the online approximation of the same likelihood). Comparisons:
+    // same-(user, day) event pairs of different types, higher value
+    // wins, ties dropped. Fit: 3 rounds of the MM update
+    // r_i ← w_i / Σ_j n_ij/(r_i + r_j) (Hunter 2004), mean-normalized
+    // per round — deterministic given the start (all-1s) and round
+    // count. Scale shape: the pair extraction is ONE keyed self-join
+    // on (user, day); everything after aggregates to |types|- and
+    // |types|²-sized tables, localCheckpointed ONCE so the iteration
+    // lineage (which references the pair table 2^rounds times via the
+    // r_i/r_j joins) re-reads metadata-scale rows, never re-runs the
+    // event join — the bpetrain lazy-checkpoint discipline.
+    "q_pipe_elo" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", to_date($"ts").as("day"),
+          $"event_type", $"value")
+      val a = ev.select($"user_id", $"day",
+        $"event_type".as("ta"), $"value".as("va"))
+      val b = ev.select($"user_id", $"day",
+        $"event_type".as("tb"), $"value".as("vb"))
+      val cmp = a.join(b, Seq("user_id", "day"))
+        .where($"ta" < $"tb" && $"va" =!= $"vb")
+        .select(when($"va" > $"vb", $"ta").otherwise($"tb").as("winner"),
+                when($"va" > $"vb", $"tb").otherwise($"ta").as("loser"))
+      val wins = Tables.ck(cmp.groupBy($"winner".as("t"))
+        .agg(count(lit(1)).as("n_wins")))
+      val pairsDir = cmp.groupBy($"winner".as("i"), $"loser".as("j"))
+        .agg(count(lit(1)).as("n"))
+      val sym = Tables.ck(pairsDir.unionByName(
+          pairsDir.select($"j".as("i"), $"i".as("j"), $"n"))
+        .groupBy($"i", $"j").agg(sum($"n").as("n")))
+      val nm = Tables.ck(sym.groupBy($"i".as("t"))
+        .agg(sum($"n").as("n_matches")))
+      var r = nm.select($"t", lit(1.0).as("r"))
+      for (_ <- 1 to 3) {
+        val den = sym
+          .join(broadcast(r.select($"t".as("i"), $"r".as("ri"))), "i")
+          .join(broadcast(r.select($"t".as("j"), $"r".as("rj"))), "j")
+          .groupBy($"i".as("t")).agg(sum($"n" / ($"ri" + $"rj")).as("den"))
+        val u = wins.join(den, "t")
+          .select($"t", ($"n_wins" / $"den").as("r"))
+        val norm = u.agg(count(lit(1)).cast("double").as("k"),
+          sum($"r").as("sr"))
+        r = u.crossJoin(broadcast(norm))
+          .select($"t", ($"r" * $"k" / $"sr").as("r"))
+      }
+      wins.join(nm, "t").join(r, "t")
+        .select($"t".as("event_type"), $"n_wins", $"n_matches",
+          (floor($"r" * 1e4 + 0.5) / 1e4).as("bt_rating"))
+        .orderBy($"bt_rating".desc, $"event_type")
+    }),
+
     "q_pipe_abtest" -> ((s, d) => {
       import s.implicits._
       val st = t(s, d, "events")
@@ -1497,6 +1551,8 @@ object PipeOps {
            > MIN(CASE WHEN rn = 1 THEN value END)
       ORDER BY user_id, day""",
 
+    "q_pipe_elo" -> eloSql(3),
+
     "q_pipe_abtest" -> """
       WITH b AS (
         SELECT event_type, value,
@@ -1757,4 +1813,48 @@ object PipeOps {
       GROUP BY quartile
       ORDER BY quartile""",
   )
+
+  /** The q_pipe_elo oracle: the SAME MM recursion unrolled to `iters`
+    * CTE stages (the simhashSql move — generated with the same
+    * structure as the Spark loop, so iteration count and
+    * normalization can't drift between engines). */
+  private def eloSql(iters: Int): String = {
+    val head = """
+      WITH cmp AS (
+        SELECT CASE WHEN a.value > b.value THEN a.event_type
+                    ELSE b.event_type END AS winner,
+               CASE WHEN a.value > b.value THEN b.event_type
+                    ELSE a.event_type END AS loser
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND CAST(a.ts AS DATE) = CAST(b.ts AS DATE)
+         AND a.event_type < b.event_type AND a.value <> b.value),
+      wins AS (SELECT winner AS t, CAST(count(*) AS BIGINT) AS n_wins
+               FROM cmp GROUP BY winner),
+      pairs AS (SELECT winner AS i, loser AS j, count(*) AS n
+                FROM cmp GROUP BY winner, loser),
+      sym AS (SELECT i, j, SUM(n) AS n FROM (
+                SELECT i, j, n FROM pairs
+                UNION ALL SELECT j, i, n FROM pairs) GROUP BY i, j),
+      nm AS (SELECT i AS t, CAST(SUM(n) AS BIGINT) AS n_matches
+             FROM sym GROUP BY i),
+      r0 AS (SELECT t, 1.0 AS r FROM nm)"""
+    val steps = (1 to iters).map { k =>
+      val p = s"r${k - 1}"
+      s""",
+      d$k AS (SELECT s.i AS t, SUM(s.n / (ri.r + rj.r)) AS den
+              FROM sym s JOIN $p ri ON s.i = ri.t
+                         JOIN $p rj ON s.j = rj.t
+              GROUP BY s.i),
+      u$k AS (SELECT w.t, w.n_wins / d$k.den AS r
+              FROM wins w JOIN d$k ON w.t = d$k.t),
+      r$k AS (SELECT t, r * (SELECT count(*) FROM u$k)
+                        / (SELECT SUM(r) FROM u$k) AS r FROM u$k)"""
+    }.mkString
+    head + steps + s"""
+      SELECT w.t AS event_type, w.n_wins, nm.n_matches,
+             FLOOR(r.r * 1e4 + 0.5) / 1e4 AS bt_rating
+      FROM r$iters r JOIN wins w ON r.t = w.t JOIN nm ON nm.t = w.t
+      ORDER BY bt_rating DESC, event_type"""
+  }
 }

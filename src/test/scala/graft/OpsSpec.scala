@@ -317,6 +317,28 @@ class OpsSpec extends GraftSuite {
     assert(pair.getInt(0) === pair.getInt(1) && pair.getInt(0) === pair.getInt(2))
   }
 
+  test("q_pipe_elo: MM normalization and ordering laws") {
+    val rows = q("q_pipe_elo", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length >= 2)
+    // Ratings are positive and mean-normalized to 1 each round (the
+    // rounding grid allows 5e-5 per entry).
+    rows.foreach { case (_, w, n, rt) =>
+      assert(rt > 0.0); assert(w <= n)
+    }
+    val mean = rows.map(_._4).sum / rows.length
+    assert(math.abs(mean - 1.0) < 1e-3, s"mean-normalization drift: $mean")
+    // With the fixture's near-balanced pair design, the BT order must
+    // agree with raw win fraction (the sanity check a rating system
+    // owes its users when schedules are balanced).
+    val byRating = rows.sortBy { case (t, _, _, rt) => (-rt, t) }.map(_._1)
+    val byWinFrac = rows.sortBy { case (t, w, n, _) =>
+      (-(w.toDouble / n), t) }.map(_._1)
+    assert(byRating.toSeq === byWinFrac.toSeq)
+    // Output is sorted by rating descending (contract order).
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sortBy(-_).toSeq)
+  }
+
   test("q_text_sentiment scores stay within [-1, 1]") {
     q("q_text_sentiment", sf0001).collect().foreach { r =>
       val v = r.getDouble(1)
