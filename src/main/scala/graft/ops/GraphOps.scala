@@ -909,6 +909,60 @@ object GraphOps {
         .select($"src".as("node"), $"dg")
         .orderBy($"node")
     }),
+
+    // STRONGLY connected components of a DIRECTED graph — the surface
+    // the undirected cc/cc_star rows can't cover. Graph: the Pollard
+    // rho-shaped FUNCTIONAL graph succ(k) = (k² + 1) mod N over
+    // supplier keys (out-degree exactly 1 ⇒ every component is a
+    // "rho": a tail flowing into one cycle; SCCs = the cycles +
+    // per-tail-node singletons). Algorithm: POINTER DOUBLING (the
+    // PRAM list-ranking classic) — L = ⌈log₂N⌉ rounds of keyed
+    // self-joins computing succ^(2^L); its IMAGE is exactly the cycle
+    // set (for 2^L ≥ N every tail has drained), then L more min-label
+    // doubling rounds confined to cycle nodes canonicalize each cycle
+    // to its min member. O(log N) rounds, every round a keyed |V|-row
+    // self-join — the same round-bound class as large/small-star; at
+    // 10⁹ nodes in-degree (join fan-in) is bounded by the map's root
+    // count, no hot key. Each round localCheckpoints (the self-join
+    // references its input twice — unchecked, lineage doubles per
+    // round: the bpetrain lesson). The one driver-side value is the
+    // 1-row (max, count) aggregate that sizes N and the round count —
+    // metadata-scale, the q_scan_binaryfile convention.
+    "q_graph_scc" -> ((s, d) => {
+      import s.implicits._
+      val sup = t(s, d, "supplier").select($"s_suppkey".cast("long").as("k"))
+      val mc = sup.agg(max($"k"), count(lit(1))).collect()(0)
+      val n = mc.getLong(0) + 1
+      val rounds = math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+      val succ = Tables.ck(sup.select($"k",
+        (($"k" * $"k" + 1) % n).as("v")))
+      // Phase 1: jump-double to succ^(2^rounds); image = cycle nodes.
+      var jump = succ
+      for (_ <- 1 to rounds) {
+        jump = Tables.ck(jump.as("a").join(jump.as("b"),
+            col("a.v") === col("b.k"))
+          .select(col("a.k").as("k"), col("b.v").as("v")))
+      }
+      val cyc = jump.select($"v".as("k")).distinct()
+      // Phase 2: min-label doubling confined to the cycle set (cycle
+      // successors stay in the set, so the restriction is closed).
+      var lab = Tables.ck(succ.join(cyc, "k")
+        .select($"k", $"v".as("jmp"), $"k".as("lab")))
+      for (_ <- 1 to rounds) {
+        lab = Tables.ck(lab.as("a").join(lab.as("b"),
+            col("a.jmp") === col("b.k"))
+          .select(col("a.k").as("k"), col("b.jmp").as("jmp"),
+            least(col("a.lab"), col("b.lab")).as("lab")))
+      }
+      // Phase 3: tails are singleton SCCs labeled by themselves.
+      val scc = sup.join(lab.select($"k", $"lab"), Seq("k"), "left")
+        .select($"k", coalesce($"lab", $"k").as("scc_id"))
+      scc.groupBy($"scc_id").agg(count(lit(1)).as("n_nodes"))
+        .groupBy($"n_nodes".as("scc_size"))
+        .agg(count(lit(1)).as("n_sccs"), min($"scc_id").as("min_scc_id"))
+        .orderBy($"scc_size")
+    }),
   )
 
   /** The identical 5 iterations unrolled as generated CTEs — one
@@ -1101,6 +1155,35 @@ object GraphOps {
              CAST(max(dg) AS BIGINT) AS max_deg
       FROM deg GROUP BY magnitude
       ORDER BY magnitude""",
+
+      // Exact mutual-reachability SCC over the same functional graph:
+      // bounded-depth forward orbit (out-degree 1 ⇒ ≤ N rows per key),
+      // (k,v) mutual pairs = same cycle, tails default to themselves.
+      "q_graph_scc" -> """
+      WITH RECURSIVE
+      succ AS (
+        SELECT s_suppkey AS k,
+               (s_suppkey * s_suppkey + 1) %
+                 (SELECT MAX(s_suppkey) + 1 FROM supplier) AS v
+        FROM supplier),
+      reach(k, v, d) AS (
+        SELECT k, v, 1 FROM succ
+        UNION ALL
+        SELECT r.k, s.v, r.d + 1 FROM reach r JOIN succ s ON r.v = s.k
+        WHERE r.d < (SELECT COUNT(*) FROM supplier)),
+      pairs AS (SELECT DISTINCT k, v FROM reach),
+      mutual AS (SELECT a.k, a.v FROM pairs a
+                 JOIN pairs b ON a.k = b.v AND a.v = b.k),
+      scc AS (
+        SELECT s.s_suppkey AS k,
+               COALESCE(MIN(m.v), s.s_suppkey) AS scc_id
+        FROM supplier s LEFT JOIN mutual m ON s.s_suppkey = m.k
+        GROUP BY s.s_suppkey),
+      sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_nodes
+                FROM scc GROUP BY scc_id)
+      SELECT n_nodes AS scc_size, CAST(count(*) AS BIGINT) AS n_sccs,
+             CAST(MIN(scc_id) AS BIGINT) AS min_scc_id
+      FROM sizes GROUP BY n_nodes ORDER BY scc_size""",
     )
   }
 }

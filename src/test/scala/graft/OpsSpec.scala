@@ -317,6 +317,19 @@ class OpsSpec extends GraftSuite {
     assert(pair.getInt(0) === pair.getInt(1) && pair.getInt(0) === pair.getInt(2))
   }
 
+  test("q_graph_scc: pointer doubling equals the hand-traced rho decomposition") {
+    // sf0.001 has suppliers 0..9; succ(k) = (k²+1) mod 10 traces to
+    // ONE 6-cycle 0→1→2→5→6→7→0 with tails {3, 4, 8, 9} — so the SCC
+    // histogram is exactly 4 singletons (min id 3) + one size-6 SCC
+    // canonicalized to 0.
+    val rows = q("q_graph_scc", SparkTestBase.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, 4L, 3L), (6L, 1L, 0L)))
+    // Conservation law: SCC sizes partition the vertex set.
+    val nodes = rows.map { case (sz, n, _) => sz * n }.sum
+    assert(nodes === 10L, "SCC sizes must partition the vertex set")
+  }
+
   test("q_pipe_elo: MM normalization and ordering laws") {
     val rows = q("q_pipe_elo", sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
