@@ -140,6 +140,42 @@ object TextOps {
         .orderBy($"lang", $"n".desc, $"bigram")
     }),
 
+    // READABILITY scoring — the Flesch-family quality gate a pretrain
+    // corpus pipeline runs next to stopword/length filters: per doc,
+    // syllables ≈ vowel groups ([aeiouy]+ runs, the standard cheap
+    // heuristic), polysyllabic = words with ≥ 3 groups, and Flesch
+    // Reading Ease with PSEUDO-SENTENCES of 15 words (the fixture
+    // corpus carries no sentence punctuation — the convention is
+    // documented and shared with the oracle verbatim). Everything is
+    // per-row expression work (regexp + array HOFs inside codegen —
+    // no explode, no shuffle until the per-lang rollup), so the scan
+    // cost IS the cost at 100 TB.
+    "q_text_readability" -> ((s, d) => {
+      import s.implicits._
+      val r4 = (c: org.apache.spark.sql.Column) =>
+        floor(c * 1e4 + 0.5) / 1e4
+      val per = t(s, d, "documents")
+        .select($"lang",
+          size(split($"text", " ")).cast("double").as("words"),
+          expr("size(regexp_extract_all(text, '[aeiouy]+', 0))")
+            .cast("double").as("syll"),
+          expr("""size(filter(transform(split(text, ' '),
+                 w -> size(regexp_extract_all(w, '[aeiouy]+', 0))),
+                 c -> c >= 3))""").cast("double").as("poly"))
+        .where($"words" > 0)
+        .withColumn("sents", ceil($"words" / 15.0).cast("double"))
+        .withColumn("fre",
+          lit(206.835) - lit(1.015) * ($"words" / $"sents")
+            - lit(84.6) * ($"syll" / $"words"))
+      per.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          r4(avg($"words")).as("avg_words"),
+          r4(avg($"syll" / $"words")).as("avg_syll_per_word"),
+          r4(avg($"poly" / $"words")).as("pct_poly"),
+          r4(avg($"fre")).as("avg_fre"))
+        .orderBy($"lang")
+    }),
+
     // ROUGE-2 overlap scoring — the n-gram-overlap EVAL metric every
     // summarization/RAG training pipeline computes between reference
     // and candidate texts: per pair, distinct-bigram overlap →
@@ -1216,6 +1252,33 @@ object TextOps {
       GROUP BY token
       ORDER BY n DESC, token
       LIMIT 20""",
+
+    // Same vowel-group syllable heuristic + 15-word pseudo-sentence
+    // convention; list HOFs mirror Spark's transform/filter.
+    "q_text_readability" -> """
+      WITH per AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+               CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS DOUBLE)
+                 AS syll,
+               CAST(len(list_filter(
+                 list_transform(string_split(text, ' '),
+                   w -> len(regexp_extract_all(w, '[aeiouy]+'))),
+                 c -> c >= 3)) AS DOUBLE) AS poly
+        FROM documents),
+      f AS (
+        SELECT lang, words, syll, poly,
+               CAST(CEIL(words / 15.0) AS DOUBLE) AS sents
+        FROM per WHERE words > 0)
+      SELECT lang, count(*) AS n_docs,
+             FLOOR(AVG(words) * 1e4 + 0.5) / 1e4 AS avg_words,
+             FLOOR(AVG(syll / words) * 1e4 + 0.5) / 1e4 AS avg_syll_per_word,
+             FLOOR(AVG(poly / words) * 1e4 + 0.5) / 1e4 AS pct_poly,
+             FLOOR(AVG(206.835 - 1.015 * (words / sents)
+               - 84.6 * (syll / words)) * 1e4 + 0.5) / 1e4 AS avg_fre
+      FROM f
+      GROUP BY lang
+      ORDER BY lang""",
 
     // Distinct-bigram ROUGE-2 on the same banded pair list; list
     // comprehension mirrors Spark's transform(sequence(...)).

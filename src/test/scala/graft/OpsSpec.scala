@@ -330,6 +330,28 @@ class OpsSpec extends GraftSuite {
     assert(nodes === 10L, "SCC sizes must partition the vertex set")
   }
 
+  test("q_text_readability: syllable heuristic and FRE formula on known words") {
+    // Hand check of the vowel-group heuristic via the same expression
+    // the query uses: "table" → 2 groups (a, e), "query" → 2 (ue, y),
+    // "spark" → 1 (a), "aeiou" → 1 (one run).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.expr
+    val counts = Seq("table", "query", "spark", "aeiou", "xyz").toDF("w")
+      .select(expr("size(regexp_extract_all(w, '[aeiouy]+', 0))"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(counts === Seq(2, 2, 1, 1, 1), s"vowel groups: $counts")
+    // Aggregate sanity at sf0.001: ratios bounded, FRE within the
+    // formula's reachable band for ≥1-syllable-per-word text.
+    q("q_text_readability", sf0001).collect().foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(3) >= 1.0, "every fixture word has ≥1 vowel group")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) <= 206.835 - 1.015 - 84.6 + 1e-6,
+        "FRE cannot exceed the all-monosyllable bound")
+    }
+  }
+
   test("q_pipe_elo: MM normalization and ordering laws") {
     val rows = q("q_pipe_elo", sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
