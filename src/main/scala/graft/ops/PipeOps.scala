@@ -779,6 +779,43 @@ object PipeOps {
         .orderBy($"event_type")
     }),
 
+    // THEIL–SEN robust trend — the slope estimator a drift monitor
+    // wants where OLS gets dragged by the outliers it should survive:
+    // per event type, the MEDIAN of pairwise slopes (Δvalue per hour)
+    // over BANDED pairs (each event against its next 20 by time).
+    // Full Theil–Sen is O(n²) pairs; the band is the standard
+    // scalable variant (kth-nearest pairing) and the knob is in the
+    // code. Shape: ONE keyed window pass emitting 20 lead probes per
+    // row (no self-join — the pair fan-out is an in-row array explode),
+    // then an exact per-type median; same-timestamp pairs are excluded
+    // (slope undefined). At 100 TB: the window shuffles once on the
+    // type key, the explode is per-row, and the exact median swaps for
+    // the GK sketch the moment groups stop fitting a partition (the
+    // q_agg_approx trade).
+    "q_agg_theilsen" -> ((s, d) => {
+      import s.implicits._
+      val band = 20
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      val ev = t(s, d, "events")
+        .select($"event_type", $"event_id", $"ts",
+          unix_micros($"ts").as("tu"), $"value")
+      // Keep the slope arithmetic IDENTICAL to the oracle's:
+      // (v2 - v) * 3.6e9 / (t2 - t), one multiply then one divide.
+      val probes = (1 to band).map { k =>
+        val v2 = lead($"value", k).over(w)
+        val t2 = lead($"tu", k).over(w)
+        when(t2 > $"tu", (v2 - $"value") * 3.6e9 / (t2 - $"tu"))
+      }
+      ev.withColumn("sl", array(probes: _*))
+        .select($"event_type", explode($"sl").as("slope"))
+        .where($"slope".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          (floor(median($"slope") * 1e4 + 0.5) / 1e4)
+            .as("slope_med_per_hr"))
+        .orderBy($"event_type")
+    }),
+
     // Robust outlier audit (Iglewicz–Hoaglin modified z-score): per
     // event type, median and MAD of `value`, and the count of events
     // whose 0.6745·|x−med|/MAD exceeds 3.5 — the data-quality gate
@@ -1553,6 +1590,8 @@ object PipeOps {
 
     "q_pipe_elo" -> eloSql(3),
 
+    "q_agg_theilsen" -> theilsenSql(20),
+
     "q_pipe_abtest" -> """
       WITH b AS (
         SELECT event_type, value,
@@ -1813,6 +1852,33 @@ object PipeOps {
       GROUP BY quartile
       ORDER BY quartile""",
   )
+
+  /** The q_agg_theilsen oracle: the SAME banded lead probes generated
+    * to `band` columns (identical slope arithmetic — one multiply,
+    * one divide), unnested and medianed. */
+  private def theilsenSql(band: Int): String = {
+    val leads = (1 to band).map { k =>
+      s"""CASE WHEN lead(tu, $k) OVER w > tu
+              THEN (lead(value, $k) OVER w - value) * 3.6e9
+                   / (lead(tu, $k) OVER w - tu) END"""
+    }.mkString(",\n               ")
+    s"""
+      WITH base AS (
+        SELECT event_type, event_id, ts, epoch_us(ts) AS tu, value
+        FROM events),
+      probes AS (
+        SELECT event_type,
+               [$leads] AS sl
+        FROM base
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      sls AS (
+        SELECT event_type, unnest(sl) AS slope FROM probes)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             FLOOR(median(slope) * 1e4 + 0.5) / 1e4 AS slope_med_per_hr
+      FROM sls WHERE slope IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type"""
+  }
 
   /** The q_pipe_elo oracle: the SAME MM recursion unrolled to `iters`
     * CTE stages (the simhashSql move — generated with the same

@@ -352,6 +352,28 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_agg_theilsen: median slope shrugs off the outlier that drags the mean") {
+    // End-to-end robustness law through the declared operator: an
+    // exactly-linear series (value = 2·hours) with ONE corrupted point
+    // still reports slope 2.0/hr — the estimator's whole reason to
+    // exist — while >20% of the pairwise slopes are distorted.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    def tsAt(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + h}%02d:00:00")
+    val rows = (0 until 10).map { i =>
+      val v = if (i == 5) 2.0 * i + 1000.0 else 2.0 * i
+      (i.toLong, tsAt(i), 1L, "linear", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = q("q_agg_theilsen", dir).collect()
+    assert(got.length === 1)
+    // 10 points, band 20 ⇒ all 45 pairs; 9 involve the outlier.
+    assert(got(0).getLong(1) === 45L)
+    assert(got(0).getDouble(2) === 2.0, s"robust slope, got ${got(0).getDouble(2)}")
+  }
+
   test("q_pipe_elo: MM normalization and ordering laws") {
     val rows = q("q_pipe_elo", sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
