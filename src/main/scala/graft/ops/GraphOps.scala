@@ -937,23 +937,37 @@ object GraphOps {
         64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
       val succ = Tables.ck(sup.select($"k",
         (($"k" * $"k" + 1) % n).as("v")))
+      // Checkpoint every SECOND doubling round (the ccStar batch=2
+      // precedent): one unchecked self-join squares the reference
+      // count to 4 reads of the last checkpoint — fine; a third would
+      // make it 8. Halves the per-round job overhead that dominates
+      // at fixture scale (each round is metadata-sized data).
+      def ck2(df: org.apache.spark.sql.DataFrame, i: Int, last: Int) =
+        if (i % 2 == 0 || i == last) Tables.ck(df) else df
       // Phase 1: jump-double to succ^(2^rounds); image = cycle nodes.
       var jump = succ
-      for (_ <- 1 to rounds) {
-        jump = Tables.ck(jump.as("a").join(jump.as("b"),
+      for (i <- 1 to rounds) {
+        jump = ck2(jump.as("a").join(jump.as("b"),
             col("a.v") === col("b.k"))
-          .select(col("a.k").as("k"), col("b.v").as("v")))
+          .select(col("a.k").as("k"), col("b.v").as("v")), i, rounds)
       }
-      val cyc = jump.select($"v".as("k")).distinct()
+      val cyc = Tables.ck(jump.select($"v".as("k")).distinct())
       // Phase 2: min-label doubling confined to the cycle set (cycle
       // successors stay in the set, so the restriction is closed).
+      // Round count re-sized to the CYCLE population, not N — the
+      // rho shape puts only ~√N nodes on cycles (Harris 1960), so
+      // log₂|cyc| rounds suffice and the count is one metadata-scale
+      // job over the checkpointed cycle set.
+      val nCyc = math.max(2L, cyc.count())
+      val rounds2 = math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(nCyc - 1))
       var lab = Tables.ck(succ.join(cyc, "k")
         .select($"k", $"v".as("jmp"), $"k".as("lab")))
-      for (_ <- 1 to rounds) {
-        lab = Tables.ck(lab.as("a").join(lab.as("b"),
+      for (i <- 1 to rounds2) {
+        lab = ck2(lab.as("a").join(lab.as("b"),
             col("a.jmp") === col("b.k"))
           .select(col("a.k").as("k"), col("b.jmp").as("jmp"),
-            least(col("a.lab"), col("b.lab")).as("lab")))
+            least(col("a.lab"), col("b.lab")).as("lab")), i, rounds2)
       }
       // Phase 3: tails are singleton SCCs labeled by themselves.
       val scc = sup.join(lab.select($"k", $"lab"), Seq("k"), "left")
