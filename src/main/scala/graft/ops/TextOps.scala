@@ -140,6 +140,54 @@ object TextOps {
         .orderBy($"lang", $"n".desc, $"bigram")
     }),
 
+    // KNESER–NEY bigram LM scoring — the word-level upgrade of the
+    // charlm filter, i.e. the CCNet-style "score every document under
+    // a smoothed LM" gate with the smoothing real LMs use: absolute
+    // discount D = 0.75 with CONTINUATION-count backoff,
+    //   P(w2|w1) = (max(c₁₂ − D, 0) + D · N₁₊(w1·) · Pcont(w2)) / c₁,
+    //   Pcont(w2) = N₁₊(·w2) / |bigram types|
+    // (Kneser & Ney 1995 — Pcont ranks words by how many CONTEXTS
+    // they follow, not raw frequency, which is what fixes the
+    // "San Francisco" problem plain backoff has). Train + score on
+    // the same corpus (no OOV ⇒ every P > 0); per-doc score = count-
+    // weighted mean ln P over its bigrams; per-lang rollup. Scale
+    // shape = charlm's: one tokenize+count scan is the expensive
+    // thing; the model tables are |types|-sized and broadcast to the
+    // scoring join (swap to a keyed join when the vocab outgrows the
+    // broadcast ceiling — the knob is one hint).
+    "q_text_kneserney" -> ((s, d) => {
+      import s.implicits._
+      val pairs = t(s, d, "documents")
+        .select($"doc_id", $"lang", split($"text", " ").as("w"))
+        .where(size($"w") >= 2)
+        .select($"doc_id", $"lang", explode(expr(
+          "transform(sequence(0, size(w) - 2)," +
+            " i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("p"))
+        .select($"doc_id", $"lang", $"p.w1", $"p.w2")
+      val dbg = Tables.ck(pairs
+        .groupBy($"doc_id", $"lang", $"w1", $"w2")
+        .agg(count(lit(1)).as("c")))
+      val cb = dbg.groupBy($"w1", $"w2").agg(sum($"c").as("c12"))
+      val lft = cb.groupBy($"w1")
+        .agg(sum($"c12").as("c1"), count(lit(1)).as("n1l"))
+      val rgt = cb.groupBy($"w2").agg(count(lit(1)).as("n1r"))
+      val tt = cb.agg(count(lit(1)).as("tt"))
+      val probs = cb.join(lft, "w1").join(rgt, "w2")
+        .crossJoin(broadcast(tt))
+        .select($"w1", $"w2",
+          ((greatest($"c12" - 0.75, lit(0.0))
+            + lit(0.75) * $"n1l" * $"n1r" / $"tt") / $"c1").as("p"))
+      dbg.join(broadcast(probs), Seq("w1", "w2"))
+        .groupBy($"doc_id", $"lang")
+        .agg((sum($"c" * log($"p")) / sum($"c")).as("score"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(avg($"score") * 1e4 + 0.5) / 1e4).as("avg_kn"),
+          (floor(min($"score") * 1e4 + 0.5) / 1e4).as("min_kn"),
+          (floor(max($"score") * 1e4 + 0.5) / 1e4).as("max_kn"))
+        .orderBy($"lang")
+    }),
+
     // READABILITY scoring — the Flesch-family quality gate a pretrain
     // corpus pipeline runs next to stopword/length filters: per doc,
     // syllables ≈ vowel groups ([aeiouy]+ runs, the standard cheap
@@ -1252,6 +1300,44 @@ object TextOps {
       GROUP BY token
       ORDER BY n DESC, token
       LIMIT 20""",
+
+    // Identical KN formula over the same count tables; arithmetic
+    // written in the same association order so both engines produce
+    // bit-identical doubles into the 4dp floor.
+    "q_text_kneserney" -> """
+      WITH tok AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w
+        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      pairs AS (
+        SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+        FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+      dbg AS (
+        SELECT doc_id, lang, w1, w2, count(*) AS c
+        FROM pairs GROUP BY doc_id, lang, w1, w2),
+      cb AS (SELECT w1, w2, SUM(c) AS c12 FROM dbg GROUP BY w1, w2),
+      lft AS (SELECT w1, SUM(c12) AS c1, count(*) AS n1l
+              FROM cb GROUP BY w1),
+      rgt AS (SELECT w2, count(*) AS n1r FROM cb GROUP BY w2),
+      tt AS (SELECT count(*) AS tt FROM cb),
+      probs AS (
+        SELECT cb.w1, cb.w2,
+               (GREATEST(c12 - 0.75, 0.0)
+                + 0.75 * n1l * n1r / tt.tt) / c1 AS p
+        FROM cb JOIN lft ON cb.w1 = lft.w1
+                JOIN rgt ON cb.w2 = rgt.w2
+                CROSS JOIN tt),
+      ds AS (
+        SELECT d.doc_id, d.lang,
+               SUM(d.c * ln(p.p)) / SUM(d.c) AS score
+        FROM dbg d JOIN probs p ON d.w1 = p.w1 AND d.w2 = p.w2
+        GROUP BY d.doc_id, d.lang)
+      SELECT lang, count(*) AS n_docs,
+             FLOOR(AVG(score) * 1e4 + 0.5) / 1e4 AS avg_kn,
+             FLOOR(MIN(score) * 1e4 + 0.5) / 1e4 AS min_kn,
+             FLOOR(MAX(score) * 1e4 + 0.5) / 1e4 AS max_kn
+      FROM ds
+      GROUP BY lang
+      ORDER BY lang""",
 
     // Same vowel-group syllable heuristic + 15-word pseudo-sentence
     // convention; list HOFs mirror Spark's transform/filter.

@@ -330,6 +330,25 @@ class OpsSpec extends GraftSuite {
     assert(nodes === 10L, "SCC sizes must partition the vertex set")
   }
 
+  test("q_text_kneserney matches the hand-computed two-word model") {
+    // Corpus: "a b a b" and "b a" → c(a,b)=2, c(b,a)=2, T=2 types,
+    // N₁₊(a·)=N₁₊(b·)=1, c₁(a)=c₁(b)=2, Pcont(a)=Pcont(b)=1/2, so
+    // EVERY bigram has P = (2−0.75 + 0.75·1·0.5)/2 = 0.8125 and both
+    // docs score exactly ln 0.8125 ≈ −0.20764 → 4dp floor −0.2076.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kn").toString
+    Seq((1L, "a b a b", "xx", "src", 7L), (2L, "b a", "xx", "src", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = q("q_text_kneserney", dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "xx" && r(0).getLong(1) === 2L)
+    assert(r(0).getDouble(2) === -0.2076 && r(0).getDouble(3) === -0.2076
+      && r(0).getDouble(4) === -0.2076,
+      s"hand-computed KN score drifted: ${r(0)}")
+  }
+
   test("q_text_readability: syllable heuristic and FRE formula on known words") {
     // Hand check of the vowel-group heuristic via the same expression
     // the query uses: "table" → 2 groups (a, e), "query" → 2 (ue, y),
