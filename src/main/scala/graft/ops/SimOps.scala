@@ -231,6 +231,32 @@ object SimOps {
     // sf0.01) — 0.8 would declare a permanently-empty result. 0.35
     // keeps the identical blocked-self-join + threshold semantics and
     // makes the row non-vacuous.
+    // Embedding-geometry AUDIT — the check run before any ANN index
+    // is built: L2 norms per label (cosine-vs-dot equivalence only
+    // holds on unit vectors; a mixed-norm corpus silently breaks IVF
+    // /LSH recall), dimension consistency, and the count of vectors
+    // off unit norm by > 1% (decided on the ROUNDED norm so a
+    // last-ulp summation diff can't flip membership — the q_sim_range
+    // rule). Map-only over the corpus + one keyed rollup: at 10⁹
+    // vectors this is the cheapest scan in the pipeline.
+    "q_sim_norms" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"label",
+          size($"embedding").as("dim"),
+          (floor(sqrt(dot($"embedding", $"embedding")) * 1e4 + 0.5) / 1e4)
+            .as("nrm"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min($"dim").as("min_dim"), max($"dim").as("max_dim"),
+          (floor(avg($"nrm") * 1e4 + 0.5) / 1e4).as("avg_norm"),
+          (floor(min($"nrm") * 1e4 + 0.5) / 1e4).as("min_norm"),
+          (floor(max($"nrm") * 1e4 + 0.5) / 1e4).as("max_norm"),
+          sum(when(abs($"nrm" - 1.0) > 0.01, 1L).otherwise(0L))
+            .as("n_offunit"))
+        .orderBy($"label")
+    }),
+
     "q_sim_pairs" -> ((s, d) => {
       import s.implicits._
       val e = t(s, d, "embeddings").where($"vec_id" < 200)
@@ -768,6 +794,26 @@ object SimOps {
             FROM s)
       SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3
       ORDER BY qid, rn""",
+
+    "q_sim_norms" -> """
+      WITH n AS (
+        SELECT label, len(embedding) AS dim,
+               FLOOR(sqrt(list_sum(list_transform(
+                 list_zip(embedding, embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS nrm
+        FROM embeddings)
+      SELECT label, count(*) AS n_vecs,
+             CAST(MIN(dim) AS INT) AS min_dim,
+             CAST(MAX(dim) AS INT) AS max_dim,
+             FLOOR(AVG(nrm) * 1e4 + 0.5) / 1e4 AS avg_norm,
+             FLOOR(MIN(nrm) * 1e4 + 0.5) / 1e4 AS min_norm,
+             FLOOR(MAX(nrm) * 1e4 + 0.5) / 1e4 AS max_norm,
+             CAST(SUM(CASE WHEN ABS(nrm - 1.0) > 0.01
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_offunit
+      FROM n
+      GROUP BY label
+      ORDER BY label""",
 
     "q_sim_pairs" -> """
       WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),

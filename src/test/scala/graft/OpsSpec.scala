@@ -330,6 +330,22 @@ class OpsSpec extends GraftSuite {
     assert(nodes === 10L, "SCC sizes must partition the vertex set")
   }
 
+  test("q_sim_norms: 3-4-5 identity and fixture dim uniformity") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.expr
+    // The audit's norm expression on the Pythagorean vector is exact.
+    val n = Seq(Tuple1(Array(3.0f, 4.0f))).toDF("embedding")
+      .select(expr("sqrt(float_dot(embedding, embedding))"))
+      .collect()(0).getDouble(0)
+    assert(n === 5.0)
+    q("q_sim_norms", sf0001).collect().foreach { r =>
+      assert(r.getInt(2) === r.getInt(3), "fixture dims must be uniform")
+      assert(r.getDouble(5) > 0.0, "norms are positive")
+      assert(r.getDouble(5) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(6))
+    }
+  }
+
   test("q_text_kneserney matches the hand-computed two-word model") {
     // Corpus: "a b a b" and "b a" → c(a,b)=2, c(b,a)=2, T=2 types,
     // N₁₊(a·)=N₁₊(b·)=1, c₁(a)=c₁(b)=2, Pcont(a)=Pcont(b)=1/2, so
