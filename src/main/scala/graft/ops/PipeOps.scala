@@ -785,6 +785,36 @@ object PipeOps {
         .orderBy($"event_type")
     }),
 
+    // WINSORIZED + TRIMMED means — the robust-location pair next to
+    // the median/MAD audit: per event type, exact p05/p95 fences, then
+    // (a) winsorized mean (values CLAMPED to the fences — keeps n) and
+    // (b) trimmed mean (fence-outside values DROPPED). The difference
+    // between plain and winsorized mean is the outlier-mass gauge a
+    // metrics pipeline alerts on. Two passes: exact per-group
+    // percentiles (broadcast back, the q_pipe_outlier shape), then one
+    // scan computing all three means; fences compare on raw doubles
+    // but both engines clamp with the IDENTICAL percentile value, so
+    // membership can't diverge. At 100 TB: swap exact percentile for
+    // the GK sketch per the q_agg_approx trade.
+    "q_agg_winsorized" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select($"event_type", $"value")
+      val fences = ev.groupBy($"event_type").agg(
+        percentile($"value", lit(0.05)).as("lo"),
+        percentile($"value", lit(0.95)).as("hi"))
+      ev.join(broadcast(fences), "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          r4(avg($"value")).as("mean_raw"),
+          r4(avg(greatest($"lo", least($"hi", $"value"))))
+            .as("mean_winsor"),
+          r4(avg(when($"value" >= $"lo" && $"value" <= $"hi", $"value")))
+            .as("mean_trim"),
+          sum(when($"value" < $"lo" || $"value" > $"hi", 1L)
+            .otherwise(0L)).as("n_clamped"))
+        .orderBy($"event_type")
+    }),
+
     // THEIL–SEN robust trend — the slope estimator a drift monitor
     // wants where OLS gets dragged by the outliers it should survive:
     // per event type, the MEDIAN of pairwise slopes (Δvalue per hour)
@@ -1597,6 +1627,24 @@ object PipeOps {
     "q_pipe_elo" -> eloSql(3),
 
     "q_agg_theilsen" -> theilsenSql(20),
+
+    "q_agg_winsorized" -> """
+      WITH f AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type)
+      SELECT e.event_type, count(*) AS n,
+             FLOOR(AVG(value) * 1e4 + 0.5) / 1e4 AS mean_raw,
+             FLOOR(AVG(GREATEST(lo, LEAST(hi, value))) * 1e4 + 0.5) / 1e4
+               AS mean_winsor,
+             FLOOR(AVG(CASE WHEN value >= lo AND value <= hi
+                            THEN value END) * 1e4 + 0.5) / 1e4 AS mean_trim,
+             CAST(SUM(CASE WHEN value < lo OR value > hi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+      FROM events e JOIN f ON e.event_type = f.event_type
+      GROUP BY e.event_type
+      ORDER BY e.event_type""",
 
     "q_pipe_abtest" -> """
       WITH b AS (

@@ -330,6 +330,22 @@ class OpsSpec extends GraftSuite {
     assert(nodes === 10L, "SCC sizes must partition the vertex set")
   }
 
+  test("q_agg_winsorized: fences pull the mean toward the middle, never past the trim") {
+    q("q_agg_winsorized", sf0001).collect().foreach { r =>
+      val (n, raw, win, trim, clamped) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))
+      // ~10% of mass sits outside the p05/p95 fences (interpolated
+      // fences make it inexact; rounding slack on the comparison).
+      assert(clamped >= 0 && clamped <= n / 5)
+      // Winsorizing bounds the estimate between raw and fully-trimmed
+      // is NOT a theorem, but all three must sit inside the fence
+      // span, and winsor/trim must move the same direction from raw
+      // whenever anything was clamped at all on a skewed tail.
+      assert(win >= math.min(raw, trim) - 0.5 && win <= math.max(raw, trim) + 0.5,
+        s"winsor mean wildly off: raw=$raw win=$win trim=$trim")
+    }
+  }
+
   test("q_sim_norms: 3-4-5 identity and fixture dim uniformity") {
     val s = spark
     import s.implicits._
