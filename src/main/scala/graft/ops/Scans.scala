@@ -365,6 +365,29 @@ object Scans {
       s.sql(sql)
     }),
 
+    // CUSTOM DATASOURCE V2 — the engine-extension surface for data
+    // behind an API/generator instead of files (sources/SeqSource): a
+    // full TableProvider with slice-parallel planInputPartitions,
+    // SupportsPushDownRequiredColumns (the reader never materializes
+    // unprojected columns) and SupportsPushDownFilters whose id-range
+    // bounds become PARTITION PRUNING (6 of 16 slices survive the
+    // filter below — PlanShapeSpec pins the scan description's
+    // kept/total). Filters stay residuals (Spark re-applies them), so
+    // pruning can only remove work, never correctness. The generated
+    // table is deterministic arithmetic, so DuckDB's generate_series
+    // replays it exactly.
+    "q_scan_dsv2" -> ((s, d) => {
+      import s.implicits._
+      s.read.format("graft.sources.SeqSource")
+        .option("n", 100000L).option("slices", 16)
+        .load()
+        .where($"id" >= 12500L && $"id" <= 49999L)
+        .groupBy($"tag")
+        .agg(count(lit(1)).as("n_rows"),
+          (floor(sum($"val") * 1e4 + 0.5) / 1e4).as("sum_val"))
+        .orderBy($"tag")
+    }),
+
     // RECURSIVE CTE — Spark's own WITH RECURSIVE (resolved by
     // ResolveWithCTE into a UnionLoop plan; this build supports
     // UNION ALL recursion only, so the query is written cycle-free):
@@ -559,5 +582,15 @@ object Scans {
     "q_sql_q18" -> sqlQ18,
     "q_sql_q10" -> sqlQ10,
     "q_sql_recursive" -> sqlRecursive,
+
+    // generate_series is inclusive on both ends — [12500, 49999]
+    // matches the Spark filter exactly.
+    "q_scan_dsv2" -> """
+      SELECT 't' || (i % 7) AS tag,
+             count(*) AS n_rows,
+             FLOOR(SUM((i % 997) / 997.0) * 1e4 + 0.5) / 1e4 AS sum_val
+      FROM generate_series(12500, 49999) t(i)
+      GROUP BY tag
+      ORDER BY tag""",
   )
 }

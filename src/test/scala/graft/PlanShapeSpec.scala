@@ -32,6 +32,21 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("PushedFilters: ["))
   }
 
+  test("q_scan_dsv2: DSv2 filter pushdown prunes partitions and columns") {
+    val p = plan("q_scan_dsv2")
+    // The id-range filter keeps exactly slices 2..7 of 16 (step 6250,
+    // bounds [12500, 50000)) — the scan description reports it.
+    assert(p.contains("partitions=6/16"),
+      s"filter bounds must prune input partitions:\n$p")
+    assert(p.contains("bounds=[12500,50000)"), s"pushed bounds wrong:\n$p")
+    // id is needed by the residual filter, tag+val by the aggregate;
+    // pruning is still exercised end-to-end by the reader-factory
+    // column dispatch (SourcesSpec covers the narrow projection).
+    val rows = q("q_scan_dsv2", sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum === 37500L,
+      "partition pruning must not drop qualifying rows")
+  }
+
   test("q_sql_recursive plans a real UnionLoop (recursive CTE), not a hand-unroll") {
     val p = plan("q_sql_recursive")
     assert(p.contains("UnionLoop"),

@@ -142,6 +142,25 @@ class SourcesSpec extends GraftSuite {
     assert(first.byte_val === firstChar)
   }
 
+  test("SeqSource DSv2: projection narrows the reader, bounds stay exact") {
+    import spark.implicits._
+    val df = spark.read.format("graft.sources.SeqSource")
+      .option("n", 100L).option("slices", 4).load()
+    // Full read matches the closed form.
+    assert(df.count() === 100L)
+    // Narrow projection: only id is materialized by the reader.
+    val ids = df.select($"id").where($"id" < 10L).as[Long].collect().sorted
+    assert(ids.toSeq === (0L until 10L))
+    // Edge semantics of every pushed comparator on one query each.
+    assert(df.where($"id" > 97L).count() === 2L)   // 98, 99
+    assert(df.where($"id" >= 97L).count() === 3L)
+    assert(df.where($"id" <= 1L).count() === 2L)
+    assert(df.where($"id" === 42L).select($"tag").as[String].head() === "t0")
+    // Row formula: val = (id % 997)/997, tag = t(id % 7).
+    val r = df.where($"id" === 45L).collect()(0)
+    assert(r.getDouble(1) === 45 / 997.0 && r.getString(2) === "t3")
+  }
+
   test("BinaryFrames BMP round trip: real ImageIO decode recovers every pixel") {
     import graft.sources.BinaryFrames
     // The encoded payload is a genuine BMP (magic 'BM'), not a stub.
