@@ -785,6 +785,34 @@ object PipeOps {
         .orderBy($"event_type")
     }),
 
+    // CHI-SQUARE independence audit — "does event mix depend on the
+    // day of week?": observed (type × dow) counts vs independence
+    // expectations e = row·col/N; the output is each type's
+    // CONTRIBUTION to the global statistic (they sum to it), which is
+    // where an investigation looks first. Day-of-week is computed
+    // Sunday=0 on BOTH engines (Spark dayofweek is Sunday=1, DuckDB's
+    // Sunday=0 — the −1 is the portability shim). Counts are exact
+    // integers; the statistic is |types×7| tiny rows of double math
+    // after two metadata-scale margin aggregations — at 100 TB the
+    // one real pass is the (type, dow) count, map-side combinable.
+    "q_agg_chisq" -> ((s, d) => {
+      import s.implicits._
+      val o = t(s, d, "events")
+        .groupBy($"event_type", (dayofweek($"ts") - 1).as("dow"))
+        .agg(count(lit(1)).as("obs"))
+      val rt = o.groupBy($"event_type").agg(sum($"obs").as("rtot"))
+      val ct = o.groupBy($"dow").agg(sum($"obs").as("ctot"))
+      val tt = o.agg(sum($"obs").as("n"))
+      o.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(tt))
+        .withColumn("e", $"rtot" * $"ctot" * 1.0 / $"n")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_cells"),
+          (floor(sum(($"obs" - $"e") * ($"obs" - $"e") / $"e")
+            * 1e4 + 0.5) / 1e4).as("chisq"))
+        .orderBy($"event_type")
+    }),
+
     // WINSORIZED + TRIMMED means — the robust-location pair next to
     // the median/MAD audit: per event type, exact p05/p95 fences, then
     // (a) winsorized mean (values CLAMPED to the fences — keeps n) and
@@ -1627,6 +1655,23 @@ object PipeOps {
     "q_pipe_elo" -> eloSql(3),
 
     "q_agg_theilsen" -> theilsenSql(20),
+
+    "q_agg_chisq" -> """
+      WITH o AS (
+        SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+               count(*) AS obs
+        FROM events GROUP BY event_type, dow),
+      rt AS (SELECT event_type, SUM(obs) AS rtot FROM o GROUP BY event_type),
+      ct AS (SELECT dow, SUM(obs) AS ctot FROM o GROUP BY dow),
+      tt AS (SELECT SUM(obs) AS n FROM o)
+      SELECT o.event_type,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             FLOOR(SUM((obs - rtot * ctot * 1.0 / n)
+               * (obs - rtot * ctot * 1.0 / n) / (rtot * ctot * 1.0 / n))
+               * 1e4 + 0.5) / 1e4 AS chisq
+      FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tt
+      GROUP BY o.event_type
+      ORDER BY o.event_type""",
 
     "q_agg_winsorized" -> """
       WITH f AS (

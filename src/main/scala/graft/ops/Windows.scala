@@ -207,6 +207,35 @@ object Windows {
     // surface to bite). At 100 TB this is one window shuffle keyed on
     // user — the same story as every window in this file; the decay
     // horizon (10 taps) bounds per-row work, not data volume.
+    // AUTOCORRELATION function (lags 1–3) per event type — the
+    // seasonality/memory diagnostic run before any forecasting or
+    // anomaly threshold is trusted: ACF(k) = Σ(xᵢ−μ)(xᵢ₊ₖ−μ) / Σ(xᵢ−μ)²
+    // over the (ts, event_id)-ordered series. ONE keyed window pass
+    // emits the three leads and the partition mean (same frame
+    // reuse), then a keyed rollup divides exact double sums — no
+    // second scan, no self-join. Denominator is the full variance sum
+    // (the standard estimator), numerators skip the tail rows whose
+    // lead is undefined.
+    "q_win_autocorr" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      val wp = Window.partitionBy($"event_type")
+      val b = t(s, d, "events")
+        .select($"event_type", $"ts", $"event_id", $"value")
+        .withColumn("v1", lead($"value", 1).over(w))
+        .withColumn("v2", lead($"value", 2).over(w))
+        .withColumn("v3", lead($"value", 3).over(w))
+        .withColumn("mu", avg($"value").over(wp))
+      def acf(vk: org.apache.spark.sql.Column) =
+        floor(sum(when(vk.isNotNull, ($"value" - $"mu") * (vk - $"mu")))
+          / sum(($"value" - $"mu") * ($"value" - $"mu")) * 1e4 + 0.5) / 1e4
+      b.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          acf($"v1").as("acf1"), acf($"v2").as("acf2"),
+          acf($"v3").as("acf3"))
+        .orderBy($"event_type")
+    }),
+
     "q_win_ewma" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -504,6 +533,25 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_autocorr" -> """
+      WITH b AS (
+        SELECT event_type, value,
+               lead(value, 1) OVER w AS v1,
+               lead(value, 2) OVER w AS v2,
+               lead(value, 3) OVER w AS v3,
+               AVG(value) OVER (PARTITION BY event_type) AS mu
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             FLOOR(SUM((value - mu) * (v1 - mu)) FILTER (v1 IS NOT NULL)
+               / SUM((value - mu) * (value - mu)) * 1e4 + 0.5) / 1e4 AS acf1,
+             FLOOR(SUM((value - mu) * (v2 - mu)) FILTER (v2 IS NOT NULL)
+               / SUM((value - mu) * (value - mu)) * 1e4 + 0.5) / 1e4 AS acf2,
+             FLOOR(SUM((value - mu) * (v3 - mu)) FILTER (v3 IS NOT NULL)
+               / SUM((value - mu) * (value - mu)) * 1e4 + 0.5) / 1e4 AS acf3
+      FROM b GROUP BY event_type ORDER BY event_type""",
+
     "q_win_twavg" -> """
       WITH e AS (
         SELECT user_id, ts, event_id,

