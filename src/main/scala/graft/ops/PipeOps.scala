@@ -785,6 +785,46 @@ object PipeOps {
         .orderBy($"event_type")
     }),
 
+    // POISSON BOOTSTRAP confidence intervals — the one-pass
+    // distributed CI estimator (each replicate weights every row by an
+    // independent Poisson(1) draw — the streaming-friendly limit of
+    // multinomial resampling, and the production standard because it
+    // needs NO second pass and NO global n upfront). Replicate draws
+    // are DERIVED, not random: u = (h60(event_id:r) mod 1e6)/1e6 is an
+    // exact 1e-6-grid value on both engines, mapped through the
+    // Poisson(1) inverse CDF (capped at 5 — the tail mass above is
+    // 6e-4, documented bias ≪ CI width), so every replicate is
+    // reproducible across runs, engines, and cluster sizes — the same
+    // property the sampling family guarantees. Per type: the point
+    // mean plus the [p05, p95] band of R = 20 replicate means. ONE
+    // scan fans out R weighted copies per row (an in-row explode);
+    // everything aggregates map-side per (type, r) — at 100 TB the
+    // cost is R× the base aggregation, zero extra passes.
+    "q_pipe_bootstrap" -> ((s, d) => {
+      import s.implicits._
+      val R = 20
+      val rep = t(s, d, "events")
+        .select($"event_type", $"event_id", $"value")
+        .withColumn("r", explode(expr(s"sequence(1, $R)")))
+        .withColumn("u",
+          (h60(concat($"event_id".cast("string"), lit(":"),
+            $"r".cast("string"))) % 1000000L) / 1e6)
+        .withColumn("wt",
+          when($"u" < 0.367879, 0).when($"u" < 0.735759, 1)
+            .when($"u" < 0.919699, 2).when($"u" < 0.981012, 3)
+            .when($"u" < 0.996340, 4).otherwise(5))
+      val reps = rep.groupBy($"event_type", $"r")
+        .agg((sum($"wt" * $"value") / sum($"wt")).as("m"))
+      val base = t(s, d, "events").groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), r4(avg($"value")).as("mean_raw"))
+      base.join(reps.groupBy($"event_type")
+          .agg(r4(percentile($"m", lit(0.05))).as("ci_lo"),
+            r4(percentile($"m", lit(0.95))).as("ci_hi")),
+        "event_type")
+        .select($"event_type", $"n", $"mean_raw", $"ci_lo", $"ci_hi")
+        .orderBy($"event_type")
+    }),
+
     // CHI-SQUARE independence audit — "does event mix depend on the
     // day of week?": observed (type × dow) counts vs independence
     // expectations e = row·col/N; the output is each type's
@@ -1655,6 +1695,34 @@ object PipeOps {
     "q_pipe_elo" -> eloSql(3),
 
     "q_agg_theilsen" -> theilsenSql(20),
+
+    "q_pipe_bootstrap" -> """
+      WITH rep AS (
+        SELECT event_type, r,
+               (CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                  || ':' || CAST(r AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 1000000) / 1e6 AS u,
+               value
+        FROM events CROSS JOIN generate_series(1, 20) t(r)),
+      wts AS (
+        SELECT event_type, r, value,
+               CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+                    WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+                    WHEN u < 0.996340 THEN 4 ELSE 5 END AS wt
+        FROM rep),
+      reps AS (
+        SELECT event_type, r, SUM(wt * value) / SUM(wt) AS m
+        FROM wts GROUP BY event_type, r),
+      base AS (
+        SELECT event_type, count(*) AS n,
+               FLOOR(AVG(value) * 1e4 + 0.5) / 1e4 AS mean_raw
+        FROM events GROUP BY event_type)
+      SELECT b.event_type, b.n, b.mean_raw,
+             FLOOR(quantile_cont(m, 0.05) * 1e4 + 0.5) / 1e4 AS ci_lo,
+             FLOOR(quantile_cont(m, 0.95) * 1e4 + 0.5) / 1e4 AS ci_hi
+      FROM base b JOIN reps USING (event_type)
+      GROUP BY b.event_type, b.n, b.mean_raw
+      ORDER BY b.event_type""",
 
     "q_agg_chisq" -> """
       WITH o AS (

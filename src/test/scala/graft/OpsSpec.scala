@@ -351,6 +351,29 @@ class OpsSpec extends GraftSuite {
     assert(r.getDouble(3) === math.floor(38.0 / 40 * 1e4 + 0.5) / 1e4)
   }
 
+  test("q_pipe_bootstrap: CI brackets the mean and weights follow Poisson(1) mass") {
+    q("q_pipe_bootstrap", sf0001).collect().foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi, "interval must be ordered")
+      // A 90% bootstrap band around the plug-in mean at n≈200 is
+      // narrow but must contain the point estimate.
+      assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] excludes mean $mean")
+      assert(hi > lo, "20 distinct replicates cannot produce a 0-width band")
+    }
+    // The hash-derived weights must reproduce Poisson(1) frequencies:
+    // ~36.8% zeros across (row, replicate) draws.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{explode, expr, concat, lit, avg}
+    val frac0 = ops.Tables.t(s, SparkTestBase.sf0001, "events")
+      .select($"event_id")
+      .withColumn("r", explode(expr("sequence(1, 20)")))
+      .select((ops.Tables.h60(concat($"event_id".cast("string"), lit(":"),
+        $"r".cast("string"))) % 1000000L < 367879L).cast("long").as("z"))
+      .agg(avg($"z")).collect()(0).getDouble(0)
+    assert(math.abs(frac0 - 0.3679) < 0.01, s"zero-weight mass drifted: $frac0")
+  }
+
   test("q_agg_chisq: contributions are non-negative and sum to the global statistic") {
     val rows = q("q_agg_chisq", sf0001).collect()
     assert(rows.nonEmpty)
