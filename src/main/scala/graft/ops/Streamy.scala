@@ -148,6 +148,33 @@ object Streamy {
         .orderBy($"user_id", $"session_start")
     }),
 
+    // The ARBITRARY-STATE API v2 surface — `transformWithState`
+    // (Spark 4.x StatefulProcessor, the successor to
+    // flatMapGroupsWithState with TYPED named state handles +
+    // declarative TTL): per-user high-water marks — emit exactly the
+    // events that set a new per-user max value, running max in a
+    // ValueState[Double] (`streaming/HighWater.scala`). Batch calls
+    // the processor once per key (empty state) so the output is the
+    // running-max SQL the oracle replays; cross-batch persistence is
+    // MemoryStream-pinned. One shuffle keyed on user_id; live state
+    // is one double per user.
+    // transformWithState requires the RocksDB state store provider
+    // (the HDFS-backed default can't serve the new API — batch runs
+    // fail CANNOT_LOAD_STATE_STORE) → child session, the
+    // q_stream_rocksdb isolation pattern.
+    "q_stream_tws" -> ((s0, d) => {
+      val s = Tables.childSession(s0, "tws")(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state" +
+            ".RocksDBStateStoreProvider"))
+      import s.implicits._
+      val evs = t(s, d, "events")
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .as[graft.streaming.HwEvent]
+      graft.streaming.HighWater.marks(evs).toDF()
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // Stream-stream interval join (attribution): each purchase joins
     // to same-user clicks within the preceding 30 minutes, rolled up
     // per purchase day. The identical plan streams with a watermark on
@@ -474,6 +501,18 @@ object Streamy {
       FROM sess
       GROUP BY user_id, sid
       ORDER BY user_id, session_start""",
+
+    // Running-max filter: a row survives iff it strictly exceeds every
+    // earlier same-user value (first row per user always survives).
+    "q_stream_tws" -> """
+      WITH m AS (
+        SELECT user_id, event_id, ts, value,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        FROM events)
+      SELECT user_id, event_id, ts, value
+      FROM m WHERE prior IS NULL OR value > prior
+      ORDER BY user_id, event_id""",
 
     // Same gaps-and-islands recursion, no value column — the batch
     // form of the flatMapGroupsWithState sessionizer is definitionally

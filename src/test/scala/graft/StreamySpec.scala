@@ -175,6 +175,39 @@ class StreamySpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("transformWithState keeps the per-user high-water mark across micro-batches") {
+    val s = spark
+    import s.implicits._
+    // The new-API state store: RocksDB provider in a child session
+    // (same isolation as q_stream_tws / q_stream_rocksdb).
+    val cs = ops.Tables.childSession(s, "tws_spec")(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider"))
+    import graft.streaming.HwEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = cs.sqlContext
+    val input = MemoryStream[HwEvent]
+    val marks = graft.streaming.HighWater.marks(input.toDS())
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck6").toString
+    val query = marks.writeStream.format("memory").queryName("tws_test")
+      .outputMode(OutputMode.Append).option("checkpointLocation", dir).start()
+    try {
+      input.addData(HwEvent(7L, 1L, ts("2024-01-01 10:00:00"), 5.0))
+      query.processAllAvailable()
+      // Later batch, lower value: state must REMEMBER the 5.0 → no emit.
+      input.addData(HwEvent(7L, 2L, ts("2024-01-01 10:01:00"), 3.0))
+      query.processAllAvailable()
+      // New high: emits. Other user: independent state, emits.
+      input.addData(HwEvent(7L, 3L, ts("2024-01-01 10:02:00"), 7.0),
+                    HwEvent(8L, 4L, ts("2024-01-01 10:02:00"), 1.0))
+      query.processAllAvailable()
+      val got = cs.table("tws_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === Seq((7L, 1L), (7L, 3L), (8L, 4L)),
+        s"cross-batch ValueState drifted: $got")
+    } finally query.stop()
+  }
+
   test("q_stream_custom_state (batch flush) ≡ session_window sessionization") {
     // The declared batch form of the flatMapGroupsWithState sessionizer
     // must agree row-for-row with the built-in session_window on the
