@@ -910,6 +910,48 @@ object GraphOps {
         .orderBy($"node")
     }),
 
+    // HITS hubs & authorities (Kleinberg 1999) — the DIRECTED-graph
+    // scoring PageRank can't express: on the c→s trade graph, a
+    // customer is a good HUB when it buys from good suppliers, a
+    // supplier a good AUTHORITY when good hubs buy from it — the
+    // mutual recursion is the point. 3 alternating update rounds,
+    // L1-normalized each half-step (deterministic — no sqrt); the
+    // DIRECTED edge set is the 'c%'-source half of the family-shared
+    // symmetric memo, so no new edge build. Each half-round is one
+    // broadcast of the |side|-sized score table + one keyed aggregate
+    // — the pagerank loop's shape; at billions of edges the same
+    // algebra runs co-partitioned (the q_graph_pagerank_part swap).
+    // Output: top-10 of each side by rounded score.
+    "q_graph_hits" -> ((s, d) => {
+      import s.implicits._
+      val dir = tradeEdges(s, d).where($"src".startsWith("c"))
+      var hub = dir.select($"src".as("node")).distinct()
+        .select($"node", lit(1.0).as("h"))
+      var auth: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 3) {
+        // ck each raw table: the sum branch and the normalize branch
+        // both reference it — unchecked, references double per
+        // half-round (2^6 edge-join replays by round 3).
+        val araw = Tables.ck(dir.join(broadcast(hub), $"src" === $"node")
+          .groupBy($"dst").agg(sum($"h").as("a")))
+        val asum = araw.agg(sum($"a").as("s"))
+        auth = araw.crossJoin(broadcast(asum))
+          .select($"dst".as("node"), ($"a" / $"s").as("a"))
+        val hraw = Tables.ck(dir.join(broadcast(auth), $"dst" === $"node")
+          .groupBy($"src").agg(sum($"a").as("h")))
+        val hsum = hraw.agg(sum($"h").as("s"))
+        hub = hraw.crossJoin(broadcast(hsum))
+          .select($"src".as("node"), ($"h" / $"s").as("h"))
+      }
+      val top = (df: org.apache.spark.sql.DataFrame, side: String,
+                 c: String) =>
+        df.select(lit(side).as("side"), $"node",
+            (floor(col(c) * 1e6 + 0.5) / 1e6).as("score"))
+          .orderBy($"score".desc, $"node").limit(10)
+      top(auth, "auth", "a").unionByName(top(hub, "hub", "h"))
+        .orderBy($"side", $"score".desc, $"node")
+    }),
+
     // STRONGLY connected components of a DIRECTED graph — the surface
     // the undirected cc/cc_star rows can't cover. Graph: the Pollard
     // rho-shaped FUNCTIONAL graph succ(k) = (k² + 1) mod N over
@@ -1169,6 +1211,39 @@ object GraphOps {
              CAST(max(dg) AS BIGINT) AS max_deg
       FROM deg GROUP BY magnitude
       ORDER BY magnitude""",
+
+      // The identical 3 alternating HITS rounds unrolled (the
+      // pagerankSql move): raw sum → L1 normalize each half-step,
+      // same association order.
+      "q_graph_hits" -> {
+        val step = (k: Int) => s""",
+      a${k}raw AS (SELECT e.dst, SUM(h.h) AS a FROM dir e
+                   JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst),
+      a$k AS (SELECT dst AS node, a / (SELECT SUM(a) FROM a${k}raw) AS a
+              FROM a${k}raw),
+      h${k}raw AS (SELECT e.src, SUM(a.a) AS h FROM dir e
+                   JOIN a$k a ON e.dst = a.node GROUP BY e.src),
+      h$k AS (SELECT src AS node, h / (SELECT SUM(h) FROM h${k}raw) AS h
+              FROM h${k}raw)"""
+        s"""
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      dir AS (SELECT src, dst FROM e0),
+      h0 AS (SELECT DISTINCT src AS node, 1.0 AS h FROM dir)""" +
+          (1 to 3).map(step).mkString + s"""
+      SELECT * FROM (
+        SELECT 'auth' AS side, node,
+               FLOOR(a * 1e6 + 0.5) / 1e6 AS score
+        FROM a3 ORDER BY score DESC, node LIMIT 10)
+      UNION ALL
+      SELECT * FROM (
+        SELECT 'hub' AS side, node,
+               FLOOR(h * 1e6 + 0.5) / 1e6 AS score
+        FROM h3 ORDER BY score DESC, node LIMIT 10)
+      ORDER BY side, score DESC, node"""
+      },
 
       // Exact mutual-reachability SCC over the same functional graph:
       // bounded-depth forward orbit (out-degree 1 ⇒ ≤ N rows per key),

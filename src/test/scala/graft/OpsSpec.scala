@@ -317,6 +317,22 @@ class OpsSpec extends GraftSuite {
     assert(pair.getInt(0) === pair.getInt(1) && pair.getInt(0) === pair.getInt(2))
   }
 
+  test("q_graph_hits: L1 normalization and side split hold") {
+    val rows = q("q_graph_hits", sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val (auths, hubs) = rows.partition(_._1 == "auth")
+    assert(auths.length === 10 && hubs.length === 10)
+    // Sides are disjoint node namespaces on the bipartite trade graph.
+    assert(auths.forall(_._2.startsWith("s")) && hubs.forall(_._2.startsWith("c")))
+    // Scores are a probability-like L1 distribution: top-10 mass ≤ 1,
+    // positive, and each side internally sorted descending.
+    Seq(auths, hubs).foreach { side =>
+      assert(side.forall(_._3 > 0.0))
+      assert(side.map(_._3).sum <= 1.0 + 1e-4)
+      assert(side.map(_._3).toSeq === side.map(_._3).sortBy(-_).toSeq)
+    }
+  }
+
   test("q_graph_scc: pointer doubling equals the hand-traced rho decomposition") {
     // sf0.001 has suppliers 0..9; succ(k) = (k²+1) mod 10 traces to
     // ONE 6-cycle 0→1→2→5→6→7→0 with tails {3, 4, 8, 9} — so the SCC
