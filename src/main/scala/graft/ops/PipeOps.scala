@@ -785,6 +785,37 @@ object PipeOps {
         .orderBy($"event_type")
     }),
 
+    // K-FOLD TARGET ENCODING — the feature-engineering op whose whole
+    // design is a LEAKAGE story (the q_pipe_groupsplit concern, one
+    // level deeper): encoding a categorical by the target mean leaks
+    // the row's own label into its feature, so each fold's encoding
+    // uses ONLY the complement's statistics —
+    //   enc(c, f) = (sum(c) − sum(c, f) + m·prior) / (n(c) − n(c, f) + m)
+    // with additive smoothing m = 10 toward the global prior (the
+    // standard high-cardinality regularizer). Folds are the
+    // reproducible hash assignment the sampling family uses. Output is
+    // the (category × fold) encoding table — |C|·K rows that BROADCAST
+    // to the per-row join-back at any scale; computing it is two
+    // map-side-combinable count passes over one scan.
+    "q_pipe_targetenc" -> ((s, d) => {
+      import s.implicits._
+      val k = 5
+      val ev = t(s, d, "events")
+        .select($"event_type", $"value",
+          (h60($"event_id".cast("string")) % k).as("fold"))
+      val byFold = ev.groupBy($"event_type", $"fold")
+        .agg(count(lit(1)).as("fn"), sum($"value").as("fs"))
+      val byType = byFold.groupBy($"event_type")
+        .agg(sum($"fn").as("tn"), sum($"fs").as("ts"))
+      val prior = ev.agg((sum($"value") / count(lit(1))).as("prior"))
+      byFold.join(broadcast(byType), "event_type")
+        .crossJoin(broadcast(prior))
+        .select($"event_type", $"fold", $"fn".as("n_in_fold"),
+          (floor((($"ts" - $"fs" + lit(10.0) * $"prior")
+            / ($"tn" - $"fn" + lit(10.0))) * 1e4 + 0.5) / 1e4).as("enc"))
+        .orderBy($"event_type", $"fold")
+    }),
+
     // POISSON BOOTSTRAP confidence intervals — the one-pass
     // distributed CI estimator (each replicate weights every row by an
     // independent Poisson(1) draw — the streaming-friendly limit of
@@ -1695,6 +1726,25 @@ object PipeOps {
     "q_pipe_elo" -> eloSql(3),
 
     "q_agg_theilsen" -> theilsenSql(20),
+
+    "q_pipe_targetenc" -> """
+      WITH ev AS (
+        SELECT event_type, value,
+               CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 5 AS fold
+        FROM events),
+      byFold AS (
+        SELECT event_type, fold, count(*) AS fn, SUM(value) AS fs
+        FROM ev GROUP BY event_type, fold),
+      byType AS (
+        SELECT event_type, SUM(fn) AS tn, SUM(fs) AS ts
+        FROM byFold GROUP BY event_type),
+      prior AS (SELECT SUM(value) / count(*) AS prior FROM ev)
+      SELECT f.event_type, f.fold, f.fn AS n_in_fold,
+             FLOOR(((ts - fs + 10.0 * prior) / (tn - fn + 10.0))
+               * 1e4 + 0.5) / 1e4 AS enc
+      FROM byFold f JOIN byType USING (event_type) CROSS JOIN prior
+      ORDER BY f.event_type, f.fold""",
 
     "q_pipe_bootstrap" -> """
       WITH rep AS (

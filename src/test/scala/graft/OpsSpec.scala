@@ -367,6 +367,38 @@ class OpsSpec extends GraftSuite {
     assert(r.getDouble(3) === math.floor(38.0 / 40 * 1e4 + 0.5) / 1e4)
   }
 
+  test("q_pipe_targetenc: own-fold leakage is provably excluded") {
+    // Micro dataset engineered so fold membership is transparent:
+    // if the encoding included the row's own fold, enc would move
+    // with the fold's own values; with the complement-only formula it
+    // must equal (sum_others + 10*prior)/(n_others + 10) exactly.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_te").toString
+    def tsAt(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${i}%02d")
+    // 30 rows, one type; value = 100 marks fold-f rows found below.
+    val rows = (0 until 30).map(i => (i.toLong, tsAt(i), 1L, "only",
+      i.toDouble, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val folds = ops.Tables.t(s, dir, "events")
+      .select($"event_id", $"value",
+        (ops.Tables.h60($"event_id".cast("string")) % 5).as("fold"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val total = folds.map(_._2).sum
+    val prior = total / folds.length
+    val got = q("q_pipe_targetenc", dir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    folds.groupBy(_._3).foreach { case (f, rs) =>
+      val (n, enc) = got(f)
+      assert(n === rs.length.toLong)
+      val expect = (total - rs.map(_._2).sum + 10.0 * prior) /
+        (folds.length - rs.length + 10.0)
+      assert(math.abs(enc - math.floor(expect * 1e4 + 0.5) / 1e4) < 1e-9,
+        s"fold $f: got $enc expected $expect")
+    }
+  }
+
   test("q_pipe_bootstrap: CI brackets the mean and weights follow Poisson(1) mass") {
     q("q_pipe_bootstrap", sf0001).collect().foreach { r =>
       val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
