@@ -30,6 +30,12 @@ import org.apache.spark.sql.SparkSession
   *    blocking; the pair join itself is keyed), q_win_ntile
   *    (DistRank's ≤32-row offset triangle + 1-row total),
   *    q_pipe_temperature (|langs|-row rate table).
+  *
+  * Round-11 additions, same 1-row-scalar-total class (each broadcast
+  * side documented at the query site): q_agg_chisq (grand total),
+  * q_text_kneserney (|bigram types| scalar), q_pipe_elo (per-round
+  * normalizer), q_pipe_targetenc (global prior), q_graph_hits
+  * (per-half-round L1 normalizer).
   */
 object PlanAudit {
 
