@@ -785,6 +785,51 @@ object PipeOps {
         .orderBy($"event_type")
     }),
 
+    // KAPLAN–MEIER SURVIVAL — the churn/retention estimator that
+    // handles CENSORING correctly (a user still active at corpus end
+    // is not a death, and dropping them biases every naive retention
+    // curve): death = the last event before the user's first >30 h
+    // inactivity gap, lifetime = whole days since first event,
+    // gap-free users censored at their last event. S(t) =
+    // Π_{death days ≤ t} (1 − d/n_risk) with n_risk = users whose
+    // lifetime ≥ t. Shape: one keyed window pass (per-user lead) +
+    // one groupBy collapses 100k events to ≤|days| rows; the
+    // cumulative product and the reverse-cumulative risk count run as
+    // TRIANGLE SELF-JOINS over that ≤31-row table (the DistRank
+    // offset-triangle move) — NO global window anywhere, so the
+    // PlanAudit single-task rule holds at any corpus size.
+    "q_pipe_survival" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val g = t(s, d, "events")
+        .select($"user_id", $"ts", $"event_id")
+        .withColumn("nxt", lead($"ts", 1).over(w))
+      val life = g.groupBy($"user_id")
+        .agg(min($"ts").as("birth"),
+          min(when(unix_micros($"nxt") - unix_micros($"ts")
+            > 30L * 3600 * 1000000, $"ts")).as("death_ts"),
+          max($"ts").as("last_ts"))
+        .select(
+          floor((unix_micros(coalesce($"death_ts", $"last_ts"))
+            - unix_micros($"birth")) / 86400000000L).cast("long").as("t"),
+          when($"death_ts".isNotNull, 1L).otherwise(0L).as("died"))
+      val agg = Tables.ck(life.groupBy($"t")
+        .agg(sum($"died").as("d"), count(lit(1)).as("c")))
+      val risk = agg.as("a").join(broadcast(agg.as("b")),
+          col("b.t") >= col("a.t"))
+        .groupBy(col("a.t").as("t"), col("a.d").as("d"))
+        .agg(sum(col("b.c")).as("n_risk"))
+      val deaths = Tables.ck(risk.where($"d" > 0))
+      deaths.as("a").join(broadcast(deaths.as("b")),
+          col("b.t") <= col("a.t"))
+        .groupBy(col("a.t").as("t"), col("a.n_risk").as("n_risk"),
+          col("a.d").as("n_deaths"))
+        .agg((floor(exp(sum(log(lit(1.0)
+          - col("b.d") * 1.0 / col("b.n_risk")))) * 1e4 + 0.5) / 1e4)
+          .as("survival"))
+        .orderBy($"t")
+    }),
+
     // K-FOLD TARGET ENCODING — the feature-engineering op whose whole
     // design is a LEAKAGE story (the q_pipe_groupsplit concern, one
     // level deeper): encoding a categorical by the target mean leaks
@@ -1726,6 +1771,41 @@ object PipeOps {
     "q_pipe_elo" -> eloSql(3),
 
     "q_agg_theilsen" -> theilsenSql(20),
+
+    // Same estimator; DuckDB can use windows over the tiny day table
+    // (single-node — the triangle-join constraint is Spark-side).
+    "q_pipe_survival" -> """
+      WITH g AS (
+        SELECT user_id, ts, event_id,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS nxt
+        FROM events),
+      life AS (
+        SELECT user_id,
+               CAST(FLOOR((epoch_us(COALESCE(
+                 MIN(CASE WHEN epoch_us(nxt) - epoch_us(ts) > 108000000000
+                          THEN ts END),
+                 MAX(ts))) - epoch_us(MIN(ts))) / 86400000000.0) AS BIGINT)
+                 AS t,
+               CASE WHEN MIN(CASE WHEN epoch_us(nxt) - epoch_us(ts)
+                                       > 108000000000
+                                  THEN ts END) IS NOT NULL
+                    THEN 1 ELSE 0 END AS died
+        FROM g GROUP BY user_id),
+      agg AS (SELECT t, CAST(SUM(died) AS BIGINT) AS d,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM life GROUP BY t),
+      risk AS (
+        SELECT a.t, a.d, CAST(SUM(b.c) AS BIGINT) AS n_risk
+        FROM agg a JOIN agg b ON b.t >= a.t
+        GROUP BY a.t, a.d),
+      deaths AS (SELECT * FROM risk WHERE d > 0)
+      SELECT a.t, a.n_risk, a.d AS n_deaths,
+             FLOOR(EXP(SUM(LN(1.0 - b.d * 1.0 / b.n_risk)))
+               * 1e4 + 0.5) / 1e4 AS survival
+      FROM deaths a JOIN deaths b ON b.t <= a.t
+      GROUP BY a.t, a.n_risk, a.d
+      ORDER BY a.t""",
 
     "q_pipe_targetenc" -> """
       WITH ev AS (

@@ -367,6 +367,23 @@ class OpsSpec extends GraftSuite {
     assert(r.getDouble(3) === math.floor(38.0 / 40 * 1e4 + 0.5) / 1e4)
   }
 
+  test("q_pipe_survival: KM curve is a monotone product and respects censoring") {
+    val rows = q("q_pipe_survival", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // Survival starts ≤ 1, never increases, stays positive while
+    // anyone remains at risk, and the risk set shrinks with t.
+    assert(rows.head._4 <= 1.0 + 1e-9)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4 + 1e-9, s"survival rose: $a -> $b")
+      assert(b._2 <= a._2, "risk set must shrink with t")
+    }
+    rows.foreach { case (_, nRisk, d, sv) =>
+      assert(d >= 1L && d <= nRisk)
+      assert(sv >= 0.0 && sv <= 1.0)
+    }
+  }
+
   test("q_pipe_targetenc: own-fold leakage is provably excluded") {
     // Micro dataset engineered so fold membership is transparent:
     // if the encoding included the row's own fold, enc would move
