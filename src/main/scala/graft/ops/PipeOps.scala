@@ -929,6 +929,41 @@ object PipeOps {
         .orderBy($"event_type")
     }),
 
+    // MUTUAL INFORMATION — the information-theoretic twin of
+    // q_agg_chisq (same margins, different question: HOW MANY NATS
+    // does knowing the day of week tell you about the event mix —
+    // the feature-selection ranking statistic): I = Σ p_ij ·
+    // ln(p_ij/(p_i·p_j)), plus the normalized variant I/H(row) ∈
+    // [0, 1] (uncertainty coefficient). All cells observed ⇒ no 0·ln0
+    // guard needed on the fixture grid; the general guard is the
+    // CASE in both texts. One count pass; the grid math is |types×7|
+    // rows.
+    "q_agg_mutualinfo" -> ((s, d) => {
+      import s.implicits._
+      val o = t(s, d, "events")
+        .groupBy($"event_type", (dayofweek($"ts") - 1).as("dow"))
+        .agg(count(lit(1)).as("obs"))
+      val rt = o.groupBy($"event_type").agg(sum($"obs").as("rtot"))
+      val ct = o.groupBy($"dow").agg(sum($"obs").as("ctot"))
+      val tt = o.agg(sum($"obs").as("n"))
+      val cells = o.join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "dow").crossJoin(broadcast(tt))
+        .select($"event_type", $"obs", $"rtot", $"ctot", $"n",
+          when($"obs" > 0, ($"obs" * 1.0 / $"n")
+            * log(($"obs" * 1.0 / $"n")
+              / (($"rtot" * 1.0 / $"n") * ($"ctot" * 1.0 / $"n"))))
+            .otherwise(0.0).as("term"))
+      cells.groupBy($"event_type")
+        .agg(sum($"term").as("mi_raw"), first($"rtot").as("rtot"),
+          first($"n").as("n"))
+        .select($"event_type",
+          (floor($"mi_raw" * 1e6 + 0.5) / 1e6).as("mi_nats"),
+          (floor(($"mi_raw"
+            / (-(($"rtot" * 1.0 / $"n") * log($"rtot" * 1.0 / $"n"))))
+            * 1e4 + 0.5) / 1e4).as("uncertainty_coef"))
+        .orderBy($"event_type")
+    }),
+
     // WINSORIZED + TRIMMED means — the robust-location pair next to
     // the median/MAD audit: per event type, exact p05/p95 fences, then
     // (a) winsorized mean (values CLAMPED to the fences — keeps n) and
@@ -1870,6 +1905,32 @@ object PipeOps {
       FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tt
       GROUP BY o.event_type
       ORDER BY o.event_type""",
+
+    "q_agg_mutualinfo" -> """
+      WITH o AS (
+        SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+               count(*) AS obs
+        FROM events GROUP BY event_type, dow),
+      rt AS (SELECT event_type, SUM(obs) AS rtot FROM o GROUP BY event_type),
+      ct AS (SELECT dow, SUM(obs) AS ctot FROM o GROUP BY dow),
+      tt AS (SELECT SUM(obs) AS n FROM o),
+      cells AS (
+        SELECT o.event_type, rtot, n,
+               CASE WHEN obs > 0 THEN (obs * 1.0 / n)
+                 * LN((obs * 1.0 / n)
+                   / ((rtot * 1.0 / n) * (ctot * 1.0 / n)))
+                 ELSE 0.0 END AS term
+        FROM o JOIN rt USING (event_type) JOIN ct USING (dow)
+        CROSS JOIN tt)
+      SELECT event_type,
+             FLOOR(SUM(term) * 1e6 + 0.5) / 1e6 AS mi_nats,
+             FLOOR((SUM(term)
+               / (-((MIN(rtot) * 1.0 / MIN(n))
+                    * LN(MIN(rtot) * 1.0 / MIN(n)))))
+               * 1e4 + 0.5) / 1e4 AS uncertainty_coef
+      FROM cells
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     "q_agg_winsorized" -> """
       WITH f AS (

@@ -439,6 +439,37 @@ class OpsSpec extends GraftSuite {
     assert(math.abs(frac0 - 0.3679) < 0.01, s"zero-weight mass drifted: $frac0")
   }
 
+  test("q_agg_mutualinfo: concentration orders MI and the uncertainty coefficient") {
+    // Engineered fixture: "flat" fires once per day, "spike" fires
+    // only on one day — the day-concentrated type must carry more
+    // information about dow than the uniform one.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi").toString
+    // days 2024-01-01 (Mon) .. 01-07 (Sun): "flat" fires once daily,
+    // "spike" fires 7 times on the 3rd only.
+    val rows = (0 until 7).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-0${i + 1} 10:00:00"),
+        1L, "flat", 1.0, "{}")) ++
+      (0 until 7).map(i =>
+        (100L + i, java.sql.Timestamp.valueOf("2024-01-03 11:00:00"),
+          1L, "spike", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = q("q_agg_mutualinfo", dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // With only two types the margins entangle (the spike day's
+    // column total inflates flat's surprise too), so the defensible
+    // law is ORDER, not magnitude: the concentrated type carries
+    // strictly more information and a higher share of its own row
+    // entropy, and both are valid nats/coefficients.
+    assert(got("spike")._1 > got("flat")._1, s"order violated: $got")
+    assert(got("spike")._2 > got("flat")._2, s"coef order violated: $got")
+    got.values.foreach { case (mi, uc) =>
+      assert(mi >= 0.0 && uc >= 0.0 && uc <= 1.0 + 1e-9)
+    }
+  }
+
   test("q_agg_chisq: contributions are non-negative and sum to the global statistic") {
     val rows = q("q_agg_chisq", sf0001).collect()
     assert(rows.nonEmpty)
