@@ -388,6 +388,53 @@ object Scans {
         .orderBy($"tag")
     }),
 
+    // CUSTOM DATASOURCE V2 WRITE — the sink half of q_scan_dsv2
+    // (sources/DirSink): nation round-trips through a BatchWrite with
+    // the REAL two-phase commit protocol (attempt-named temp files →
+    // atomic task-commit rename → driver-committed _MANIFEST; abort
+    // deletes temps). The read-back aggregates only what the protocol
+    // delivered and carries the manifest's own row/part counts in the
+    // output, so the DuckDB differential fails if any row is lost,
+    // duplicated, or served from an uncommitted file. Hash-repartition
+    // on the key pins the part count at 4 regardless of upstream
+    // layout. Fresh dir per call (TempWarehouse, deleted on exit) —
+    // deliberately NOT memoized: re-invocations re-run the write.
+    "q_sink_dsv2" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.TempWarehouse.path, "dirsink").toString
+      t(s, d, "nation")
+        .select($"n_nationkey".cast("long").as("k"), $"n_name",
+          $"n_regionkey".cast("long").as("r"))
+        .repartition(4, $"k")
+        .write.format("graft.sources.DirSink")
+        .option("path", dir).mode("append").save()
+      // Spark's file listing HIDES underscore-prefixed files (they are
+      // metadata by convention — exactly why the manifest is named
+      // _MANIFEST), so the manifest is read driver-side like any
+      // commit-protocol metadata: bytes-scale, one file.
+      val manLines = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(dir, "_MANIFEST"))
+        .split("\n").filter(_.nonEmpty)
+      val man = s.createDataFrame(Seq((
+        manLines.length.toLong,
+        manLines.map(_.split("\\|")(1).toLong).sum)))
+        .toDF("n_parts", "manifest_rows")
+      // Manifest-DRIVEN read: only the files the driver committed are
+      // ever listed — an orphan part from a lost task commit (the
+      // at-least-once window) is invisible by construction, not by
+      // luck. SinksSpec plants exactly that orphan and proves it.
+      val committed = manLines.map(l => s"$dir/${l.split("\\|")(0)}")
+      s.read.text(committed: _*)
+        .select(split($"value", "\\|").as("c"))
+        .select($"c" (0).cast("long").as("nationkey"),
+          $"c" (2).cast("long").as("regionkey"))
+        .groupBy($"regionkey")
+        .agg(count(lit(1)).as("n_nations"), sum($"nationkey").as("key_sum"))
+        .crossJoin(broadcast(man))
+        .orderBy($"regionkey")
+    }),
+
     // RECURSIVE CTE — Spark's own WITH RECURSIVE (resolved by
     // ResolveWithCTE into a UnionLoop plan; this build supports
     // UNION ALL recursion only, so the query is written cycle-free):
@@ -582,6 +629,19 @@ object Scans {
     "q_sql_q18" -> sqlQ18,
     "q_sql_q10" -> sqlQ10,
     "q_sql_recursive" -> sqlRecursive,
+
+    // The round-trip oracle: what the sink+manifest must deliver is
+    // exactly the source table's per-region rollup, with the manifest
+    // totals as constants (4 hash partitions, |nation| rows).
+    "q_sink_dsv2" -> """
+      SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+             count(*) AS n_nations,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             CAST(4 AS BIGINT) AS n_parts,
+             (SELECT count(*) FROM nation) AS manifest_rows
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY regionkey""",
 
     // generate_series is inclusive on both ends — [12500, 49999]
     // matches the Spark filter exactly.

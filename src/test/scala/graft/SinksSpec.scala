@@ -14,6 +14,45 @@ class SinksSpec extends GraftSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  test("DirSink commit protocol: orphans invisible, aborts leave no visible output") {
+    val s = spark
+    import s.implicits._
+    // 1. Committed write: manifest lists every part, counts add up.
+    val dir = tmp("graft_dirsink")
+    s.range(100).select($"id", ($"id" * 2.0).as("v"))
+      .repartition(4, $"id")
+      .write.format("graft.sources.DirSink").option("path", dir)
+      .mode("append").save()
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_MANIFEST")).split("\n").filter(_.nonEmpty)
+    assert(manifest.length === 4)
+    assert(manifest.map(_.split("\\|")(1).toLong).sum === 100L)
+    // 2. Orphan part (a task whose commit message was lost): a
+    // manifest-driven reader must never see it.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-99999.txt"), "666|1332.0\n")
+    val listed = manifest.map(l => s"$dir/${l.split("\\|")(0)}")
+    val got = s.read.text(listed: _*)
+      .select(split($"value", "\\|")(0).cast("long").as("id"))
+    assert(got.count() === 100L)
+    assert(got.where($"id" === 666L).count() === 0L, "orphan leaked")
+    // 3. Aborted job: a mid-write failure must leave NO new committed
+    // output — no temp files and no manifest in the fresh dir.
+    val dir2 = tmp("graft_dirsink_abort")
+    val boom = s.range(100).select($"id",
+      when($"id" === 57L, expr("raise_error('boom')")).otherwise($"id" * 1.0)
+        .as("v"))
+    intercept[Exception] {
+      boom.repartition(4, $"id")
+        .write.format("graft.sources.DirSink").option("path", dir2)
+        .mode("append").save()
+    }
+    val left = new java.io.File(dir2).list().toSeq
+    assert(!left.contains("_MANIFEST"), "aborted job must not commit")
+    assert(!left.exists(_.endsWith(".tmp")),
+      s"abort must clean temp files, found $left")
+  }
+
   test("partitionBy(lang) write prunes partitions on read-back") {
     import spark.implicits._
     val dir = tmp("graft_part") + "/docs"
