@@ -31,11 +31,13 @@ import org.apache.spark.sql.SparkSession
   *    (DistRank's ≤32-row offset triangle + 1-row total),
   *    q_pipe_temperature (|langs|-row rate table).
   *
-  * Round-11 additions, same 1-row-scalar-total class (each broadcast
-  * side documented at the query site): q_agg_chisq (grand total),
-  * q_text_kneserney (|bigram types| scalar), q_pipe_elo (per-round
-  * normalizer), q_pipe_targetenc (global prior), q_graph_hits
-  * (per-half-round L1 normalizer).
+  * Round-11 additions, same deliberately-tiny-broadcast class (each
+  * side documented at the query site): q_agg_chisq / q_agg_mutualinfo
+  * (grand total), q_text_kneserney (|bigram types| scalar),
+  * q_pipe_elo (per-round normalizer), q_pipe_targetenc (global
+  * prior), q_graph_hits (per-half-round L1 normalizer),
+  * q_pipe_survival (≤31-row day-table triangles — the DistRank
+  * offset-triangle pattern), q_sink_dsv2 (1-row manifest totals).
   */
 object PlanAudit {
 
