@@ -231,6 +231,54 @@ object SimOps {
     // sf0.01) — 0.8 would declare a permanently-empty result. 0.35
     // keeps the identical blocked-self-join + threshold semantics and
     // makes the row non-vacuous.
+    // PCA TOP COMPONENT via POWER ITERATION — the decorrelation/
+    // whitening prep SemDeDup-style embedding pipelines run before
+    // clustering: mean-center, form the d×d gram matrix C = Σ(x−µ)(x−µ)'
+    // in ONE distributed pass (per-row outer product via double
+    // posexplode — d² cells per vector, keyed aggregation), then 5
+    // power-iteration rounds v ← C·v/‖C·v‖ entirely on the d²-row C
+    // (corpus never rescanned). Sign fixed by the max-|loading|
+    // component (deterministic convention); eigenvalue = ‖C·v‖ at the
+    // last step (Rayleigh estimate). At 10⁹ vectors the one pass is
+    // the cost and C stays d² regardless of n — the textbook
+    // distributed-PCA shape (d ≤ a few hundred; past that, switch to
+    // randomized sketching, noted here). Output: top-10 |loading|
+    // components (selection on the ROUNDED loading — flip-safe).
+    "q_sim_pca" -> ((s, d) => {
+      import s.implicits._
+      val v0 = t(s, d, "embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("i0", "xf")))
+        .select($"vec_id", ($"i0" + 1).as("i"),
+          $"xf".cast("double").as("x"))
+      val mu = v0.groupBy($"i").agg((sum($"x") / count(lit(1))).as("mu"))
+      val cent = v0.join(broadcast(mu), "i")
+        .select($"vec_id", $"i", ($"x" - $"mu").as("x"))
+      val c = Tables.ck(cent.as("a")
+        .join(cent.as("b"), col("a.vec_id") === col("b.vec_id"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.x") * col("b.x")).as("c")))
+      // v carries its index as `vi` so the C-join is never an
+      // ambiguous self-reference (v derives from c's lineage).
+      var v = c.select($"i").distinct()
+        .select($"i".as("vi"), lit(1.0).as("vv"))
+      var lambda: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 5) {
+        val u = Tables.ck(c.join(broadcast(v), $"j" === $"vi")
+          .groupBy($"i").agg(sum($"c" * $"vv").as("u")))
+        lambda = u.agg(sqrt(sum($"u" * $"u")).as("lam"))
+        v = u.crossJoin(broadcast(lambda))
+          .select($"i".as("vi"), ($"u" / $"lam").as("vv"))
+      }
+      val sgn = v.orderBy(abs($"vv").desc, $"vi").limit(1)
+        .select(when($"vv" >= 0, 1.0).otherwise(-1.0).as("sg"))
+      v.crossJoin(broadcast(sgn)).crossJoin(broadcast(lambda))
+        .select($"vi".as("i"),
+          (floor($"vv" * $"sg" * 1e4 + 0.5) / 1e4).as("loading"),
+          (floor($"lam" * 100 + 0.5) / 100).as("eigenvalue"))
+        .orderBy(abs($"loading").desc, $"i")
+        .limit(10)
+    }),
+
     // Embedding-geometry AUDIT — the check run before any ANN index
     // is built: L2 norms per label (cosine-vs-dot equivalence only
     // holds on unit vectors; a mixed-norm corpus silently breaks IVF
@@ -795,6 +843,8 @@ object SimOps {
       SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3
       ORDER BY qid, rn""",
 
+    "q_sim_pca" -> pcaSql(5),
+
     "q_sim_norms" -> """
       WITH n AS (
         SELECT label, len(embedding) AS dim,
@@ -914,4 +964,34 @@ object SimOps {
       SELECT 3, vid_a, sim_a, score FROM p3
       ORDER BY pick""",
   )
+
+  /** The q_sim_pca oracle: the SAME power iteration unrolled to
+    * `iters` CTE pairs (raw multiply, L2 normalize), identical
+    * centering and association order. */
+  private def pcaSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s""",
+      u$k AS (SELECT c.i, SUM(c.c * p${k - 1}.vv) AS u
+              FROM c JOIN p${k - 1} ON c.j = p${k - 1}.i GROUP BY c.i),
+      p$k AS (SELECT i, u / (SELECT SQRT(SUM(u * u)) FROM u$k) AS vv
+              FROM u$k)"""
+    }.mkString
+    s"""
+      WITH v0 AS (
+        SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)),
+      mu AS (SELECT i, SUM(x) / count(*) AS mu FROM v0 GROUP BY i),
+      cent AS (SELECT vec_id, v0.i, x - mu AS x FROM v0 JOIN mu USING (i)),
+      c AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS c
+            FROM cent a JOIN cent b USING (vec_id) GROUP BY a.i, b.i),
+      p0 AS (SELECT DISTINCT i, 1.0 AS vv FROM c)""" + steps + s"""
+      , lam AS (SELECT SQRT(SUM(u * u)) AS lam FROM u$iters),
+      sgn AS (SELECT CASE WHEN vv >= 0 THEN 1.0 ELSE -1.0 END AS sg
+              FROM p$iters ORDER BY ABS(vv) DESC, i LIMIT 1)
+      SELECT i, FLOOR(vv * sg * 1e4 + 0.5) / 1e4 AS loading,
+             FLOOR(lam * 100 + 0.5) / 100 AS eigenvalue
+      FROM p$iters CROSS JOIN sgn CROSS JOIN lam
+      ORDER BY ABS(loading) DESC, i
+      LIMIT 10"""
+  }
 }

@@ -495,6 +495,27 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_sim_pca recovers a rank-1 direction exactly, eigenvalue = centered SS") {
+    // Vectors c·e3 with c = 1..4: after centering the data is exactly
+    // rank-1 along dim 3, so the top component is e3 (sign convention
+    // makes it +1), every other loading is 0, and the eigenvalue is
+    // the centered sum of squares 2·1.5² + 2·0.5² = 5.00.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    (1 to 4).map(c => (c.toLong,
+        Array(0f, 0f, c.toFloat, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = q("q_sim_pca", dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length === 4)
+    assert(rows.head === ((3, 1.0, 5.00)), s"top component wrong: ${rows.head}")
+    rows.tail.foreach { case (_, loading, eig) =>
+      assert(loading === 0.0 && eig === 5.00)
+    }
+  }
+
   test("q_sim_norms: 3-4-5 identity and fixture dim uniformity") {
     val s = spark
     import s.implicits._
