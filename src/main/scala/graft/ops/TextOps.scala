@@ -140,6 +140,49 @@ object TextOps {
         .orderBy($"lang", $"n".desc, $"bigram")
     }),
 
+    // GOPHER QUALITY RULES (Rae et al. 2021, table A1) — the published
+    // heuristic filter battery as ONE named row, because "we filter
+    // like Gopher" is a claim a pipeline should be able to point at:
+    // word count ∈ [50, 100k], mean word length ∈ [3, 10], ≥ 80% of
+    // words contain an alphabetic char, symbol-to-word ratio (#, …)
+    // ≤ 0.1, and ≥ 2 distinct stopwords from the canonical 8-word
+    // list. Per-language rollup of per-rule failure counts + the
+    // all-rules pass count — the report a corpus curation review
+    // reads. Pure per-row expression work (split + HOFs + regexp, all
+    // codegen) and one keyed rollup: scan cost = total cost at 100 TB.
+    "q_text_gopher" -> ((s, d) => {
+      import s.implicits._
+      val stop = "array('the','be','to','of','and','that','have','with')"
+      val per = t(s, d, "documents")
+        .select($"lang", $"text", split($"text", " ").as("w"))
+        .select($"lang",
+          size($"w").as("nw"),
+          (expr("size(filter(w, x -> x rlike '[A-Za-z]'))") * 1.0
+            / size($"w")).as("alpha_frac"),
+          ((length($"text") - (size($"w") - 1)) * 1.0 / size($"w"))
+            .as("mean_wlen"),
+          (expr("size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0))")
+            * 1.0 / size($"w")).as("sym_ratio"),
+          expr(s"size(array_intersect(array_distinct(w), $stop))")
+            .as("n_stop"))
+      per.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"nw" < 50 || $"nw" > 100000, 1L).otherwise(0L))
+            .as("fail_wordcount"),
+          sum(when($"mean_wlen" < 3.0 || $"mean_wlen" > 10.0, 1L)
+            .otherwise(0L)).as("fail_wordlen"),
+          sum(when($"alpha_frac" < 0.8, 1L).otherwise(0L))
+            .as("fail_alpha"),
+          sum(when($"sym_ratio" > 0.1, 1L).otherwise(0L))
+            .as("fail_symbol"),
+          sum(when($"n_stop" < 2, 1L).otherwise(0L)).as("fail_stopword"),
+          sum(when($"nw" >= 50 && $"nw" <= 100000
+            && $"mean_wlen" >= 3.0 && $"mean_wlen" <= 10.0
+            && $"alpha_frac" >= 0.8 && $"sym_ratio" <= 0.1
+            && $"n_stop" >= 2, 1L).otherwise(0L)).as("n_pass_all"))
+        .orderBy($"lang")
+    }),
+
     // KNESER–NEY bigram LM scoring — the word-level upgrade of the
     // charlm filter, i.e. the CCNet-style "score every document under
     // a smoothed LM" gate with the smoothing real LMs use: absolute
@@ -1300,6 +1343,41 @@ object TextOps {
       GROUP BY token
       ORDER BY n DESC, token
       LIMIT 20""",
+
+    // Same rule battery; list HOFs / regexp mirror the Spark exprs.
+    "q_text_gopher" -> """
+      WITH per AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS nw,
+               len(list_filter(string_split(text, ' '),
+                   x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                 / len(string_split(text, ' ')) AS alpha_frac,
+               (strlen(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                 / len(string_split(text, ' ')) AS mean_wlen,
+               len(regexp_extract_all(text, '#|\.\.\.')) * 1.0
+                 / len(string_split(text, ' ')) AS sym_ratio,
+               len(list_intersect(list_distinct(string_split(text, ' ')),
+                   ['the','be','to','of','and','that','have','with']))
+                 AS n_stop
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(SUM(CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fail_wordcount,
+             CAST(SUM(CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+             CAST(SUM(CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fail_alpha,
+             CAST(SUM(CASE WHEN sym_ratio > 0.1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fail_symbol,
+             CAST(SUM(CASE WHEN n_stop < 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fail_stopword,
+             CAST(SUM(CASE WHEN nw >= 50 AND nw <= 100000
+               AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+               AND alpha_frac >= 0.8 AND sym_ratio <= 0.1
+               AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+      FROM per
+      GROUP BY lang
+      ORDER BY lang""",
 
     // Identical KN formula over the same count tables; arithmetic
     // written in the same association order so both engines produce

@@ -532,6 +532,34 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_text_gopher: each rule fires on a doc engineered to fail exactly it") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gq").toString
+    val goodBody = ("the words of and that have with " +
+      Seq.fill(48)("solid").mkString(" "))       // 55 words, all rules pass
+    val docs = Seq(
+      (1L, goodBody, "xx", "s", 1L),
+      (2L, "the of tiny", "xx", "s", 1L),        // wordcount fail (3 < 50)
+      (3L, goodBody + " " + Seq.fill(8)("####...####").mkString(" "),
+        "xx", "s", 1L),                          // symbol-ratio fail (alpha still ≥ 0.8)
+      (4L, ("the of " + Seq.fill(53)("12345").mkString(" ")),
+        "xx", "s", 1L),                          // alpha-fraction fail
+      (5L, goodBody.replace("the ", "aa ").replace("of ", "bb ")
+        .replace("and ", "cc ").replace("that ", "dd ")
+        .replace("have ", "ee ").replace("with ", "ff ")
+        .replace("words ", "gg "), "xx", "s", 1L)) // stopword fail
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = q("q_text_gopher", dir).collect()(0)
+    assert(r.getLong(1) === 5L)
+    assert(r.getLong(2) === 1L, s"wordcount: $r")   // doc 2
+    assert(r.getLong(4) === 1L, s"alpha: $r")       // doc 4 only
+    assert(r.getLong(5) === 1L, s"symbol: $r")      // doc 3 only
+    assert(r.getLong(6) === 1L, s"stopword: $r")    // doc 5 only
+    assert(r.getLong(7) === 1L, s"only the good doc passes all: $r")
+  }
+
   test("q_text_kneserney matches the hand-computed two-word model") {
     // Corpus: "a b a b" and "b a" → c(a,b)=2, c(b,a)=2, T=2 types,
     // N₁₊(a·)=N₁₊(b·)=1, c₁(a)=c₁(b)=2, Pcont(a)=Pcont(b)=1/2, so
