@@ -37,7 +37,8 @@ import org.apache.spark.sql.SparkSession
   * q_pipe_elo (per-round normalizer), q_pipe_targetenc (global
   * prior), q_graph_hits (per-half-round L1 normalizer),
   * q_pipe_survival (≤31-row day-table triangles — the DistRank
-  * offset-triangle pattern), q_sink_dsv2 (1-row manifest totals).
+  * offset-triangle pattern), q_sink_dsv2 (1-row manifest totals),
+  * q_sim_pca (1-row norm/sign scalars against the d-row vector).
   */
 object PlanAudit {
 
