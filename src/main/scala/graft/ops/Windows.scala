@@ -207,6 +207,36 @@ object Windows {
     // surface to bite). At 100 TB this is one window shuffle keyed on
     // user — the same story as every window in this file; the decay
     // horizon (10 taps) bounds per-row work, not data volume.
+    // HOUR-OF-DAY SEASONALITY profile — the decomposition partner of
+    // q_win_autocorr (ACF says "is there memory", this says "what is
+    // the daily shape"): per (type, hour) the seasonal INDEX =
+    // hour-mean / type-mean (1.0 = flat), plus each type's peak hour.
+    // This is the profile a capacity planner or anomaly threshold
+    // multiplies in before alerting. Two keyed aggregations (hour
+    // grid, type totals) + a broadcast-back — no window at all; at
+    // 100 TB the (type, hour) grid is |types|·24 rows off one
+    // map-side-combinable pass.
+    "q_win_seasonal" -> ((s, d) => {
+      import s.implicits._
+      val byHour = t(s, d, "events")
+        .groupBy($"event_type", hour($"ts").as("hr"))
+        .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+      val byType = byHour.groupBy($"event_type")
+        .agg(sum($"n").as("tn"), sum($"sv").as("tsv"))
+      val idx = byHour.join(broadcast(byType), "event_type")
+        .select($"event_type", $"hr", $"n",
+          (($"sv" / $"n") / ($"tsv" / $"tn")).as("sidx"))
+      val peak = idx.groupBy($"event_type")
+        .agg(max(struct((floor($"sidx" * 1e4 + 0.5) / 1e4).as("s"),
+          (-$"hr").cast("double").as("nh"))).as("pk"))
+        .select($"event_type", (-$"pk.nh").cast("int").as("peak_hr"))
+      idx.join(broadcast(peak), "event_type")
+        .select($"event_type", $"hr", $"n",
+          (floor($"sidx" * 1e4 + 0.5) / 1e4).as("seasonal_idx"),
+          $"peak_hr")
+        .orderBy($"event_type", $"hr")
+    }),
+
     // AUTOCORRELATION function (lags 1–3) per event type — the
     // seasonality/memory diagnostic run before any forecasting or
     // anomaly threshold is trusted: ACF(k) = Σ(xᵢ−μ)(xᵢ₊ₖ−μ) / Σ(xᵢ−μ)²
@@ -533,6 +563,27 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_seasonal" -> """
+      WITH byHour AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+               count(*) AS n, SUM(value) AS sv
+        FROM events GROUP BY event_type, hr),
+      byType AS (
+        SELECT event_type, SUM(n) AS tn, SUM(sv) AS tsv
+        FROM byHour GROUP BY event_type),
+      idx AS (
+        SELECT h.event_type, hr, n,
+               FLOOR(((sv / n) / (tsv / tn)) * 1e4 + 0.5) / 1e4 AS s
+        FROM byHour h JOIN byType USING (event_type)),
+      peak AS (
+        SELECT event_type, MIN(hr) AS peak_hr FROM idx i
+        WHERE s = (SELECT MAX(s) FROM idx j
+                   WHERE j.event_type = i.event_type)
+        GROUP BY event_type)
+      SELECT i.event_type, i.hr, i.n, i.s AS seasonal_idx, p.peak_hr
+      FROM idx i JOIN peak p USING (event_type)
+      ORDER BY i.event_type, i.hr""",
+
     "q_win_autocorr" -> """
       WITH b AS (
         SELECT event_type, value,

@@ -346,6 +346,21 @@ class OpsSpec extends GraftSuite {
     assert(nodes === 10L, "SCC sizes must partition the vertex set")
   }
 
+  test("q_win_seasonal: indices average to ~1 under count weights; peak is argmax") {
+    val rows = q("q_win_seasonal", sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    rows.groupBy(_._1).foreach { case (_, hrs) =>
+      // Count-weighted mean of hour indices is exactly 1 (definition).
+      val n = hrs.map(_._3).sum.toDouble
+      val wmean = hrs.map { case (_, _, c, s, _) => c * s }.sum / n
+      assert(math.abs(wmean - 1.0) < 1e-3, s"weighted mean drifted: $wmean")
+      // Declared peak hour carries the max index (ties → min hour).
+      val best = hrs.maxBy { case (_, hr, _, s, _) => (s, -hr) }
+      assert(hrs.head._5 === best._2, s"peak ${hrs.head._5} != argmax ${best._2}")
+    }
+  }
+
   test("q_win_autocorr: perfectly alternating series has ACF(1) = -1, ACF(2) = +1") {
     // ±1 alternation is the textbook identity: lag-1 products are all
     // -1·(+1), lag-2 all +1·(+1) around mean 0 — an end-to-end pin of
