@@ -929,6 +929,70 @@ object PipeOps {
         .orderBy($"event_type")
     }),
 
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV drift (binned) — the
+    // distribution-shift test next to PSI (q_pipe_drift): PSI sums
+    // weighted log-ratios (sensitive everywhere but unbounded), KS is
+    // the max ECDF gap (bounded [0,1], the standard "did the
+    // distribution move" yes/no). Samples: each type's values in the
+    // FIRST vs SECOND half of the time range (the deploy-boundary
+    // drift question). Exact KS needs a global sort; the scalable form
+    // bins values to a 64-cell grid over the global [min, max] (bin
+    // width = the resolution knob, documented) and takes the max gap
+    // of the BINNED ECDFs — cumulative counts stay exact integers via
+    // a triangle join over the 64-row grid (the whitelisted DistRank
+    // offset-triangle pattern), so the only doubles are the final two
+    // divisions per bin. One count pass; everything after is
+    // |types|·64 rows.
+    "q_pipe_ks" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select($"event_type", $"ts", $"value")
+      val rng = ev.agg(min(unix_micros($"ts")).as("t0"),
+        max(unix_micros($"ts")).as("t1"),
+        min($"value").as("mn"), max($"value").as("mx"))
+      val binned = ev.crossJoin(broadcast(rng))
+        .select($"event_type",
+          when(unix_micros($"ts") * 2 < $"t0" + $"t1", 0).otherwise(1)
+            .as("half"),
+          least(lit(63), floor(($"value" - $"mn") / ($"mx" - $"mn") * 64)
+            .cast("int")).as("bin"))
+      // DENSIFY to the full (type × half × 64-bin) grid with zero
+      // counts BEFORE the cumulative — without it a bin occupied in
+      // only one half drops out of the ECDF join and a fully-shifted
+      // distribution (zero shared bins) would vanish entirely.
+      val raw = binned.groupBy($"event_type", $"half", $"bin")
+        .agg(count(lit(1)).as("c"))
+      val grid = raw.select($"event_type").distinct()
+        .crossJoin(broadcast(
+          Seq(0, 1).toDF("half")
+            .crossJoin((0 until 64).toDF("bin"))))
+      val cnt = Tables.ck(grid
+        .join(raw, Seq("event_type", "half", "bin"), "left")
+        .select($"event_type", $"half", $"bin",
+          coalesce($"c", lit(0L)).as("c")))
+      val tot = cnt.groupBy($"event_type", $"half").agg(sum($"c").as("n"))
+      // Cumulative counts per (type, half) via the 64-row triangle.
+      val cum = cnt.as("a").join(broadcast(cnt.as("b")),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.half") === col("b.half") &&
+            col("b.bin") <= col("a.bin"))
+        .groupBy(col("a.event_type").as("event_type"),
+          col("a.half").as("half"), col("a.bin").as("bin"))
+        .agg(sum(col("b.c")).as("cum"))
+      val e0 = cum.where($"half" === 0)
+        .join(tot.where($"half" === 0).select($"event_type", $"n"),
+          "event_type")
+        .select($"event_type", $"bin", ($"cum" * 1.0 / $"n").as("f0"))
+      val e1 = cum.where($"half" === 1)
+        .join(tot.where($"half" === 1).select($"event_type", $"n"),
+          "event_type")
+        .select($"event_type", $"bin", ($"cum" * 1.0 / $"n").as("f1"))
+      e0.join(e1, Seq("event_type", "bin"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_bins"),
+          (floor(max(abs($"f0" - $"f1")) * 1e4 + 0.5) / 1e4).as("ks"))
+        .orderBy($"event_type")
+    }),
+
     // MUTUAL INFORMATION — the information-theoretic twin of
     // q_agg_chisq (same margins, different question: HOW MANY NATS
     // does knowing the day of week tell you about the event mix —
@@ -1905,6 +1969,52 @@ object PipeOps {
       FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tt
       GROUP BY o.event_type
       ORDER BY o.event_type""",
+
+    "q_pipe_ks" -> """
+      WITH rng AS (
+        SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1,
+               MIN(value) AS mn, MAX(value) AS mx
+        FROM events),
+      binned AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) * 2 < t0 + t1 THEN 0 ELSE 1 END
+                 AS half,
+               LEAST(63, CAST(FLOOR((value - mn) / (mx - mn) * 64) AS INT))
+                 AS bin
+        FROM events CROSS JOIN rng),
+      raw AS (SELECT event_type, half, bin, count(*) AS c
+              FROM binned GROUP BY event_type, half, bin),
+      grid AS (
+        SELECT t.event_type, h.half, b.bin
+        FROM (SELECT DISTINCT event_type FROM raw) t
+        CROSS JOIN (SELECT unnest([0, 1]) AS half) h
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS bin) b),
+      cnt AS (
+        SELECT g.event_type, g.half, g.bin, COALESCE(r.c, 0) AS c
+        FROM grid g LEFT JOIN raw r
+          ON g.event_type = r.event_type AND g.half = r.half
+         AND g.bin = r.bin),
+      tot AS (SELECT event_type, half, SUM(c) AS n
+              FROM cnt GROUP BY event_type, half),
+      cum AS (
+        SELECT a.event_type, a.half, a.bin, SUM(b.c) AS cum
+        FROM cnt a JOIN cnt b
+          ON a.event_type = b.event_type AND a.half = b.half
+         AND b.bin <= a.bin
+        GROUP BY a.event_type, a.half, a.bin),
+      e0 AS (SELECT c.event_type, bin, cum * 1.0 / n AS f0
+             FROM cum c JOIN tot t
+               ON c.event_type = t.event_type AND t.half = 0
+             WHERE c.half = 0),
+      e1 AS (SELECT c.event_type, bin, cum * 1.0 / n AS f1
+             FROM cum c JOIN tot t
+               ON c.event_type = t.event_type AND t.half = 1
+             WHERE c.half = 1)
+      SELECT event_type, count(*) AS n_bins,
+             FLOOR(MAX(ABS(f0 - f1)) * 1e4 + 0.5) / 1e4 AS ks
+      FROM e0 JOIN e1 USING (event_type, bin)
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     "q_agg_mutualinfo" -> """
       WITH o AS (

@@ -399,6 +399,29 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_pipe_ks: detects an injected distribution shift, stays ~0 without one") {
+    // Engineered drift: type "stable" draws the same ramp in both time
+    // halves (KS ≈ 0); type "shifted" jumps from low values to high
+    // values at the midpoint (KS ≈ 1 — ECDFs barely overlap).
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    def tsAt(day: Int, i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-0$day%d 10:${i / 60}%02d:${i % 60}%02d")
+    val rows =
+      (0 until 200).map(i => (i.toLong, tsAt(1 + (i % 2) * 8, i), 1L,
+        "stable", (i % 100).toDouble, "{}")) ++
+      (0 until 200).map(i => (1000L + i, tsAt(1 + (i % 2) * 8, i), 1L,
+        "shifted", if (i % 2 == 0) (i % 50).toDouble
+                   else 60.0 + (i % 40), "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = q("q_pipe_ks", dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("stable") < 0.1, s"no-drift type must score ~0: $got")
+    assert(got("shifted") > 0.9, s"full shift must score ~1: $got")
+  }
+
   test("q_pipe_targetenc: own-fold leakage is provably excluded") {
     // Micro dataset engineered so fold membership is transparent:
     // if the encoding included the row's own fold, enc would move
