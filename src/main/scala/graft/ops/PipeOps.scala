@@ -953,8 +953,12 @@ object PipeOps {
         .select($"event_type",
           when(unix_micros($"ts") * 2 < $"t0" + $"t1", 0).otherwise(1)
             .as("half"),
-          least(lit(63), floor(($"value" - $"mn") / ($"mx" - $"mn") * 64)
-            .cast("int")).as("bin"))
+          // Degenerate range (constant column): mx = mn would put NaN
+          // through floor/cast with engine-specific results — pin
+          // everything to bin 0 instead (KS is then exactly 0).
+          when($"mx" > $"mn",
+            least(lit(63), floor(($"value" - $"mn") / ($"mx" - $"mn") * 64)
+              .cast("int"))).otherwise(0).as("bin"))
       // DENSIFY to the full (type × half × 64-bin) grid with zero
       // counts BEFORE the cumulative — without it a bin occupied in
       // only one half drops out of the ECDF join and a fully-shifted
@@ -1979,8 +1983,10 @@ object PipeOps {
         SELECT event_type,
                CASE WHEN epoch_us(ts) * 2 < t0 + t1 THEN 0 ELSE 1 END
                  AS half,
-               LEAST(63, CAST(FLOOR((value - mn) / (mx - mn) * 64) AS INT))
-                 AS bin
+               CASE WHEN mx > mn
+                    THEN LEAST(63, CAST(FLOOR((value - mn) / (mx - mn) * 64)
+                                        AS INT))
+                    ELSE 0 END AS bin
         FROM events CROSS JOIN rng),
       raw AS (SELECT event_type, half, bin, count(*) AS c
               FROM binned GROUP BY event_type, half, bin),
