@@ -57,26 +57,28 @@ for name, sql in sorted(oracle.items()):
                                   " (CAST the oracle, e.g. SUM→BIGINT)")
         except Exception:
             pass
-        # Decimal blind spot (r10 q_agg_decimal): pandas maps every
-        # DECIMAL(p,s) to `object`, so width/scale drift passes the
-        # kind check above while the driver's width-sensitive hash
-        # fails. Diff the exact DuckDB-reported types and require
-        # DECIMAL(p,s) to agree EXACTLY between the Spark parquet and
-        # the oracle result (int widths stay tolerated, as the driver
-        # tolerates them).
+        # Decimal blind spot (r10+r11 q_agg_decimal): pandas maps every
+        # DECIMAL(p,s) to `object`, so decimal columns dodge the kind
+        # check above — and r11 proved the driver's value hash splits
+        # on DECIMAL even when widths AND values are byte-identical
+        # on both engines (engine-specific Decimal canonicalization,
+        # e.g. trailing-zero rendering). Any DECIMAL-typed OUTPUT
+        # column is therefore driver-hash-unsafe: aggregate in decimal
+        # for exactness, but CAST the final output to DOUBLE in both
+        # engines (value-exact for whole-cent money < 2^53).
         try:
             stype = {r[0]: r[1] for r in con.execute(
                 f"DESCRIBE SELECT * FROM '{out}/{name}/*.parquet'").fetchall()}
             dtype = {r[0]: r[1] for r in con.execute(
                 f"DESCRIBE {sql}").fetchall()}
-            for c in stype:
+            for c in set(stype) | set(dtype):
                 a, b = stype.get(c, ""), dtype.get(c, "")
-                if (a.startswith("DECIMAL") or b.startswith("DECIMAL")) \
-                        and a != b:
+                if a.startswith("DECIMAL") or b.startswith("DECIMAL"):
                     status.append(
-                        f"decimal type {c}: spark={a} duck={b}"
-                        " (match widths: e.g. .cast(\"decimal(38,2)\")"
-                        " on the Spark sum)")
+                        f"decimal output {c}: spark={a} duck={b} — the"
+                        " driver hash canonicalizes DECIMAL per-engine"
+                        " (r11); cast the FINAL column to DOUBLE in"
+                        " both engines")
         except Exception:
             pass
     if len(spark_rows) != len(duck_rows):

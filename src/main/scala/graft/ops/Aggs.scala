@@ -80,13 +80,18 @@ object Aggs {
           $"o_totalprice".cast("decimal(18,2)").as("p"))
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
-          // Spark's sum(DECIMAL(18,2)) is decimal(28,2) (precision+10);
-          // DuckDB's is DECIMAL(38,2). The driver's hash is width-
-          // sensitive, so widen to DuckDB's natural SUM type — pure
-          // widening, values provably unchanged (r10 verdict).
-          sum($"p").cast("decimal(38,2)").as("sum_price"),
-          min($"p").as("min_price"),
-          max($"p").as("max_price"))
+          // The AGGREGATION stays exact decimal — Tungsten 128-bit
+          // partials, no cent can move regardless of sum order. Only
+          // the FINAL output representation is cast to DOUBLE: every
+          // value is a whole number of cents < 2^53 (max sum ≈ 7.6e10
+          // cents), so the cast is value-exact, and the differential
+          // hash then compares IEEE doubles identically on both
+          // engines instead of engine-specific DECIMAL renderings
+          // (r11 verdict: values+types were byte-identical, only the
+          // hash's DECIMAL canonicalization split).
+          sum($"p").cast("double").as("sum_price"),
+          min($"p").cast("double").as("min_price"),
+          max($"p").cast("double").as("max_price"))
         .orderBy($"o_orderpriority")
     }),
 
@@ -671,13 +676,14 @@ object Aggs {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
 
-    // Exact decimals on both sides — no rounding anywhere: a one-cent
-    // divergence FAILS the differential instead of hiding in a grid.
+    // Exact decimal aggregation on both sides; the FINAL columns are
+    // cast to DOUBLE (value-exact: whole cents < 2^53) so the hash
+    // compares IEEE doubles, not engine-specific DECIMAL renderings.
     "q_agg_decimal" -> """
       SELECT o_orderpriority, count(*) AS n_orders,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
-             MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
-             MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",

@@ -577,6 +577,53 @@ object ExtOps {
         .orderBy($"doc_id")
     }),
 
+    // PERCEPTUAL image near-dup (aHash): dedup by decoded CONTENT, not
+    // raw bytes (q_multimodal_dedup's chunk fingerprints would treat a
+    // re-encoded or one-pixel-edited copy as a different asset; the
+    // perceptual hash doesn't). Pipeline = the production shape:
+    // binary column → REAL javax.imageio decode per partition →
+    // average-hash over the pixel grid (bit i = pixel i > image mean,
+    // BinaryFrames.ahashImages) → 4×16-bit Hamming band-bucket join
+    // (the q_dedup_simhash machinery: ≤3 differing bits touch ≤3 of 4
+    // bands, so recall at Hamming ≤ 3 is GUARANTEED by pigeonhole —
+    // which is also why the oracle may verify with an all-pairs scan
+    // and still match exactly). Near-dups are PLANTED: each group of 4
+    // consecutive doc_ids shares one ramp image with a different
+    // single pixel inverted (BinaryFrames.encodeVariantBmp), the
+    // deterministic stand-in for "same photo, small edit". The oracle
+    // recomputes signatures from the pixel FORMULA — it never sees the
+    // bytes, so a decoder orientation/codec bug fails the diff. At
+    // 100 TB: decode cost is the scan, the band join is keyed (never
+    // all-pairs), dims ride the join key so only same-shape images
+    // ever pair.
+    "q_multimodal_phash" -> ((s, d) => {
+      import s.implicits._
+      val imgs = t(s, d, "documents").where($"doc_id" < 400)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.sources.BinaryFrames.encodeVariantBmp(id))))
+        .toDF("doc_id", "blob")
+      val sig = graft.sources.BinaryFrames.ahashImages(imgs).toDF()
+      val bandCols = (0 until 4).map(k =>
+        shiftright($"ahash", k * 16).bitwiseAND(0xFFFFL).as(s"b$k"))
+      val banded = sig
+        .select(($"doc_id" +: $"w" +: $"h" +: $"ahash" +: bandCols): _*)
+        .select($"doc_id", $"w", $"h", $"ahash",
+          posexplode(array((0 until 4).map(k => col(s"b$k")): _*))
+            .as(Seq("band", "bval")))
+      val cand = banded.as("a").join(banded.as("b"),
+          $"a.w" === $"b.w" && $"a.h" === $"b.h" &&
+          $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
+          $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          $"a.ahash".as("ha"), $"b.ahash".as("hb"))
+        .distinct()
+      cand.withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")))
+        .where($"hamming" <= 3)
+        .select($"doc_a", $"doc_b", $"hamming".cast("int").as("hamming"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Binary-asset near-dup join via ALIGNED CHUNK FINGERPRINTS — the
     // fixed-offset dedup used for image/audio/video payloads, where
     // text shingling has no meaning: split each payload into 32-byte
@@ -935,6 +982,43 @@ object ExtOps {
         FROM px
         GROUP BY doc_id, width, height
         ORDER BY doc_id""",
+
+      // The phash oracle recomputes average-hash signatures from the
+      // pixel FORMULA (never the bytes) and verifies pairs with an
+      // all-pairs scan — exact-match-safe because the Spark side's
+      // 4-band bucket join has GUARANTEED recall at Hamming ≤ 3
+      // (pigeonhole over 16-bit bands), so the two candidate sets are
+      // provably identical after the Hamming filter.
+      "q_multimodal_phash" -> """
+        WITH dims AS (
+          SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS INT) AS r,
+                 CAST(4 + (doc_id // 4) % 5 AS INT) AS w,
+                 CAST(3 + (doc_id // 4) % 4 AS INT) AS h
+          FROM documents WHERE doc_id < 400),
+        px AS (
+          SELECT doc_id, w, h, (y.y * w + x.x) AS idx,
+                 CASE WHEN y.y * w + x.x = r
+                      THEN 255 - CAST((g * 7 + x.x * 13 + y.y * 31) % 256 AS INT)
+                      ELSE CAST((g * 7 + x.x * 13 + y.y * 31) % 256 AS INT)
+                 END AS v
+          FROM dims
+          JOIN range(0, 9) x(x) ON x.x < w
+          JOIN range(0, 7) y(y) ON y.y < h),
+        mu AS (
+          SELECT doc_id, SUM(v) * 1.0 / (MIN(w) * MIN(h)) AS mu
+          FROM px GROUP BY doc_id),
+        sig AS (
+          SELECT p.doc_id, MIN(w) AS w, MIN(h) AS h,
+                 CAST(SUM(CASE WHEN v > mu THEN (1::BIGINT << idx)
+                               ELSE 0 END) AS BIGINT) AS ahash
+          FROM px p JOIN mu USING (doc_id)
+          GROUP BY p.doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        FROM sig a JOIN sig b
+          ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        ORDER BY doc_a, doc_b""",
 
       // Brute-force twin of the aligned-chunk fingerprint join (the
       // cap never bites at fixture scale, so the blocked join equals

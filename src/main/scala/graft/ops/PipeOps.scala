@@ -757,10 +757,16 @@ object PipeOps {
         r = u.crossJoin(broadcast(norm))
           .select($"t", ($"r" * $"k" / $"sr").as("r"))
       }
-      wins.join(nm, "t").join(r, "t")
-        .select($"t".as("event_type"), $"n_wins", $"n_matches",
+      // The MM recursion runs on the ≥1-win subgraph (Hunter-2004
+      // convergence assumes every fitted item has ≥1 win); winless
+      // participants with n_matches > 0 are NOT silently dropped from
+      // the output — they surface with n_wins=0 and a NULL rating via
+      // the left-joins below (r12 advice).
+      nm.join(wins, Seq("t"), "left").join(r, Seq("t"), "left")
+        .select($"t".as("event_type"),
+          coalesce($"n_wins", lit(0L)).as("n_wins"), $"n_matches",
           (floor($"r" * 1e4 + 0.5) / 1e4).as("bt_rating"))
-        .orderBy($"bt_rating".desc, $"event_type")
+        .orderBy($"bt_rating".desc_nulls_last, $"event_type")
     }),
 
     "q_pipe_abtest" -> ((s, d) => {
@@ -990,10 +996,20 @@ object PipeOps {
         .join(tot.where($"half" === 1).select($"event_type", $"n"),
           "event_type")
         .select($"event_type", $"bin", ($"cum" * 1.0 / $"n").as("f1"))
+      // Empty-half sentinel (r12 advice): a type whose events all fall
+      // in ONE time half has n = 0 for the other — f-division NULLs
+      // out and the max gap would silently go NULL. A fully one-sided
+      // distribution IS maximal drift: score it ks = 1.0 explicitly.
+      val halves = tot.groupBy($"event_type").agg(
+        sum(when($"half" === 0, $"n").otherwise(0L)).as("n0"),
+        sum(when($"half" === 1, $"n").otherwise(0L)).as("n1"))
       e0.join(e1, Seq("event_type", "bin"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_bins"),
-          (floor(max(abs($"f0" - $"f1")) * 1e4 + 0.5) / 1e4).as("ks"))
+          (floor(max(abs($"f0" - $"f1")) * 1e4 + 0.5) / 1e4).as("ks0"))
+        .join(broadcast(halves), "event_type")
+        .select($"event_type", $"n_bins",
+          when($"n0" === 0 || $"n1" === 0, 1.0).otherwise($"ks0").as("ks"))
         .orderBy($"event_type")
     }),
 
@@ -1001,8 +1017,8 @@ object PipeOps {
     // q_agg_chisq (same margins, different question: HOW MANY NATS
     // does knowing the day of week tell you about the event mix —
     // the feature-selection ranking statistic): I = Σ p_ij ·
-    // ln(p_ij/(p_i·p_j)), plus the normalized variant I/H(row) ∈
-    // [0, 1] (uncertainty coefficient). All cells observed ⇒ no 0·ln0
+    // ln(p_ij/(p_i·p_j)), plus each type's share of the global
+    // uncertainty coefficient U = I/H(X). All cells observed ⇒ no 0·ln0
     // guard needed on the fixture grid; the general guard is the
     // CASE in both texts. One count pass; the grid math is |types×7|
     // rows.
@@ -1021,14 +1037,23 @@ object PipeOps {
             * log(($"obs" * 1.0 / $"n")
               / (($"rtot" * 1.0 / $"n") * ($"ctot" * 1.0 / $"n"))))
             .otherwise(0.0).as("term"))
+      // Normalizer = the FULL row entropy H(X) = -Σ_i p_i·ln p_i
+      // (one broadcast scalar, r12 advice) — so uncertainty_coef is
+      // each type's share of the standard global uncertainty
+      // coefficient U(Y|X) = I/H(X) (the shares sum to U, each ≥ 0,
+      // Σ ≤ 1). Degenerate corpus (one type holds all rows) ⇒ H = 0
+      // ⇒ NULL, guarded identically in both engines.
+      val hx = rt.crossJoin(broadcast(tt))
+        .agg(sum(-($"rtot" * 1.0 / $"n") * log($"rtot" * 1.0 / $"n"))
+          .as("hx"))
       cells.groupBy($"event_type")
-        .agg(sum($"term").as("mi_raw"), first($"rtot").as("rtot"),
-          first($"n").as("n"))
+        .agg(sum($"term").as("mi_raw"))
+        .crossJoin(broadcast(hx))
         .select($"event_type",
           (floor($"mi_raw" * 1e6 + 0.5) / 1e6).as("mi_nats"),
-          (floor(($"mi_raw"
-            / (-(($"rtot" * 1.0 / $"n") * log($"rtot" * 1.0 / $"n"))))
-            * 1e4 + 0.5) / 1e4).as("uncertainty_coef"))
+          when($"hx" > 0,
+            floor(($"mi_raw" / $"hx") * 1e4 + 0.5) / 1e4)
+            .as("uncertainty_coef"))
         .orderBy($"event_type")
     }),
 
@@ -2015,10 +2040,18 @@ object PipeOps {
       e1 AS (SELECT c.event_type, bin, cum * 1.0 / n AS f1
              FROM cum c JOIN tot t
                ON c.event_type = t.event_type AND t.half = 1
-             WHERE c.half = 1)
+             WHERE c.half = 1),
+      halves AS (
+        SELECT event_type,
+               SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS n0,
+               SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS n1
+        FROM tot GROUP BY event_type)
       SELECT event_type, count(*) AS n_bins,
-             FLOOR(MAX(ABS(f0 - f1)) * 1e4 + 0.5) / 1e4 AS ks
+             CASE WHEN MIN(n0) = 0 OR MIN(n1) = 0 THEN 1.0
+                  ELSE FLOOR(MAX(ABS(f0 - f1)) * 1e4 + 0.5) / 1e4
+             END AS ks
       FROM e0 JOIN e1 USING (event_type, bin)
+              JOIN halves USING (event_type)
       GROUP BY event_type
       ORDER BY event_type""",
 
@@ -2037,14 +2070,15 @@ object PipeOps {
                    / ((rtot * 1.0 / n) * (ctot * 1.0 / n)))
                  ELSE 0.0 END AS term
         FROM o JOIN rt USING (event_type) JOIN ct USING (dow)
-        CROSS JOIN tt)
+        CROSS JOIN tt),
+      hx AS (SELECT SUM(-(rtot * 1.0 / n) * LN(rtot * 1.0 / n)) AS hx
+             FROM rt CROSS JOIN tt)
       SELECT event_type,
              FLOOR(SUM(term) * 1e6 + 0.5) / 1e6 AS mi_nats,
-             FLOOR((SUM(term)
-               / (-((MIN(rtot) * 1.0 / MIN(n))
-                    * LN(MIN(rtot) * 1.0 / MIN(n)))))
-               * 1e4 + 0.5) / 1e4 AS uncertainty_coef
-      FROM cells
+             CASE WHEN MIN(hx) > 0
+                  THEN FLOOR((SUM(term) / MIN(hx)) * 1e4 + 0.5) / 1e4
+             END AS uncertainty_coef
+      FROM cells CROSS JOIN hx
       GROUP BY event_type
       ORDER BY event_type""",
 
@@ -2392,9 +2426,12 @@ object PipeOps {
                         / (SELECT SUM(r) FROM u$k) AS r FROM u$k)"""
     }.mkString
     head + steps + s"""
-      SELECT w.t AS event_type, w.n_wins, nm.n_matches,
+      SELECT nm.t AS event_type,
+             CAST(COALESCE(w.n_wins, 0) AS BIGINT) AS n_wins,
+             nm.n_matches,
              FLOOR(r.r * 1e4 + 0.5) / 1e4 AS bt_rating
-      FROM r$iters r JOIN wins w ON r.t = w.t JOIN nm ON nm.t = w.t
-      ORDER BY bt_rating DESC, event_type"""
+      FROM nm LEFT JOIN wins w ON nm.t = w.t
+              LEFT JOIN r$iters r ON nm.t = r.t
+      ORDER BY bt_rating DESC NULLS LAST, event_type"""
   }
 }

@@ -175,6 +175,31 @@ object Streamy {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // The transformWithState MULTI-STATE + TIMER surface — ListState
+    // (last-3 events, trimmed to O(3) per key) and MapState (lifetime
+    // per-type counts, point-updated per row) living side by side
+    // under one key, the v2 API's main selling point over
+    // flatMapGroupsWithState's single tuple blob
+    // (streaming/TrailState.scala). Batch invokes each key once and
+    // emits the summary inline; the timer path (flush-on-inactivity
+    // via one re-armed event-time timer per key) is streaming-only
+    // and pinned cross-batch in StreamySpec. Same RocksDB child
+    // session as q_stream_tws. One shuffle keyed on user_id.
+    "q_stream_tws_list" -> ((s0, d) => {
+      val s = Tables.childSession(s0, "twslist")(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state" +
+            ".RocksDBStateStoreProvider"))
+      import s.implicits._
+      val evs = t(s, d, "events")
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+        .as[graft.streaming.TrailEvent]
+      graft.streaming.TrailState.summaries(evs).toDF()
+        .select($"user_id", $"n_events", $"n_types", $"top_type",
+          $"top_n", (floor($"last3_sum" * 1e4 + 0.5) / 1e4).as("last3_sum"))
+        .orderBy($"user_id")
+    }),
+
     // Stream-stream interval join (attribution): each purchase joins
     // to same-user clicks within the preceding 30 minutes, rolled up
     // per purchase day. The identical plan streams with a watermark on
@@ -227,6 +252,36 @@ object Streamy {
              countDistinct(when($"cu".isNotNull, $"pid")).as("n_attributed"),
              countDistinct(when($"cu".isNull, $"pid")).as("n_organic"),
              sum(when($"cu".isNotNull, 1L).otherwise(0L)).as("n_pairs"))
+        .orderBy($"day")
+    }),
+
+    // Stream-stream FULL OUTER interval join — completes the outer
+    // matrix next to q_stream_join_outer's left form: purchases with
+    // no prior click AND clicks that converted nothing both emit,
+    // null-padded on the missing side. Streaming semantics: EACH
+    // side's null-padded rows wait for the OTHER side's watermark to
+    // close their join window (StreamySpec pins both directions on
+    // MemoryStreams); state stays interval-bounded (≤ 30 min of
+    // clicks per user) exactly as the inner/left variants. Day rolls
+    // up from whichever side is present; n_unmatched_clicks counts
+    // click rows that attributed no purchase at all.
+    "q_stream_join_full" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val clicks = ev.where($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts".as("cts"))
+      val purchases = ev.where($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"ts".as("pts"), $"event_id".as("pid"))
+      purchases.join(clicks, $"cu" === $"pu" &&
+          $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES") && $"cts" <= $"pts",
+          "full")
+        .groupBy(coalesce(to_date($"pts"), to_date($"cts")).as("day"))
+        .agg(countDistinct($"pid").as("n_purchases"),
+             countDistinct(when($"cu".isNotNull, $"pid")).as("n_attributed"),
+             sum(when($"pu".isNull, 1L).otherwise(0L))
+               .as("n_unmatched_clicks"),
+             sum(when($"pu".isNotNull && $"cu".isNotNull, 1L).otherwise(0L))
+               .as("n_pairs"))
         .orderBy($"day")
     }),
 
@@ -456,6 +511,46 @@ object Streamy {
         AND cts >= pts - INTERVAL 30 MINUTE AND cts <= pts
       GROUP BY day
       ORDER BY day""",
+
+    "q_stream_join_full" -> """
+      WITH c AS (SELECT user_id AS cu, ts AS cts FROM events
+                 WHERE event_type = 'click'),
+           p AS (SELECT user_id AS pu, ts AS pts, event_id AS pid
+                 FROM events WHERE event_type = 'purchase')
+      SELECT COALESCE(CAST(pts AS DATE), CAST(cts AS DATE)) AS day,
+             count(DISTINCT pid) AS n_purchases,
+             count(DISTINCT CASE WHEN cu IS NOT NULL THEN pid END)
+               AS n_attributed,
+             CAST(SUM(CASE WHEN pu IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched_clicks,
+             CAST(SUM(CASE WHEN pu IS NOT NULL AND cu IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+      FROM p FULL JOIN c ON cu = pu
+        AND cts >= pts - INTERVAL 30 MINUTE AND cts <= pts
+      GROUP BY day
+      ORDER BY day""",
+
+    "q_stream_tws_list" -> """
+      WITH c AS (SELECT user_id, event_type, count(*) AS n
+                 FROM events GROUP BY user_id, event_type),
+      top AS (SELECT user_id, event_type AS top_type, n AS top_n,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY n DESC, event_type) AS rn
+              FROM c),
+      tot AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+                     CAST(count(*) AS INT) AS n_types
+              FROM c GROUP BY user_id),
+      l3 AS (SELECT user_id, value,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events),
+      s3 AS (SELECT user_id, FLOOR(SUM(value) * 1e4 + 0.5) / 1e4
+               AS last3_sum
+             FROM l3 WHERE rn <= 3 GROUP BY user_id)
+      SELECT user_id, n_events, n_types, top_type, top_n, last3_sum
+      FROM tot JOIN (SELECT user_id, top_type, top_n FROM top WHERE rn = 1)
+        USING (user_id) JOIN s3 USING (user_id)
+      ORDER BY user_id""",
 
     "q_stream_dedup" -> """
       SELECT user_id, event_type, day, event_id FROM (

@@ -165,6 +165,35 @@ object SubOps {
       """)
     }),
 
+    // TPC-H-Q17-shaped correlated scalar AGGREGATE feeding an
+    // ARITHMETIC predicate: small-order revenue leak per brand —
+    // lineitems whose quantity is below 20% of their part's average
+    // quantity. This is the decorrelation corner the other q_sub rows
+    // don't hit: the correlated scalar is multiplied by a constant
+    // before the comparison (not an equality), so Catalyst must pull
+    // the per-part AVG out as ONE keyed aggregate over lineitem and
+    // join it back (pinned in SubOpsSpec) — a per-row re-execution of
+    // the inner AVG would rescan the fact once per outer row. At
+    // 100 TB: two scans of lineitem (outer + aggregate), both keyed on
+    // partkey, exchanges line up; part is a broadcast dim. avg_yearly
+    // = small-order revenue / 7 (Q17's annualization), floor-cent.
+    "q_sub_scalaragg" -> ((s, d) => {
+      s.sql(s"""
+        SELECT p.p_brand, count(*) AS n_small,
+               FLOOR(SUM(l.l_extendedprice) / 7.0 * 1e2 + 0.5) / 1e2
+                 AS avg_yearly
+        FROM parquet.`$d/lineitem.parquet` l,
+             parquet.`$d/part.parquet` p
+        WHERE p.p_partkey = l.l_partkey
+          AND p.p_size <= 5
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM parquet.`$d/lineitem.parquet` l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+      """)
+    }),
+
     // LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
     // declarative form of "top-2 orders per customer". Catalyst's
     // lateral decorrelation rewrites it into the ranked-window join
@@ -234,6 +263,19 @@ object SubOps {
                            WHERE c2.pk = p.p_partkey)
       ORDER BY p.p_partkey, c.suppkey
       LIMIT 20""",
+
+    "q_sub_scalaragg" -> """
+      SELECT p.p_brand, count(*) AS n_small,
+             FLOOR(SUM(l.l_extendedprice) / 7.0 * 1e2 + 0.5) / 1e2
+               AS avg_yearly
+      FROM lineitem l, part p
+      WHERE p.p_partkey = l.l_partkey
+        AND p.p_size <= 5
+        AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p.p_partkey)
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand""",
 
     "q_sub_avgfilter" -> """
       SELECT c_mktsegment, count(*) AS n_cust,

@@ -862,6 +862,49 @@ object TextOps {
     // order-independent BIGINT arithmetic, no float-summation drift),
     // and the Gumbel noise is the hash of the doc id, not a PRNG.
     "q_text_dsir" -> ((s, d) => dsirSelect(s, d)),
+
+    // FASTTEXT-SHAPED QUALITY-CLASSIFIER INFERENCE — the single most
+    // common production curation op (CCNet/LLaMA-style "keep what a
+    // linear classifier scores wiki-like"): hashed word+bigram
+    // features (the hashing trick, B = 4096 buckets — NO vocabulary
+    // pass, fixed-width model at any corpus size), a bucket→weight
+    // MODEL TABLE broadcast to a map-side join, mean-pooled logit per
+    // doc (fastText's pooling), sigmoid score, per-lang keep/drop
+    // audit at the 0.5 gate. Weights here derive deterministically
+    // from the bucket id (a Knuth-hash ramp in [-1, 1]) so the oracle
+    // can regenerate the identical model — swapping in real learned
+    // weights changes ONE table, nothing in the plan. At 100 TB:
+    // tokenize+hash is the scan, the model is 4096 rows broadcast,
+    // the only shuffle is the per-doc logit rollup — map-side partial
+    // aggregation carries (sum, count) per doc.
+    "q_text_classify" -> ((s, d) => {
+      import s.implicits._
+      val B = 4096
+      val weights = s.range(0, B).toDF("bucket")
+        .select($"bucket",
+          ((($"bucket" * 2654435761L) % 2001L - 1000L).cast("double")
+            / 1000.0).as("wt"))
+      val feats = t(s, d, "documents")
+        .select($"doc_id", $"lang", split($"text", " ").as("w"))
+        .select($"doc_id", $"lang",
+          explode(concat($"w", expr(
+            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+              " (a, b) -> concat(a, '_', b))"))).as("term"))
+        .select($"doc_id", $"lang",
+          (Tables.h60($"term") % B).as("bucket"))
+      val scored = feats.join(broadcast(weights), "bucket")
+        .groupBy($"doc_id", $"lang")
+        .agg((sum($"wt") / count(lit(1))).as("m"))
+        .select($"doc_id", $"lang",
+          (floor((lit(1.0) / (lit(1.0) + exp(-($"m" * 8.0 + 0.1))))
+            * 1e6 + 0.5) / 1e6).as("score"))
+      scored.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"score" >= 0.5, 1L).otherwise(0L)).as("n_keep"),
+          (floor(avg($"score") * 1e4 + 0.5) / 1e4).as("avg_score"),
+          (floor(min($"score") * 1e4 + 0.5) / 1e4).as("min_score"))
+        .orderBy($"lang")
+    }),
   )
 
   /** The maximum docs a single LSH bucket may contribute to the pair
@@ -1880,6 +1923,37 @@ object TextOps {
       SELECT doc_id, lang, ROUND(lam_micro / 1e6, 6) AS logw
       FROM (SELECT * FROM scored ORDER BY gkey DESC, doc_id LIMIT 100)
       ORDER BY doc_id""",
+
+    // Classifier oracle: regenerate the identical bucket→weight model
+    // from the Knuth-hash ramp, identical hash/pool/sigmoid algebra.
+    "q_text_classify" -> """
+      WITH w AS (
+        SELECT i AS bucket,
+               ((i * 2654435761 % 2001) - 1000) / 1000.0 AS wt
+        FROM range(0, 4096) t(i)),
+      feats AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substring(md5(term), 1, 15) AS BIGINT)
+                 % 4096 AS bucket
+        FROM (
+          SELECT doc_id, lang,
+                 unnest(list_concat(ws,
+                   list_transform(range(1, len(ws)),
+                     i -> ws[i] || '_' || ws[i + 1]))) AS term
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                FROM documents))),
+      sc AS (
+        SELECT doc_id, lang,
+               FLOOR((1.0 / (1.0 + exp(-(SUM(wt) / count(*) * 8.0 + 0.1))))
+                 * 1e6 + 0.5) / 1e6 AS score
+        FROM feats JOIN w USING (bucket)
+        GROUP BY doc_id, lang)
+      SELECT lang, count(*) AS n_docs,
+             CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+             FLOOR(AVG(score) * 1e4 + 0.5) / 1e4 AS avg_score,
+             FLOOR(MIN(score) * 1e4 + 0.5) / 1e4 AS min_score
+      FROM sc GROUP BY lang ORDER BY lang""",
 
     // Brute-force batch⋈corpus shingle Jaccard within language
     // blocks — the LSH probe's recall is effectively 1 at ≥ 0.6

@@ -12,6 +12,10 @@ case class Frame(doc_id: Long, frame_idx: Int, byte_val: Int, feat: Double)
 case class ImgMeta(doc_id: Long, width: Int, height: Int,
                    px00: Int, px_center: Int, red_sum: Long)
 
+/** Perceptual average-hash signature of a decoded image (see
+  * [[BinaryFrames.ahashImages]]): bit i = pixel i above image mean. */
+case class ImgSig(doc_id: Long, w: Int, h: Int, ahash: Long)
+
 /** Imperative decode plumbing for multimodal binary columns — the
   * Scala analog of a `mapInPandas` decode stage: a per-partition
   * iterator over (id, payload) pairs feeding a codec, emitting a
@@ -89,6 +93,79 @@ object BinaryFrames {
           ImgMeta(id, w, h,
             img.getRGB(0, 0) & 0xff,
             img.getRGB(w / 2, h / 2) & 0xff, sum)
+        }
+      }
+  }
+
+  /** Planted-near-dup variant image for perceptual dedup tests:
+    * group g = id/4 shares dims and the base ramp; variant r = id%4
+    * INVERTS the single pixel at row-major index r. Within a group
+    * the decoded pixel grids differ in exactly one pixel each, so
+    * their average-hashes land a small Hamming distance apart — the
+    * deterministic stand-in for "same photo, small edit". The formula
+    * is oracle-recomputable without the bytes (the encodeBmp
+    * convention). */
+  def encodeVariantBmp(id: Long): Array[Byte] = {
+    val g = id / 4
+    val r = (id % 4).toInt
+    val w = (4 + g % 5).toInt
+    val h = (3 + g % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = ((g * 7 + x * 13 + y * 31) % 256).toInt
+        val v = if (y * w + x == r) 255 - base else base
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual AVERAGE-HASH over the decoded pixel grid: bit i (row-
+    * major index i = y·w + x) is set iff the red-channel value at that
+    * pixel is strictly above the image mean. The fixture images are
+    * ≤ 8×6 = 48 pixels, so the signature fits one long with no
+    * resampling step (a production 8×8 aHash adds a downscale in this
+    * same mapPartitions body — nothing else changes). Decode is REAL
+    * `javax.imageio`, per-partition like [[decodeImages]]. */
+  def ahashImages(df: DataFrame): Dataset[ImgSig] = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id", $"blob").as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable payload for doc $id")
+          val w = img.getWidth
+          val h = img.getHeight
+          val v = new Array[Int](w * h)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (img.getRGB(x, y) >> 16) & 0xff
+              v(y * w + x) = p
+              sum += p
+              x += 1
+            }
+            y += 1
+          }
+          val mean = sum.toDouble / (w * h)
+          var sig = 0L
+          var i = 0
+          while (i < v.length) {
+            if (v(i) > mean) sig |= (1L << i)
+            i += 1
+          }
+          ImgSig(id, w, h, sig)
         }
       }
   }

@@ -52,8 +52,20 @@ class DirSinkTable(writeSchema: StructType, path: String)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
+        override def toBatch: BatchWrite = {
+          // Append to an already-committed directory would CLOBBER it,
+          // not append: part files are named by partitionId and the
+          // manifest move is REPLACE_EXISTING (r12 advice). Until part
+          // names carry a job epoch and manifests merge, refuse loudly
+          // at job-plan time instead of silently losing the prior job.
+          if (Files.exists(Paths.get(path, "_MANIFEST")))
+            throw new IllegalStateException(
+              s"graft.sources.DirSink: '$path' already holds a " +
+              "committed write (_MANIFEST present); appending would " +
+              "overwrite part files of the prior job. Write to a fresh " +
+              "directory (or delete the old one explicitly).")
           new DirBatchWrite(path, info.schema())
+        }
       }
     }
 }

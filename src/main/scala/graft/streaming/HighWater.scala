@@ -44,18 +44,39 @@ class HighWater extends StatefulProcessor[Long, HwEvent, HwEvent] {
 }
 
 object HighWater {
+  /** BATCH transformWithState reads state through the driver's
+    * StateStoreCoordinator, but only STREAMING queries create it
+    * (StreamExecution touches the manager's lazy val) — a pure-batch
+    * session fails CANNOT_LOAD_STATE_STORE / RpcEndpointNotFound.
+    * Touch the same lazy val the streaming path uses; reflection only
+    * because the accessor is private[sql] at source level (public in
+    * bytecode — this is the supported creation path, not a fork).
+    * Shared by every batch-TWS caller (HighWater, TrailState). */
+  private[streaming] def touchCoordinator(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val mgr = spark.streams
+    try mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    catch {
+      case e: ReflectiveOperationException =>
+        // Fail loudly with the WHY, not per-batch CANNOT_LOAD_STATE_STORE
+        // noise (r12 advice): pinned against Spark 4.1's
+        // StreamingQueryManager#stateStoreCoordinator (private[sql] at
+        // source, public in bytecode). On upgrade, re-locate the lazy
+        // coordinator-creating accessor or use a supported batch-TWS
+        // init path if one has appeared.
+        throw new IllegalStateException(
+          "graft.streaming: could not initialize the driver " +
+          "StateStoreCoordinator via StreamingQueryManager#" +
+          "stateStoreCoordinator (reflection; verified on Spark 4.1). " +
+          "Batch transformWithState needs it created before first use — " +
+          "check the accessor name in this Spark version.", e)
+    }
+  }
+
   /** Expects a typed Dataset[HwEvent]; keyed on user_id. */
   def marks(events: Dataset[HwEvent]): Dataset[HwEvent] = {
     import events.sparkSession.implicits._
-    // BATCH transformWithState reads state through the driver's
-    // StateStoreCoordinator, but only STREAMING queries create it
-    // (StreamExecution touches the manager's lazy val) — a pure-batch
-    // session fails CANNOT_LOAD_STATE_STORE / RpcEndpointNotFound.
-    // Touch the same lazy val the streaming path uses; reflection only
-    // because the accessor is private[sql] at source level (public in
-    // bytecode — this is the supported creation path, not a fork).
-    val mgr = events.sparkSession.streams
-    mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    touchCoordinator(events.sparkSession)
     events.groupByKey(_.user_id)
       .transformWithState(new HighWater, TimeMode.None(), OutputMode.Append())
   }

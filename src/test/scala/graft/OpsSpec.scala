@@ -1389,19 +1389,20 @@ class OpsSpec extends GraftSuite {
     // 150>100 and 150>50, avg gap (50+100)/2 = 75.
     val tg = ops.Joins.thetaGrid(spark, microDir, 4, 4).collect()(0)
     assert(tg.getLong(0) === 2L && tg.getDouble(1) === 75.0)
-    // decimal aggregation: exact cents as BigDecimal, no drift.
+    // decimal aggregation: exact decimal partials INTERNALLY, DOUBLE
+    // in the output (r11/r12): the driver hash canonicalizes DECIMAL
+    // values per-engine even at identical widths and values, so the
+    // FINAL money columns are cast to double — value-exact because
+    // every value is a whole number of cents < 2^53. The pin: output
+    // type is double AND the cents are exact.
     val decDf = q("q_agg_decimal", microDir)
-    // Width pin (r10 FAIL): the sum column must be decimal(38,2) —
-    // DuckDB's SUM(DECIMAL(18,2)) type — because the driver's hash is
-    // decimal-width-sensitive. Spark's native sum type is (28,2); the
-    // query widens it explicitly.
     assert(decDf.schema("sum_price").dataType ===
-      org.apache.spark.sql.types.DecimalType(38, 2))
+      org.apache.spark.sql.types.DoubleType)
     val dec = decDf.collect()
-      .map(r => r.getString(0) -> r.getDecimal(2)).toMap
-    assert(BigDecimal(dec("1-URGENT")) === BigDecimal("100.00"))
-    assert(BigDecimal(dec("2-HIGH")) === BigDecimal("200.00"))
-    assert(BigDecimal(dec("5-LOW")) === BigDecimal("300.00"))
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(dec("1-URGENT") === 100.0)
+    assert(dec("2-HIGH") === 200.0)
+    assert(dec("5-LOW") === 300.0)
   }
 
   test("q_join_theta_grid is grid-invariant: (1,1) ≡ (4,4) ≡ (8,2)") {

@@ -312,6 +312,111 @@ class StreamySpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("stream-stream FULL OUTER join null-pads BOTH sides only after " +
+      "the watermark closes the window (q_stream_join_full)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val clickIn = MemoryStream[(Timestamp, Long)]
+    val purchIn = MemoryStream[(Timestamp, Long)]
+    val clicks = clickIn.toDF().toDF("cts", "cu")
+      .withWatermark("cts", "10 minutes")
+    val purchases = purchIn.toDF().toDF("pts", "pu")
+      .withWatermark("pts", "10 minutes")
+    val joined = purchases.join(clicks, $"cu" === $"pu" &&
+        $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES") && $"cts" <= $"pts",
+        "full")
+      .select($"pu", $"cu", $"pts", $"cts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck6").toString
+    val query = joined.writeStream.format("memory").queryName("ssjf_test")
+      .outputMode(OutputMode.Append).option("checkpointLocation", dir).start()
+    try {
+      def rows() = s.table("ssjf_test").collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          Option(r.get(1)).map(_.asInstanceOf[Long]))).sorted.toSeq
+      // Matched pair (user 7), unmatched purchase (user 9, no click),
+      // unmatched click (user 5, converts nothing).
+      clickIn.addData((ts("2024-01-01 10:00:00"), 7L),
+                      (ts("2024-01-01 10:00:00"), 5L))
+      purchIn.addData((ts("2024-01-01 10:20:00"), 7L),
+                      (ts("2024-01-01 10:20:00"), 9L))
+      query.processAllAvailable()
+      // Only the inner pair may emit now: user 9's purchase could
+      // still match a late click, and user 5's click could still
+      // match a purchase until 10:30 (cts + 30 min) passes.
+      assert(rows() === Seq((Some(7L), Some(7L))),
+        s"outer rows leaked before the watermark closed: ${rows()}")
+      // Advance both watermarks well past every window, then one more
+      // batch so eviction runs against the new watermark.
+      clickIn.addData((ts("2024-01-01 12:00:00"), 99L))
+      purchIn.addData((ts("2024-01-01 12:00:00"), 98L))
+      query.processAllAvailable()
+      clickIn.addData((ts("2024-01-01 12:01:00"), 99L))
+      purchIn.addData((ts("2024-01-01 12:01:00"), 98L))
+      query.processAllAvailable()
+      assert(rows().contains((Some(9L), None)),
+        s"unmatched purchase must null-pad the click side: ${rows()}")
+      assert(rows().contains((None, Some(5L))),
+        s"unmatched click must null-pad the purchase side: ${rows()}")
+      assert(rows().count(_ == (Some(7L), Some(7L))) === 1,
+        "the matched pair must not re-emit as an outer row")
+    } finally query.stop()
+  }
+
+  test("transformWithState ListState+MapState trail persists across batches " +
+      "and flushes on an event-time timer (TrailWindow)") {
+    val s = spark
+    import graft.streaming.{TrailEvent, TrailWindow}
+    val cs: org.apache.spark.sql.SparkSession =
+      ops.Tables.childSession(s, "twslist_spec")(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state" +
+            ".RocksDBStateStoreProvider"))
+    import cs.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = cs.sqlContext
+    val input = MemoryStream[TrailEvent]
+    import org.apache.spark.sql.streaming.TimeMode
+    val out = input.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TrailWindow(emitOnInput = false, timerGapMs = 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck6").toString
+    val query = out.toDF().writeStream.format("memory")
+      .queryName("trail_test")
+      .outputMode(OutputMode.Append).option("checkpointLocation", dir).start()
+    try {
+      // Batch 1: two events; no output (summaries flush by timer only).
+      input.addData(
+        TrailEvent(7L, 1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+        TrailEvent(7L, 2L, ts("2024-01-01 10:01:00"), "b", 2.0))
+      query.processAllAvailable()
+      assert(cs.table("trail_test").isEmpty,
+        "nothing may emit before the inactivity timer fires")
+      // Batch 2: two more for the same user — MapState counts and the
+      // ListState trail must pick up where batch 1 left them.
+      input.addData(
+        TrailEvent(7L, 3L, ts("2024-01-01 10:02:00"), "a", 3.0),
+        TrailEvent(7L, 4L, ts("2024-01-01 10:03:00"), "a", 4.0))
+      query.processAllAvailable()
+      // Advance the watermark past the timer (10:03 + 1 min), twice so
+      // expiry runs against the advanced watermark.
+      input.addData(TrailEvent(99L, 5L, ts("2024-01-01 10:30:00"), "z", 0.0))
+      query.processAllAvailable()
+      input.addData(TrailEvent(99L, 6L, ts("2024-01-01 10:31:00"), "z", 0.0))
+      query.processAllAvailable()
+      val got = cs.table("trail_test").collect()
+        .filter(_.getLong(0) == 7L)
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3),
+          r.getLong(4), r.getDouble(5), r.getBoolean(6))).toSeq
+      // 4 lifetime events, 2 types, top = a×3, trail = last 3 values
+      // (2.0 + 3.0 + 4.0) — state spanning both input batches.
+      assert(got === Seq((7L, 4L, 2, "a", 3L, 9.0, true)),
+        s"cross-batch multi-state trail drifted: $got")
+    } finally query.stop()
+  }
+
   test("stream-static broadcast join enriches a stream against a dimension") {
     val s = spark
     import s.implicits._

@@ -42,6 +42,15 @@ class SubOpsSpec extends GraftSuite {
       "the per-part MIN must run as one keyed aggregate over the cost table")
   }
 
+  test("q_sub_scalaragg decorrelates the arithmetic scalar AVG to one keyed aggregate") {
+    val p = plan("q_sub_scalaragg")
+    assert(!p.contains("scalar-subquery"),
+      "the 0.2*AVG correlated scalar must not survive to execution")
+    assert(p.contains("HashAggregate"),
+      "the per-part AVG must run as one keyed aggregate over lineitem")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_sub_scalar reads an orderless customer as 0, not NULL") {
     // micro-fixture: customer 4 has no orders; counts are 1→2, 2→1,
     // 3→0, 4→0 and all are ≤ 3 so every customer must appear.
