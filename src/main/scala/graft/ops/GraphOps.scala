@@ -794,6 +794,48 @@ object GraphOps {
       bfsFrontiers(edges, seed, 3, broadcastSets = true)
     }),
 
+    // HARMONIC CLOSENESS centrality (radius-3) for the top-4 hub
+    // nodes — the bounded-radius centrality profile ("how much of the
+    // graph does each hub reach, and how fast?"). MULTI-SOURCE BFS
+    // sharing each hop's edge join across ALL seeds (the MS-BFS
+    // move): frontier rows carry a seed column, so k sources cost ONE
+    // keyed frontier⋈edges join per hop plus one (seed, node) anti
+    // join against the visited set — never k separate traversals.
+    // Harmonic form Σ 1/dist (Boldi–Vigna's axiom-clean variant) is
+    // the bounded-radius-safe choice: classic closeness needs every
+    // node reached. Frontier/visited are (k·|V|)-bounded and
+    // broadcast here (the bfsFrontiers regime split applies verbatim
+    // past a few hundred million rows: SHUFFLE_HASH + bucketed
+    // edges). Exactness of the 1e-4 floor: dist ∈ {1,2,3}, so the
+    // true harmonic sum is a multiple of 1/6 and sum·1e4 + 0.5 never
+    // sits closer than 1/6·10⁴ᐨ¹ to a floor boundary.
+    "q_graph_closeness" -> ((s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d)
+      val seeds = tradeDeg(s, d).orderBy($"d".desc, $"src").limit(4)
+        .select($"src".as("seed"))
+      var visited = seeds
+        .select($"seed", $"seed".as("node"), lit(0).as("dist"))
+      var frontier = visited
+      (1 to 3).foreach { hop =>
+        frontier = edges
+          .join(broadcast(frontier.select($"seed", $"node".as("src"))),
+            Seq("src"))
+          .select($"seed", $"dst".as("node")).distinct()
+          .join(broadcast(visited.select($"seed", $"node")),
+            Seq("seed", "node"), "left_anti")
+          .withColumn("dist", lit(hop))
+          .transform(Tables.ck)
+        visited = visited.unionByName(frontier)
+      }
+      visited.where($"dist" >= 1)
+        .groupBy($"seed").agg(
+          count(lit(1)).as("n_reached"),
+          (floor(sum(lit(1.0) / $"dist") * 1e4 + 0.5) / 1e4)
+            .as("harmonic"))
+        .orderBy($"seed")
+    }),
+
     // Connected-component census — the UNblocked-CC path that
     // q_dedup_cluster's block-local union-find explicitly cannot take
     // (no blocking key bounds a component there; here components span
@@ -1186,6 +1228,37 @@ object GraphOps {
       UNION ALL SELECT 2, count(*) FROM h2
       UNION ALL SELECT 3, count(*) FROM h3
       ORDER BY hop""",
+
+      // The same hop-CTE BFS, multi-source: per-seed visited sets via
+      // NOT EXISTS, harmonic sum re-derived from the per-hop tables.
+      "q_graph_closeness" -> """
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY src),
+      seeds AS (SELECT node FROM deg ORDER BY dg DESC, node LIMIT 4),
+      h0 AS (SELECT node AS seed, node FROM seeds),
+      h1 AS (SELECT DISTINCT h0.seed, e.dst AS node
+             FROM edges e JOIN h0 ON e.src = h0.node
+             WHERE e.dst <> h0.seed),
+      v1 AS (SELECT seed, node FROM h0 UNION SELECT seed, node FROM h1),
+      h2 AS (SELECT DISTINCT h1.seed, e.dst AS node
+             FROM edges e JOIN h1 ON e.src = h1.node
+             WHERE NOT EXISTS (SELECT 1 FROM v1
+                               WHERE v1.seed = h1.seed AND v1.node = e.dst)),
+      v2 AS (SELECT seed, node FROM v1 UNION SELECT seed, node FROM h2),
+      h3 AS (SELECT DISTINCT h2.seed, e.dst AS node
+             FROM edges e JOIN h2 ON e.src = h2.node
+             WHERE NOT EXISTS (SELECT 1 FROM v2
+                               WHERE v2.seed = h2.seed AND v2.node = e.dst)),
+      allr AS (SELECT seed, node, 1 AS dist FROM h1
+               UNION ALL SELECT seed, node, 2 FROM h2
+               UNION ALL SELECT seed, node, 3 FROM h3)
+      SELECT seed, count(*) AS n_reached,
+             FLOOR(SUM(1.0 / dist) * 1e4 + 0.5) / 1e4 AS harmonic
+      FROM allr GROUP BY seed ORDER BY seed""",
 
       // Exact transitive closure (the q_dedup_cluster oracle shape) —
       // the converged labeling must equal it exactly. The census

@@ -1486,6 +1486,97 @@ object PipeOps {
           (floor(avg($"tokens") * 100 + 0.5) / 100).as("avg_tokens"))
         .orderBy($"quartile")
     }),
+
+    // ROC AUC of the quality classifier (q_text_classify's scored
+    // table, via the shared TextOps.classifyScored) per language,
+    // against a deterministic reference label (n_chars ≥ 300 — the
+    // fixture median, so both classes are populated in every lang at
+    // every SF; a production run joins real human labels instead,
+    // changing ONE input table). Computed as the Mann-Whitney rank
+    // statistic with MIDRANK tie correction: AUC = (Σ ranks⁺ −
+    // n⁺(n⁺+1)/2) / (n⁺·n⁻) — ONE keyed window pass (rank + peer
+    // count over (lang, score)) and one keyed aggregate, never the
+    // O(n²) pairwise compare. Midranks make the statistic
+    // permutation-independent, so ties on the 1e-6 score grid are
+    // cross-engine exact by construction (ranks and tie counts are
+    // integers; midranks are exact half-integers — the sum is exact
+    // < 2^53). Degenerate one-class groups emit NULL, mirrored in the
+    // oracle. At 100 TB: the scan is classify's; the window keys on
+    // lang — a single giant group switches to DistRank's two-pass
+    // rank, the documented q_pipe_curriculum move.
+    "q_pipe_auc" -> ((s, d) => {
+      import s.implicits._
+      val lab = t(s, d, "documents").select($"doc_id",
+        when($"n_chars" >= 300, 1).otherwise(0).as("label"))
+      val sc = TextOps.classifyScored(s, d).join(lab, "doc_id")
+      val wr = Window.partitionBy($"lang").orderBy($"score")
+      val wt = Window.partitionBy($"lang", $"score")
+      sc.withColumn("ar",
+          rank().over(wr) + (count(lit(1)).over(wt) - lit(1)) / 2.0)
+        .groupBy($"lang").agg(
+          sum($"label").as("n_pos"),
+          sum(lit(1) - $"label").as("n_neg"),
+          sum(when($"label" === 1, $"ar")).as("rpos"))
+        .select($"lang", $"n_pos", $"n_neg",
+          when($"n_pos" === 0 || $"n_neg" === 0, lit(null).cast("double"))
+            .otherwise(r4(($"rpos" - $"n_pos" * ($"n_pos" + lit(1)) / 2.0)
+              / ($"n_pos" * $"n_neg"))).as("auc"))
+        .orderBy($"lang")
+    }),
+
+    // RELIABILITY DIAGRAM — per-bin calibration of the classifier
+    // score against the same deterministic label: decile confidence
+    // bins (score sits on the 1e-6 grid, so bin = min(⌊10·s⌋, 9) is
+    // exact — no boundary ambiguity), per-bin count, mean confidence,
+    // empirical accuracy, and the |confidence − accuracy| gap whose
+    // n-weighted sum is the ECE. ONE scan + one 10-key aggregate; the
+    // bin key has 10 values, so partial aggregation collapses
+    // everything map-side — the cheapest possible shuffle at any
+    // corpus size.
+    "q_pipe_calibration" -> ((s, d) => {
+      import s.implicits._
+      val lab = t(s, d, "documents").select($"doc_id",
+        when($"n_chars" >= 300, 1).otherwise(0).as("label"))
+      TextOps.classifyScored(s, d).join(lab, "doc_id")
+        .withColumn("bin", least(floor($"score" * 10), lit(9.0)).cast("int"))
+        .groupBy($"bin").agg(
+          count(lit(1)).as("n_docs"),
+          r4(avg($"score")).as("confidence"),
+          r4(avg($"label")).as("accuracy"))
+        .withColumn("gap", r4(abs($"confidence" - $"accuracy")))
+        .orderBy($"bin")
+    }),
+
+    // NDCG@10 of the classifier-score ranking per language, graded by
+    // a deterministic relevance band (rel = min(3, ⌊n_chars/150⌋) —
+    // the "true quality grade" a rater table supplies in production):
+    // DCG over the top-10 of the score ranking (row_number with
+    // doc_id tiebreak, so the permutation is cross-engine identical)
+    // normalized by the IDEAL ranking's DCG over the same grades.
+    // Gains 2^rel − 1 ∈ {0,1,3,7} are exact; log2 is written as
+    // ln(r+1)/ln(2) in BOTH engines so the algebra is textually
+    // identical. Two keyed windows + one aggregate per lang — the
+    // rn ≤ 10 predicate prunes map-side via WindowGroupLimit, so the
+    // windows never materialize full partitions at scale.
+    "q_pipe_ndcg" -> ((s, d) => {
+      import s.implicits._
+      val rel = t(s, d, "documents").select($"doc_id",
+        least(lit(3.0), floor($"n_chars" / 150)).as("rel"))
+      val sc = TextOps.classifyScored(s, d).join(rel, "doc_id")
+      val ws = Window.partitionBy($"lang").orderBy($"score".desc, $"doc_id")
+      val wi = Window.partitionBy($"lang").orderBy($"rel".desc, $"doc_id")
+      sc.withColumn("rn", row_number().over(ws))
+        .withColumn("irn", row_number().over(wi))
+        .withColumn("gain", pow(lit(2.0), $"rel") - 1.0)
+        .groupBy($"lang").agg(
+          sum(when($"rn" <= 10,
+            $"gain" / (log($"rn" + 1) / log(lit(2.0))))).as("dcg"),
+          sum(when($"irn" <= 10,
+            $"gain" / (log($"irn" + 1) / log(lit(2.0))))).as("idcg"))
+        .select($"lang", r4($"dcg").as("dcg10"),
+          r4($"dcg" / $"idcg").as("ndcg10"))
+        .orderBy($"lang")
+    }),
   )
 
   /** q_pipe_curriculum's difficulty-scoring stage (per-doc mean token
@@ -2359,6 +2450,69 @@ object PipeOps {
       FROM q
       GROUP BY quartile
       ORDER BY quartile""",
+
+    // Classifier-evaluation rows: all three compose over the SAME
+    // scored-table CTE prefix the q_text_classify oracle uses
+    // (TextOps.classifyScoredSql — `sc` is (doc_id, lang, score)),
+    // so the model/hash/sigmoid algebra can never drift between the
+    // inference row and its evaluation.
+    "q_pipe_auc" -> (graft.ops.TextOps.classifyScoredSql + """,
+      lab AS (SELECT doc_id,
+                     CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+              FROM documents),
+      mid AS (
+        SELECT sc.lang, label,
+               rank() OVER (PARTITION BY sc.lang ORDER BY score)
+                 + (count(*) OVER (PARTITION BY sc.lang, score) - 1) / 2.0
+                 AS ar
+        FROM sc JOIN lab USING (doc_id))
+      SELECT lang, CAST(SUM(label) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - label) AS BIGINT) AS n_neg,
+             CASE WHEN SUM(label) = 0 OR SUM(1 - label) = 0 THEN NULL
+                  ELSE FLOOR((SUM(CASE WHEN label = 1 THEN ar END)
+                              - SUM(label) * (SUM(label) + 1) / 2.0)
+                             / (SUM(label) * SUM(1 - label)) * 1e4 + 0.5)
+                       / 1e4
+             END AS auc
+      FROM mid GROUP BY lang ORDER BY lang"""),
+
+    "q_pipe_calibration" -> (graft.ops.TextOps.classifyScoredSql + """,
+      lab AS (SELECT doc_id,
+                     CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+              FROM documents),
+      b AS (
+        SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INT) AS bin,
+               count(*) AS n_docs,
+               FLOOR(AVG(score) * 1e4 + 0.5) / 1e4 AS confidence,
+               FLOOR(AVG(label) * 1e4 + 0.5) / 1e4 AS accuracy
+        FROM sc JOIN lab USING (doc_id)
+        GROUP BY 1)
+      SELECT bin, n_docs, confidence, accuracy,
+             FLOOR(ABS(confidence - accuracy) * 1e4 + 0.5) / 1e4 AS gap
+      FROM b ORDER BY bin"""),
+
+    "q_pipe_ndcg" -> (graft.ops.TextOps.classifyScoredSql + """,
+      rel AS (SELECT doc_id,
+                     LEAST(3.0, FLOOR(n_chars / 150.0)) AS rel
+              FROM documents),
+      g AS (
+        SELECT sc.lang, rel,
+               row_number() OVER (PARTITION BY sc.lang
+                                  ORDER BY score DESC, doc_id) AS rn,
+               row_number() OVER (PARTITION BY sc.lang
+                                  ORDER BY rel DESC, doc_id) AS irn,
+               pow(2.0, rel) - 1.0 AS gain
+        FROM sc JOIN rel USING (doc_id)),
+      a AS (
+        SELECT lang,
+               SUM(CASE WHEN rn <= 10
+                        THEN gain / (ln(rn + 1) / ln(2.0)) END) AS dcg,
+               SUM(CASE WHEN irn <= 10
+                        THEN gain / (ln(irn + 1) / ln(2.0)) END) AS idcg
+        FROM g GROUP BY lang)
+      SELECT lang, FLOOR(dcg * 1e4 + 0.5) / 1e4 AS dcg10,
+             FLOOR(dcg / idcg * 1e4 + 0.5) / 1e4 AS ndcg10
+      FROM a ORDER BY lang"""),
   )
 
   /** The q_agg_theilsen oracle: the SAME banded lead probes generated

@@ -143,6 +143,59 @@ object Scans {
         .orderBy($"n_name")
     }),
 
+    // NESTED columnar layout as a declared source: the order⟶items[]
+    // document shape — a struct column (cust) plus an array-of-struct
+    // column (items) — written ONCE as parquet and read back through
+    // Spark's NESTED SCHEMA PRUNING (nestedSchemaPruning, default-on
+    // for parquet): the query touches cust.o_orderstatus and two item
+    // leaves, so the scan's ReadSchema carries exactly those leaf
+    // fields, not the whole structs (pinned in SourcesSpec) — at
+    // 100 TB the difference between reading 3 leaf column chunks and
+    // rehydrating every nested field of every item. The denormalized
+    // write is itself the standard log/document-store trade:
+    // pre-joining order⟶items at write time buys join-free reads
+    // forever after. items is sort_array'd so the written file is
+    // deterministic (collect_list order is not); equality with the
+    // flat-join oracle differentially checks the nested writer +
+    // reader + explode path end-to-end.
+    "q_scan_nested" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val dir = graft.TempWarehouse.path.resolve(s"orders_nested_$tag")
+      exportLock(dir.toString) {
+        if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+          val items = t(s, d, "lineitem").groupBy($"l_orderkey")
+            .agg(sort_array(collect_list(struct($"l_linenumber",
+              $"l_quantity", $"l_extendedprice"))).as("items"))
+          t(s, d, "orders")
+            .select($"o_orderkey",
+              struct($"o_custkey", $"o_orderstatus").as("cust"))
+            .join(items, $"o_orderkey" === $"l_orderkey")
+            .select($"o_orderkey", $"cust", $"items")
+            .write.mode("overwrite").parquet(dir.toString)
+        }
+      }
+      // Slim the item arrays BEFORE exploding: Spark's generator-input
+      // pruning (GeneratorNestedColumnAliasing) bails on multi-field
+      // extraction from the generator output, so a bare
+      // explode($"items") reads ALL item leaves (and a transform()
+      // lambda hides the extraction from the pruner too — lambda
+      // field accesses aren't root ExtractValues). items.l_quantity
+      // is a GetArrayStructFields extraction the pruner DOES rewrite:
+      // project the two leaf arrays, zip, then explode — ReadSchema
+      // carries exactly the 3 touched leaves (pinned in SourcesSpec).
+      s.read.parquet(dir.toString)
+        .select($"cust.o_orderstatus".as("status"),
+          arrays_zip($"items.l_quantity".as("q"),
+            $"items.l_extendedprice".as("p")).as("slim"))
+        .select($"status", explode($"slim").as("it"))
+        .where($"it.q" >= 45.0)
+        .groupBy($"status").agg(
+          count(lit(1)).as("n_items"),
+          (floor(sum($"it.p") * 100 + 0.5) / 100).as("rev"))
+        .orderBy($"status")
+    }),
+
     // Malformed-input quarantine — the ingest posture for landing-zone
     // text data: a line-delimited JSON file containing the region dim
     // plus two CONTRACTUALLY corrupt lines (one type-broken, one
@@ -623,6 +676,16 @@ object Scans {
       WHERE s_acctbal > 1000.0
       GROUP BY n_name
       ORDER BY n_name""",
+
+    // The flat-join equivalent of the nested read — equality checks
+    // the nested writer+reader+explode path differentially.
+    "q_scan_nested" -> """
+      SELECT o_orderstatus AS status, count(*) AS n_items,
+             FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100 AS rev
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_quantity >= 45.0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
 
     "q_sql_q3" -> sqlQ3,
     "q_sql_q5" -> sqlQ5,

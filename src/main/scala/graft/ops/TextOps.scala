@@ -879,26 +879,7 @@ object TextOps {
     // aggregation carries (sum, count) per doc.
     "q_text_classify" -> ((s, d) => {
       import s.implicits._
-      val B = 4096
-      val weights = s.range(0, B).toDF("bucket")
-        .select($"bucket",
-          ((($"bucket" * 2654435761L) % 2001L - 1000L).cast("double")
-            / 1000.0).as("wt"))
-      val feats = t(s, d, "documents")
-        .select($"doc_id", $"lang", split($"text", " ").as("w"))
-        .select($"doc_id", $"lang",
-          explode(concat($"w", expr(
-            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
-              " (a, b) -> concat(a, '_', b))"))).as("term"))
-        .select($"doc_id", $"lang",
-          (Tables.h60($"term") % B).as("bucket"))
-      val scored = feats.join(broadcast(weights), "bucket")
-        .groupBy($"doc_id", $"lang")
-        .agg((sum($"wt") / count(lit(1))).as("m"))
-        .select($"doc_id", $"lang",
-          (floor((lit(1.0) / (lit(1.0) + exp(-($"m" * 8.0 + 0.1))))
-            * 1e6 + 0.5) / 1e6).as("score"))
-      scored.groupBy($"lang")
+      classifyScored(s, d).groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"score" >= 0.5, 1L).otherwise(0L)).as("n_keep"),
           (floor(avg($"score") * 1e4 + 0.5) / 1e4).as("avg_score"),
@@ -906,6 +887,66 @@ object TextOps {
         .orderBy($"lang")
     }),
   )
+
+  /** Per-doc classifier score table (doc_id, lang, score) —
+    * q_text_classify's inference body, extracted so the evaluation
+    * rows (q_pipe_auc / q_pipe_calibration / q_pipe_ndcg in PipeOps)
+    * compose over the SAME scored table the keep/drop audit reads.
+    * Score = sigmoid of the mean-pooled hashed-ngram logit, floored
+    * to the 1e-6 grid (cross-engine exact — see the q_text_classify
+    * entry for the model/hash details). NOT memoized: each consumer
+    * re-derives the one-scan plan lazily, and the scan is the cost. */
+  private[graft] def classifyScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val B = 4096
+    val weights = s.range(0, B).toDF("bucket")
+      .select($"bucket",
+        ((($"bucket" * 2654435761L) % 2001L - 1000L).cast("double")
+          / 1000.0).as("wt"))
+    val feats = t(s, d, "documents")
+      .select($"doc_id", $"lang", split($"text", " ").as("w"))
+      .select($"doc_id", $"lang",
+        explode(concat($"w", expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> concat(a, '_', b))"))).as("term"))
+      .select($"doc_id", $"lang",
+        (Tables.h60($"term") % B).as("bucket"))
+    feats.join(broadcast(weights), "bucket")
+      .groupBy($"doc_id", $"lang")
+      .agg((sum($"wt") / count(lit(1))).as("m"))
+      .select($"doc_id", $"lang",
+        (floor((lit(1.0) / (lit(1.0) + exp(-($"m" * 8.0 + 0.1))))
+          * 1e6 + 0.5) / 1e6).as("score"))
+  }
+
+  /** DuckDB regeneration of [[classifyScored]] as a shared CTE prefix
+    * (`w`/`feats`/`sc`; `sc` is the (doc_id, lang, score) table) —
+    * the q_text_classify oracle and the q_pipe_{auc,calibration,ndcg}
+    * oracles all read `sc`, so the model/hash/sigmoid algebra can
+    * never drift between the inference row and its evaluation rows. */
+  private[graft] val classifyScoredSql: String = """
+      WITH w AS (
+        SELECT i AS bucket,
+               ((i * 2654435761 % 2001) - 1000) / 1000.0 AS wt
+        FROM range(0, 4096) t(i)),
+      feats AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substring(md5(term), 1, 15) AS BIGINT)
+                 % 4096 AS bucket
+        FROM (
+          SELECT doc_id, lang,
+                 unnest(list_concat(ws,
+                   list_transform(range(1, len(ws)),
+                     i -> ws[i] || '_' || ws[i + 1]))) AS term
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                FROM documents))),
+      sc AS (
+        SELECT doc_id, lang,
+               FLOOR((1.0 / (1.0 + exp(-(SUM(wt) / count(*) * 8.0 + 0.1))))
+                 * 1e6 + 0.5) / 1e6 AS score
+        FROM feats JOIN w USING (bucket)
+        GROUP BY doc_id, lang)"""
 
   /** The maximum docs a single LSH bucket may contribute to the pair
     * join. A band value shared by k docs produces k²/2 candidate
@@ -1925,35 +1966,15 @@ object TextOps {
       ORDER BY doc_id""",
 
     // Classifier oracle: regenerate the identical bucket→weight model
-    // from the Knuth-hash ramp, identical hash/pool/sigmoid algebra.
-    "q_text_classify" -> """
-      WITH w AS (
-        SELECT i AS bucket,
-               ((i * 2654435761 % 2001) - 1000) / 1000.0 AS wt
-        FROM range(0, 4096) t(i)),
-      feats AS (
-        SELECT doc_id, lang,
-               CAST('0x' || substring(md5(term), 1, 15) AS BIGINT)
-                 % 4096 AS bucket
-        FROM (
-          SELECT doc_id, lang,
-                 unnest(list_concat(ws,
-                   list_transform(range(1, len(ws)),
-                     i -> ws[i] || '_' || ws[i + 1]))) AS term
-          FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
-                FROM documents))),
-      sc AS (
-        SELECT doc_id, lang,
-               FLOOR((1.0 / (1.0 + exp(-(SUM(wt) / count(*) * 8.0 + 0.1))))
-                 * 1e6 + 0.5) / 1e6 AS score
-        FROM feats JOIN w USING (bucket)
-        GROUP BY doc_id, lang)
+    // from the Knuth-hash ramp, identical hash/pool/sigmoid algebra
+    // (the shared [[classifyScoredSql]] CTE prefix).
+    "q_text_classify" -> (classifyScoredSql + """
       SELECT lang, count(*) AS n_docs,
              CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_keep,
              FLOOR(AVG(score) * 1e4 + 0.5) / 1e4 AS avg_score,
              FLOOR(MIN(score) * 1e4 + 0.5) / 1e4 AS min_score
-      FROM sc GROUP BY lang ORDER BY lang""",
+      FROM sc GROUP BY lang ORDER BY lang"""),
 
     // Brute-force batch⋈corpus shingle Jaccard within language
     // blocks — the LSH probe's recall is effectively 1 at ≥ 0.6

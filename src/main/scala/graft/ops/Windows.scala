@@ -513,6 +513,34 @@ object Windows {
         .orderBy($"user_id")
     }),
 
+    // ROLLING MEDIAN (the Hampel-style robust smoother) — the 5-row
+    // trailing EXACT median of each user's value series, reduced to a
+    // per-user spike audit (value > 2× its rolling median) plus the
+    // peak smoothed level. Exact percentile as a WINDOW aggregate:
+    // Spark's percentile(value, 0.5) and DuckDB's quantile_cont both
+    // use the R-7 position (n−1)/2 over the ≤5-row frame, and the
+    // median is rounded to the 1e-4 grid BEFORE the spike compare and
+    // the max, so the one place their interpolation arithmetic could
+    // differ in the last ulp (lower+(upper−lower)·f vs lerp) is
+    // absorbed: frame values sit on the cent grid, so the true median
+    // is a multiple of 0.005 and floor(m·1e4 + 0.5) has margin 0.5
+    // from every boundary. Frames are ≤5 rows (O(1) per-row work);
+    // the only shuffle keys on user_id.
+    "q_win_median" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-4, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("med5",
+          floor(expr("percentile(value, 0.5)").over(w) * 1e4 + 0.5) / 1e4)
+        .groupBy($"user_id").agg(
+          count(lit(1)).as("n_events"),
+          sum(when($"value" > $"med5" * 2.0, 1L).otherwise(0L))
+            .as("n_spikes"),
+          max($"med5").as("peak_med"))
+        .orderBy($"user_id")
+    }),
+
     "q_win_running" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey")
@@ -930,6 +958,21 @@ object Windows {
       SELECT user_id, MAX(dd) AS max_drawdown,
              FLOOR(MAX(runmax) * 100 + 0.5) / 100 AS peak
       FROM d GROUP BY user_id
+      ORDER BY user_id""",
+
+    "q_win_median" -> """
+      WITH m AS (
+        SELECT user_id, value,
+               FLOOR(quantile_cont(value, 0.5) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 1e4 + 0.5)
+                 / 1e4 AS med5
+        FROM events)
+      SELECT user_id, count(*) AS n_events,
+             CAST(SUM(CASE WHEN value > med5 * 2.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_spikes,
+             MAX(med5) AS peak_med
+      FROM m GROUP BY user_id
       ORDER BY user_id""",
 
     "q_win_running" -> """

@@ -2448,4 +2448,48 @@ class OpsSpec extends GraftSuite {
       .limit(10)
     assert(q("q_sql_q3", sf0001).collect() === df.collect())
   }
+
+  test("q_win_median: constant series is its own median; planted outlier spikes once") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_med").toString
+    def ns(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000000L
+    // user 1: constant 5.0 → every rolling median is 5.0, zero spikes.
+    // user 2: flat 1.0 with one 100.0 at position 5 — the median
+    // absorbs the outlier (robustness, the row's whole point) so every
+    // med5 stays 1.0 and exactly the outlier row trips the spike gate.
+    val rows = (1 to 6).map(i =>
+        (i.toLong, ns(f"2024-01-01 10:0$i%d:00"), 1L, "e", 5.0, "{}")) ++
+      (1 to 6).map(i =>
+        (10L + i, ns(f"2024-01-01 10:0$i%d:00"), 2L, "e",
+          if (i == 5) 100.0 else 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q_win_median", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array((1L, 6L, 0L, 5.0), (2L, 6L, 1L, 1.0)))
+  }
+
+  test("q_graph_closeness: BFS seed's reach equals the frontier total; harmonic bounded") {
+    import org.apache.spark.sql.functions.col
+    val bfsTotal = q("q_graph_bfs", sf0001).collect().map(_.getLong(1)).sum
+    val seed = ops.GraphOps.tradeDeg(spark, sf0001)
+      .orderBy(col("d").desc, col("src")).limit(1)
+      .collect()(0).getString(0)
+    val rows = q("q_graph_closeness", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 4, "exactly the top-4 hub seeds")
+    // The top-degree hub is q_graph_bfs's seed: the multi-source pass
+    // must reproduce the single-source traversal's reach exactly.
+    val top = rows.find(_._1 == seed)
+      .getOrElse(fail(s"bfs seed $seed missing from closeness seeds"))
+    assert(top._2 === bfsTotal,
+      "multi-source reach must equal the single-source frontier total")
+    rows.foreach { case (s0, n, h) =>
+      // each reached node contributes 1/dist ∈ [1/3, 1]
+      assert(h > 0.0 && h <= n.toDouble + 1e-9, s"$s0: harmonic ≤ n_reached")
+      assert(h >= n / 3.0 - 1e-9, s"$s0: harmonic ≥ n_reached/3")
+    }
+  }
 }

@@ -517,4 +517,80 @@ class PipeOpsSpec extends GraftSuite {
       assert(epochs === exp, s"$src: epochs must be planned/actual")
     }
   }
+
+  /** Shared (lang, doc_id, score, label/rel) fixture for the
+    * classifier-evaluation laws — the REAL scored table joined to the
+    * deterministic reference columns the queries use. */
+  private def scoredWith(extra: org.apache.spark.sql.Column,
+      name: String): Array[(String, Long, Double, Double)] =
+    ops.TextOps.classifyScored(spark, sf0001)
+      .join(spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), extra.as(name)), "doc_id")
+      .select(col("lang"), col("doc_id"), col("score"),
+        col(name).cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+
+  test("q_pipe_auc: midrank rank statistic equals brute-force pairwise AUC") {
+    val data = scoredWith(
+      when(col("n_chars") >= 300, 1).otherwise(0), "label")
+    val out = q("q_pipe_auc", sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    data.groupBy(_._1).foreach { case (lang, rows) =>
+      val pos = rows.filter(_._4 == 1.0).map(_._3)
+      val neg = rows.filter(_._4 == 0.0).map(_._3)
+      assert(pos.nonEmpty && neg.nonEmpty,
+        s"fixture must carry both classes in $lang")
+      // Pairwise Mann-Whitney wins (ties count half) — sums of exact
+      // halves, so equality with the midrank form is exact, not
+      // approximate.
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val brute =
+        math.floor(wins / (pos.length.toDouble * neg.length) * 1e4 + 0.5) / 1e4
+      assert(out(lang) === brute, s"lang=$lang")
+    }
+  }
+
+  test("q_pipe_calibration: bins partition the corpus; confidence in-bin; gap coheres") {
+    val rows = q("q_pipe_calibration", sf0001).collect()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === n, "bin counts partition the corpus")
+    rows.foreach { r =>
+      val (bin, conf, acc, gap) =
+        (r.getInt(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(bin >= 0 && bin <= 9)
+      // mean confidence must sit inside its own bin (5e-5 rounding slack)
+      assert(conf >= bin / 10.0 - 5e-5 && conf <= (bin + 1) / 10.0 + 5e-5,
+        s"bin $bin confidence $conf out of bin bounds")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(gap === math.floor(math.abs(conf - acc) * 1e4 + 0.5) / 1e4,
+        s"bin $bin gap must be the rounded |conf - acc|")
+    }
+  }
+
+  test("q_pipe_ndcg: brute-force DCG recount matches; ndcg bounded by 1") {
+    val data = scoredWith(
+      least(lit(3.0), floor(col("n_chars") / 150)), "rel")
+    val out = q("q_pipe_ndcg", sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    data.groupBy(_._1).foreach { case (lang, rows) =>
+      def dcgOf(order: Seq[(String, Long, Double, Double)]): Double =
+        order.take(10).zipWithIndex.map { case (t, i) =>
+          (math.pow(2.0, t._4) - 1.0) /
+            (math.log(i + 2.0) / math.log(2.0))
+        }.sum
+      val dcg = dcgOf(rows.sortBy(t => (-t._3, t._2)).toSeq)
+      val idcg = dcgOf(rows.sortBy(t => (-t._4, t._2)).toSeq)
+      val (outDcg, outNdcg) = out(lang)
+      // summation order differs from the distributed aggregate; allow
+      // one 1e-4 grid step of slack around the recount
+      assert(math.abs(outDcg - math.floor(dcg * 1e4 + 0.5) / 1e4) <= 1.01e-4,
+        s"lang=$lang dcg10")
+      assert(math.abs(outNdcg - math.floor(dcg / idcg * 1e4 + 0.5) / 1e4)
+        <= 1.01e-4, s"lang=$lang ndcg10")
+      assert(outNdcg <= 1.0 + 1e-9, s"lang=$lang ndcg must be ≤ 1")
+    }
+  }
 }

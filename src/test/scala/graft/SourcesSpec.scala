@@ -90,6 +90,24 @@ class SourcesSpec extends GraftSuite {
     assert(orcLine.get.contains("GreaterThan(s_acctbal,1000.0)"), orcLine.get)
   }
 
+  test("q_scan_nested prunes the nested read to exactly the touched leaf fields") {
+    // Nested schema pruning is the row's 100 TB point: the scan must
+    // read 3 leaf columns (cust.o_orderstatus, items.l_quantity,
+    // items.l_extendedprice), not rehydrate the whole structs. Pin on
+    // the scan's ReadSchema: the untouched leaves (o_custkey,
+    // l_linenumber) must be absent.
+    val plan = q("q_scan_nested", SparkTestBase.sf0001)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("orders_nested") && l.contains("ReadSchema"))
+    assert(scanLine.isDefined, s"no nested parquet scan in:\n$plan")
+    val rs = scanLine.get
+    assert(rs.contains("o_orderstatus") && rs.contains("l_quantity"),
+      s"pruned leaves missing from ReadSchema: $rs")
+    assert(!rs.contains("o_custkey") && !rs.contains("l_linenumber"),
+      s"untouched nested leaves must be pruned from ReadSchema: $rs")
+  }
+
   test("schema evolution: mergeSchema unions columns across parquet file generations") {
     import spark.implicits._
     // Generation 1 lacks the column generation 2 adds — the normal
