@@ -577,6 +577,27 @@ object ExtOps {
         .orderBy($"doc_id")
     }),
 
+    // FIXED-SIZE RESIZE — the pre-embedding normalization every
+    // vision encoder needs (fixed input size): binary column → REAL
+    // javax.imageio decode per partition → nearest-neighbor 4×3
+    // thumbnail (thumb pixel (tx,ty) samples source ⌊tx·w/4⌋,
+    // ⌊ty·h/3⌋ — integer-exact, so the oracle recomputes the WHOLE
+    // thumbnail from the pixel formula without the bytes; the corner
+    // probes are rounding- and orientation-sensitive). At 100 TB:
+    // decode+resample cost IS the scan, output is a fixed 12-pixel
+    // feature row per image regardless of source size — the shape a
+    // downstream embedding batch eats.
+    "q_multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      val imgs = t(s, d, "documents").where($"doc_id" < 300)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.sources.BinaryFrames.encodeBmp(id))))
+        .toDF("doc_id", "blob")
+      graft.sources.BinaryFrames.resizeImages(imgs, 4, 3).toDF()
+        .orderBy($"doc_id")
+    }),
+
     // PERCEPTUAL image near-dup (aHash): dedup by decoded CONTENT, not
     // raw bytes (q_multimodal_dedup's chunk fingerprints would treat a
     // re-encoded or one-pixel-edited copy as a different asset; the
@@ -981,6 +1002,27 @@ object ExtOps {
                CAST(SUM(v) AS BIGINT) AS red_sum
         FROM px
         GROUP BY doc_id, width, height
+        ORDER BY doc_id""",
+
+      // Resize oracle: the whole 4×3 thumbnail re-derived from the
+      // pixel formula + the same floor-sample arithmetic — never the
+      // bytes, so a decoder or resampler rounding bug fails the diff.
+      "q_multimodal_resize" -> """
+        WITH d AS (
+          SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+                 CAST(3 + doc_id % 4 AS INT) AS h
+          FROM documents WHERE doc_id < 300),
+        grid AS (
+          SELECT d.doc_id, d.w, d.h, tx.tx, ty.ty,
+                 CAST((d.doc_id * 7 + ((tx.tx * d.w) // 4) * 13
+                       + ((ty.ty * d.h) // 3) * 31) % 256 AS INT) AS v
+          FROM d, range(0, 4) tx(tx), range(0, 3) ty(ty))
+        SELECT doc_id, w, h,
+               MAX(CASE WHEN tx = 0 AND ty = 0 THEN v END) AS t00,
+               MAX(CASE WHEN tx = 3 AND ty = 2 THEN v END) AS tbr,
+               CAST(SUM(v) AS BIGINT) AS thumb_sum
+        FROM grid
+        GROUP BY doc_id, w, h
         ORDER BY doc_id""",
 
       // The phash oracle recomputes average-hash signatures from the

@@ -338,7 +338,10 @@ object GraphOps {
     // edge set is already the star-forest fixpoint, so a 2-cycle
     // (f(f(e)) = e with f(e) ≠ e) is impossible — batch-equality ⟹
     // fixpoint. Measured at sf0.1: q_graph_cc 5.19 s → see BUILD_NOTES
-    // round 10.
+    // round 10. batch=3 re-measured in round 12 (min-of-3): 4.84 s vs
+    // batch=2's 4.56 s — the extra post-fixpoint star rounds cost more
+    // than the skipped count action saves, same verdict as ccLabels'
+    // batch=4 probe. 2 stays.
     val batch = 2
     while (changed > 0 && rounds < maxRounds) {
       var next = edges

@@ -441,6 +441,34 @@ object Scans {
         .orderBy($"tag")
     }),
 
+    // DSv2 AGGREGATE PUSHDOWN — the missing quarter of the custom-
+    // source matrix (scan + projection/filter pushdown + sink + now
+    // aggregates): the same SeqSource in exactFilters mode (the
+    // handled id bounds are CONSUMED — enforced exactly by the
+    // per-partition [lo,hi) clamp — because Spark refuses to push an
+    // aggregation over any residual post-scan Filter), then
+    // count/min/max grouped by tag PUSHED INTO the source
+    // (SupportsPushDownAggregates, partial contract): each partition
+    // emits one pre-aggregated row per tag instead of thousands of
+    // raw rows, and Spark's final aggregate merges the partials
+    // (count → sum). The warehouse/API-source shape at 100 TB: the
+    // per-group partial crosses the source boundary, not the rows.
+    // Plan pinned in PlanShapeSpec (SeqAggScan + PushedAggregates +
+    // the same 6/16 partition pruning).
+    "q_scan_dsv2_agg" -> ((s, d) => {
+      import s.implicits._
+      s.read.format("graft.sources.SeqSource")
+        .option("n", 100000L).option("slices", 16)
+        .option("exactFilters", true)
+        .load()
+        .where($"id" >= 12500L && $"id" <= 49999L)
+        .groupBy($"tag")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"val").as("min_val"),
+          max($"val").as("max_val"))
+        .orderBy($"tag")
+    }),
+
     // CUSTOM DATASOURCE V2 WRITE — the sink half of q_scan_dsv2
     // (sources/DirSink): nation round-trips through a BatchWrite with
     // the REAL two-phase commit protocol (attempt-named temp files →
@@ -712,6 +740,17 @@ object Scans {
       SELECT 't' || (i % 7) AS tag,
              count(*) AS n_rows,
              FLOOR(SUM((i % 997) / 997.0) * 1e4 + 0.5) / 1e4 AS sum_val
+      FROM generate_series(12500, 49999) t(i)
+      GROUP BY tag
+      ORDER BY tag""",
+
+    // min/max pick exact elements of the (i % 997)/997 grid — both
+    // engines compute the same division, so no rounding is needed.
+    "q_scan_dsv2_agg" -> """
+      SELECT 't' || (i % 7) AS tag,
+             count(*) AS n_rows,
+             MIN((i % 997) / 997.0) AS min_val,
+             MAX((i % 997) / 997.0) AS max_val
       FROM generate_series(12500, 49999) t(i)
       GROUP BY tag
       ORDER BY tag""",

@@ -16,6 +16,13 @@ case class ImgMeta(doc_id: Long, width: Int, height: Int,
   * [[BinaryFrames.ahashImages]]): bit i = pixel i above image mean. */
 case class ImgSig(doc_id: Long, w: Int, h: Int, ahash: Long)
 
+/** Fixed-size thumbnail features from a nearest-neighbor resize (see
+  * [[BinaryFrames.resizeImages]]): source dims, the top-left and
+  * bottom-right THUMBNAIL probes (sensitive to both the decoder's
+  * coordinate frame and the resample rounding), and the thumb sum. */
+case class ThumbMeta(doc_id: Long, w: Int, h: Int,
+                     t00: Int, tbr: Int, thumb_sum: Long)
+
 /** Imperative decode plumbing for multimodal binary columns — the
   * Scala analog of a `mapInPandas` decode stage: a per-partition
   * iterator over (id, payload) pairs feeding a codec, emitting a
@@ -166,6 +173,39 @@ object BinaryFrames {
             i += 1
           }
           ImgSig(id, w, h, sig)
+        }
+      }
+  }
+
+  /** NEAREST-NEIGHBOR RESIZE of the REAL decoded grid to a fixed
+    * (tw × th) thumbnail — the standard pre-embedding normalization
+    * step (every vision encoder eats a fixed input size): thumb pixel
+    * (tx, ty) samples source pixel (⌊tx·w/tw⌋, ⌊ty·h/th⌋). Decode is
+    * `javax.imageio` per partition like [[decodeImages]]; the sample
+    * arithmetic is integer-exact, so the oracle recomputes the whole
+    * thumbnail from the pixel formula without the bytes (the
+    * encodeBmp convention). Emits corner probes (orientation- and
+    * rounding-sensitive) plus the thumbnail sum. */
+  def resizeImages(df: DataFrame, tw: Int, th: Int): Dataset[ThumbMeta] = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id", $"blob").as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable payload for doc $id")
+          val w = img.getWidth
+          val h = img.getHeight
+          def px(tx: Int, ty: Int): Int =
+            img.getRGB(tx * w / tw, ty * h / th) & 0xff
+          var sum = 0L
+          var ty = 0
+          while (ty < th) {
+            var tx = 0
+            while (tx < tw) { sum += px(tx, ty); tx += 1 }
+            ty += 1
+          }
+          ThumbMeta(id, w, h, px(0, 0), px(tw - 1, th - 1), sum)
         }
       }
   }

@@ -47,6 +47,28 @@ class PlanShapeSpec extends GraftSuite {
       "partition pruning must not drop qualifying rows")
   }
 
+  test("q_scan_dsv2_agg: aggregation is pushed into the source as partials") {
+    val p = plan("q_scan_dsv2_agg")
+    // The builder must have swapped in the pre-aggregated scan, with
+    // the pushed function list and the SAME partition pruning as the
+    // row-scan row (exactFilters consumes the bounds, it must not
+    // lose them).
+    assert(p.contains("SeqAggScan"),
+      s"aggregation must be pushed into the source:\n$p")
+    assert(p.contains("PushedAggregates=[count,min,max]"),
+      s"pushed function list wrong:\n$p")
+    assert(p.contains("partitions=6/16") && p.contains("bounds=[12500,50000)"),
+      s"consumed filters must still prune partitions:\n$p")
+    // Partial contract: a final merge aggregate still runs above the
+    // scan (count partials SUM); the result must equal the raw-scan
+    // sibling's group counts.
+    val agg = q("q_scan_dsv2_agg", sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = q("q_scan_dsv2", sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg === raw, "pushed-aggregate counts must equal the row scan's")
+  }
+
   test("q_sql_recursive plans a real UnionLoop (recursive CTE), not a hand-unroll") {
     val p = plan("q_sql_recursive")
     assert(p.contains("UnionLoop"),

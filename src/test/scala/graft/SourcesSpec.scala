@@ -207,6 +207,23 @@ class SourcesSpec extends GraftSuite {
     }
   }
 
+  test("q_multimodal_resize is the identity on an already-4x3 source image") {
+    // doc_id ≡ 0 (mod 20) ⇒ encodeBmp dims are exactly the 4×3
+    // target, so every thumb pixel samples itself: thumb_sum must
+    // equal decodeImages' red_sum and t00 the decoder's px00 probe.
+    val dec = q("q_multimodal_decode", SparkTestBase.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getLong(5))).toMap
+    val rsz = q("q_multimodal_resize", SparkTestBase.sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(5)))
+    val ids = rsz.collect { case (id, t00, sum) if id % 20 == 0 && dec.contains(id) =>
+      val (px00, redSum) = dec(id)
+      assert(t00 === px00, s"doc $id: identity resize must keep (0,0)")
+      assert(sum === redSum, s"doc $id: identity resize must keep the sum")
+      id
+    }
+    assert(ids.nonEmpty, "fixture must contain 4x3 sources")
+  }
+
   test("winnowing fingerprints are content-determined: same text, same summary") {
     import spark.implicits._
     val dir = tmp("graft_winnow")
