@@ -582,6 +582,35 @@ object GraphOps {
     * src-bucketed edges ([[tradeEdgesBkt]]) keeps the |E| side
     * exchange-free exactly as in the co-partitioned PageRank.
     * Strategy agreement is pinned in OpsSpec. */
+  /** `steps` hash-driven walk steps from EVERY node of the trade
+    * graph (see the q_graph_randomwalk entry): returns the (walker,
+    * node) position table after the last step. Every node has deg ≥ 1
+    * and idx = h60 mod deg + 1 always hits exactly one neighbor, so
+    * each step advances EVERY walker exactly once — walk-count
+    * conservation (|rows| = |V| after every step) is the OpsSpec law. */
+  private[graft] def randomWalks(s: org.apache.spark.sql.SparkSession,
+      d: String, steps: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val wN = Window.partitionBy($"src").orderBy($"dst")
+    val nbr = tradeEdges(s, d)
+      .withColumn("idx", row_number().over(wN))
+      .select($"src".as("node"), $"dst", $"idx")
+      .transform(Tables.ck)
+    val deg = tradeDeg(s, d).select($"src".as("node"), $"d")
+    var cur = deg.select($"node".as("walker"), $"node")
+    (1 to steps).foreach { k =>
+      cur = cur.join(broadcast(deg), "node")
+        .withColumn("idx",
+          (Tables.h60(concat($"walker", lit(s":$k"))) % $"d")
+            .cast("int") + 1)
+        .select($"walker", $"node", $"idx")
+        .join(nbr, Seq("node", "idx"))
+        .select($"walker", $"dst".as("node"))
+        .transform(Tables.ck)
+    }
+    cur
+  }
+
   private[graft] def bfsFrontiers(edges: org.apache.spark.sql.DataFrame,
       seed: org.apache.spark.sql.DataFrame, hops: Int,
       broadcastSets: Boolean): org.apache.spark.sql.DataFrame = {
@@ -837,6 +866,32 @@ object GraphOps {
           (floor(sum(lit(1.0) / $"dist") * 1e4 + 0.5) / 1e4)
             .as("harmonic"))
         .orderBy($"seed")
+    }),
+
+    // DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec sampling
+    // stage that feeds graph-embedding training: one length-3 walk
+    // from EVERY node, the step at node u chosen by the cross-engine
+    // hash h60(walker ':' step) mod deg(u) over u's dst-sorted
+    // neighbor list. Hash-driven, not PRNG-driven: the walk corpus is
+    // bit-reproducible across runs, engines, and cluster sizes — the
+    // q_sample_hash property applied to graph sampling. Per step: ONE
+    // keyed join onto the degree table (broadcast, |V|-sized) + ONE
+    // keyed join onto the (src, idx)-indexed neighbor list — the
+    // (node, idx) equi-key means the join never fans out past one row
+    // per walker. Output: terminal-visit census top-20 (walks drift
+    // toward hubs — the degree-biased visit distribution embedding
+    // training corrects with negative sampling). At 10⁹ vertices the
+    // walker table is |V|-sized and the neighbor list rides the
+    // src-bucketed edge layout (the pagerank_part co-partition move);
+    // hub fan-IN skews the terminal census key — AQE skew handling,
+    // as in q_join_skew_aqe.
+    "q_graph_randomwalk" -> ((s, d) => {
+      import s.implicits._
+      randomWalks(s, d, 3)
+        .groupBy($"node").agg(count(lit(1)).as("n_walks"))
+        .select($"node".as("terminal"), $"n_walks")
+        .orderBy($"n_walks".desc, $"terminal")
+        .limit(20)
     }),
 
     // Connected-component census — the UNblocked-CC path that
@@ -1262,6 +1317,40 @@ object GraphOps {
       SELECT seed, count(*) AS n_reached,
              FLOOR(SUM(1.0 / dist) * 1e4 + 0.5) / 1e4 AS harmonic
       FROM allr GROUP BY seed ORDER BY seed""",
+
+      // The same three hash-driven steps unrolled: identical h60
+      // formula, identical dst-sorted neighbor indexing.
+      "q_graph_randomwalk" -> """
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY src),
+      nbr AS (SELECT src AS node, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY dst)
+                       AS idx
+              FROM edges),
+      w0 AS (SELECT node AS walker, node FROM deg),
+      s1 AS (SELECT w.walker, n.dst AS node
+             FROM w0 w JOIN deg d ON d.node = w.node
+             JOIN nbr n ON n.node = w.node
+              AND n.idx = CAST('0x' || substring(md5(w.walker || ':1'),
+                    1, 15) AS BIGINT) % d.dg + 1),
+      s2 AS (SELECT w.walker, n.dst AS node
+             FROM s1 w JOIN deg d ON d.node = w.node
+             JOIN nbr n ON n.node = w.node
+              AND n.idx = CAST('0x' || substring(md5(w.walker || ':2'),
+                    1, 15) AS BIGINT) % d.dg + 1),
+      s3 AS (SELECT w.walker, n.dst AS node
+             FROM s2 w JOIN deg d ON d.node = w.node
+             JOIN nbr n ON n.node = w.node
+              AND n.idx = CAST('0x' || substring(md5(w.walker || ':3'),
+                    1, 15) AS BIGINT) % d.dg + 1)
+      SELECT node AS terminal, count(*) AS n_walks
+      FROM s3 GROUP BY node
+      ORDER BY n_walks DESC, terminal
+      LIMIT 20""",
 
       // Exact transitive closure (the q_dedup_cluster oracle shape) —
       // the converged labeling must equal it exactly. The census

@@ -201,6 +201,31 @@ object PipeOps {
         .orderBy($"l_returnflag")
     }),
 
+    // DISCRETE percentiles via the ANSI WITHIN GROUP ordered-set
+    // syntax, contrasted with the continuous form in one row:
+    // percentile_disc returns an ACTUAL element of the group (the
+    // smallest value whose cumulative share ≥ p) — the semantics a
+    // latency-SLA report needs ("a real request took this long"),
+    // immune to interpolation-arithmetic drift by construction, which
+    // is also why the disc columns need no rounding. The cont median
+    // sits beside it to pin the semantic difference (on an even group
+    // it interpolates; quantities are integral so midpoints are exact
+    // halves). Same single keyed aggregate shape as q_agg_quantile.
+    "q_agg_percentile_disc" -> ((s, d) => {
+      s.sql(s"""
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                 AS med_disc,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)
+                 AS p90_disc,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                 AS med_cont
+        FROM parquet.`$d/lineitem.parquet`
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    }),
+
     // The MERGEABLE-SKETCH twin of q_agg_quantile — the documented
     // unbounded-cardinality path (see the object scaladoc): exact
     // interpolated percentiles buffer each group's values, so a group
@@ -1694,6 +1719,20 @@ object PipeOps {
       SELECT l_returnflag,
              FLOOR(quantile_cont(l_extendedprice, 0.5) * 1e4 + 0.5) / 1e4 AS p50,
              FLOOR(quantile_cont(l_extendedprice, 0.9) * 1e4 + 0.5) / 1e4 AS p90
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // Disc percentiles select actual elements — no rounding needed;
+    // the cont median on integral quantities is an exact half.
+    "q_agg_percentile_disc" -> """
+      SELECT l_returnflag,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+               AS med_disc,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)
+               AS p90_disc,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+               AS med_cont
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",

@@ -305,6 +305,40 @@ object SimOps {
         .orderBy($"label")
     }),
 
+    // SCALAR QUANTIZATION (SQ8) — the vector-store compression every
+    // billion-vector deployment runs before/besides PQ: per-DIMENSION
+    // min/max over the corpus → 8-bit code ⌊(x−lo)/(hi−lo)·256⌋
+    // (clamped at 255 for x = hi) → midpoint reconstruction
+    // lo + (code+½)(hi−lo)/256, with a per-dim audit row (saturated-
+    // code count + reconstruction MSE — the table that decides
+    // whether 4× compression costs recall). Two scans: the min/max
+    // pass collapses to |dim| rows map-side (plain commutative
+    // partials) and BROADCASTS back — the code pass is then map-side
+    // arithmetic; at 10⁹ vectors nothing but the (vec, dim, x) scan
+    // moves. Cross-engine exactness: both engines widen the same f32
+    // to the same double, so code = floor of an identical product is
+    // bit-equal; only the MSE mean (summation-order-sensitive) rounds
+    // (1e-10 grid, ~9 orders above the noise).
+    "q_sim_quantize" -> ((s, d) => {
+      import s.implicits._
+      val px = t(s, d, "embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "xf")))
+        .select($"vec_id", $"dim", $"xf".cast("double").as("x"))
+      val mm = px.groupBy($"dim").agg(min($"x").as("lo"), max($"x").as("hi"))
+      px.join(broadcast(mm), "dim")
+        .withColumn("code",
+          least(floor(($"x" - $"lo") / ($"hi" - $"lo") * 256).cast("int"),
+            lit(255)))
+        .withColumn("recon",
+          $"lo" + ($"code" + 0.5) * ($"hi" - $"lo") / 256)
+        .groupBy($"dim").agg(
+          count(lit(1)).as("n_values"),
+          sum(when($"code" === 255, 1L).otherwise(0L)).as("n_top"),
+          (floor(avg(($"x" - $"recon") * ($"x" - $"recon")) * 1e10 + 0.5)
+            / 1e10).as("mse"))
+        .orderBy($"dim")
+    }),
+
     "q_sim_pairs" -> ((s, d) => {
       import s.implicits._
       val e = t(s, d, "embeddings").where($"vec_id" < 200)
@@ -670,6 +704,29 @@ object SimOps {
 
   val oracle: Map[String, String] = Map(
     "q_sim_cosine_topk" -> cosineTopkSql,
+
+    // Identical widen/floor/clamp/midpoint algebra per dimension; the
+    // code is bit-deterministic so only the MSE mean rounds.
+    "q_sim_quantize" -> """
+      WITH px AS (
+        SELECT vec_id, u.i AS dim, CAST(embedding[u.i + 1] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(len(embedding))) AS i) u),
+      mm AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM px GROUP BY dim),
+      qc AS (
+        SELECT p.dim, p.x, m.lo, m.hi,
+               LEAST(CAST(FLOOR((p.x - m.lo) / (m.hi - m.lo) * 256) AS INT),
+                     255) AS code
+        FROM px p JOIN mm m USING (dim)),
+      qr AS (SELECT dim, x, code,
+                    lo + (code + 0.5) * (hi - lo) / 256 AS recon
+             FROM qc)
+      SELECT dim, count(*) AS n_values,
+             CAST(SUM(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_top,
+             FLOOR(AVG((x - recon) * (x - recon)) * 1e10 + 0.5) / 1e10
+               AS mse
+      FROM qr GROUP BY dim ORDER BY dim""",
 
     // Brute-force twin: per (query, pos/neg side), the (sim DESC,
     // vec_id) argmax over the same snapped sims.

@@ -2471,6 +2471,60 @@ class OpsSpec extends GraftSuite {
     assert(out === Array((1L, 6L, 0L, 5.0), (2L, 6L, 1L, 1.0)))
   }
 
+  test("q_graph_randomwalk conserves walkers: every node's walk survives all steps") {
+    import org.apache.spark.sql.functions.col
+    val nV = ops.GraphOps.tradeDeg(spark, sf0001).count()
+    // deg ≥ 1 everywhere and idx = h60 mod deg + 1 hits exactly one
+    // neighbor, so each step moves EVERY walker exactly once.
+    (1 to 3).foreach { k =>
+      val walks = ops.GraphOps.randomWalks(spark, sf0001, k)
+      assert(walks.count() === nV, s"step $k must conserve all $nV walkers")
+      assert(walks.select(col("walker")).distinct().count() === nV,
+        s"step $k: one walk per origin")
+    }
+    val top = q("q_graph_randomwalk", sf0001).collect()
+    assert(top.nonEmpty && top.map(_.getLong(1)).sum <= nV,
+      "top-20 census cannot exceed the walker population")
+  }
+
+  test("q_agg_percentile_disc returns actual group elements; cont may interpolate") {
+    val rows = q("q_agg_percentile_disc", sf0001).collect()
+    val qtys = ops.Tables.t(spark, sf0001, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_quantity"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.map(_.getDouble(1)).toSet }
+    rows.foreach { r =>
+      val (flag, disc50, disc90) =
+        (r.getString(0), r.getDouble(1), r.getDouble(2))
+      assert(qtys(flag).contains(disc50),
+        s"$flag: med_disc $disc50 must be an actual group element")
+      assert(qtys(flag).contains(disc90),
+        s"$flag: p90_disc $disc90 must be an actual group element")
+    }
+  }
+
+  test("q_sim_quantize: per-dim MSE bounded by the half-step square") {
+    import org.apache.spark.sql.functions._
+    val steps = ops.Tables.t(spark, sf0001, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(((max(col("x")) - min(col("x"))) / 256.0).as("step"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val rows = q("q_sim_quantize", sf0001).collect()
+    assert(rows.length === steps.size, "one audit row per dimension")
+    rows.foreach { r =>
+      val (dim, nTop, mse) = (r.getInt(0), r.getLong(2), r.getDouble(3))
+      val half = steps(dim) / 2.0
+      // midpoint reconstruction error is ≤ half a quantization step
+      // per value, so the mean square is ≤ (step/2)²
+      assert(mse <= half * half + 1e-12,
+        s"dim $dim: mse $mse exceeds half-step bound ${half * half}")
+      assert(nTop >= 1, s"dim $dim: the max element must saturate code 255")
+    }
+  }
+
   test("q_graph_closeness: BFS seed's reach equals the frontier total; harmonic bounded") {
     import org.apache.spark.sql.functions.col
     val bfsTotal = q("q_graph_bfs", sf0001).collect().map(_.getLong(1)).sum
