@@ -408,6 +408,53 @@ object Scans {
     // lineitem), and the plan's shape at 100 TB is filter-pushdown on
     // both scans → keyed fact⋈fact join on the SHRUNKEN sides → small
     // dim broadcasts (customer groups, nation name) → TakeOrdered 20.
+    // SQL PIPE SYNTAX (Spark 4.0's |> operators) — the linear
+    // "table-in, table-out" query form: each |> stage consumes the
+    // previous stage's result, so the query reads in execution order
+    // (scan → filter → aggregate → post-filter → sort) instead of
+    // inside-out SQL nesting. Semantics are IDENTICAL to the nested
+    // form — Catalyst lowers pipes to the same plan, which is exactly
+    // what the plain-SQL oracle differentially proves. The post-
+    // AGGREGATE WHERE is the HAVING shape; rev rounds via the house
+    // floor-cent form before the gate so both engines compare the
+    // same doubles.
+    "q_sql_pipe" -> ((s, d) => {
+      s.sql(s"""
+        FROM parquet.`$d/lineitem.parquet`
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE count(*) AS n_items,
+             FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100 AS rev
+           GROUP BY l_returnflag
+        |> WHERE n_items > 100
+        |> ORDER BY l_returnflag
+      """)
+    }),
+
+    // COLLATION-AWARE grouping (Spark 4.0 collations): a mixed-case
+    // key (half the docs carry upper(lang)) grouped under the
+    // UTF8_LCASE collation — the engine-level answer to "case-
+    // insensitive key" that at 100 TB beats wrapping every reference
+    // in lower() (the collation rides the column type through joins,
+    // aggregates, and shuffles, and comparisons stay codegen'd). The
+    // grouped key's surface case is engine-dependent, so the output
+    // carries min(raw) as the deterministic representative plus a
+    // collated equality probe; the oracle lowers the key instead —
+    // equality proves the collation semantics.
+    "q_expr_collate" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id",
+          when($"doc_id" % 2 === 0, upper($"lang")).otherwise($"lang")
+            .as("langm"))
+        .groupBy(collate($"langm", "UTF8_LCASE").as("lk"))
+        .agg(count(lit(1)).as("n_docs"),
+          min($"langm").as("rep"),
+          sum(when(collate($"langm", "UTF8_LCASE") === lit("EN"), 1L)
+            .otherwise(0L)).as("n_en_ci"))
+        .select($"rep", $"n_docs", $"n_en_ci")
+        .orderBy($"rep")
+    }),
+
     "q_sql_q10" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9_]", "_")
       val sql = Seq("customer", "orders", "lineitem", "nation")
@@ -714,6 +761,31 @@ object Scans {
       WHERE l_quantity >= 45.0
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+
+    // The nested-form equivalent — pipe lowering must be semantics-
+    // free, which this differential proves.
+    "q_sql_pipe" -> """
+      SELECT l_returnflag, count(*) AS n_items,
+             FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100 AS rev
+      FROM lineitem
+      WHERE l_quantity >= 30
+      GROUP BY l_returnflag
+      HAVING count(*) > 100
+      ORDER BY l_returnflag""",
+
+    // lower()-normalized grouping replays the UTF8_LCASE semantics.
+    "q_expr_collate" -> """
+      WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+                 AS langm
+        FROM documents)
+      SELECT MIN(langm) AS rep, count(*) AS n_docs,
+             CAST(SUM(CASE WHEN lower(langm) = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_en_ci
+      FROM m
+      GROUP BY lower(langm)
+      ORDER BY rep""",
 
     "q_sql_q3" -> sqlQ3,
     "q_sql_q5" -> sqlQ5,

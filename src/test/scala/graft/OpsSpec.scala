@@ -2471,6 +2471,39 @@ class OpsSpec extends GraftSuite {
     assert(out === Array((1L, 6L, 0L, 5.0), (2L, 6L, 1L, 1.0)))
   }
 
+  test("q_sql_pipe: pipe lowering matches the nested SQL form row-for-row") {
+    ops.Tables.t(spark, sf0001, "lineitem")
+      .createOrReplaceTempView("graft_pipe_li")
+    val nested = spark.sql("""
+      SELECT l_returnflag, count(*) AS n_items,
+             FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100 AS rev
+      FROM graft_pipe_li
+      WHERE l_quantity >= 30
+      GROUP BY l_returnflag
+      HAVING count(*) > 100
+      ORDER BY l_returnflag""").collect()
+    assert(q("q_sql_pipe", sf0001).collect() === nested)
+    assert(nested.nonEmpty, "the HAVING gate must keep at least one group")
+  }
+
+  test("q_expr_collate: case-insensitive groups partition the corpus") {
+    val rows = q("q_expr_collate", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = ops.Tables.t(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("lang")).collect()
+      .map(_.getString(0))
+    // the case mix must not split groups: exactly the 5 languages
+    assert(rows.length === docs.distinct.length)
+    assert(rows.map(_._2).sum === docs.length, "counts partition the corpus")
+    // the collated 'EN' probe counts every en-family row, either case
+    val en = docs.count(_ == "en").toLong
+    assert(rows.map(_._3).sum === en, "collated equality must be ci")
+    rows.foreach { case (rep, _, _) =>
+      assert(rep === rep.toUpperCase,
+        "min(raw) representative is the uppercase variant")
+    }
+  }
+
   test("q_graph_randomwalk conserves walkers: every node's walk survives all steps") {
     import org.apache.spark.sql.functions.col
     val nV = ops.GraphOps.tradeDeg(spark, sf0001).count()
