@@ -201,8 +201,10 @@ object Bench {
         // the tokenize+score pass). Resetting mid-family would force
         // each member to rebuild; the family's few bounded block sets
         // drop at its end instead.
+        // q_pipe_ joined in round 12: the classifier-eval rows (auc/
+        // calibration/ndcg) share the memoized classify-scored table.
         val next = if (i + 1 < ordered.size) ordered(i + 1)._1 else ""
-        val sharedFamilies = Seq("q_graph_", "q_text_")
+        val sharedFamilies = Seq("q_graph_", "q_text_", "q_pipe_")
         val sameFamily = sharedFamilies.exists(f =>
           name.startsWith(f) && next.startsWith(f))
         if (!sameFamily) ops.Tables.resetDerived(spark)
