@@ -986,6 +986,39 @@ object GraphOps {
         .orderBy($"magnitude")
     }),
 
+    // DEGREE ASSORTATIVITY (Newman 2002) — do hubs trade with hubs or
+    // with the fringe? Pearson correlation of (deg(src), deg(dst))
+    // over the symmetric edge list, the one-number mixing profile
+    // that predicts whether hub removal shatters the graph. All five
+    // sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are INTEGER sums
+    // — exact in BIGINT, partial-aggregable map-side, so the whole
+    // statistic is two broadcast degree joins + ONE global aggregate;
+    // the only doubles are the final closed-form combination, written
+    // operation-for-operation identically in the oracle (identical
+    // exact operands ⇒ identical IEEE result before the 1e-4 floor).
+    "q_graph_assortativity" -> ((s, d) => {
+      import s.implicits._
+      val deg = tradeDeg(s, d)
+      val j = tradeEdges(s, d)
+        .join(broadcast(deg.select($"src", $"d".as("dx"))), "src")
+        .join(broadcast(deg.select($"src".as("dst"), $"d".as("dy"))),
+          "dst")
+      j.agg(count(lit(1)).as("n"),
+          sum($"dx").as("sx"), sum($"dy").as("sy"),
+          sum($"dx" * $"dy").as("sxy"),
+          sum($"dx" * $"dx").as("sxx"),
+          sum($"dy" * $"dy").as("syy"))
+        .select($"n".as("n_edges"),
+          (floor(
+            (($"n".cast("double") * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+              / sqrt(($"n".cast("double") * $"sxx".cast("double")
+                  - $"sx".cast("double") * $"sx".cast("double"))
+                * ($"n".cast("double") * $"syy".cast("double")
+                  - $"sy".cast("double") * $"sy".cast("double"))))
+            * 1e4 + 0.5) / 1e4).as("assortativity"))
+    }),
+
     // 2-CORE of the sparse trade graph by ITERATIVE PEELING — the
     // standard "strip the tree fringe" kernel (k-core, Seidman 1983):
     // drop degree-<2 nodes until none remain; what survives is the
@@ -1351,6 +1384,34 @@ object GraphOps {
       FROM s3 GROUP BY node
       ORDER BY n_walks DESC, terminal
       LIMIT 20""",
+
+      // Exact-integer sufficient statistics, identical final algebra.
+      "q_graph_assortativity" -> """
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY src),
+      j AS (SELECT CAST(d1.dg AS BIGINT) AS dx, CAST(d2.dg AS BIGINT) AS dy
+            FROM edges e JOIN deg d1 ON d1.node = e.src
+                         JOIN deg d2 ON d2.node = e.dst),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(SUM(dx) AS BIGINT) AS sx,
+                    CAST(SUM(dy) AS BIGINT) AS sy,
+                    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                    CAST(SUM(dy * dy) AS BIGINT) AS syy
+             FROM j)
+      SELECT n AS n_edges,
+             FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   * 1e4 + 0.5) / 1e4 AS assortativity
+      FROM st""",
 
       // Exact transitive closure (the q_dedup_cluster oracle shape) —
       // the converged labeling must equal it exactly. The census

@@ -140,6 +140,34 @@ object TextOps {
         .orderBy($"lang", $"n".desc, $"bigram")
     }),
 
+    // N-GRAM DIVERSITY AUDIT — the mode-collapse / template-spam
+    // detector a generated-data pipeline runs before training on its
+    // own outputs: per-language bigram type-token ratio (distinct
+    // bigrams / total — collapses toward 0 when the corpus repeats
+    // itself) and the top bigram's share of all occurrences (spikes
+    // when one template dominates). Same zip_with bigram explode as
+    // the classifier features; one (lang, bigram) keyed count (the
+    // wordcount shuffle shape, partial-aggregable) then a |langs|-row
+    // re-agg — at 100 TB the bigram count table is the only shuffle
+    // and it combines map-side.
+    "q_text_diversity" -> ((s, d) => {
+      import s.implicits._
+      val bi = t(s, d, "documents")
+        .select($"lang", split($"text", " ").as("w"))
+        .select($"lang", explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+      bi.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+        .groupBy($"lang").agg(
+          sum($"n").as("n_bigrams"),
+          count(lit(1)).as("n_types"),
+          (floor(count(lit(1)).cast("double") / sum($"n") * 1e4 + 0.5)
+            / 1e4).as("ttr"),
+          (floor(max($"n").cast("double") / sum($"n") * 1e4 + 0.5)
+            / 1e4).as("top_share"))
+        .orderBy($"lang")
+    }),
+
     // GOPHER QUALITY RULES (Rae et al. 2021, table A1) — the published
     // heuristic filter battery as ONE named row, because "we filter
     // like Gopher" is a claim a pipeline should be able to point at:
@@ -1695,6 +1723,26 @@ object TextOps {
         FROM cnt)
       WHERE rn <= 10
       ORDER BY lang, n DESC, bigram""",
+
+    "q_text_diversity" -> """
+      WITH tk AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      bi AS (
+        SELECT lang,
+               token || ' ' || lead(token)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM tk),
+      cnt AS (
+        SELECT lang, bigram, count(*) AS n FROM bi
+        WHERE bigram IS NOT NULL GROUP BY lang, bigram)
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             count(*) AS n_types,
+             FLOOR(count(*) * 1.0 / SUM(n) * 1e4 + 0.5) / 1e4 AS ttr,
+             FLOOR(MAX(n) * 1.0 / SUM(n) * 1e4 + 0.5) / 1e4 AS top_share
+      FROM cnt GROUP BY lang ORDER BY lang""",
 
     "q_text_charlm" -> s"""
       $charlmScoredCtes

@@ -541,6 +541,36 @@ object Windows {
         .orderBy($"user_id")
     }),
 
+    // BOLLINGER-BAND BREACHES — the rolling mean ± 2σ envelope
+    // (finance's volatility band; a metrics pipeline reads the same
+    // shape as "alert when a series leaves its recent normal range"):
+    // 8-row trailing moments per user, breach when (v − m)² exceeds
+    // 4·var. Variance comes from EXPLICIT window moments (avg(v),
+    // avg(v²)) rather than the stddev builtin: the two engines'
+    // stddev algorithms (Welford vs textbook) differ at ~1e-13
+    // relative, enough to flip a rounded comparison once in ~10⁶
+    // rows, while plain frame averages differ only by summation order
+    // (~1e-16) — the breach test then rounds ONE side-by-side
+    // difference to the 1e-4 grid, making the gate bit-stable. One
+    // shuffle keyed on user_id; frames are O(1).
+    "q_win_bollinger" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-7, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("m1", avg($"value").over(w))
+        .withColumn("m2", avg($"value" * $"value").over(w))
+        .withColumn("dev2",
+          floor((($"value" - $"m1") * ($"value" - $"m1")
+            - lit(4.0) * ($"m2" - $"m1" * $"m1")) * 1e4 + 0.5))
+        .groupBy($"user_id").agg(
+          count(lit(1)).as("n_events"),
+          sum(when($"dev2" > 0, 1L).otherwise(0L)).as("n_breach"),
+          (floor(max($"m2" - $"m1" * $"m1") * 100 + 0.5) / 100)
+            .as("peak_var"))
+        .orderBy($"user_id")
+    }),
+
     "q_win_running" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey")
@@ -973,6 +1003,26 @@ object Windows {
                AS BIGINT) AS n_spikes,
              MAX(med5) AS peak_med
       FROM m GROUP BY user_id
+      ORDER BY user_id""",
+
+    "q_win_bollinger" -> """
+      WITH b AS (
+        SELECT user_id, value,
+               AVG(value) OVER w AS m1,
+               AVG(value * value) OVER w AS m2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+      dv AS (
+        SELECT user_id, m1, m2,
+               FLOOR(((value - m1) * (value - m1)
+                      - 4.0 * (m2 - m1 * m1)) * 1e4 + 0.5) AS dev2
+        FROM b)
+      SELECT user_id, count(*) AS n_events,
+             CAST(SUM(CASE WHEN dev2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_breach,
+             FLOOR(MAX(m2 - m1 * m1) * 100 + 0.5) / 100 AS peak_var
+      FROM dv GROUP BY user_id
       ORDER BY user_id""",
 
     "q_win_running" -> """

@@ -2558,6 +2558,74 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_graph_assortativity matches a driver-side Pearson recount; |r| <= 1") {
+    import org.apache.spark.sql.functions.col
+    val deg = ops.GraphOps.tradeDeg(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairs = ops.GraphOps.tradeEdges(spark, sf0001).collect()
+      .map(r => (deg(r.getString(0)).toDouble, deg(r.getString(1)).toDouble))
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    assert(sx === sy, "symmetric edge list: endpoint degree sums agree")
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val r = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx)
+      * (n * sxx - sy * sy))
+    val row = q("q_graph_assortativity", sf0001).collect()(0)
+    assert(row.getLong(0) === pairs.length)
+    val out = row.getDouble(1)
+    assert(math.abs(out) <= 1.0 + 1e-9)
+    assert(math.abs(out - math.floor(r * 1e4 + 0.5) / 1e4) <= 1.01e-4,
+      s"recount $r vs $out")
+  }
+
+  test("q_text_diversity: template text drops ttr, unique text scores ttr 1 (hand-counted)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_div").toString
+    Seq(
+      // 'aa': one bigram repeated — top_share must be 1.0, ttr 1/5
+      (1L, "x y x y x y", "aa", "s0", 11L),
+      // 'bb': every bigram distinct — ttr must be exactly 1.0
+      (2L, "a b c d e f", "bb", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q_text_diversity", dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // "x y x y x y": bigrams = xy yx xy yx xy → 5 total, 2 types,
+    // top (xy) 3/5
+    assert(out("aa") === ((5L, 2L, 0.4, 0.6)))
+    assert(out("bb") === ((5L, 5L, 1.0, 0.2)))
+  }
+
+  test("q_win_bollinger: constant series never breaches; a full-frame spike does") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_boll").toString
+    def ns(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000000L
+    // user 1: constant (variance 0, dev2 rounds to 0 — no breach).
+    // user 2: spike at position 9, where the trailing frame is FULL
+    // (8 rows): one outlier among 7 equals gives (v−m)² = 7·var >
+    // 4·var — a strict breach. (At frame size 5 the same shape lands
+    // exactly ON the 4σ boundary and must NOT breach — the floor(0.5)
+    // = 0 case.)
+    val rows = (1 to 10).map(i =>
+        (i.toLong, ns(f"2024-01-01 10:$i%02d:00"), 1L, "e", 5.0, "{}")) ++
+      (1 to 10).map(i =>
+        (20L + i, ns(f"2024-01-01 10:$i%02d:00"), 2L, "e",
+          if (i == 9) 100.0 else 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q_win_bollinger", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((1L, 10L, 0L, 0.0)))
+    val (u, n, breach, peak) = out(1)
+    assert((u, n, breach) === ((2L, 10L, 1L)))
+    // var of one 100 among seven 1s: 7·99²/64 = 1071.984375
+    assert(peak === 1071.98, s"peak_var $peak")
+  }
+
   test("q_graph_closeness: BFS seed's reach equals the frontier total; harmonic bounded") {
     import org.apache.spark.sql.functions.col
     val bfsTotal = q("q_graph_bfs", sf0001).collect().map(_.getLong(1)).sum
