@@ -201,6 +201,34 @@ object PipeOps {
         .orderBy($"l_returnflag")
     }),
 
+    // WEIGHTED quantiles — "the median dollar, not the median row":
+    // each price weighted by its shipped quantity, the quantile that
+    // answers "at what price does half the VOLUME sit?" (every
+    // revenue/latency-budget report wants this, and no builtin does
+    // weighted). Engine: pre-aggregate weight per (group, price) —
+    // ties collapse so the cumulative scan has no peer ambiguity —
+    // then one keyed cumulative-sum window and min(price) at each
+    // threshold crossing. Exactness: quantities are integral, so the
+    // cumulative weights and the ·/2 threshold are exact doubles; the
+    // crossing comparison never sits on a rounding boundary. At
+    // 100 TB: the (group, price) pre-agg combines map-side and is the
+    // only shuffle; the window is keyed by group, never global.
+    "q_agg_weighted_quantile" -> ((s, d) => {
+      import s.implicits._
+      val wp = t(s, d, "lineitem")
+        .groupBy($"l_returnflag", $"l_extendedprice".as("price"))
+        .agg(sum($"l_quantity").as("w"))
+      val cum = Window.partitionBy($"l_returnflag").orderBy($"price")
+      val all = Window.partitionBy($"l_returnflag")
+      wp.withColumn("cw", sum($"w").over(cum))
+        .withColumn("tot", sum($"w").over(all))
+        .groupBy($"l_returnflag").agg(
+          min(when($"cw" >= $"tot" / 2, $"price")).as("wmedian"),
+          min(when($"cw" >= $"tot" * 0.9, $"price")).as("wp90"),
+          max($"tot").cast("long").as("total_weight"))
+        .orderBy($"l_returnflag")
+    }),
+
     // DISCRETE percentiles via the ANSI WITHIN GROUP ordered-set
     // syntax, contrasted with the continuous form in one row:
     // percentile_disc returns an ACTUAL element of the group (the
@@ -1722,6 +1750,25 @@ object PipeOps {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // Identical pre-agg + cumulative-crossing algebra; integral
+    // weights keep every comparison exact.
+    "q_agg_weighted_quantile" -> """
+      WITH wp AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               SUM(l_quantity) AS w
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT l_returnflag, price,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price)
+                 AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM wp)
+      SELECT l_returnflag,
+             MIN(CASE WHEN cw >= tot / 2 THEN price END) AS wmedian,
+             MIN(CASE WHEN cw >= tot * 0.9 THEN price END) AS wp90,
+             CAST(MAX(tot) AS BIGINT) AS total_weight
+      FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // Disc percentiles select actual elements — no rounding needed;
     // the cont median on integral quantities is an exact half.

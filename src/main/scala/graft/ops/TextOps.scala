@@ -168,6 +168,52 @@ object TextOps {
         .orderBy($"lang")
     }),
 
+    // RAKE KEYPHRASE EXTRACTION (Rose et al. 2010) — the classic
+    // unsupervised keyword pass a document-understanding pipeline
+    // runs before indexing/labeling: candidate phrases are MAXIMAL
+    // RUNS of non-stopwords (phrase id = running stopword count, one
+    // keyed window), word score = deg/freq over the language's
+    // phrase-words (deg = Σ length of containing phrases, self
+    // included — RAKE's co-occurrence degree), phrase score = Σ its
+    // words' scores; top-3 phrases per language. Stoplist = the
+    // canonical 8-word list q_text_gopher pins. Everything is keyed
+    // (doc windows, (lang, tok) stats join, per-lang top-k via
+    // WindowGroupLimit); scores round to 1e-4 BEFORE ranking and ties
+    // break on the phrase text, so the ranking permutation is
+    // cross-engine exact.
+    "q_text_rake" -> ((s, d) => {
+      import s.implicits._
+      val stop = Seq("the", "be", "to", "of", "and", "that", "have",
+        "with")
+      val wseg = Window.partitionBy($"doc_id").orderBy($"pos")
+      val wlen = Window.partitionBy($"doc_id", $"pid")
+      val seg = t(s, d, "documents")
+        .select($"doc_id", $"lang",
+          posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+        .withColumn("is_stop", $"tok".isInCollection(stop))
+        .withColumn("pid",
+          sum(when($"is_stop", 1).otherwise(0)).over(wseg))
+        .where(!$"is_stop")
+        .withColumn("plen", count(lit(1)).over(wlen))
+      val ws = seg.groupBy($"lang", $"tok")
+        .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+      val psc = seg
+        .join(ws.select($"lang", $"tok",
+          ($"deg" * 1.0 / $"freq").as("wscore")), Seq("lang", "tok"))
+        .groupBy($"doc_id", $"lang", $"pid").agg(
+          expr("array_join(transform(sort_array(collect_list(" +
+            "struct(pos, tok))), x -> x.tok), ' ')").as("phrase"),
+          count(lit(1)).as("n_words"),
+          (floor(sum($"wscore") * 1e4 + 0.5) / 1e4).as("score"))
+      val ded = psc.groupBy($"lang", $"phrase")
+        .agg(max($"score").as("score"), max($"n_words").as("n_words"))
+      val rk = Window.partitionBy($"lang")
+        .orderBy($"score".desc, $"phrase")
+      ded.withColumn("rn", row_number().over(rk)).where($"rn" <= 3)
+        .select($"lang", $"phrase", $"score", $"n_words")
+        .orderBy($"lang", $"score".desc, $"phrase")
+    }),
+
     // GOPHER QUALITY RULES (Rae et al. 2021, table A1) — the published
     // heuristic filter battery as ONE named row, because "we filter
     // like Gopher" is a claim a pipeline should be able to point at:
@@ -1743,6 +1789,48 @@ object TextOps {
              FLOOR(count(*) * 1.0 / SUM(n) * 1e4 + 0.5) / 1e4 AS ttr,
              FLOOR(MAX(n) * 1.0 / SUM(n) * 1e4 + 0.5) / 1e4 AS top_share
       FROM cnt GROUP BY lang ORDER BY lang""",
+
+    "q_text_rake" -> """
+      WITH tk AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      st AS (
+        SELECT *, tok IN ('the','be','to','of','and','that','have',
+                          'with') AS is_stop
+        FROM tk),
+      sg AS (
+        SELECT doc_id, lang, tok, pos, is_stop,
+               SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        FROM st),
+      seg AS (
+        SELECT doc_id, lang, tok, pos, pid,
+               COUNT(*) OVER (PARTITION BY doc_id, pid) AS plen
+        FROM sg WHERE NOT is_stop),
+      ws AS (
+        SELECT lang, tok, COUNT(*) AS freq, SUM(plen) AS deg
+        FROM seg GROUP BY lang, tok),
+      psc AS (
+        SELECT s.doc_id, s.lang, s.pid,
+               string_agg(s.tok, ' ' ORDER BY s.pos) AS phrase,
+               COUNT(*) AS n_words,
+               FLOOR(SUM(w.deg * 1.0 / w.freq) * 1e4 + 0.5) / 1e4
+                 AS score
+        FROM seg s JOIN ws w ON w.lang = s.lang AND w.tok = s.tok
+        GROUP BY s.doc_id, s.lang, s.pid),
+      ded AS (
+        SELECT lang, phrase, MAX(score) AS score,
+               MAX(n_words) AS n_words
+        FROM psc GROUP BY lang, phrase),
+      rk AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                    ORDER BY score DESC, phrase) AS rn
+        FROM ded)
+      SELECT lang, phrase, score, CAST(n_words AS BIGINT) AS n_words
+      FROM rk WHERE rn <= 3
+      ORDER BY lang, score DESC, phrase""",
 
     "q_text_charlm" -> s"""
       $charlmScoredCtes

@@ -2558,6 +2558,48 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_agg_weighted_quantile matches a driver-side weighted-median recount") {
+    import org.apache.spark.sql.functions.col
+    val rows = ops.Tables.t(spark, sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val out = q("q_agg_weighted_quantile", sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      // collapse ties per price, then scan the price-sorted cumsum
+      val byPrice = g.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byPrice.map(_._2).sum
+      def crossing(p: Double): Double = {
+        var cw = 0.0
+        byPrice.find { case (_, w) => cw += w; cw >= tot * p }.get._1
+      }
+      val (med, p90, w) = out(flag)
+      assert(w === tot.toLong, s"$flag total weight")
+      assert(med === crossing(0.5), s"$flag weighted median")
+      assert(p90 === crossing(0.9), s"$flag weighted p90")
+      assert(med <= p90, s"$flag quantiles must be monotone")
+    }
+  }
+
+  test("q_text_rake scores a hand-computed phrase set exactly") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rake").toString
+    // Phrases: "quick fox jumps" (len 3) and "quick fox" (len 2).
+    // freq: quick 2, fox 2, jumps 1; deg: quick 5, fox 5, jumps 3;
+    // word scores 2.5, 2.5, 3.0 → phrase scores 8.0 and 5.0.
+    Seq((1L, "the quick fox jumps with the quick fox", "en", "s0", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q_text_rake", dir).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("quick fox jumps", 8.0, 3L),
+      ("quick fox", 5.0, 2L)))
+  }
+
   test("q_graph_assortativity matches a driver-side Pearson recount; |r| <= 1") {
     import org.apache.spark.sql.functions.col
     val deg = ops.GraphOps.tradeDeg(spark, sf0001).collect()
