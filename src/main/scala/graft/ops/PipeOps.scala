@@ -201,6 +201,28 @@ object PipeOps {
         .orderBy($"l_returnflag")
     }),
 
+    // DATA FRESHNESS / STALENESS REPORT — the per-source SLA table an
+    // ingest dashboard publishes: for each event source, how long ago
+    // did it last deliver (staleness vs the corpus high-water mark)
+    // and how old is its average event? All arithmetic is whole-epoch-
+    // second INTEGER math (the q_win_lag truncation convention), so
+    // every column is exact; the high-water mark is a 1-row broadcast
+    // and the rollup is one keyed aggregate — scan cost = total cost
+    // at any corpus size.
+    "q_pipe_freshness" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_type", unix_timestamp($"ts").as("es"))
+      val ref = ev.agg(max($"es").as("now_s"))
+      ev.crossJoin(broadcast(ref))
+        .groupBy($"event_type").agg(
+          count(lit(1)).as("n_events"),
+          (max($"now_s") - max($"es")).as("staleness_sec"),
+          floor(sum($"now_s" - $"es") * 1.0 / count(lit(1)))
+            .cast("long").as("avg_age_sec"))
+        .orderBy($"event_type")
+    }),
+
     // WEIGHTED quantiles — "the median dollar, not the median row":
     // each price weighted by its shipped quantity, the quantile that
     // answers "at what price does half the VOLUME sit?" (every
@@ -1750,6 +1772,24 @@ object PipeOps {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // Whole-second epoch truncation (the q_win_lag convention) keeps
+    // every freshness column exact integer math.
+    "q_pipe_freshness" -> """
+      WITH ev AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+        FROM events),
+      ref AS (SELECT MAX(es) AS now_s FROM ev),
+      f AS (
+        SELECT event_type, count(*) AS n_events, MAX(es) AS last_s,
+               SUM((SELECT now_s FROM ref) - es) AS age_sum
+        FROM ev GROUP BY event_type)
+      SELECT event_type, n_events,
+             CAST((SELECT now_s FROM ref) - last_s AS BIGINT)
+               AS staleness_sec,
+             CAST(FLOOR(age_sum * 1.0 / n_events) AS BIGINT)
+               AS avg_age_sec
+      FROM f ORDER BY event_type""",
 
     // Identical pre-agg + cumulative-crossing algebra; integral
     // weights keep every comparison exact.

@@ -532,6 +532,19 @@ class PipeOpsSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3)))
 
+  test("q_pipe_freshness: the freshest source reads zero; ages dominate staleness") {
+    val rows = q("q_pipe_freshness", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the corpus high-water mark belongs to SOME source → min staleness 0
+    assert(rows.map(_._3).min === 0L, "freshest source must read 0")
+    rows.foreach { case (t0, n, stale, avgAge) =>
+      assert(n > 0 && stale >= 0, s"$t0")
+      // every event is at least as old as the newest one the source
+      // sent → the mean age dominates the staleness
+      assert(avgAge >= stale, s"$t0: avg age $avgAge < staleness $stale")
+    }
+  }
+
   test("q_pipe_auc: midrank rank statistic equals brute-force pairwise AUC") {
     val data = scoredWith(
       when(col("n_chars") >= 300, 1).otherwise(0), "label")
