@@ -991,8 +991,13 @@ object GraphOps {
     // over the symmetric edge list, the one-number mixing profile
     // that predicts whether hub removal shatters the graph. All five
     // sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are INTEGER sums
-    // — exact in BIGINT, partial-aggregable map-side, so the whole
-    // statistic is two broadcast degree joins + ONE global aggregate;
+    // accumulated in DECIMAL(38,0) — BIGINT would wrap silently on
+    // hub-heavy graphs (Σ deg² per edge exceeds 2^63 once |E|·maxdeg²
+    // does, e.g. 10⁹-degree hubs; DuckDB's HUGEINT would not), while
+    // decimal is exact to 10^38 ≫ any physical corpus (10¹² edges ×
+    // 10¹⁸ max deg² = 10³⁰). Still partial-aggregable map-side, so
+    // the whole statistic is two broadcast degree joins + ONE global
+    // aggregate;
     // the only doubles are the final closed-form combination, written
     // operation-for-operation identically in the oracle (identical
     // exact operands ⇒ identical IEEE result before the 1e-4 floor).
@@ -1004,10 +1009,14 @@ object GraphOps {
         .join(broadcast(deg.select($"src".as("dst"), $"d".as("dy"))),
           "dst")
       j.agg(count(lit(1)).as("n"),
-          sum($"dx").as("sx"), sum($"dy").as("sy"),
-          sum($"dx" * $"dy").as("sxy"),
-          sum($"dx" * $"dx").as("sxx"),
-          sum($"dy" * $"dy").as("syy"))
+          sum($"dx".cast("decimal(38,0)")).as("sx"),
+          sum($"dy".cast("decimal(38,0)")).as("sy"),
+          sum($"dx".cast("decimal(19,0)")
+            * $"dy".cast("decimal(19,0)")).as("sxy"),
+          sum($"dx".cast("decimal(19,0)")
+            * $"dx".cast("decimal(19,0)")).as("sxx"),
+          sum($"dy".cast("decimal(19,0)")
+            * $"dy".cast("decimal(19,0)")).as("syy"))
         .select($"n".as("n_edges"),
           (floor(
             (($"n".cast("double") * $"sxy".cast("double")

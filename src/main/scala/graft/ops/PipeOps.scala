@@ -1575,7 +1575,12 @@ object PipeOps {
     // permutation-independent, so ties on the 1e-6 score grid are
     // cross-engine exact by construction (ranks and tie counts are
     // integers; midranks are exact half-integers — the sum is exact
-    // < 2^53). Degenerate one-class groups emit NULL, mirrored in the
+    // < 2^53). The n⁺(n⁺+1)/2 correction multiplies in DOUBLE (cast
+    // before the product, mirrored textually in the oracle): BIGINT
+    // would wrap silently past ~3e9 positives per group while
+    // DuckDB's HUGEINT would not — the double path keeps both engines
+    // on the identical one-rounding computation at any scale.
+    // Degenerate one-class groups emit NULL, mirrored in the
     // oracle. At 100 TB: the scan is classify's; the window keys on
     // lang — a single giant group switches to DistRank's two-pass
     // rank, the documented q_pipe_curriculum move.
@@ -1594,8 +1599,9 @@ object PipeOps {
           sum(when($"label" === 1, $"ar")).as("rpos"))
         .select($"lang", $"n_pos", $"n_neg",
           when($"n_pos" === 0 || $"n_neg" === 0, lit(null).cast("double"))
-            .otherwise(r4(($"rpos" - $"n_pos" * ($"n_pos" + lit(1)) / 2.0)
-              / ($"n_pos" * $"n_neg"))).as("auc"))
+            .otherwise(r4(($"rpos"
+                - $"n_pos".cast("double") * ($"n_pos" + lit(1)) / 2.0)
+              / ($"n_pos".cast("double") * $"n_neg"))).as("auc"))
         .orderBy($"lang")
     }),
 
@@ -1630,24 +1636,31 @@ object PipeOps {
     // normalized by the IDEAL ranking's DCG over the same grades.
     // Gains 2^rel − 1 ∈ {0,1,3,7} are exact; log2 is written as
     // ln(r+1)/ln(2) in BOTH engines so the algebra is textually
-    // identical. Two keyed windows + one aggregate per lang — the
-    // rn ≤ 10 predicate prunes map-side via WindowGroupLimit, so the
-    // windows never materialize full partitions at scale.
+    // identical. Each ranking is its own window followed by a REAL
+    // `Filter(rn <= 10)` directly above it — the shape
+    // InferWindowGroupLimit actually rewrites (a rank predicate
+    // buried inside an aggregate CASE does NOT fire it), so each
+    // window keeps a map-side per-lang top-10 heap and never
+    // materializes full partitions at scale. The two ≤10-row-per-lang
+    // aggregates then join on lang (every lang has a rank-1 row, so
+    // the inner join is total).
     "q_pipe_ndcg" -> ((s, d) => {
       import s.implicits._
       val rel = t(s, d, "documents").select($"doc_id",
         least(lit(3.0), floor($"n_chars" / 150)).as("rel"))
       val sc = TextOps.classifyScored(s, d).join(rel, "doc_id")
+        .withColumn("gain", pow(lit(2.0), $"rel") - 1.0)
       val ws = Window.partitionBy($"lang").orderBy($"score".desc, $"doc_id")
       val wi = Window.partitionBy($"lang").orderBy($"rel".desc, $"doc_id")
-      sc.withColumn("rn", row_number().over(ws))
-        .withColumn("irn", row_number().over(wi))
-        .withColumn("gain", pow(lit(2.0), $"rel") - 1.0)
+      val dcg = sc.withColumn("rn", row_number().over(ws))
+        .where($"rn" <= 10)
         .groupBy($"lang").agg(
-          sum(when($"rn" <= 10,
-            $"gain" / (log($"rn" + 1) / log(lit(2.0))))).as("dcg"),
-          sum(when($"irn" <= 10,
-            $"gain" / (log($"irn" + 1) / log(lit(2.0))))).as("idcg"))
+          sum($"gain" / (log($"rn" + 1) / log(lit(2.0)))).as("dcg"))
+      val idcg = sc.withColumn("irn", row_number().over(wi))
+        .where($"irn" <= 10)
+        .groupBy($"lang").agg(
+          sum($"gain" / (log($"irn" + 1) / log(lit(2.0)))).as("idcg"))
+      dcg.join(idcg, "lang")
         .select($"lang", r4($"dcg").as("dcg10"),
           r4($"dcg" / $"idcg").as("ndcg10"))
         .orderBy($"lang")
@@ -2596,8 +2609,10 @@ object PipeOps {
              CAST(SUM(1 - label) AS BIGINT) AS n_neg,
              CASE WHEN SUM(label) = 0 OR SUM(1 - label) = 0 THEN NULL
                   ELSE FLOOR((SUM(CASE WHEN label = 1 THEN ar END)
-                              - SUM(label) * (SUM(label) + 1) / 2.0)
-                             / (SUM(label) * SUM(1 - label)) * 1e4 + 0.5)
+                              - CAST(SUM(label) AS DOUBLE)
+                                * (SUM(label) + 1) / 2.0)
+                             / (CAST(SUM(label) AS DOUBLE) * SUM(1 - label))
+                             * 1e4 + 0.5)
                        / 1e4
              END AS auc
       FROM mid GROUP BY lang ORDER BY lang"""),

@@ -606,23 +606,38 @@ object SimOps {
     }),
   )
 
+  /** Directed within-LSH-cell 3-NN list (va, vb, sim) — the one
+    * candidate pass shared by q_sim_cluster's graph build and
+    * q_sim_nndescent's refinement baseline (memoized via
+    * Tables.derived so a multi-query run pays the cell self-join
+    * once). Pairs come ONLY from a shared 2^6-bit cell — keyed
+    * self-join, never a cartesian; the top-3 cut is a per-vector
+    * keyed window on the rounded sim with vb tie-break. */
+  private[graft] def cellKnn(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.derived(s, d, "sim_cell_knn") {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .withColumn("bucket", expr(lshBucketSpark))
+      val a = emb.select($"bucket", $"vec_id".as("va"), $"embedding".as("ea"))
+      val b = emb.select($"bucket", $"vec_id".as("vb"), $"embedding".as("eb"))
+      a.join(b, Seq("bucket")).where($"va" =!= $"vb")
+        .select($"va", $"vb",
+          (floor(dot($"ea", $"eb") * 1e4 + 0.5) / 1e4).as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"va").orderBy($"sim".desc, $"vb")))
+        .where($"rn" <= 3)
+        .select($"va", $"vb", $"sim")
+        .transform(Tables.ck)
+    }
+
   /** q_sim_cluster's symmetric kNN-graph edges (3 NNs per vector
     * within its LSH cell), exposed so the OpsSpec containment law can
     * run connected components over the SAME graph the query labels. */
   private[graft] def simKnnEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val emb = t(s, d, "embeddings")
-      .withColumn("bucket", expr(lshBucketSpark))
-    val a = emb.select($"bucket", $"vec_id".as("va"), $"embedding".as("ea"))
-    val b = emb.select($"bucket", $"vec_id".as("vb"), $"embedding".as("eb"))
-    val knn = a.join(b, Seq("bucket")).where($"va" =!= $"vb")
-      .select($"va", $"vb",
-        (floor(dot($"ea", $"eb") * 1e4 + 0.5) / 1e4).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"va").orderBy($"sim".desc, $"vb")))
-      .where($"rn" <= 3)
-      .select($"va".as("src"), $"vb".as("dst"))
+    val knn = cellKnn(s, d).select($"va".as("src"), $"vb".as("dst"))
     knn.unionByName(knn.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
   }

@@ -123,8 +123,13 @@ class SeqScanBuilder(n: Long, slices: Int, exactFilters: Boolean = false)
     if (groups.exists(g => !g.contains("tag"))) return false
     val funcs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some("count")
-      // every SeqSource column is non-null, so COUNT(col) ≡ COUNT(*)
-      case c: Count if !c.isDistinct && col(c.column).isDefined =>
+      // COUNT(col) ≡ COUNT(*) only for a non-null column; the guard
+      // checks the SCHEMA (not an assumption) so a future nullable
+      // field fails closed — the rewrite is refused and the planner
+      // falls back to the row scan rather than silently overcounting.
+      case c: Count if !c.isDistinct && col(c.column).exists(name =>
+          SeqSource.fullSchema.fields
+            .find(_.name == name).exists(!_.nullable)) =>
         Some("count")
       case m: Min if col(m.column).contains("val") => Some("min")
       case m: Max if col(m.column).contains("val") => Some("max")
