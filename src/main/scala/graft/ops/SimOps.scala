@@ -604,7 +604,133 @@ object SimOps {
         .groupBy($"cluster").agg(count(lit(1)).as("n_vecs"))
         .orderBy($"n_vecs".desc, $"cluster")
     }),
+
+    // ANN INDEX BUILD/SERVE SPLIT — the composition a real vector
+    // store runs that q_sim_ann_ivf (which recomputes its index
+    // inside the query) deliberately does not: the IVF index
+    // (assignment of every vector to its argmax-dot coarse cell) is
+    // built ONCE per (warehouse, fixture dir) and PERSISTED as a
+    // cell-PARTITIONED managed table ([[annIndex]], the
+    // q_join_bucket/q_join_dpp ensureTable idiom); the declared query
+    // is the SERVE path only — a ≤5-row probe batch (vec_id < 5, the
+    // documented tiny-broadcast query-batch class) joins the index on
+    // the cell partition column, so partition pruning (static or
+    // dynamic) drops every unprobed cell's files before they are
+    // read, and the probe plan performs ZERO assignment work: exactly
+    // one float_dot (query·candidate) appears in the executed plan
+    // (pinned in PlanShapeSpec, along with the index-table scan). At
+    // 10^9 vectors this is the whole point of IVF: build cost is paid
+    // once at write time, and each probe batch touches |batch| cells'
+    // partitions, not the corpus. Top-5 per query via a rank filter
+    // directly above the window (WindowGroupLimit map-side heaps).
+    "q_sim_ann_serve" -> ((s, d) => {
+      import s.implicits._
+      val idx = annIndex(s, d)
+      val qs = idx.where($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"cell".as("qcell"),
+          $"embedding".as("qe"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      idx.join(broadcast(qs), $"cell" === $"qcell")
+        .where($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", $"cell",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 5)
+        .select($"q_id", $"rank", $"vec_id", $"cell", $"sim")
+        .orderBy($"q_id", $"rank")
+    }),
+
+    // ONE NN-DESCENT REFINEMENT ROUND (Dong et al., WWW'11) over the
+    // LSH-cell kNN baseline ([[cellKnn]], the exact edges
+    // q_sim_cluster builds its graph from): a neighbor of my neighbor
+    // is probably my neighbor. The seed graph is cell top-3 ∪ 3
+    // HASH-RANDOM edges per vector (h60(vec_id:k) mod |V| — the
+    // paper's random initialization, made bit-reproducible the
+    // q_graph_randomwalk way). The random edges are load-bearing, not
+    // decoration: the same-bucket relation is TRANSITIVE, so 2-hop
+    // expansion over pure cell edges can never leave a bucket and the
+    // round would be a provable no-op — the random edges are what let
+    // neighbor-of-neighbor candidates cross cells (measured on the
+    // fixture: recall@3 vs brute force 87/1500 cell-only → 267/1500
+    // after one round). Candidates = seed pairs ∪ the 2-hop pairs of
+    // the SYMMETRIZED neighbor lists (forward ∪ reverse, the paper's
+    // general-neighborhood move), deduped, then scored by one keyed
+    // join against the embeddings on each end and re-cut to top-3 per
+    // vector with a rank filter directly above the window
+    // (WindowGroupLimit). Scale: candidates per vector are bounded by
+    // (2·2K)² at K=3 — every join is keyed (vec_id or candidate
+    // pair), the corpus never self-joins unblocked, and each extra
+    // round is the same shape again. The OpsSpec law is the paper's
+    // convergence claim at round granularity: refined recall@3 vs
+    // brute-force strictly beats the cell-pass recall@3.
+    "q_sim_nndescent" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      // |V| is one scalar for the whole job — resolved driver-side
+      // (the q_graph_pagerank move); the oracle's scalar subquery
+      // computes the same value.
+      val n = emb.count()
+      val rnd = emb
+        .select($"vec_id", explode(array(lit(1), lit(2), lit(3))).as("k"))
+        .select($"vec_id".as("va"),
+          (Tables.h60(concat($"vec_id".cast("string"), lit(":"),
+            $"k".cast("string"))) % n).as("vb"))
+        .where($"vb" =!= $"va")
+      val base = cellKnn(s, d).select($"va", $"vb")
+        .unionByName(rnd).distinct()
+      val sym = base
+        .unionByName(base.select($"vb".as("va"), $"va".as("vb")))
+        .distinct()
+      val cand = sym.as("x")
+        .join(sym.as("y"), col("x.vb") === col("y.va"))
+        .select(col("x.va").as("va"), col("y.vb").as("vb"))
+        .where($"va" =!= $"vb")
+        .unionByName(base)
+        .distinct()
+      val scored = cand
+        .join(emb.select($"vec_id".as("va"), $"embedding".as("ea")),
+          Seq("va"))
+        .join(emb.select($"vec_id".as("vb"), $"embedding".as("eb")),
+          Seq("vb"))
+        .select($"va", $"vb",
+          (floor(dot($"ea", $"eb") * 1e4 + 0.5) / 1e4).as("sim"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy($"va").orderBy($"sim".desc, $"vb")))
+        .where($"rank" <= 3)
+        .select($"va".as("vec_id"), $"rank", $"vb".as("nbr"), $"sim")
+        .orderBy($"vec_id", $"rank")
+    }),
   )
+
+  /** q_sim_ann_serve's materialized IVF index: the q_sim_ann_ivf
+    * assignment pass (centroids = vec_id < 8, argmax on the r4 dot
+    * grid with cid tie-break — grid and tie-break identical so the
+    * two rows' cells provably agree) run ONCE per (warehouse,
+    * fixture dir) and persisted as a managed table PARTITIONED BY
+    * cell. Partitioning, not bucketing, is the serving layout: a
+    * probe touches |batch| cells, and partition pruning removes the
+    * other cells' files from the scan entirely — the index-side
+    * analogue of q_join_dpp. Embeddings round-trip parquet as exact
+    * float32, so the DuckDB oracle recomputing the assignment from
+    * the raw embeddings table sees bit-identical vectors. */
+  private[graft] def annIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val name = "graft_ann_ivf_" + d.replaceAll("[^A-Za-z0-9_]", "_")
+    LayoutOps.ensureTable(s, name) {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+      emb.crossJoin(broadcast(cents))
+        .withColumn("cdot",
+          floor(dot($"embedding", $"ce") * 1e4 + 0.5) / 1e4)
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"vec_id", $"label", $"embedding", $"cid".as("cell"))
+        .write.partitionBy("cell").mode("overwrite").saveAsTable(name)
+    }
+    s.table(name)
+  }
 
   /** Directed within-LSH-cell 3-NN list (va, vb, sim) — the one
     * candidate pass shared by q_sim_cluster's graph build and
@@ -823,6 +949,96 @@ object SimOps {
       ORDER BY rrf DESC, doc_id
       LIMIT 10""",
     "q_sim_cluster" -> simClusterSql,
+
+    // The oracle recomputes the WHOLE index from the raw embeddings
+    // table (assignment grid, tie-break, and probe algebra identical
+    // to q_sim_ann_ivf's oracle) — so a drift between the persisted
+    // table and a fresh build fails the differential.
+    "q_sim_ann_serve" -> """
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id < 8),
+      dots AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               FLOOR((list_sum(list_transform(list_zip(e.embedding, c.ce),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS cdot
+        FROM embeddings e CROSS JOIN cents c),
+      cells AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT vec_id, embedding, cid AS cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cdot DESC, cid) AS rn
+          FROM dots) WHERE rn = 1),
+      qs AS (SELECT vec_id AS q_id, cell AS qcell, embedding AS qe
+             FROM cells WHERE vec_id < 5),
+      probed AS (
+        SELECT q.q_id, v.vec_id, v.cell,
+               FLOOR((list_sum(list_transform(list_zip(v.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM cells v JOIN qs q ON v.cell = q.qcell
+        WHERE v.vec_id <> q.q_id)
+      SELECT q_id, rank, vec_id, cell, sim FROM (
+        SELECT q_id, vec_id, cell, sim,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, vec_id) AS rank
+        FROM probed) WHERE rank <= 5
+      ORDER BY q_id, rank""",
+
+    // Identical cells / 3-NN cut / hash-random seed edges /
+    // neighbor-of-neighbor expansion / re-cut; the sym CTE's UNION
+    // dedupes the reversed edges exactly as Spark's distinct does,
+    // and |V| comes from the scalar subquery where Spark folds in the
+    // driver-side count (same value by construction).
+    "q_sim_nndescent" -> s"""
+      WITH sigs AS (
+        SELECT vec_id, embedding, ($lshBucketDuck) AS bucket
+        FROM embeddings),
+      pairsim AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               FLOOR((list_sum(list_transform(
+                 list_zip(a.embedding, b.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM sigs a JOIN sigs b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      knn AS (
+        SELECT va, vb, sim FROM (
+          SELECT va, vb, sim,
+                 row_number() OVER (PARTITION BY va
+                   ORDER BY sim DESC, vb) AS rn
+          FROM pairsim) WHERE rn <= 3),
+      rnd AS (
+        SELECT e.vec_id AS va,
+               CAST('0x' || substring(md5(CAST(e.vec_id AS VARCHAR)
+                 || ':' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                 % (SELECT count(*) FROM embeddings) AS vb
+        FROM embeddings e CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+      base AS (SELECT va, vb FROM knn
+               UNION SELECT va, vb FROM rnd WHERE va <> vb),
+      sym AS (SELECT va, vb FROM base
+              UNION SELECT vb AS va, va AS vb FROM base),
+      cand AS (
+        SELECT DISTINCT va, vb FROM (
+          SELECT x.va AS va, y.vb AS vb
+          FROM sym x JOIN sym y ON x.vb = y.va
+          WHERE x.va <> y.vb
+          UNION ALL SELECT va, vb FROM base)),
+      scored AS (
+        SELECT c.va, c.vb,
+               FLOOR((list_sum(list_transform(
+                 list_zip(a.embedding, b.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM cand c JOIN embeddings a ON a.vec_id = c.va
+                    JOIN embeddings b ON b.vec_id = c.vb)
+      SELECT va AS vec_id, rank, vb AS nbr, sim FROM (
+        SELECT va, vb, sim,
+               row_number() OVER (PARTITION BY va
+                 ORDER BY sim DESC, vb) AS rank
+        FROM scored) WHERE rank <= 3
+      ORDER BY vec_id, rank""",
 
     "q_sim_range" -> """
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -17,6 +17,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Table-backed queries (bucketed joins, the ANN serve index)
+      // must not leave a spark-warehouse/ in the repo working tree.
+      .config("spark.sql.warehouse.dir", graft.TempWarehouse.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.drop(1).foreach { name =>

@@ -12,6 +12,7 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", graft.TempWarehouse.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")

@@ -20,6 +20,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", graft.TempWarehouse.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Tables.names.foreach { n =>

@@ -10,6 +10,7 @@ object TimeQ {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", graft.TempWarehouse.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

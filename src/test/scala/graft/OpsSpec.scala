@@ -1597,6 +1597,40 @@ class OpsSpec extends GraftSuite {
     assert(spans === 0L, "an LPA cluster must never span two components")
   }
 
+  test("q_sim_nndescent: one round strictly improves recall@3 over the cell pass") {
+    import org.apache.spark.sql.functions._
+    // Ground truth: brute-force top-3 per vector on the SAME rounded
+    // sim + vb tie-break, recomputed driver-side from the raw vectors.
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      math.floor(s * 1e4 + 0.5) / 1e4
+    }
+    val truth: Map[Long, Set[Long]] = vecs.map { case (v, ev) =>
+      v -> vecs.keysIterator.filter(_ != v).toSeq
+        .sortBy(u => (-sim(ev, vecs(u)), u)).take(3).toSet
+    }
+    def recall(edges: Map[Long, Set[Long]]): Int =
+      truth.iterator.map { case (v, t) =>
+        (edges.getOrElse(v, Set.empty) & t).size }.sum
+    val base = ops.SimOps.cellKnn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val refined = q("q_sim_nndescent", sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val (rb, rr) = (recall(base), recall(refined))
+    // Measured on this fixture: 87 → 267 of 1500. The strict
+    // inequality is the round's whole claim (Dong et al.'s
+    // convergence, observable after one round) — if a regenerated
+    // fixture ever lands geometrically degenerate, this fails the
+    // spec, not the differential.
+    assert(rr > rb, s"refined recall@3 ($rr) must beat cell-pass ($rb)")
+  }
+
   test("ccLabels: plain walks the diameter, doubling takes log rounds, labels agree") {
     // A 12-node path has diameter 11: the min label must walk the
     // whole chain under plain propagation (~11 rounds — one round of

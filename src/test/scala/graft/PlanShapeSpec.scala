@@ -582,4 +582,30 @@ class PlanShapeSpec extends GraftSuite {
           col("event_id").as("r_eid"), col("value").as("r_val")),
       "user_id", "ts", "event_id", "r_user", "r_ts", "r_eid", band)))
   }
+
+  test("q_sim_ann_serve: probe scans the persisted index, zero assignment work") {
+    val df = q("q_sim_ann_serve", sf0001)
+    df.collect() // materialize so AQE finalizes the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    // The serve plan must read the MATERIALIZED index table...
+    assert(p.contains("graft_ann_ivf_"),
+      s"probe must scan the persisted index table:\n$p")
+    // ...and rebuild nothing: the build pass's centroid-dot column
+    // (cdot) and its argmax window exist only at write time, and the
+    // one float_dot in the plan is the query·candidate probe score.
+    assert(!p.contains("cdot"),
+      s"assignment work leaked into the serve plan:\n$p")
+    // AQE's toString prints the probe Project in both its Final and
+    // Initial sections, so count SHAPES, not occurrences: every
+    // float_dot in the plan must be the query·candidate probe (dot
+    // against qe) — the build pass's centroid dot (against ce) must
+    // not appear.
+    val dots = p.linesIterator.filter(_.contains("float_dot")).toSeq
+    assert(dots.nonEmpty && dots.forall(_.contains("qe#")),
+      s"only the probe dot may appear in the serve plan:\n$p")
+    // Cell partition pruning: the probe side's partition filter is the
+    // dynamic subquery over the query batch's cells.
+    assert(p.contains("dynamicpruning"),
+      s"probe must prune index partitions by the batch's cells:\n$p")
+  }
 }
