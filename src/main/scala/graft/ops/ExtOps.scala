@@ -598,6 +598,36 @@ object ExtOps {
         .orderBy($"doc_id")
     }),
 
+    // AUDIO through the SECOND real JDK codec — proof the imperative
+    // decode path is codec-agnostic, not image-shaped: per document a
+    // deterministic PCM waveform (sample(i) = integer formula of
+    // (doc_id, i), varied sample rates and clip lengths) is ENCODED
+    // as a real WAV via javax.sound.sampled in one mapPartitions
+    // stage, carried as a binary column, then DECODED by
+    // javax.sound.sampled in a second stage emitting per-clip
+    // features: container sample rate, frame count, exact peak/Σs²
+    // folds, and two byte-order-sensitive sample probes. RMS is
+    // derived from the exact integer Σs² (< 2^53, so the double
+    // division is the same in both engines). The oracle replays the
+    // sample FORMULA — it never sees the bytes, so a header-parse or
+    // endianness bug fails the differential. At 100 TB this is the
+    // production audio shape: opaque blob → per-partition codec →
+    // typed features; only the codec body changes for MP3/FLAC.
+    "q_multimodal_audio" -> ((s, d) => {
+      import s.implicits._
+      val clips = t(s, d, "documents").where($"doc_id" < 250)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.sources.BinaryFrames.encodeWav(id))))
+        .toDF("doc_id", "blob")
+      graft.sources.BinaryFrames.decodeAudio(clips).toDF()
+        .select($"doc_id", $"sample_rate", $"n_samples", $"peak",
+          $"s0", $"s_mid", $"sumsq",
+          (floor(sqrt($"sumsq" * lit(1.0) / $"n_samples") * 1e4 + 0.5)
+            / 1e4).as("rms"))
+        .orderBy($"doc_id")
+    }),
+
     // PERCEPTUAL image near-dup (aHash): dedup by decoded CONTENT, not
     // raw bytes (q_multimodal_dedup's chunk fingerprints would treat a
     // re-encoded or one-pixel-edited copy as a different asset; the
@@ -1023,6 +1053,33 @@ object ExtOps {
                CAST(SUM(v) AS BIGINT) AS thumb_sum
         FROM grid
         GROUP BY doc_id, w, h
+        ORDER BY doc_id""",
+
+      // The audio oracle replays the integer sample formula — it
+      // never sees the WAV bytes, so agreement proves the whole
+      // encode→binary-column→javax.sound-decode round trip preserved
+      // the header fields and every little-endian sample.
+      "q_multimodal_audio" -> """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(8000 + doc_id % 4 * 4000 AS INT) AS sample_rate,
+                 CAST(200 + doc_id % 7 * 40 AS BIGINT) AS n_samples
+          FROM documents WHERE doc_id < 250),
+        sm AS (
+          SELECT d.doc_id, d.sample_rate, d.n_samples, i.i,
+                 CAST(((d.doc_id * 31 + i.i * 17) % 4001 - 2000) * 16
+                      AS INT) AS s
+          FROM d, LATERAL (SELECT unnest(range(d.n_samples)) AS i) i)
+        SELECT doc_id, sample_rate, n_samples,
+               CAST(MAX(abs(s)) AS INT) AS peak,
+               CAST(MIN(CASE WHEN i = 0 THEN s END) AS INT) AS s0,
+               CAST(MIN(CASE WHEN i = n_samples // 2 THEN s END) AS INT)
+                 AS s_mid,
+               CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sumsq,
+               FLOOR(sqrt(CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT)
+                 * 1.0 / n_samples) * 1e4 + 0.5) / 1e4 AS rms
+        FROM sm
+        GROUP BY doc_id, sample_rate, n_samples
         ORDER BY doc_id""",
 
       // The phash oracle recomputes average-hash signatures from the

@@ -23,6 +23,13 @@ case class ImgSig(doc_id: Long, w: Int, h: Int, ahash: Long)
 case class ThumbMeta(doc_id: Long, w: Int, h: Int,
                      t00: Int, tbr: Int, thumb_sum: Long)
 
+/** Decoded-audio features (see [[BinaryFrames.decodeAudio]]): the
+  * container-declared sample rate and frame count, exact integer
+  * amplitude folds (peak, Σs²), and two sample probes — s0 and the
+  * mid sample — that pin the decoder's byte order. */
+case class AudioMeta(doc_id: Long, sample_rate: Int, n_samples: Long,
+                     peak: Int, s0: Int, s_mid: Int, sumsq: Long)
+
 /** Imperative decode plumbing for multimodal binary columns — the
   * Scala analog of a `mapInPandas` decode stage: a per-partition
   * iterator over (id, payload) pairs feeding a codec, emitting a
@@ -206,6 +213,80 @@ object BinaryFrames {
             ty += 1
           }
           ThumbMeta(id, w, h, px(0, 0), px(tw - 1, th - 1), sum)
+        }
+      }
+  }
+
+  /** The deterministic test clip for `doc_id`: 16-bit signed PCM mono
+    * WAV, sample rate 8000 + (id mod 4)·4000 Hz, 200 + (id mod 7)·40
+    * samples, sample(i) = ((id·31 + i·17) mod 4001 − 2000)·16 — pure
+    * integer arithmetic, so the DuckDB oracle replays every sample
+    * without ever seeing the bytes (the [[encodeBmp]] convention,
+    * applied to the second real JDK codec). Encoded through the REAL
+    * javax.sound.sampled WAV writer — header layout, chunk sizes, and
+    * little-endian sample packing are the library's, not ours. */
+  def sampleFormula(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 17) % 4001 - 2000) * 16).toInt
+
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = (200 + id % 7 * 40).toInt
+    val sr = (8000 + id % 4 * 4000).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleFormula(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode through the same per-partition imperative path
+    * as [[decodeImages]]: binary column in, javax.sound.sampled WAV
+    * parse per row, typed per-clip features out. The s0/s_mid probes
+    * are byte-order-sensitive (a decoder that ignores the container's
+    * declared endianness swaps their bytes and fails the
+    * differential); peak/sumsq are exact integer folds, so the
+    * downstream RMS is computed from exact operands in both engines.
+    * An unparseable payload is a hard error by design — silent nulls
+    * would hide codec drift from the differential. */
+  def decodeAudio(df: DataFrame): Dataset[AudioMeta] = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id", $"blob").as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"unexpected wav format for doc $id: $fmt")
+          val n = ais.getFrameLength.toInt
+          val raw = ais.readNBytes(n * 2)
+          require(raw.length == n * 2, s"truncated wav payload for doc $id")
+          def sample(i: Int): Int =
+            if (fmt.isBigEndian) (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)
+            else (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+          var peak = 0
+          var sumsq = 0L
+          var i = 0
+          while (i < n) {
+            val s = sample(i)
+            if (math.abs(s) > peak) peak = math.abs(s)
+            sumsq += s.toLong * s
+            i += 1
+          }
+          AudioMeta(id, fmt.getSampleRate.toInt, n, peak,
+            sample(0), sample(n / 2), sumsq)
         }
       }
   }

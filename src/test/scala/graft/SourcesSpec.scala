@@ -207,6 +207,51 @@ class SourcesSpec extends GraftSuite {
     }
   }
 
+  test("BinaryFrames WAV round trip: real javax.sound decode recovers every sample") {
+    import graft.sources.BinaryFrames
+    // The encoded payload is a genuine RIFF/WAVE container, not raw
+    // PCM — header magic proves the library writer ran.
+    val bytes = BinaryFrames.encodeWav(5L)
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    // Decode independently of the query path: header fields and every
+    // sample must replay the integer formula — this pins byte order
+    // (a big/little-endian swap garbles nearly every sample).
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate.toInt === 8000 + (5 % 4) * 4000)
+    val n = ais.getFrameLength.toInt
+    assert(n === 200 + (5 % 7) * 40)
+    val raw = ais.readNBytes(n * 2)
+    for (i <- 0 until n) {
+      val s =
+        if (fmt.isBigEndian) (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)
+        else (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+      assert(s === BinaryFrames.sampleFormula(5L, i), s"sample $i")
+    }
+    // And through the declared two-stage mapPartitions path — one id
+    // per sample-rate residue class, so all four header variants
+    // round-trip.
+    import spark.implicits._
+    val metas = BinaryFrames.decodeAudio(
+      spark.range(4).select($"id".as("doc_id"))
+        .as[Long].map(id => (id, BinaryFrames.encodeWav(id)))
+        .toDF("doc_id", "blob")).collect().sortBy(_.doc_id)
+    assert(metas.map(_.doc_id).toSeq === Seq(0L, 1L, 2L, 3L))
+    metas.foreach { m =>
+      assert(m.sample_rate === (8000 + m.doc_id % 4 * 4000).toInt)
+      assert(m.n_samples === 200 + m.doc_id % 7 * 40)
+      assert(m.s0 === BinaryFrames.sampleFormula(m.doc_id, 0))
+      assert(m.s_mid ===
+        BinaryFrames.sampleFormula(m.doc_id, (m.n_samples / 2).toInt))
+      val sums = (0 until m.n_samples.toInt).map { i =>
+        val s = BinaryFrames.sampleFormula(m.doc_id, i).toLong; s * s
+      }.sum
+      assert(m.sumsq === sums, s"doc ${m.doc_id}: exact energy fold")
+    }
+  }
+
   test("q_multimodal_resize is the identity on an already-4x3 source image") {
     // doc_id ≡ 0 (mod 20) ⇒ encodeBmp dims are exactly the 4×3
     // target, so every thumb pixel samples itself: thumb_sum must
