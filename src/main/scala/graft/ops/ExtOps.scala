@@ -397,6 +397,34 @@ object ExtOps {
         .orderBy($"doc_id")
     }),
 
+    // EXACT substring dedup (Lee et al. 2021, "Deduplicating Training
+    // Data Makes Language Models Better" — the suffix-array tool's
+    // semantics, reached by DISTRIBUTED PREFIX DOUBLING instead of a
+    // single-node suffix array): emit every MAXIMAL duplicated span
+    // with exact character boundaries, where a character is
+    // duplicated iff SOME ≥30-char substring covering it occurs ≥2
+    // times in the corpus. The windowed sibling (q_dedup_substr)
+    // under-marks spans that align badly with its stride grid; this
+    // row marks them exactly — see [[substrExactSpans]] for the
+    // algorithm, the coverage-equivalence proof, and the 100 TB cost
+    // accounting. Output: one row per maximal span (1-based start,
+    // exact length) plus the doc's total duplicated chars and
+    // fraction — precisely what the published tool cuts out of each
+    // document.
+    "q_dedup_substr_exact" -> ((s, d) => {
+      import s.implicits._
+      val dl = t(s, d, "documents")
+        .select($"doc_id", length($"text").as("len"))
+      val wdoc = Window.partitionBy($"doc_id")
+      substrExactSpans(s, d).join(dl, "doc_id")
+        .withColumn("dup_chars", sum($"span_len").over(wdoc))
+        .select($"doc_id", $"span_start", $"span_len", $"dup_chars",
+          (floor($"dup_chars" * lit(1.0) / $"len" * 1e4 + 0.5) / 1e4)
+            .as("dup_frac"))
+        .where($"doc_id" < 1000)
+        .orderBy($"doc_id", $"span_start")
+    }),
+
     // Embedding-cosine near-dup: label-blocked pair scan, keep-lowest-
     // id survivor policy, per-label survivor/dropped counts.
     "q_dedup_embed" -> ((s, d) => {
@@ -715,6 +743,95 @@ object ExtOps {
 
   /** DuckDB SimHash signature CTE, generated with the same bit logic
     * as the Spark side. */
+  /** q_dedup_substr_exact's maximal duplicated spans (doc_id,
+    * span_start 1-based, span_len), computed EXACTLY by distributed
+    * prefix doubling — the Manber–Myers suffix discipline run as
+    * keyed joins (the q_graph_scc pointer-doubling posture applied to
+    * text).
+    *
+    * Correctness rests on a coverage equivalence that replaces "find
+    * all maximal repeats" with a fixed-length class census: a
+    * character is covered by SOME duplicated substring of length ≥ 30
+    * iff some 30-char window containing it occurs ≥ 2 times (⇒: a
+    * covering repeat of length m ≥ 30 contains a 30-window over the
+    * character, and that window repeats wherever the span does; ⇐: a
+    * repeated 30-window IS such a substring). So exact per-character
+    * marking needs equality classes of every position's 30-char
+    * prefix — nothing longer, which is what bounds the rounds.
+    *
+    * The doubling: cls_ℓ(i) identifies the first min(ℓ, doc_end−i)
+    * chars at position i. cls_1 labels single chars (min-gid per
+    * char value — exact for any unicode, no hash anywhere); each
+    * round forms (cls_ℓ(i), cls_ℓ(i+ℓ)) — sentinel −1 past the doc
+    * end, so truncated suffixes keep distinct classes — and relabels
+    * the pair by min-gid over its equivalence class: one keyed
+    * self-join on (doc, pos) + one keyed agg + one keyed join back.
+    * FOUR rounds reach cls_16, and the 30-char class is the OVERLAP
+    * pair (cls_16(i), cls_16(i+14)) — equal iff chars [i, i+30)
+    * equal. A window key occurring ≥ 2 times anywhere in the corpus
+    * (including twice in one doc — the published tool's semantics;
+    * the windowed sibling demands 2 distinct docs, which implies
+    * this) marks starts; runs of starts ≤ 30 apart coalesce into
+    * maximal spans by one per-doc gaps-and-islands window.
+    *
+    * 100 TB accounting: n = corpus chars. Rows shuffled are
+    * O(n · log 30) — 4 doubling rounds + the window/census joins,
+    * every one keyed on (doc, pos) or a class id, no global sort
+    * anywhere (class labels are min-gids, not ranks, so no
+    * total-order pass is ever needed). That beats the published
+    * single-node tool's memory wall (it holds SA+LCP in RAM) and
+    * undercuts full distributed suffix sorting, which needs log n
+    * rounds — window-length classes cap the doubling at log L. The
+    * one encoding bound: gid = doc_id·2^20 + pos caps docs at 1M
+    * chars (fixture max ≈ 600; the Lee et al. pipeline also
+    * length-caps before SA construction) — past that a deployment
+    * swaps gid to a (doc_id, pos) struct label at +8 bytes/row.
+    * Fixture cost: sf0.1 is 1.5M char rows through 4 keyed rounds. */
+  private[graft] def substrExactSpans(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.derived(s, d, "substr_exact_spans") {
+      import s.implicits._
+      val ch = t(s, d, "documents")
+        .select($"doc_id", posexplode(split($"text", "")))
+        .where($"col" =!= "") // engine-version-proof trailing-empty guard
+        .select($"doc_id", $"pos",
+          ($"doc_id" * (1L << 20) + $"pos").as("gid"), $"col".as("c"))
+      val c0 = ch.join(ch.groupBy($"c").agg(min($"gid").as("cls")), "c")
+        .select($"doc_id", $"pos", $"gid", $"cls")
+      val cls16 = Seq(1, 2, 4, 8).foldLeft(c0) { (cur, off) =>
+        val nxt = cur.select($"doc_id", ($"pos" - off).as("pos"),
+          $"cls".as("cls2"))
+        val keyed = cur.join(nxt, Seq("doc_id", "pos"), "left")
+          .select($"doc_id", $"pos", $"gid", $"cls",
+            coalesce($"cls2", lit(-1L)).as("cls2"))
+        Tables.ck(keyed
+          .join(keyed.groupBy($"cls", $"cls2").agg(min($"gid").as("ncls")),
+            Seq("cls", "cls2"))
+          .select($"doc_id", $"pos", $"gid", $"ncls".as("cls")))
+      }
+      val wins = cls16
+        .join(cls16.select($"doc_id", ($"pos" - 14).as("pos"),
+          $"cls".as("clsb")), Seq("doc_id", "pos"))
+        .join(cls16.select($"doc_id", ($"pos" - 29).as("pos")),
+          Seq("doc_id", "pos"), "left_semi")
+        .select($"doc_id", $"pos", $"cls", $"clsb")
+      val dup = wins.groupBy($"cls", $"clsb")
+        .agg(count(lit(1)).as("cnt")).where($"cnt" >= 2)
+        .select($"cls", $"clsb")
+      val starts = wins.join(dup, Seq("cls", "clsb"), "left_semi")
+        .select($"doc_id", $"pos")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      starts
+        .withColumn("brk", when(lag($"pos", 1).over(w).isNull
+          || $"pos" > lag($"pos", 1).over(w) + 30, 1L).otherwise(0L))
+        .withColumn("grp", sum($"brk").over(w))
+        .groupBy($"doc_id", $"grp")
+        .agg((min($"pos") + 1).as("span_start"),
+          (max($"pos") - min($"pos") + 30).as("span_len"))
+        .select($"doc_id", $"span_start", $"span_len")
+        .transform(Tables.ck)
+    }
+
   private def simhashSql: String = {
     val sums = (0 until SimBits).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -884,6 +1001,46 @@ object ExtOps {
         GROUP BY w.doc_id
         HAVING SUM(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0 END) > 0
         ORDER BY w.doc_id""",
+
+      // Brute-force maximal-span extraction: STRIDE-1 raw-text
+      // windows (the coverage-equivalence makes this exact — see
+      // substrExactSpans), duplicated-start islands coalesced with
+      // the identical ≤30-gap rule. The oracle keys on raw window
+      // TEXT while Spark keys on doubling classes, so the
+      // differential checks the whole class construction.
+      "q_dedup_substr_exact" -> """
+        WITH wins AS (
+          SELECT d.doc_id, i.i, substr(d.text, CAST(i.i AS INT), 30) AS w
+          FROM documents d,
+               LATERAL (SELECT unnest(range(1, len(d.text) - 28)) AS i) i),
+        dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+        st AS (SELECT wi.doc_id, wi.i FROM wins wi JOIN dup USING (w)),
+        isl AS (
+          SELECT doc_id, i,
+                 CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                        IS NULL
+                      OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                        + 30
+                      THEN 1 ELSE 0 END AS brk
+          FROM st),
+        isl2 AS (SELECT doc_id, i,
+                        SUM(brk) OVER (PARTITION BY doc_id ORDER BY i)
+                          AS grp
+                 FROM isl),
+        spans AS (SELECT doc_id, MIN(i) AS span_start,
+                         MAX(i) - MIN(i) + 30 AS span_len
+                  FROM isl2 GROUP BY doc_id, grp),
+        agg AS (SELECT doc_id, span_start, span_len,
+                       CAST(SUM(span_len) OVER (PARTITION BY doc_id)
+                            AS BIGINT) AS dup_chars
+                FROM spans)
+        SELECT a.doc_id, CAST(span_start AS BIGINT) AS span_start,
+               CAST(span_len AS BIGINT) AS span_len, dup_chars,
+               FLOOR(dup_chars * 1.0 / len(dd.text) * 1e4 + 0.5) / 1e4
+                 AS dup_frac
+        FROM agg a JOIN documents dd ON a.doc_id = dd.doc_id
+        WHERE a.doc_id < 1000
+        ORDER BY a.doc_id, span_start""",
 
       "q_dedup_embed" -> s"""
         WITH pairs AS ($embedPairsSql),

@@ -1597,6 +1597,58 @@ class OpsSpec extends GraftSuite {
     assert(spans === 0L, "an LPA cluster must never span two components")
   }
 
+  test("q_dedup_substr_exact: matches brute force; windowed marks are a subset") {
+    import org.apache.spark.sql.functions._
+    // Brute-force ground truth at sf0.001, driver-side on raw text:
+    // stride-1 30-char windows occurring >= 2 times anywhere mark
+    // covered characters; maximal runs are the expected spans. This
+    // is exact by the coverage equivalence (see substrExactSpans) and
+    // shares NOTHING with the query's doubling-class construction.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val winCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, t) <- docs; i <- 0 to t.length - 30)
+      winCount.updateWith(t.substring(i, i + 30))(c => Some(c.getOrElse(0) + 1))
+    val covered: Map[Long, Set[Int]] = docs.map { case (id, t) =>
+      id -> (0 to t.length - 30).iterator
+        .filter(i => winCount(t.substring(i, i + 30)) >= 2)
+        .flatMap(i => i until i + 30).toSet
+    }
+    def runs(s: Set[Int]): Seq[(Int, Int)] = { // (1-based start, len)
+      val sorted = s.toSeq.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      for (p <- sorted) out.lastOption match {
+        case Some((st, ln)) if st - 1 + ln == p => out(out.size - 1) = (st, ln + 1)
+        case _ => out += ((p + 1, 1))
+      }
+      out.toSeq
+    }
+    val expected = covered.toSeq.filter(_._2.nonEmpty)
+      .flatMap { case (id, s) => runs(s).map { case (st, ln) => (id, st.toLong, ln.toLong) } }
+      .sorted
+    val got = q("q_dedup_substr_exact", sf0001).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue)).toSeq.sorted
+    assert(got === expected, "spans must equal the brute-force maximal runs")
+    assert(got.nonEmpty, "fixture must contain duplicated spans")
+    // Subset law vs the windowed sibling: its stride-grid windows
+    // (duplicated across >= 2 DISTINCT docs — strictly stronger than
+    // the exact row's >= 2 occurrences) may only ever mark characters
+    // the exact row also marks.
+    val strideCount = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, t) <- docs if id < 1000 && t.length >= 30;
+         k <- 0 to (t.length - 30) / 10)
+      strideCount.updateWith(t.substring(k * 10, k * 10 + 30))(
+        ds => Some(ds.getOrElse(Set.empty) + id))
+    for ((id, t) <- docs if id < 1000 && t.length >= 30;
+         k <- 0 to (t.length - 30) / 10
+         if strideCount(t.substring(k * 10, k * 10 + 30)).size >= 2;
+         p <- k * 10 until k * 10 + 30)
+      assert(covered(id).contains(p),
+        s"windowed mark (doc $id, char $p) missing from exact coverage")
+  }
+
   test("q_sim_nndescent: one round strictly improves recall@3 over the cell pass") {
     import org.apache.spark.sql.functions._
     // Ground truth: brute-force top-3 per vector on the SAME rounded
