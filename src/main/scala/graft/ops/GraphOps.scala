@@ -868,6 +868,88 @@ object GraphOps {
         .orderBy($"seed")
     }),
 
+    // APPROXIMATE BETWEENNESS CENTRALITY — Brandes' exact dependency
+    // accumulation (2001) run from a SAMPLED pivot set (Brandes &
+    // Pich 2007): the standard "which nodes sit on the paths"
+    // centrality next to PageRank/HITS/closeness, and the one that is
+    // O(|V|·|E|) exact — pivot sampling is how every production graph
+    // stack ships it. Pivots: the 4 nodes with smallest h60(node) —
+    // a deterministic uniform sample (hash, not degree-biased seeds:
+    // Brandes-Pich prescribe uniform pivots for an unbiased
+    // estimator). Forward: 4 hops of multi-source BFS carrying the
+    // shortest-path COUNT σ (one keyed frontier⋈edges join + keyed
+    // σ-sum + visited anti join per hop — q_graph_closeness's MS-BFS
+    // with one extra aggregated column; diameter ≤ 4 on every fixture
+    // SF, and the OpsSpec recount asserts pivot eccentricity ≤ 4 so a
+    // regenerated deeper graph fails the spec, not the differential).
+    // Backward: Brandes' δ(v) = Σ_{w∈succ(v)} σv/σw · (1+δw),
+    // accumulated level-by-level (3 sweeps, unrolled) in EXACT
+    // integer MICRO-units: each edge contribution is
+    // floor(σv·(1e6+δw_micro)/σw + 0.5) — one double multiply+divide
+    // on exact integer operands, written operation-identically in the
+    // oracle, then summed order-free as BIGINT (the q_text_dsir
+    // move; a plain double δ-sum would be summation-order-sensitive
+    // across engines). Estimate: bc(v) = (|V|/2k)·Σ_pivots δ(v)
+    // (undirected pair double-count folded in), top-20. Scale: every
+    // stage is the closeness BFS shape — frontier/visited/δ tables
+    // are (k·|V|)-bounded broadcasts with the documented SHUFFLE_HASH
+    // + bucketed-edges swap past a few hundred million rows; k is the
+    // accuracy/cost knob, pivots are embarrassingly batchable.
+    "q_graph_betweenness" -> ((s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d)
+      val n = tradeDeg(s, d).count()
+      val piv = tradeDeg(s, d)
+        .orderBy(Tables.h60($"src"), $"src").limit(4)
+        .select($"src".as("seed"))
+      var frontier = piv
+        .select($"seed", $"seed".as("node"), lit(1L).as("sig"))
+      var visited = frontier.select($"seed", $"node")
+      var levels = Vector(frontier)
+      (1 to 4).foreach { _ =>
+        frontier = edges
+          .join(broadcast(frontier
+            .select($"seed", $"node".as("src"), $"sig")), Seq("src"))
+          .select($"seed", $"dst".as("node"), $"sig")
+          .groupBy($"seed", $"node").agg(sum($"sig").as("sig"))
+          .join(broadcast(visited), Seq("seed", "node"), "left_anti")
+          .transform(Tables.ck)
+        visited = visited.unionByName(frontier.select($"seed", $"node"))
+        levels = levels :+ frontier
+      }
+      def sweep(par: org.apache.spark.sql.DataFrame,
+          child: org.apache.spark.sql.DataFrame,
+          childDm: Option[org.apache.spark.sql.DataFrame]) = {
+        val cd = childDm match {
+          case Some(dm) => child.join(dm, Seq("seed", "node"), "left")
+            .select($"seed", $"node", $"sig",
+              coalesce($"dm", lit(0L)).as("dm"))
+          case None => child
+            .select($"seed", $"node", $"sig", lit(0L).as("dm"))
+        }
+        edges
+          .join(broadcast(cd.select($"seed", $"node".as("dst"),
+            $"sig".as("wsig"), $"dm")), Seq("dst"))
+          .join(broadcast(par.select($"seed", $"node".as("src"),
+            $"sig".as("vsig"))), Seq("seed", "src"))
+          .select($"seed", $"src".as("node"),
+            floor($"vsig".cast("double") * (lit(1000000L) + $"dm")
+              / $"wsig" + 0.5).cast("long").as("c"))
+          .groupBy($"seed", $"node").agg(sum($"c").as("dm"))
+          .transform(Tables.ck)
+      }
+      val d3 = sweep(levels(3), levels(4), None)
+      val d2 = sweep(levels(2), levels(3), Some(d3))
+      val d1 = sweep(levels(1), levels(2), Some(d2))
+      d1.unionByName(d2).unionByName(d3)
+        .groupBy($"node").agg(sum($"dm").as("dm"))
+        .select($"node",
+          (floor(lit(n / 8.0) * $"dm" / 1e6 * 1e4 + 0.5) / 1e4)
+            .as("betweenness"))
+        .orderBy($"betweenness".desc, $"node")
+        .limit(20)
+    }),
+
     // DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec sampling
     // stage that feeds graph-embedding training: one length-3 walk
     // from EVERY node, the step at node u chosen by the cross-engine
@@ -1359,6 +1441,85 @@ object GraphOps {
       SELECT seed, count(*) AS n_reached,
              FLOOR(SUM(1.0 / dist) * 1e4 + 0.5) / 1e4 AS harmonic
       FROM allr GROUP BY seed ORDER BY seed""",
+
+      // Brandes unrolled: 4 σ-carrying BFS levels, then the 3 δ
+      // sweeps with the identical per-edge micro-unit floor — every
+      // contribution is an exact-integer-operand double op, so the
+      // BIGINT sums agree order-free.
+      "q_graph_betweenness" -> """
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY src),
+      piv AS (SELECT node AS seed FROM deg
+              ORDER BY CAST('0x' || substring(md5(node), 1, 15) AS BIGINT),
+                       node
+              LIMIT 4),
+      l0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sig FROM piv),
+      f1 AS (SELECT l0.seed, e.dst AS node,
+                    CAST(SUM(l0.sig) AS BIGINT) AS sig
+             FROM edges e JOIN l0 ON e.src = l0.node
+             WHERE e.dst <> l0.seed
+             GROUP BY l0.seed, e.dst),
+      v1 AS (SELECT seed, node FROM l0 UNION SELECT seed, node FROM f1),
+      f2 AS (SELECT f1.seed, e.dst AS node,
+                    CAST(SUM(f1.sig) AS BIGINT) AS sig
+             FROM edges e JOIN f1 ON e.src = f1.node
+             WHERE NOT EXISTS (SELECT 1 FROM v1
+                               WHERE v1.seed = f1.seed AND v1.node = e.dst)
+             GROUP BY f1.seed, e.dst),
+      v2 AS (SELECT seed, node FROM v1 UNION SELECT seed, node FROM f2),
+      f3 AS (SELECT f2.seed, e.dst AS node,
+                    CAST(SUM(f2.sig) AS BIGINT) AS sig
+             FROM edges e JOIN f2 ON e.src = f2.node
+             WHERE NOT EXISTS (SELECT 1 FROM v2
+                               WHERE v2.seed = f2.seed AND v2.node = e.dst)
+             GROUP BY f2.seed, e.dst),
+      v3 AS (SELECT seed, node FROM v2 UNION SELECT seed, node FROM f3),
+      f4 AS (SELECT f3.seed, e.dst AS node,
+                    CAST(SUM(f3.sig) AS BIGINT) AS sig
+             FROM edges e JOIN f3 ON e.src = f3.node
+             WHERE NOT EXISTS (SELECT 1 FROM v3
+                               WHERE v3.seed = f3.seed AND v3.node = e.dst)
+             GROUP BY f3.seed, e.dst),
+      d3 AS (SELECT p.seed, p.node,
+                    CAST(SUM(CAST(FLOOR(CAST(p.sig AS DOUBLE)
+                      * (1000000 + 0) / c.sig + 0.5) AS BIGINT))
+                      AS BIGINT) AS dm
+             FROM f3 p JOIN edges e ON e.src = p.node
+                       JOIN f4 c ON c.seed = p.seed AND c.node = e.dst
+             GROUP BY p.seed, p.node),
+      d2 AS (SELECT p.seed, p.node,
+                    CAST(SUM(CAST(FLOOR(CAST(p.sig AS DOUBLE)
+                      * (1000000 + COALESCE(dd.dm, 0)) / c.sig + 0.5)
+                      AS BIGINT)) AS BIGINT) AS dm
+             FROM f2 p JOIN edges e ON e.src = p.node
+                       JOIN f3 c ON c.seed = p.seed AND c.node = e.dst
+                       LEFT JOIN d3 dd
+                         ON dd.seed = c.seed AND dd.node = c.node
+             GROUP BY p.seed, p.node),
+      d1 AS (SELECT p.seed, p.node,
+                    CAST(SUM(CAST(FLOOR(CAST(p.sig AS DOUBLE)
+                      * (1000000 + COALESCE(dd.dm, 0)) / c.sig + 0.5)
+                      AS BIGINT)) AS BIGINT) AS dm
+             FROM f1 p JOIN edges e ON e.src = p.node
+                       JOIN f2 c ON c.seed = p.seed AND c.node = e.dst
+                       LEFT JOIN d2 dd
+                         ON dd.seed = c.seed AND dd.node = c.node
+             GROUP BY p.seed, p.node),
+      alld AS (SELECT seed, node, dm FROM d1
+               UNION ALL SELECT seed, node, dm FROM d2
+               UNION ALL SELECT seed, node, dm FROM d3),
+      tot AS (SELECT node, CAST(SUM(dm) AS BIGINT) AS dm
+              FROM alld GROUP BY node)
+      SELECT node,
+             FLOOR((SELECT count(*) FROM deg) / 8.0 * dm / 1e6 * 1e4
+               + 0.5) / 1e4 AS betweenness
+      FROM tot
+      ORDER BY betweenness DESC, node
+      LIMIT 20""",
 
       // The same three hash-driven steps unrolled: identical h60
       // formula, identical dst-sorted neighbor indexing.

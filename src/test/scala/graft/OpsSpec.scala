@@ -1597,6 +1597,65 @@ class OpsSpec extends GraftSuite {
     assert(spans === 0L, "an LPA cluster must never span two components")
   }
 
+  test("q_graph_betweenness: matches exact driver-side Brandes on the fixture") {
+    import org.apache.spark.sql.functions._
+    // Exact Brandes (double-precision dependency accumulation) from
+    // the SAME 4 hash-chosen pivots, over the collected fixture graph
+    // — an independent implementation of the estimator the query
+    // computes in micro-units.
+    val edges = ops.GraphOps.tradeEdges(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val nodes = adj.keys.toSeq.sorted
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val pivots = nodes.sortBy(n => (h60(n), n)).take(4)
+    val delta = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    for (s <- pivots) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sig = scala.collection.mutable.Map(s -> 1L).withDefaultValue(0L)
+      var frontier = Seq(s)
+      val order = scala.collection.mutable.ArrayBuffer(s)
+      while (frontier.nonEmpty) {
+        val next = scala.collection.mutable.LinkedHashSet.empty[String]
+        for (u <- frontier; v <- adj(u)) {
+          if (!dist.contains(v)) { dist(v) = dist(u) + 1; next += v }
+          if (dist(v) == dist(u) + 1) sig(v) += sig(u)
+        }
+        frontier = next.toSeq
+        order ++= frontier
+      }
+      // Depth-sufficiency half of the law: the query unrolls 4 BFS
+      // hops — a regenerated deeper fixture must fail HERE.
+      assert(dist.values.max <= 4, s"pivot $s eccentricity exceeds 4 hops")
+      val dep = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      for (w <- order.reverse; v <- adj(w) if dist.get(v).contains(dist(w) - 1))
+        dep(v) += sig(v).toDouble / sig(w) * (1.0 + dep(w))
+      for ((v, dv) <- dep if v != s) delta(v) += dv
+    }
+    val n = nodes.size
+    val exact = delta.toSeq
+      .map { case (v, dv) => v -> n / 8.0 * dv }
+      .sortBy { case (v, b) => (-b, v) }.take(20)
+    val got = q("q_graph_betweenness", sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.length === 20)
+    // The query's micro-unit rounding perturbs each value by well
+    // under 1e-2 at fixture scale; names may swap only across a
+    // near-tie, so compare values positionally with that tolerance
+    // and the sets of names for agreement.
+    got.zip(exact).foreach { case ((_, gb), (_, eb)) =>
+      assert(math.abs(gb - eb) < 0.05, s"betweenness drifted: $gb vs $eb")
+    }
+    assert(got.map(_._1).toSet === exact.map(_._1).toSet,
+      "top-20 membership must match the exact recount")
+  }
+
   test("q_dedup_substr_exact: matches brute force; windowed marks are a subset") {
     import org.apache.spark.sql.functions._
     // Brute-force ground truth at sf0.001, driver-side on raw text:
