@@ -35,6 +35,27 @@ object BenchDiff {
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: BenchDiff <old.json> <new.json>")
     val (a, b) = (load(args(0)), load(args(1)))
+    // NAME-SET GATE (r12 verdict task 6 — the 1:1:1 discipline
+    // NameCheck enforces for correctness, applied to the bench
+    // detail): the NEW file must carry a timing for EVERY declared
+    // query — a missing row means a partial/killed/ONLY-restricted
+    // run or a post-close addition that was never re-benched, and an
+    // extra q_* row means a renamed or removed query's timing is
+    // still being reported. `_memo_*` lines are exempt by
+    // construction (the q_* regex never matches them). The OLD file
+    // is a historical snapshot and may legitimately differ.
+    val declared = graft.SparkEntry.queries.keySet
+    val missing = (declared -- b.keySet).toSeq.sorted
+    val extra = (b.keySet -- declared).toSeq.sorted
+    if (missing.nonEmpty || extra.nonEmpty) {
+      if (missing.nonEmpty) System.err.println(
+        s"[benchdiff] FAIL: declared queries missing from ${args(1)}: " +
+          missing.mkString(", "))
+      if (extra.nonEmpty) System.err.println(
+        s"[benchdiff] FAIL: undeclared rows in ${args(1)}: " +
+          extra.mkString(", "))
+      sys.exit(1)
+    }
     val common = a.keySet & b.keySet
     val added = (b.keySet -- a.keySet).toSeq.sorted
     val removed = (a.keySet -- b.keySet).toSeq.sorted

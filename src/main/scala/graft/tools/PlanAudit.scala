@@ -39,8 +39,37 @@ import org.apache.spark.sql.SparkSession
   * q_pipe_survival (≤31-row day-table triangles — the DistRank
   * offset-triangle pattern), q_sink_dsv2 (1-row manifest totals),
   * q_sim_pca (1-row norm/sign scalars against the d-row vector).
+  *
+  * Since round 13 the expected-BNLJ list is a GATE, not prose:
+  * [[BnljWhitelist]] below is the machine-checked enumeration — a
+  * BNLJ flag on any query not listed there exits 1 (and so does a
+  * stale whitelist entry that no longer flags), so a new accidental
+  * nested-loop join fails the audit instead of hiding in a longer
+  * soft-flag listing. Adding a query to the list is a code change
+  * that must carry a tiny-broadcast justification at the query site.
+  * r12 additions to the class: q_pipe_freshness (1-row corpus
+  * high-water mark), q_sim_hardneg (≤20-row query batch),
+  * q_sim_hybrid (1-row corpus stats + query-term scalar),
+  * q_text_dsir (1-row normalizer totals).
   */
 object PlanAudit {
+
+  /** Every query allowed to plan a BroadcastNestedLoopJoin — all in
+    * the deliberately-tiny-broadcast class (1-row scalar totals,
+    * ≤32-row grids/batches/triangles), each documented at its query
+    * site. Audited 290 queries at round 13. */
+  val BnljWhitelist: Set[String] = Set(
+    "q_agg_chisq", "q_agg_mutualinfo", "q_dedup_ngram",
+    "q_dedup_semdedup", "q_graph_hits", "q_join_cross", "q_join_fuzzy",
+    "q_join_skew_salt", "q_pipe_benford", "q_pipe_curriculum",
+    "q_pipe_drift", "q_pipe_elo", "q_pipe_freshness",
+    "q_pipe_oversample", "q_pipe_survival", "q_pipe_targetenc",
+    "q_pipe_temperature", "q_pipe_tokenbudget", "q_pipe_zorder",
+    "q_sim_ann_ivf", "q_sim_cosine_topk", "q_sim_hardneg",
+    "q_sim_hybrid", "q_sim_kmeans", "q_sim_knn_join", "q_sim_mmr",
+    "q_sim_pairs", "q_sim_pca", "q_sim_range", "q_sim_recall",
+    "q_sink_dsv2", "q_text_bm25", "q_text_dsir", "q_text_jsd",
+    "q_text_kneserney", "q_text_pmi", "q_text_tfidf", "q_win_ntile")
 
   /** Single-task window detector, shared with DistRankSpec so the
     * audit gate and the spec can never disagree on what "global
@@ -74,6 +103,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     var globalWindows = List.empty[String]
     var errored = List.empty[String]
+    var bnljFlagged = Set.empty[String]
+    var cartesians = List.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -83,6 +114,8 @@ object PlanAudit {
           "GlobalWindow" -> hasGlobalWindow(p),
         ).collect { case (f, true) => f }
         if (flags.contains("GlobalWindow")) globalWindows ::= name
+        if (flags.contains("CartesianProduct")) cartesians ::= name
+        if (flags.contains("BroadcastNestedLoopJoin")) bnljFlagged += name
         println(s"[audit] $name: ${if (flags.isEmpty) "clean" else flags.mkString(",")}")
       } catch { case e: Throwable =>
         // An erroring query's plan was NEVER checked — that must fail
@@ -92,11 +125,24 @@ object PlanAudit {
       }
     }
     spark.stop()
-    if (globalWindows.nonEmpty || errored.nonEmpty) {
+    // The BNLJ gate cuts both ways: an unlisted flag is a new
+    // accidental nested-loop join; a listed query that stopped
+    // flagging means the whitelist is stale and must shrink (so the
+    // enumeration can never silently rot into prose again).
+    val bnljNew = (bnljFlagged -- BnljWhitelist).toList
+    val bnljStale = (BnljWhitelist -- bnljFlagged -- errored).toList
+    if (globalWindows.nonEmpty || errored.nonEmpty || cartesians.nonEmpty ||
+        bnljNew.nonEmpty || bnljStale.nonEmpty) {
       if (globalWindows.nonEmpty) System.err.println(
         s"[audit] FAIL: global (single-task) window in ${globalWindows.sorted.mkString(", ")}")
       if (errored.nonEmpty) System.err.println(
         s"[audit] FAIL: unauditable (errored) queries: ${errored.sorted.mkString(", ")}")
+      if (cartesians.nonEmpty) System.err.println(
+        s"[audit] FAIL: CartesianProduct in ${cartesians.sorted.mkString(", ")}")
+      if (bnljNew.nonEmpty) System.err.println(
+        s"[audit] FAIL: unlisted BroadcastNestedLoopJoin in ${bnljNew.sorted.mkString(", ")}")
+      if (bnljStale.nonEmpty) System.err.println(
+        s"[audit] FAIL: stale BNLJ whitelist entries (no longer flag): ${bnljStale.sorted.mkString(", ")}")
       sys.exit(1)
     }
   }
