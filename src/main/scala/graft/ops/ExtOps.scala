@@ -762,35 +762,45 @@ object ExtOps {
     * The doubling: cls_ℓ(i) identifies the first min(ℓ, doc_end−i)
     * chars at position i. cls_1 labels single chars (min-gid per
     * char value — exact for any unicode, no hash anywhere); each
-    * round forms (cls_ℓ(i), cls_ℓ(i+ℓ)) — sentinel −1 past the doc
-    * end, so truncated suffixes keep distinct classes — and relabels
-    * the pair by min-gid over its equivalence class: one keyed
-    * self-join on (doc, pos) + one keyed agg + one keyed join back.
-    * FOUR rounds reach cls_16, and the 30-char class is the OVERLAP
-    * pair (cls_16(i), cls_16(i+14)) — equal iff chars [i, i+30)
-    * equal. A window key occurring ≥ 2 times anywhere in the corpus
+    * round forms (cls_ℓ(i), cls_ℓ(i+ℓ)) and relabels the pair by
+    * min-gid over its equivalence class. The pos+ℓ lookup is NOT a
+    * self-join: it is lead(cls, ℓ) over the (doc, pos) window — doc
+    * boundaries fall out of the window frame (lead past the end is
+    * null → sentinel −1, so truncated suffixes keep distinct
+    * classes), and every round reuses the SAME doc_id partitioning,
+    * so the per-round cost is one class-keyed aggregate + one
+    * class-keyed join back (both skew-safe: partial aggregation
+    * absorbs hot classes — a min() window over (cls, cls2) would
+    * funnel each hot class through one task). THREE rounds reach
+    * cls_8, and the 30-char class is the 4-way OVERLAP key
+    * (cls_8(i), cls_8(i+8), cls_8(i+16), cls_8(i+22)) — equal iff
+    * chars [i, i+30) equal (the last block overlaps the third by 2:
+    * overlap changes nothing, equality of each 8-block pins its
+    * span). A window key occurring ≥ 2 times anywhere in the corpus
     * (including twice in one doc — the published tool's semantics;
     * the windowed sibling demands 2 distinct docs, which implies
     * this) marks starts; runs of starts ≤ 30 apart coalesce into
     * maximal spans by one per-doc gaps-and-islands window.
     *
     * 100 TB accounting: n = corpus chars. Rows shuffled are
-    * O(n · log 30) — 4 doubling rounds + the window/census joins,
-    * every one keyed on (doc, pos) or a class id, no global sort
-    * anywhere (class labels are min-gids, not ranks, so no
-    * total-order pass is ever needed). That beats the published
-    * single-node tool's memory wall (it holds SA+LCP in RAM) and
-    * undercuts full distributed suffix sorting, which needs log n
-    * rounds — window-length classes cap the doubling at log L. The
-    * one encoding bound: gid = doc_id·2^20 + pos caps docs at 1M
-    * chars (fixture max ≈ 600; the Lee et al. pipeline also
+    * O(n · log 30) — 3 doubling rounds + the census joins, every one
+    * keyed on doc_id or a class id, no global sort anywhere (class
+    * labels are min-gids, not ranks, so no total-order pass is ever
+    * needed). That beats the published single-node tool's memory
+    * wall (it holds SA+LCP in RAM) and undercuts full distributed
+    * suffix sorting, which needs log n rounds — window-length
+    * classes cap the doubling at log L. The doc-partitioned window
+    * requires one doc's chars in one task — bounded by the same
+    * 2^20-chars-per-doc cap as the gid encoding (gid = doc_id·2^20 +
+    * pos; fixture max ≈ 600 chars; the Lee et al. pipeline also
     * length-caps before SA construction) — past that a deployment
     * swaps gid to a (doc_id, pos) struct label at +8 bytes/row.
-    * Fixture cost: sf0.1 is 1.5M char rows through 4 keyed rounds. */
+    * Fixture cost: sf0.1 is 1.5M char rows through 3 keyed rounds. */
   private[graft] def substrExactSpans(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.derived(s, d, "substr_exact_spans") {
       import s.implicits._
+      val wd = Window.partitionBy($"doc_id").orderBy($"pos")
       val ch = t(s, d, "documents")
         .select($"doc_id", posexplode(split($"text", "")))
         .where($"col" =!= "") // engine-version-proof trailing-empty guard
@@ -798,27 +808,25 @@ object ExtOps {
           ($"doc_id" * (1L << 20) + $"pos").as("gid"), $"col".as("c"))
       val c0 = ch.join(ch.groupBy($"c").agg(min($"gid").as("cls")), "c")
         .select($"doc_id", $"pos", $"gid", $"cls")
-      val cls16 = Seq(1, 2, 4, 8).foldLeft(c0) { (cur, off) =>
-        val nxt = cur.select($"doc_id", ($"pos" - off).as("pos"),
-          $"cls".as("cls2"))
-        val keyed = cur.join(nxt, Seq("doc_id", "pos"), "left")
-          .select($"doc_id", $"pos", $"gid", $"cls",
-            coalesce($"cls2", lit(-1L)).as("cls2"))
+      val cls8 = Seq(1, 2, 4).foldLeft(c0) { (cur, off) =>
+        val keyed = cur
+          .withColumn("cls2", coalesce(lead($"cls", off).over(wd), lit(-1L)))
         Tables.ck(keyed
           .join(keyed.groupBy($"cls", $"cls2").agg(min($"gid").as("ncls")),
             Seq("cls", "cls2"))
           .select($"doc_id", $"pos", $"gid", $"ncls".as("cls")))
       }
-      val wins = cls16
-        .join(cls16.select($"doc_id", ($"pos" - 14).as("pos"),
-          $"cls".as("clsb")), Seq("doc_id", "pos"))
-        .join(cls16.select($"doc_id", ($"pos" - 29).as("pos")),
-          Seq("doc_id", "pos"), "left_semi")
-        .select($"doc_id", $"pos", $"cls", $"clsb")
-      val dup = wins.groupBy($"cls", $"clsb")
+      val wins = cls8
+        .withColumn("k2", lead($"cls", 8).over(wd))
+        .withColumn("k3", lead($"cls", 16).over(wd))
+        .withColumn("k4", lead($"cls", 22).over(wd))
+        .withColumn("v29", lead($"cls", 29).over(wd))
+        .where($"v29".isNotNull)
+        .select($"doc_id", $"pos", $"cls", $"k2", $"k3", $"k4")
+      val dup = wins.groupBy($"cls", $"k2", $"k3", $"k4")
         .agg(count(lit(1)).as("cnt")).where($"cnt" >= 2)
-        .select($"cls", $"clsb")
-      val starts = wins.join(dup, Seq("cls", "clsb"), "left_semi")
+        .select($"cls", $"k2", $"k3", $"k4")
+      val starts = wins.join(dup, Seq("cls", "k2", "k3", "k4"), "left_semi")
         .select($"doc_id", $"pos")
       val w = Window.partitionBy($"doc_id").orderBy($"pos")
       starts
