@@ -907,12 +907,17 @@ object GraphOps {
       var visited = frontier.select($"seed", $"node")
       var levels = Vector(frontier)
       (1 to 4).foreach { _ =>
+        // Visited anti join BEFORE the σ aggregate: it is a map-side
+        // broadcast filter, and by hop 3-4 most of the k·|E| expanded
+        // rows hit already-visited nodes — dropping them pre-shuffle
+        // is the difference between aggregating the frontier's true
+        // growth and re-shuffling the whole expansion every hop.
         frontier = edges
           .join(broadcast(frontier
             .select($"seed", $"node".as("src"), $"sig")), Seq("src"))
           .select($"seed", $"dst".as("node"), $"sig")
-          .groupBy($"seed", $"node").agg(sum($"sig").as("sig"))
           .join(broadcast(visited), Seq("seed", "node"), "left_anti")
+          .groupBy($"seed", $"node").agg(sum($"sig").as("sig"))
           .transform(Tables.ck)
         visited = visited.unionByName(frontier.select($"seed", $"node"))
         levels = levels :+ frontier
