@@ -27,6 +27,12 @@ object Bench {
       // q_scan_count. At 100 TB this is "count a table in metadata
       // time" — same setting a production deployment would pin.
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Bucketed tables are read AS bucketed even when no join needs
+      // their distribution: the planner's auto-disable would also drop
+      // BUCKET PRUNING, which q_text_bm25_serve's term-IN postings
+      // lookup depends on (the inverted-index access path).
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
       // Bucketed/partitioned-table queries (q_join_bucket, q_join_dpp)
       // need a writable catalog location that never pollutes the repo
       // working tree; fresh per JVM, removed on exit (TempWarehouse).

@@ -641,6 +641,38 @@ object TextOps {
         .limit(10)
     }),
 
+    // INVERTED-INDEX BUILD/SERVE SPLIT — the lexical twin of
+    // q_sim_ann_serve's composition row: q_text_bm25/q_text_invindex
+    // recompute their index inside the query; a real search stack
+    // builds ONCE and serves many queries. [[bm25Index]] persists the
+    // postings as a managed table BUCKETED BY term with idf and the
+    // doc-length normalizer DENORMALIZED onto each posting row
+    // (impact-style postings), so the serve path is JOIN-FREE: one
+    // bucket-pruned scan of the query terms' postings (the IN filter
+    // both prunes buckets — SelectedBucketsCount in the plan — and
+    // pushes to parquet), per-row score arithmetic, one keyed
+    // aggregate, top-20. Per-term contributions round to integer
+    // MICRO-nats before the per-doc sum (the q_sim_hybrid move:
+    // order-free BIGINT, a plain double sum could flip a rank
+    // cross-engine). At 10^9 docs: queries never touch the corpus —
+    // only their terms' posting buckets; build cost is paid once at
+    // write. PlanShapeSpec pins the join-free bucket-pruned plan;
+    // OpsSpec pins score parity with q_text_bm25 on the same terms.
+    "q_text_bm25_serve" -> ((s, d) => {
+      import s.implicits._
+      bm25Index(s, d)
+        .where($"term".isin("fast", "small", "data"))
+        .select($"doc_id",
+          round($"idf" * $"tf" * 2.2
+            / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"norm"))
+            * 1e6).cast("long").as("c_micro"))
+        .groupBy($"doc_id").agg(sum($"c_micro").as("sc"))
+        .select($"doc_id",
+          (floor($"sc" / 1e6 * 1e4 + 0.5) / 1e4).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+    }),
+
     "q_text_bm25" -> ((s, d) => {
       import s.implicits._
       val tok = t(s, d, "documents")
@@ -980,6 +1012,42 @@ object TextOps {
     Tables.derived(s, d, "classify_scored") {
       classifyScoredPlan(s, d).transform(Tables.ck)
     }
+
+  /** q_text_bm25_serve's persisted postings index: one row per
+    * (term, doc) with tf, the term's idf, and the doc's length
+    * normalizer len/avgdl DENORMALIZED on (computed once at build —
+    * exactly the denormalize-at-write trade q_scan_nested makes for
+    * documents), written ONCE per (warehouse, dir) as a managed
+    * table BUCKETED BY term. Bucketing is the inverted-index layout:
+    * a query's terms hash to a few buckets, so the serve scan reads
+    * only those buckets' files and never shuffles postings. Doubles
+    * (idf, norm) round-trip parquet exactly; the oracle recomputes
+    * them from the raw corpus with operation-identical algebra, so
+    * index-vs-fresh drift fails the differential. avgdl is exact
+    * cross-engine: doc lengths are integers, so the double sum
+    * behind AVG is order-independent below 2^53. */
+  private[graft] def bm25Index(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val name = "graft_bm25_idx_" + d.replaceAll("[^A-Za-z0-9_]", "_")
+    LayoutOps.ensureTable(s, name) {
+      val tok = t(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        avg($"len" * 1.0).as("avgdl"))
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfp = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfp), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select($"term", $"doc_id", $"tf",
+          log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0).as("idf"),
+          ($"len" / $"avgdl").as("norm"))
+        .write.bucketBy(8, "term").mode("overwrite").saveAsTable(name)
+    }
+    s.table(name)
+  }
 
   private def classifyScoredPlan(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -1689,6 +1757,38 @@ object TextOps {
         CROSS JOIN stats
         GROUP BY tf.doc_id)
       SELECT doc_id, FLOOR(score * 1e4 + 0.5) / 1e4 AS bm25
+      FROM sc
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20""",
+
+    // The serve oracle recomputes the WHOLE index (idf, norm) from
+    // the raw corpus with the build's algebra — persisted-vs-fresh
+    // drift fails the differential — then scores with the identical
+    // per-contribution micro-nat rounding.
+    "q_text_bm25_serve" -> """
+      WITH tok AS (
+        SELECT doc_id, u.w AS term FROM documents,
+               UNNEST(string_split(text, ' ')) AS u(w)),
+      dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n, AVG(len * 1.0) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             WHERE term IN ('fast', 'small', 'data')
+             GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      post AS (
+        SELECT tf.doc_id, tf.tf,
+               ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+               len / avgdl AS norm
+        FROM tf JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats),
+      sc AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(round(idf * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * norm)) * 1e6) AS BIGINT))
+                 AS BIGINT) AS sc
+        FROM post GROUP BY doc_id)
+      SELECT doc_id, FLOOR(sc / 1e6 * 1e4 + 0.5) / 1e4 AS bm25
       FROM sc
       ORDER BY bm25 DESC, doc_id
       LIMIT 20""",

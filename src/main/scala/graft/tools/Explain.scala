@@ -17,6 +17,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
       // Table-backed queries (bucketed joins, the ANN serve index)
       // must not leave a spark-warehouse/ in the repo working tree.
       .config("spark.sql.warehouse.dir", graft.TempWarehouse.dir())

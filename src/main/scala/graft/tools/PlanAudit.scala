@@ -94,6 +94,8 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
       // Same writable, repo-clean catalog location Verify/Bench use —
       // without it the bucketed/partitioned-table queries
       // (q_join_bucket, q_join_dpp) would write spark-warehouse/ into

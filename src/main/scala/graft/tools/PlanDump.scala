@@ -12,6 +12,8 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
       .config("spark.sql.warehouse.dir", graft.TempWarehouse.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

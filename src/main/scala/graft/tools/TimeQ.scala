@@ -10,6 +10,8 @@ object TimeQ {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
       .config("spark.sql.warehouse.dir", graft.TempWarehouse.dir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1597,6 +1597,24 @@ class OpsSpec extends GraftSuite {
     assert(spans === 0L, "an LPA cluster must never span two components")
   }
 
+  test("q_text_bm25_serve: the materialized index serves q_text_bm25's ranking") {
+    // Same query terms, same k — the persisted-index path must
+    // reproduce the recompute-everything row. Scores may differ only
+    // by the serve path's per-contribution micro-nat rounding
+    // (≤ 3·5e-7 before the shared 1e-4 floor), so doc order and
+    // floored scores are equal on the fixture.
+    val fresh = q("q_text_bm25", sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = q("q_text_bm25_serve", sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.map(_._1) === fresh.map(_._1),
+      "served ranking must equal the fresh BM25 ranking")
+    served.zip(fresh).foreach { case ((_, sv), (_, fv)) =>
+      assert(math.abs(sv - fv) <= 1e-4 + 1e-12,
+        s"served score drifted: $sv vs $fv")
+    }
+  }
+
   test("q_graph_betweenness: matches exact driver-side Brandes on the fixture") {
     import org.apache.spark.sql.functions._
     // Exact Brandes (double-precision dependency accumulation) from

@@ -583,6 +583,22 @@ class PlanShapeSpec extends GraftSuite {
       "user_id", "ts", "event_id", "r_user", "r_ts", "r_eid", band)))
   }
 
+  test("q_text_bm25_serve: join-free bucket-pruned scan of the postings index") {
+    val df = q("q_text_bm25_serve", sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bm25_idx_"),
+      s"serve must scan the persisted postings table:\n$p")
+    // The term IN filter must prune BUCKETS (the inverted-index
+    // lookup) — not just rows after a full scan.
+    assert(p.contains("SelectedBucketsCount"),
+      s"term filter must prune postings buckets:\n$p")
+    // Join-free: idf and the length normalizer were denormalized at
+    // build time, so the serve plan is scan → score → aggregate →
+    // top-k with no join of any kind.
+    assert(!p.contains("Join"), s"serve plan must be join-free:\n$p")
+  }
+
   test("q_sim_ann_serve: probe scans the persisted index, zero assignment work") {
     val df = q("q_sim_ann_serve", sf0001)
     df.collect() // materialize so AQE finalizes the executed plan

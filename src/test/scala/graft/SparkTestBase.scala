@@ -26,6 +26,10 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Same posture as Verify/Bench: keep bucketed scans bucketed so
+      // bucket pruning stays available (q_text_bm25_serve pin).
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
