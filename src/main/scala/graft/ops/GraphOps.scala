@@ -906,46 +906,53 @@ object GraphOps {
         .select($"seed", $"seed".as("node"), lit(1L).as("sig"))
       var visited = frontier.select($"seed", $"node")
       var levels = Vector(frontier)
+      var dags = Vector.empty[org.apache.spark.sql.DataFrame]
       (1 to 4).foreach { _ =>
         // Visited anti join BEFORE the σ aggregate: it is a map-side
         // broadcast filter, and by hop 3-4 most of the k·|E| expanded
         // rows hit already-visited nodes — dropping them pre-shuffle
         // is the difference between aggregating the frontier's true
-        // growth and re-shuffling the whole expansion every hop.
-        frontier = edges
+        // growth and re-shuffling the whole expansion every hop. The
+        // filtered expansion IS the shortest-path DAG slice for this
+        // hop ((seed, v at ℓ, w at ℓ+1) with σv on each row) — it is
+        // MATERIALIZED (ck) so the backward sweeps below read it back
+        // instead of rescanning the full edge list three more times:
+        // the textbook distributed Brandes stores the DAG it walks.
+        val dag = edges
           .join(broadcast(frontier
             .select($"seed", $"node".as("src"), $"sig")), Seq("src"))
-          .select($"seed", $"dst".as("node"), $"sig")
+          .select($"seed", $"src", $"dst".as("node"), $"sig")
           .join(broadcast(visited), Seq("seed", "node"), "left_anti")
+          .transform(Tables.ck)
+        dags = dags :+ dag
+        frontier = dag
           .groupBy($"seed", $"node").agg(sum($"sig").as("sig"))
           .transform(Tables.ck)
         visited = visited.unionByName(frontier.select($"seed", $"node"))
         levels = levels :+ frontier
       }
-      def sweep(par: org.apache.spark.sql.DataFrame,
+      // Each sweep is ONE broadcast join of the stored DAG slice with
+      // the child level's (σw, δw) table — σv rides the DAG row.
+      def sweep(dag: org.apache.spark.sql.DataFrame,
           child: org.apache.spark.sql.DataFrame,
           childDm: Option[org.apache.spark.sql.DataFrame]) = {
         val cd = childDm match {
           case Some(dm) => child.join(dm, Seq("seed", "node"), "left")
-            .select($"seed", $"node", $"sig",
+            .select($"seed", $"node", $"sig".as("wsig"),
               coalesce($"dm", lit(0L)).as("dm"))
           case None => child
-            .select($"seed", $"node", $"sig", lit(0L).as("dm"))
+            .select($"seed", $"node", $"sig".as("wsig"), lit(0L).as("dm"))
         }
-        edges
-          .join(broadcast(cd.select($"seed", $"node".as("dst"),
-            $"sig".as("wsig"), $"dm")), Seq("dst"))
-          .join(broadcast(par.select($"seed", $"node".as("src"),
-            $"sig".as("vsig"))), Seq("seed", "src"))
+        dag.join(broadcast(cd), Seq("seed", "node"))
           .select($"seed", $"src".as("node"),
-            floor($"vsig".cast("double") * (lit(1000000L) + $"dm")
+            floor($"sig".cast("double") * (lit(1000000L) + $"dm")
               / $"wsig" + 0.5).cast("long").as("c"))
           .groupBy($"seed", $"node").agg(sum($"c").as("dm"))
           .transform(Tables.ck)
       }
-      val d3 = sweep(levels(3), levels(4), None)
-      val d2 = sweep(levels(2), levels(3), Some(d3))
-      val d1 = sweep(levels(1), levels(2), Some(d2))
+      val d3 = sweep(dags(3), levels(4), None)
+      val d2 = sweep(dags(2), levels(3), Some(d3))
+      val d1 = sweep(dags(1), levels(2), Some(d2))
       d1.unionByName(d2).unionByName(d3)
         .groupBy($"node").agg(sum($"dm").as("dm"))
         .select($"node",
