@@ -929,6 +929,38 @@ object TextOps {
     // learned merges.
     "q_text_bpeapply" -> ((s, d) => bpeApply(s, d, 12)),
 
+    // FROZEN-TOKENIZER SERVE — the third build/serve split next to
+    // q_sim_ann_serve and q_text_bm25_serve, for the artifact every
+    // training pipeline actually freezes: the tokenizer. The trained
+    // word→token-count vocabulary ([[bpeVocab]]: bpeCurDf's final
+    // symbol table with the per-word count precomputed) is persisted
+    // ONCE as a managed table; the declared query tokenizes an
+    // incoming batch (doc_id < 300 — production swaps in the new
+    // ingest slice) by joining the broadcast-sized frozen vocab, with
+    // CHAR-FALLBACK for OOV words (len(word) tokens — the byte/char
+    // fallback real BPE serving uses). Per lang: word/token/OOV
+    // census + fertility. The serve plan performs ZERO training work
+    // (no symstr machinery — PlanShapeSpec-pinned); at 100 TB the
+    // batch is the only corpus-scale scan and the vocab broadcast is
+    // vocabulary-sized.
+    "q_text_bpe_serve" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").where($"doc_id" < 300)
+        .select($"lang", explode(split($"text", " ")).as("word"))
+        .where($"word" =!= "")
+        .join(broadcast(bpeVocab(s, d)), Seq("word"), "left")
+        .select($"lang",
+          coalesce($"nsym", length($"word")).as("ntok"),
+          $"nsym".isNull.cast("long").as("oov"))
+        .groupBy($"lang").agg(
+          count(lit(1)).as("n_words"),
+          sum($"ntok").as("n_tokens"),
+          sum($"oov").as("oov_words"),
+          (floor(sum($"ntok") * 1.0 / count(lit(1)) * 1e4 + 0.5) / 1e4)
+            .as("fertility"))
+        .orderBy($"lang")
+    }),
+
     // TOKENIZER FERTILITY per language — tokens-per-word under the
     // TRAINED BPE table, the standard tokenizer-fairness diagnostic
     // (a vocabulary fit on one language's merges over-fragments the
@@ -1260,6 +1292,25 @@ object TextOps {
       merges.reduce(_ unionByName _)
     }
 
+  /** q_text_bpe_serve's persisted tokenizer artifact: the trained
+    * word → token-count vocabulary (bpeCurDf's final symbol table
+    * with the per-word symbol count precomputed at freeze time),
+    * written ONCE per (warehouse, dir) as a managed table. Serving
+    * joins this broadcast-sized table — the training loop never runs
+    * in the serve path. */
+  private[graft] def bpeVocab(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val name = "graft_bpe_vocab_" + d.replaceAll("[^A-Za-z0-9_]", "_")
+    LayoutOps.ensureTable(s, name) {
+      bpeCurDf(s, d, 12)
+        .select($"word",
+          (size(split($"symstr", "\\|\\|")) - 2).as("nsym"))
+        .write.mode("overwrite").saveAsTable(name)
+    }
+    s.table(name)
+  }
+
   private def bpeCurDf(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int): org.apache.spark.sql.DataFrame =
     Tables.derived(s, d, s"bpe_cur_$rounds") {
@@ -1534,6 +1585,28 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q_text_bpetrain" -> bpeTrainSql,
     "q_text_bpeapply" -> bpeApplySql,
+
+    // The serve oracle RETRAINS the tokenizer (the full 12-round
+    // chain) and re-derives the vocabulary — frozen-vs-fresh drift
+    // fails the differential — then tokenizes the same batch with the
+    // same char-fallback.
+    "q_text_bpe_serve" -> (bpeChainSql(12) + """
+      , vocab AS (
+        SELECT word, len(string_split(symstr, '||')) - 2 AS nsym
+        FROM s12),
+      batch AS (
+        SELECT lang, u.w AS word
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+        WHERE doc_id < 300 AND u.w <> '')
+      SELECT lang, count(*) AS n_words,
+             CAST(SUM(COALESCE(nsym, len(word))) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN nsym IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS oov_words,
+             FLOOR(SUM(COALESCE(nsym, len(word))) * 1.0 / count(*)
+               * 1e4 + 0.5) / 1e4 AS fertility
+      FROM batch LEFT JOIN vocab USING (word)
+      GROUP BY lang
+      ORDER BY lang"""),
     "q_text_fertility" -> (bpeChainSql(12) + """
       , wsym AS (
         SELECT word, len(string_split(symstr, '||')) - 2 AS nsym

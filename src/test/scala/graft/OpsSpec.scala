@@ -1597,6 +1597,32 @@ class OpsSpec extends GraftSuite {
     assert(spans === 0L, "an LPA cluster must never span two components")
   }
 
+  test("q_text_bpe_serve: frozen-vocab tokenization matches a driver recount") {
+    import org.apache.spark.sql.functions._
+    // Recount from the SAME frozen artifact the query serves from —
+    // this checks the serve-side join/fallback/census logic
+    // independently of the SQL oracle's full retrain.
+    val vocab = ops.TextOps.bpeVocab(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val batch = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") < 300)
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val expect = batch.groupBy(_._1).map { case (lang, ws) =>
+      val ntok = ws.map { case (_, w) => vocab.getOrElse(w, w.length) }
+      lang -> (ws.length.toLong, ntok.map(_.toLong).sum,
+        ws.count { case (_, w) => !vocab.contains(w) }.toLong)
+    }
+    val got = q("q_text_bpe_serve", sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect, "per-lang word/token/OOV census must match")
+    // OOV fallback is genuinely exercised: 1-char words are outside
+    // the trained vocab (training keeps len >= 2).
+    assert(got.values.map(_._3).sum > 0, "batch must contain OOV words")
+  }
+
   test("q_text_bm25_serve: the materialized index serves q_text_bm25's ranking") {
     // Same query terms, same k — the persisted-index path must
     // reproduce the recompute-everything row. Scores may differ only

@@ -599,6 +599,20 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("Join"), s"serve plan must be join-free:\n$p")
   }
 
+  test("q_text_bpe_serve: tokenizes from the frozen vocab, zero training work") {
+    val df = q("q_text_bpe_serve", sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bpe_vocab_"),
+      s"serve must scan the persisted vocabulary table:\n$p")
+    // The merge-training loop's symbol-string machinery must not
+    // appear — the vocab stores the per-word token count precomputed.
+    assert(!p.contains("symstr"),
+      s"training work leaked into the serve plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized table must broadcast:\n$p")
+  }
+
   test("q_sim_ann_serve: probe scans the persisted index, zero assignment work") {
     val df = q("q_sim_ann_serve", sf0001)
     df.collect() // materialize so AQE finalizes the executed plan
