@@ -1752,6 +1752,43 @@ class OpsSpec extends GraftSuite {
         s"windowed mark (doc $id, char $p) missing from exact coverage")
   }
 
+  test("substrExactSpans: merge/gap/within-doc boundaries on a handcrafted corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Handcrafted corpus pinning the exact span-coalescing boundaries
+    // the fixture can't guarantee to hit:
+    //  - docs 0/1 share a 40-char block at different offsets
+    //    (misaligned vs any stride grid — the windowed sibling's miss
+    //    case) → ONE maximal span of exactly 40 chars in each;
+    //  - doc 2 contains the SAME 30-char block twice WITHIN one doc,
+    //    separated by 31 unique chars (gap > 30 ⇒ two separate spans
+    //    — the published tool's within-doc repeat semantics);
+    //  - doc 3 is all-unique → no spans.
+    val A = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMN" // 40 shared chars
+    val d0 = "Q" * 7 + A + "R" * 9
+    val d1 = "S" * 13 + A + "T" * 5
+    val B = A.take(30)
+    val d2 = B + "u0v1w2x3y4z5u6v7w8x9y0z1u2v3w4x" + B // 31-char gap
+    val docs = Seq(
+      (0L, d0), (1L, d1), (2L, d2),
+      (3L, "9876543210fedcba!@#$%^&*()ZYXWVUTSRQPONMLKJIHG"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = ops.ExtOps.substrExactSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue)).sorted.toSeq
+    // d0: A occupies 1-based [8, 47]; d1: [14, 53]; d2: B at [1, 30]
+    // and again at [62, 91] — two spans (gap 31 > 30 keeps them
+    // apart); d3: nothing.
+    assert(spans === Seq(
+      (0L, 8L, 40L), (1L, 14L, 40L),
+      (2L, 1L, 30L), (2L, 62L, 30L)),
+      s"got: $spans")
+  }
+
   test("q_sim_nndescent: one round strictly improves recall@3 over the cell pass") {
     import org.apache.spark.sql.functions._
     // Ground truth: brute-force top-3 per vector on the SAME rounded
