@@ -811,6 +811,44 @@ object GraphOps {
         .limit(10)
     }),
 
+    // BUTTERFLY COUNTING (Sanei-Mehri et al., KDD'18; Wang et al.) —
+    // the 2×2-biclique census, the canonical MOTIF for bipartite
+    // graphs where triangles cannot exist: two customers sharing two
+    // suppliers form a butterfly, the smallest unit of bipartite
+    // clustering and the seed signal for dense-subgraph / community
+    // work on customer–supplier data. Exact wedge-counting form: per
+    // customer, supplier pairs (one keyed self-join on the capped
+    // neighbor lists — [[capNeighbors]], the q_graph_jaccard hub
+    // discipline, bounds hot-customer fan-out at cap²/2); per
+    // (s1, s2) the shared-customer count m gives m·(m−1) DIV 2
+    // butterflies — INTEGER arithmetic throughout (a double division
+    // would go inexact past 2^53 once m reaches ~10⁸ shared
+    // customers; DIV keeps both engines exact in BIGINT). Output:
+    // top-10 suppliers by butterfly participation (each butterfly
+    // credits both supplier corners — the per-vertex count the
+    // peeling algorithms rank by). At 100 TB every stage is keyed
+    // (customer, then supplier pair, then supplier); nothing global.
+    "q_graph_butterfly" -> ((s, d) => {
+      import s.implicits._
+      val e0 = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("sup"))
+        .distinct()
+      val e = capNeighbors(e0, JaccardCap).transform(Tables.ck)
+      val bf = e.as("a").join(e.as("b"),
+          $"a.c" === $"b.c" && $"a.sup" < $"b.sup")
+        .groupBy($"a.sup".as("s1"), $"b.sup".as("s2"))
+        .agg(count(lit(1)).as("m"))
+        .where($"m" >= 2)
+        .select($"s1", $"s2", expr("m * (m - 1) DIV 2").as("bf"))
+      bf.select(explode(array($"s1", $"s2")).as("sup"), $"bf")
+        .groupBy($"sup").agg(
+          count(lit(1)).as("n_pairs"),
+          sum($"bf").as("n_butterflies"))
+        .orderBy($"n_butterflies".desc, $"sup")
+        .limit(10)
+    }),
+
     // Bounded-hop BFS from the highest-degree node: frontier sizes
     // for hops 1..3 over the symmetrized trade graph — the iterative
     // frontier-expansion kernel (reachability, blast-radius, feature
@@ -1453,6 +1491,29 @@ object GraphOps {
       SELECT seed, count(*) AS n_reached,
              FLOOR(SUM(1.0 / dist) * 1e4 + 0.5) / 1e4 AS harmonic
       FROM allr GROUP BY seed ORDER BY seed""",
+
+      // Same wedges, same ≥2 cut, same integer DIV — the oracle's
+      // pair join is on the UNCAPPED edge list (the cap is identity
+      // at fixture scale; the cap mechanism itself is spec-pinned at
+      // cap=1/2 where it provably bites, on q_graph_jaccard's shared
+      // helper).
+      "q_graph_butterfly" -> """
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      pr AS (
+        SELECT a.sup AS s1, b.sup AS s2, count(*) AS m
+        FROM e0 a JOIN e0 b ON a.c = b.c AND a.sup < b.sup
+        GROUP BY a.sup, b.sup
+        HAVING count(*) >= 2),
+      bf AS (SELECT s1, s2, (m * (m - 1)) // 2 AS bf FROM pr),
+      px AS (SELECT s1 AS sup, bf FROM bf
+             UNION ALL SELECT s2 AS sup, bf FROM bf)
+      SELECT sup, count(*) AS n_pairs,
+             CAST(SUM(bf) AS BIGINT) AS n_butterflies
+      FROM px GROUP BY sup
+      ORDER BY n_butterflies DESC, sup
+      LIMIT 10""",
 
       // Brandes unrolled: 4 σ-carrying BFS levels, then the 3 δ
       // sweeps with the identical per-edge micro-unit floor — every

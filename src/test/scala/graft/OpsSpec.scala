@@ -1641,6 +1641,37 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_graph_butterfly: matches an exact driver-side motif recount") {
+    import org.apache.spark.sql.functions._
+    // Independent exact recount: collect the bipartite edge list,
+    // count shared suppliers per customer pair... no — per SUPPLIER
+    // pair via each customer's supplier set, then m·(m−1)/2 per pair
+    // credited to both corners.
+    val edges = ops.Tables.t(spark, sf0001, "orders")
+      .join(ops.Tables.t(spark, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = edges.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val m = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for ((_, sups) <- byCust; i <- sups.indices; j <- (i + 1) until sups.size)
+      m((sups(i), sups(j))) += 1
+    val part = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    for (((a, b), cnt) <- m if cnt >= 2; s <- Seq(a, b)) {
+      val (p, bf) = part(s)
+      part(s) = (p + 1, bf + cnt * (cnt - 1) / 2)
+    }
+    val expect = part.toSeq
+      .sortBy { case (s, (_, bf)) => (-bf, s) }.take(10)
+      .map { case (s, (p, bf)) => (s, p, bf) }
+    val got = q("q_graph_butterfly", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect, s"got $got\nexpected $expect")
+    assert(got.exists(_._3 > 0), "fixture must contain butterflies")
+  }
+
   test("q_graph_betweenness: matches exact driver-side Brandes on the fixture") {
     import org.apache.spark.sql.functions._
     // Exact Brandes (double-precision dependency accumulation) from
