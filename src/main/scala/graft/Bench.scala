@@ -210,9 +210,12 @@ object Bench {
         // q_pipe_ joined in round 12: the classifier-eval rows (auc/
         // calibration/ndcg) share the memoized classify-scored table.
         // q_sim_ joined in round 13: q_sim_cluster and q_sim_nndescent
-        // share the memoized cell-kNN pass (SimOps.cellKnn).
+        // share the memoized cell-kNN pass (SimOps.cellKnn); q_dedup_
+        // too: q_dedup_substr_cut and q_dedup_substr_exact share the
+        // memoized span-detection pass (ExtOps.substrExactSpans).
         val next = if (i + 1 < ordered.size) ordered(i + 1)._1 else ""
-        val sharedFamilies = Seq("q_graph_", "q_text_", "q_pipe_", "q_sim_")
+        val sharedFamilies =
+          Seq("q_graph_", "q_text_", "q_pipe_", "q_sim_", "q_dedup_")
         val sameFamily = sharedFamilies.exists(f =>
           name.startsWith(f) && next.startsWith(f))
         if (!sameFamily) ops.Tables.resetDerived(spark)

@@ -425,6 +425,53 @@ object ExtOps {
         .orderBy($"doc_id", $"span_start")
     }),
 
+    // The SURGERY half of exact substring dedup — what the published
+    // tool actually DOES with the spans: cut them out of the
+    // documents. For each doc with spans (output bounded to doc_id
+    // < 40 for row width; detection still runs corpus-wide off the
+    // shared substrExactSpans memo), the kept segments are the
+    // complement intervals (one lag window: the gap before each span,
+    // plus the tail after the last), extracted with substring and
+    // reassembled IN ORDER (collect_list of (seg_start, seg) structs,
+    // array_sort — struct sort is by first field — then concat), so
+    // the output row carries the actual deduplicated text next to
+    // its before/after lengths. Docs whose spans cover everything
+    // (or with no spans) emit no row, mirrored in the oracle. At
+    // 100 TB the segment table is spans-sized, the reassembly is one
+    // keyed aggregate, and the only corpus-scale work is the shared
+    // detection pass.
+    "q_dedup_substr_cut" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").where($"doc_id" < 40)
+        .select($"doc_id", $"text", length($"text").as("len"))
+      val sp = substrExactSpans(s, d).where($"doc_id" < 40)
+      val w = Window.partitionBy($"doc_id").orderBy($"span_start")
+      val pre = sp
+        .withColumn("seg_start",
+          coalesce(lag($"span_start" + $"span_len", 1).over(w), lit(1L)))
+        .select($"doc_id", $"seg_start",
+          ($"span_start" - $"seg_start").as("seg_len"))
+      val tail = sp.groupBy($"doc_id")
+        .agg(max($"span_start" + $"span_len").as("seg_start"))
+        .join(docs.select($"doc_id", $"len"), "doc_id")
+        .select($"doc_id", $"seg_start",
+          ($"len" - $"seg_start" + 1).as("seg_len"))
+      pre.unionByName(tail).where($"seg_len" > 0)
+        .join(docs, "doc_id")
+        .select($"doc_id", $"len", $"seg_start",
+          expr("substring(text, CAST(seg_start AS INT)," +
+            " CAST(seg_len AS INT))").as("seg"))
+        .groupBy($"doc_id", $"len")
+        .agg(count(lit(1)).as("n_segments"),
+          expr("concat_ws('', transform(" +
+            "array_sort(collect_list(struct(seg_start, seg)))," +
+            " x -> x.seg))").as("clean_text"))
+        .select($"doc_id", $"len".as("orig_len"),
+          length($"clean_text").as("clean_len"),
+          $"n_segments", $"clean_text")
+        .orderBy($"doc_id")
+    }),
+
     // Embedding-cosine near-dup: label-blocked pair scan, keep-lowest-
     // id survivor policy, per-label survivor/dropped counts.
     "q_dedup_embed" -> ((s, d) => {
@@ -844,6 +891,33 @@ object ExtOps {
         .transform(Tables.ck)
     }
 
+  /** Shared oracle prefix: brute-force stride-1 maximal duplicated
+    * spans (CTE `spans` = (doc_id, span_start, span_len)) — used by
+    * q_dedup_substr_exact (the census) and q_dedup_substr_cut (the
+    * surgery), so both differentials check the same detection. */
+  private val substrSpansSql: String = """
+        WITH wins AS (
+          SELECT d.doc_id, i.i, substr(d.text, CAST(i.i AS INT), 30) AS w
+          FROM documents d,
+               LATERAL (SELECT unnest(range(1, len(d.text) - 28)) AS i) i),
+        dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+        st AS (SELECT wi.doc_id, wi.i FROM wins wi JOIN dup USING (w)),
+        isl AS (
+          SELECT doc_id, i,
+                 CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                        IS NULL
+                      OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                        + 30
+                      THEN 1 ELSE 0 END AS brk
+          FROM st),
+        isl2 AS (SELECT doc_id, i,
+                        SUM(brk) OVER (PARTITION BY doc_id ORDER BY i)
+                          AS grp
+                 FROM isl),
+        spans AS (SELECT doc_id, MIN(i) AS span_start,
+                         MAX(i) - MIN(i) + 30 AS span_len
+                  FROM isl2 GROUP BY doc_id, grp)"""
+
   private def simhashSql: String = {
     val sums = (0 until SimBits).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -1020,28 +1094,7 @@ object ExtOps {
       // the identical ≤30-gap rule. The oracle keys on raw window
       // TEXT while Spark keys on doubling classes, so the
       // differential checks the whole class construction.
-      "q_dedup_substr_exact" -> """
-        WITH wins AS (
-          SELECT d.doc_id, i.i, substr(d.text, CAST(i.i AS INT), 30) AS w
-          FROM documents d,
-               LATERAL (SELECT unnest(range(1, len(d.text) - 28)) AS i) i),
-        dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
-        st AS (SELECT wi.doc_id, wi.i FROM wins wi JOIN dup USING (w)),
-        isl AS (
-          SELECT doc_id, i,
-                 CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
-                        IS NULL
-                      OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
-                        + 30
-                      THEN 1 ELSE 0 END AS brk
-          FROM st),
-        isl2 AS (SELECT doc_id, i,
-                        SUM(brk) OVER (PARTITION BY doc_id ORDER BY i)
-                          AS grp
-                 FROM isl),
-        spans AS (SELECT doc_id, MIN(i) AS span_start,
-                         MAX(i) - MIN(i) + 30 AS span_len
-                  FROM isl2 GROUP BY doc_id, grp),
+      "q_dedup_substr_exact" -> (substrSpansSql + """,
         agg AS (SELECT doc_id, span_start, span_len,
                        CAST(SUM(span_len) OVER (PARTITION BY doc_id)
                             AS BIGINT) AS dup_chars
@@ -1052,7 +1105,41 @@ object ExtOps {
                  AS dup_frac
         FROM agg a JOIN documents dd ON a.doc_id = dd.doc_id
         WHERE a.doc_id < 1000
-        ORDER BY a.doc_id, span_start""",
+        ORDER BY a.doc_id, span_start"""),
+
+      // Same shared detection prefix; the surgery mirrors Spark's
+      // complement-interval construction and ordered reassembly
+      // (string_agg ORDER BY seg_start ≡ the sorted-struct concat).
+      "q_dedup_substr_cut" -> (substrSpansSql + """,
+        sp AS (SELECT doc_id, span_start, span_len FROM spans
+               WHERE doc_id < 40),
+        pre AS (
+          SELECT doc_id,
+                 COALESCE(lag(span_start + span_len)
+                   OVER (PARTITION BY doc_id ORDER BY span_start), 1)
+                   AS seg_start,
+                 span_start - COALESCE(lag(span_start + span_len)
+                   OVER (PARTITION BY doc_id ORDER BY span_start), 1)
+                   AS seg_len
+          FROM sp),
+        tl AS (
+          SELECT s.doc_id, MAX(span_start + span_len) AS seg_start,
+                 len(d.text) - MAX(span_start + span_len) + 1 AS seg_len
+          FROM sp s JOIN documents d ON s.doc_id = d.doc_id
+          GROUP BY s.doc_id, len(d.text)),
+        segs AS (SELECT * FROM pre WHERE seg_len > 0
+                 UNION ALL SELECT * FROM tl WHERE seg_len > 0),
+        cut AS (
+          SELECT g.doc_id, len(d.text) AS orig_len,
+                 count(*) AS n_segments,
+                 string_agg(substr(d.text, CAST(seg_start AS INT),
+                   CAST(seg_len AS INT)), '' ORDER BY seg_start)
+                   AS clean_text
+          FROM segs g JOIN documents d ON g.doc_id = d.doc_id
+          GROUP BY g.doc_id, len(d.text))
+        SELECT doc_id, orig_len, len(clean_text) AS clean_len,
+               n_segments, clean_text
+        FROM cut ORDER BY doc_id"""),
 
       "q_dedup_embed" -> s"""
         WITH pairs AS ($embedPairsSql),

@@ -1820,6 +1820,35 @@ class OpsSpec extends GraftSuite {
       s"got: $spans")
   }
 
+  test("q_dedup_substr_cut: clean text is exactly the uncovered characters") {
+    import org.apache.spark.sql.functions._
+    // Independent reconstruction: brute-force covered sets (stride-1
+    // windows occurring >= 2 times corpus-wide), clean text = the
+    // complement characters in order.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val winCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, t) <- docs; i <- 0 to t.length - 30)
+      winCount.updateWith(t.substring(i, i + 30))(c => Some(c.getOrElse(0) + 1))
+    val expect = docs.toSeq.filter(_._1 < 40).flatMap { case (id, t) =>
+      val covered = (0 to t.length - 30)
+        .filter(i => winCount(t.substring(i, i + 30)) >= 2)
+        .flatMap(i => i until i + 30).toSet
+      val clean = t.indices.filterNot(covered).map(t.charAt).mkString
+      // docs with no spans, or fully covered, emit no row
+      if (covered.isEmpty || clean.isEmpty) None
+      else Some(id -> (t.length.toLong, clean.length.toLong, clean))
+    }.toMap
+    val got = q("q_dedup_substr_cut", sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+          r.getString(4))).toMap
+    assert(got === expect,
+      s"surgery drifted from the brute-force reconstruction")
+    assert(got.nonEmpty, "fixture must contain cut documents")
+  }
+
   test("q_sim_nndescent: one round strictly improves recall@3 over the cell pass") {
     import org.apache.spark.sql.functions._
     // Ground truth: brute-force top-3 per vector on the SAME rounded
