@@ -411,4 +411,60 @@ class PropertySpec extends GraftSuite {
       assert(on.nonEmpty && on === codegenOff(run()), s"case n=$n diverged")
     }
   }
+
+  test("substrExactSpans law: equals brute force on random planted corpora") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // Random {a,b}-alphabet docs with PLANTED shared blocks — across
+    // docs, twice within one doc, and spliced at random offsets so
+    // span boundaries land anywhere relative to the doubling blocks
+    // (the cases a curated fixture can't sweep). Reference: the same
+    // stride-1 brute force the fixture law uses, on whatever repeats
+    // the randomness produces (planted or accidental).
+    (0 until 4).foreach { k =>
+      val rng = new scala.util.Random(7919L * (k + 1))
+      def rs(n: Int) = (0 until n)
+        .map(_ => if (rng.nextBoolean()) 'a' else 'b').mkString
+      val base = Array.tabulate(5)(_ => rs(30 + rng.nextInt(50)))
+      val blk = rs(30 + rng.nextInt(15))
+      def splice(t: String, b: String) = {
+        val p = rng.nextInt(t.length + 1); t.take(p) + b + t.drop(p)
+      }
+      base(1) = splice(base(1), blk)
+      base(3) = splice(base(3), blk)
+      base(4) = splice(splice(base(4), blk), blk) // twice in one doc
+      val docs = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_substr$k").toString
+      docs.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = ops.ExtOps.substrExactSpans(s, dir).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+          r.getAs[Number](2).longValue)).sorted.toSeq
+      val winCount = scala.collection.mutable.Map.empty[String, Int]
+      for ((_, t) <- docs; i <- 0 to t.length - 30)
+        winCount.updateWith(t.substring(i, i + 30))(
+          c => Some(c.getOrElse(0) + 1))
+      val expect = docs.flatMap { case (id, t) =>
+        val covered = (0 to t.length - 30)
+          .filter(i => winCount(t.substring(i, i + 30)) >= 2)
+          .flatMap(i => i until i + 30).toSet
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        covered.toSeq.sorted.foreach { p =>
+          runs.lastOption match {
+            case Some((st, ln)) if st - 1 + ln == p =>
+              runs(runs.size - 1) = (st, ln + 1)
+            case _ => runs += ((p + 1L, 1L))
+          }
+        }
+        runs.map { case (st, ln) => (id, st, ln) }
+      }.sorted.toSeq
+      assert(got === expect, s"case $k diverged (blk len ${blk.length})")
+      assert(got.nonEmpty, s"case $k must contain planted spans")
+    }
+  }
 }
