@@ -567,6 +567,73 @@ object GraphOps {
         .transform(Tables.ck)
     }
 
+  /** q_graph_betweenness's radius-4 Brandes-subset core over ANY
+    * symmetric (src, dst) edge list and (seed) pivot set — extracted
+    * so PropertySpec can drive random graphs through the exact
+    * production algebra. Returns (node, dm): the micro-unit pivot-sum
+    * dependency Σ_seeds δ_seed(node), nodes within 4 hops of a pivot.
+    *
+    * Forward: 4 hops of σ-carrying multi-source BFS. The visited anti
+    * join runs BEFORE the σ aggregate: it is a map-side broadcast
+    * filter, and by hop 3-4 most of the k·|E| expanded rows hit
+    * already-visited nodes — dropping them pre-shuffle is the
+    * difference between aggregating the frontier's true growth and
+    * re-shuffling the whole expansion every hop. The filtered
+    * expansion IS the shortest-path DAG slice for the hop ((seed, v
+    * at ℓ, w at ℓ+1) with σv on each row) — MATERIALIZED (ck) so the
+    * backward sweeps read it back instead of rescanning the full edge
+    * list three more times: the textbook distributed Brandes stores
+    * the DAG it walks. Backward: each sweep is ONE broadcast join of
+    * the stored DAG slice with the child level's (σw, δw) table — σv
+    * rides the DAG row; contributions are floor(σv·(1e6+δw)/σw+0.5)
+    * micro-units summed order-free as BIGINT. */
+  private[graft] def brandesDeltas(edges: org.apache.spark.sql.DataFrame,
+      piv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var frontier = piv
+      .select($"seed", $"seed".as("node"), lit(1L).as("sig"))
+    var visited = frontier.select($"seed", $"node")
+    var levels = Vector(frontier)
+    var dags = Vector.empty[org.apache.spark.sql.DataFrame]
+    (1 to 4).foreach { _ =>
+      val dag = edges
+        .join(broadcast(frontier
+          .select($"seed", $"node".as("src"), $"sig")), Seq("src"))
+        .select($"seed", $"src", $"dst".as("node"), $"sig")
+        .join(broadcast(visited), Seq("seed", "node"), "left_anti")
+        .transform(Tables.ck)
+      dags = dags :+ dag
+      frontier = dag
+        .groupBy($"seed", $"node").agg(sum($"sig").as("sig"))
+        .transform(Tables.ck)
+      visited = visited.unionByName(frontier.select($"seed", $"node"))
+      levels = levels :+ frontier
+    }
+    def sweep(dag: org.apache.spark.sql.DataFrame,
+        child: org.apache.spark.sql.DataFrame,
+        childDm: Option[org.apache.spark.sql.DataFrame]) = {
+      val cd = childDm match {
+        case Some(dm) => child.join(dm, Seq("seed", "node"), "left")
+          .select($"seed", $"node", $"sig".as("wsig"),
+            coalesce($"dm", lit(0L)).as("dm"))
+        case None => child
+          .select($"seed", $"node", $"sig".as("wsig"), lit(0L).as("dm"))
+      }
+      dag.join(broadcast(cd), Seq("seed", "node"))
+        .select($"seed", $"src".as("node"),
+          floor($"sig".cast("double") * (lit(1000000L) + $"dm")
+            / $"wsig" + 0.5).cast("long").as("c"))
+        .groupBy($"seed", $"node").agg(sum($"c").as("dm"))
+        .transform(Tables.ck)
+    }
+    val d3 = sweep(dags(3), levels(4), None)
+    val d2 = sweep(dags(2), levels(3), Some(d3))
+    val d1 = sweep(dags(1), levels(2), Some(d2))
+    d1.unionByName(d2).unionByName(d3)
+      .groupBy($"node").agg(sum($"dm").as("dm"))
+  }
+
   /** Frontier sizes for hops 1..`hops` of a BFS over `edges` from
     * `seed`. Each hop is ONE keyed join (frontier⋈edges) + one anti
     * join against the visited set — the standard BFS-on-MapReduce
@@ -935,64 +1002,11 @@ object GraphOps {
     // accuracy/cost knob, pivots are embarrassingly batchable.
     "q_graph_betweenness" -> ((s, d) => {
       import s.implicits._
-      val edges = tradeEdges(s, d)
       val n = tradeDeg(s, d).count()
       val piv = tradeDeg(s, d)
         .orderBy(Tables.h60($"src"), $"src").limit(4)
         .select($"src".as("seed"))
-      var frontier = piv
-        .select($"seed", $"seed".as("node"), lit(1L).as("sig"))
-      var visited = frontier.select($"seed", $"node")
-      var levels = Vector(frontier)
-      var dags = Vector.empty[org.apache.spark.sql.DataFrame]
-      (1 to 4).foreach { _ =>
-        // Visited anti join BEFORE the σ aggregate: it is a map-side
-        // broadcast filter, and by hop 3-4 most of the k·|E| expanded
-        // rows hit already-visited nodes — dropping them pre-shuffle
-        // is the difference between aggregating the frontier's true
-        // growth and re-shuffling the whole expansion every hop. The
-        // filtered expansion IS the shortest-path DAG slice for this
-        // hop ((seed, v at ℓ, w at ℓ+1) with σv on each row) — it is
-        // MATERIALIZED (ck) so the backward sweeps below read it back
-        // instead of rescanning the full edge list three more times:
-        // the textbook distributed Brandes stores the DAG it walks.
-        val dag = edges
-          .join(broadcast(frontier
-            .select($"seed", $"node".as("src"), $"sig")), Seq("src"))
-          .select($"seed", $"src", $"dst".as("node"), $"sig")
-          .join(broadcast(visited), Seq("seed", "node"), "left_anti")
-          .transform(Tables.ck)
-        dags = dags :+ dag
-        frontier = dag
-          .groupBy($"seed", $"node").agg(sum($"sig").as("sig"))
-          .transform(Tables.ck)
-        visited = visited.unionByName(frontier.select($"seed", $"node"))
-        levels = levels :+ frontier
-      }
-      // Each sweep is ONE broadcast join of the stored DAG slice with
-      // the child level's (σw, δw) table — σv rides the DAG row.
-      def sweep(dag: org.apache.spark.sql.DataFrame,
-          child: org.apache.spark.sql.DataFrame,
-          childDm: Option[org.apache.spark.sql.DataFrame]) = {
-        val cd = childDm match {
-          case Some(dm) => child.join(dm, Seq("seed", "node"), "left")
-            .select($"seed", $"node", $"sig".as("wsig"),
-              coalesce($"dm", lit(0L)).as("dm"))
-          case None => child
-            .select($"seed", $"node", $"sig".as("wsig"), lit(0L).as("dm"))
-        }
-        dag.join(broadcast(cd), Seq("seed", "node"))
-          .select($"seed", $"src".as("node"),
-            floor($"sig".cast("double") * (lit(1000000L) + $"dm")
-              / $"wsig" + 0.5).cast("long").as("c"))
-          .groupBy($"seed", $"node").agg(sum($"c").as("dm"))
-          .transform(Tables.ck)
-      }
-      val d3 = sweep(dags(3), levels(4), None)
-      val d2 = sweep(dags(2), levels(3), Some(d3))
-      val d1 = sweep(dags(1), levels(2), Some(d2))
-      d1.unionByName(d2).unionByName(d3)
-        .groupBy($"node").agg(sum($"dm").as("dm"))
+      brandesDeltas(tradeEdges(s, d), piv)
         .select($"node",
           (floor(lit(n / 8.0) * $"dm" / 1e6 * 1e4 + 0.5) / 1e4)
             .as("betweenness"))

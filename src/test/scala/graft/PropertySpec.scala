@@ -412,6 +412,65 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("brandesDeltas law: equals radius-4 truncated Brandes on random graphs") {
+    val s = spark
+    import s.implicits._
+    // Random symmetric graphs (not bipartite, not trade-shaped)
+    // through the exact production core, vs an independent driver
+    // implementation of radius-4 Brandes from the same pivots. Sweeps
+    // σ-tie shapes and disconnected fragments the fixture graph
+    // can't.
+    (0 until 3).foreach { k =>
+      val rng = new scala.util.Random(104729L * (k + 1))
+      val nodes = (0 until 12).map(i => f"n$i%02d")
+      val undirected = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        if rng.nextDouble() < 0.22
+      } yield (nodes(i), nodes(j))).distinct
+      val adj = (undirected ++ undirected.map(_.swap))
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+      val seeds = rng.shuffle(nodes.filter(adj.contains)).take(4)
+      val edgesDf = (undirected ++ undirected.map(_.swap))
+        .toDF("src", "dst")
+      val got = ops.GraphOps
+        .brandesDeltas(edgesDf, seeds.toDF("seed")).collect()
+        .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+      // Reference: per seed, BFS to depth 4 with σ, then δ backward
+      // over levels 3..1 (level-4 δ = 0 — the same truncation).
+      val acc = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      for (s0 <- seeds) {
+        val dist = scala.collection.mutable.Map(s0 -> 0)
+        val sig = scala.collection.mutable.Map(s0 -> 1L)
+          .withDefaultValue(0L)
+        var frontier = Seq(s0)
+        for (h <- 1 to 4) {
+          val next = scala.collection.mutable.LinkedHashSet.empty[String]
+          for (u <- frontier; v <- adj.getOrElse(u, Nil)) {
+            if (!dist.contains(v)) { dist(v) = h; next += v }
+            if (dist(v) == h) sig(v) += sig(u)
+          }
+          frontier = next.toSeq
+        }
+        val dep = scala.collection.mutable.Map.empty[String, Double]
+          .withDefaultValue(0.0)
+        for (l <- 3 to 1 by -1; v <- dist.keys.toSeq if dist(v) == l;
+             w <- adj.getOrElse(v, Nil) if dist.get(w).contains(l + 1))
+          dep(v) += sig(v).toDouble / sig(w) * (1.0 + dep(w))
+        for ((v, dv) <- dep if v != s0) acc(v) += dv
+      }
+      got.foreach { case (v, dm) =>
+        assert(math.abs(dm - acc(v)) < 1e-3,
+          s"case $k node $v: $dm vs ${acc(v)}")
+      }
+      acc.foreach { case (v, dv) =>
+        if (dv > 1e-3) assert(got.contains(v),
+          s"case $k node $v with delta $dv missing from the query")
+      }
+      assert(got.nonEmpty, s"case $k produced no dependencies")
+    }
+  }
+
   test("substrExactSpans law: equals brute force on random planted corpora") {
     val s = spark
     import s.implicits._
