@@ -605,6 +605,43 @@ object SimOps {
         .orderBy($"n_vecs".desc, $"cluster")
     }),
 
+    // LATE-INTERACTION RETRIEVAL (ColBERT MaxSim, Khattab & Zaharia,
+    // SIGIR'20): score(q, d) = Σ_{query tokens} max_{doc tokens}
+    // (q_t · d_t) — the multi-vector scoring that beats single-vector
+    // retrieval by matching token-level structure. Token vectors are
+    // a deterministic stand-in (the codec-stub convention): each
+    // 64-dim fixture vector slices into 4×16-dim "token" subvectors —
+    // the SHAPE (per-query-token max over doc tokens, then sum) is
+    // the real operator; a production run swaps real token
+    // embeddings into the same plan. Determinism: each subvector dot
+    // snaps to the r4 grid BEFORE max (max over grid values — no
+    // tie ambiguity in the value) and the final score is a sum of 4
+    // grid values (exact). Scale: the 4-row query-token table
+    // broadcasts (whitelisted tiny-broadcast class); the corpus
+    // explodes ×4 into token rows but never self-joins — one
+    // broadcast-scored pass + two keyed aggregates (max per (doc,
+    // query-token), sum per doc), then TakeOrdered. The OpsSpec law
+    // is the aligned-slice bound: MaxSim ≥ the full-vector dot
+    // (Σ of aligned-slice dots), since each max dominates its
+    // aligned term.
+    "q_sim_maxsim" -> ((s, d) => {
+      import s.implicits._
+      val sliced = t(s, d, "embeddings").select($"vec_id",
+        posexplode(expr(
+          "transform(sequence(0, 3), t -> slice(embedding, t * 16 + 1, 16))"))
+          .as(Seq("tok", "sub")))
+      val qt = sliced.where($"vec_id" === 0)
+        .select($"tok".as("tq"), $"sub".as("qv"))
+      sliced.where($"vec_id" =!= 0).crossJoin(broadcast(qt))
+        .select($"vec_id", $"tq",
+          (floor(dot($"sub", $"qv") * 1e4 + 0.5) / 1e4).as("dp"))
+        .groupBy($"vec_id", $"tq").agg(max($"dp").as("m"))
+        .groupBy($"vec_id")
+        .agg((floor(sum($"m") * 1e4 + 0.5) / 1e4).as("maxsim"))
+        .orderBy($"maxsim".desc, $"vec_id")
+        .limit(10)
+    }),
+
     // ANN INDEX BUILD/SERVE SPLIT — the composition a real vector
     // store runs that q_sim_ann_ivf (which recomputes its index
     // inside the query) deliberately does not: the IVF index
@@ -949,6 +986,27 @@ object SimOps {
       ORDER BY rrf DESC, doc_id
       LIMIT 10""",
     "q_sim_cluster" -> simClusterSql,
+
+    // Identical slicing (1-based inclusive list slice ≡ Spark's
+    // slice(embedding, t·16+1, 16)), r4 grid before max, exact
+    // 4-term sum.
+    "q_sim_maxsim" -> """
+      WITH sl AS (
+        SELECT vec_id, t.t AS tok,
+               embedding[t.t * 16 + 1 : t.t * 16 + 16] AS sub
+        FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS t) t),
+      qt AS (SELECT tok AS tq, sub AS qv FROM sl WHERE vec_id = 0),
+      dp AS (
+        SELECT s.vec_id, q.tq,
+               FLOOR((list_sum(list_transform(list_zip(s.sub, q.qv),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS dp
+        FROM sl s CROSS JOIN qt q WHERE s.vec_id <> 0),
+      mx AS (SELECT vec_id, tq, MAX(dp) AS m FROM dp GROUP BY vec_id, tq)
+      SELECT vec_id, FLOOR(SUM(m) * 1e4 + 0.5) / 1e4 AS maxsim
+      FROM mx GROUP BY vec_id
+      ORDER BY maxsim DESC, vec_id
+      LIMIT 10""",
 
     // The oracle recomputes the WHOLE index from the raw embeddings
     // table (assignment grid, tie-break, and probe algebra identical

@@ -50,7 +50,8 @@ import org.apache.spark.sql.SparkSession
   * r12 additions to the class: q_pipe_freshness (1-row corpus
   * high-water mark), q_sim_hardneg (≤20-row query batch),
   * q_sim_hybrid (1-row corpus stats + query-term scalar),
-  * q_text_dsir (1-row normalizer totals).
+  * q_text_dsir (1-row normalizer totals). r13: q_sim_maxsim (4-row
+  * query-token-subvector batch vs the streamed corpus).
   */
 object PlanAudit {
 
@@ -66,7 +67,8 @@ object PlanAudit {
     "q_pipe_oversample", "q_pipe_survival", "q_pipe_targetenc",
     "q_pipe_temperature", "q_pipe_tokenbudget", "q_pipe_zorder",
     "q_sim_ann_ivf", "q_sim_cosine_topk", "q_sim_hardneg",
-    "q_sim_hybrid", "q_sim_kmeans", "q_sim_knn_join", "q_sim_mmr",
+    "q_sim_hybrid", "q_sim_kmeans", "q_sim_knn_join", "q_sim_maxsim",
+    "q_sim_mmr",
     "q_sim_pairs", "q_sim_pca", "q_sim_range", "q_sim_recall",
     "q_sink_dsv2", "q_text_bm25", "q_text_dsir", "q_text_jsd",
     "q_text_kneserney", "q_text_pmi", "q_text_tfidf", "q_win_ntile")

@@ -1623,6 +1623,47 @@ class OpsSpec extends GraftSuite {
     assert(got.values.map(_._3).sum > 0, "batch must contain OOV words")
   }
 
+  test("q_sim_maxsim: dominates the aligned full-vector dot; matches a recount") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def subdot(a: Array[Float], b: Array[Float], t: Int): Double = {
+      var s = 0.0; var i = t * 16
+      while (i < (t + 1) * 16) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val qe = vecs(0L)
+    // Driver recount of the full MaxSim census: per doc, Σ over query
+    // tokens of the max over that DOC's tokens (q-slice tq · d-slice
+    // td), r4 per dot.
+    val perDoc = vecs.collect { case (v, ev) if v != 0L =>
+      v -> r4((0 until 4).map { tq =>
+        (0 until 4).map { td =>
+          var s = 0.0; var i = 0
+          while (i < 16) {
+            s += ev(td * 16 + i).toDouble * qe(tq * 16 + i).toDouble
+            i += 1
+          }
+          r4(s)
+        }.max
+      }.sum)
+    }
+    val got = q("q_sim_maxsim", sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expectTop = perDoc.toSeq.sortBy { case (v, m) => (-m, v) }.take(10)
+    assert(got === expectTop, s"got $got\nexpected $expectTop")
+    // Structural bound: each per-query-token max dominates its
+    // ALIGNED slice dot, so MaxSim ≥ the full-vector dot (as the sum
+    // of aligned r4 slice dots).
+    got.foreach { case (v, m) =>
+      val aligned = r4((0 until 4).map(t => r4(subdot(vecs(v), qe, t))).sum)
+      assert(m >= aligned - 1e-9,
+        s"doc $v: maxsim $m below its aligned-slice sum $aligned")
+    }
+  }
+
   test("q_text_bm25_serve: the materialized index serves q_text_bm25's ranking") {
     // Same query terms, same k — the persisted-index path must
     // reproduce the recompute-everything row. Scores may differ only
