@@ -16,27 +16,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // Unfiltered count/min/max answer from parquet footers instead
-      // of row scans (Spark only rewrites when exact); measured 4x on
-      // q_scan_count. At 100 TB this is "count a table in metadata
-      // time" — same setting a production deployment would pin.
-      .config("spark.sql.parquet.aggregatePushdown", "true")
-      // Bucketed tables are read AS bucketed even when no join needs
-      // their distribution: the planner's auto-disable would also drop
-      // BUCKET PRUNING, which q_text_bm25_serve's term-IN postings
-      // lookup depends on (the inverted-index access path).
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-        "false")
-      // Bucketed/partitioned-table queries (q_join_bucket, q_join_dpp)
-      // need a writable catalog location that never pollutes the repo
-      // working tree; fresh per JVM, removed on exit (TempWarehouse).
-      .config("spark.sql.warehouse.dir", TempWarehouse.dir())
+    // The shared engine posture (EngineSession) carries every
+    // execution-affecting conf — see its scaladoc for the rationale
+    // per flag; a runner must never re-enumerate them.
+    val builder = EngineSession.builder(s"local[$cpus]", cpus)
     // Dev knob: extra confs as ;-separated k=v pairs, for A/B-ing
     // scheduler/AQE settings without editing code. Driver sets none.
     sys.env.get("GRAFT_BENCH_CONF").foreach(_.split(";").filter(_.nonEmpty)
@@ -151,6 +134,14 @@ object Bench {
     // snapshot: a pass-1 failure must show in the pass-1 bench.json
     // (the kill-safe artifact), not only after the final pass.
     def failed: Set[String] = attempted.filterNot(best.contains)
+    // Streaming CHILD-SESSION rows (RocksDB / transformWithState
+    // providers) carry provider-startup variance the min-of-passes
+    // protocol under-samples — their history oscillates on unchanged
+    // code (r12: q_stream_rocksdb 1.36 → 2.12 s). Exactly these rows
+    // get ONE extra timed run after the sweep, and the set is
+    // declared in the artifact (extra_pass_rows, see render).
+    val streamExtra = Seq("q_stream_rocksdb", "q_stream_tws",
+      "q_stream_tws_list", "q_stream_sink")
     def render(results: Seq[(String, Double)], errors: Set[String])
         (fmt: Double => String): String = {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -158,10 +149,19 @@ object Bench {
         errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      // Sampling-protocol annotation: the streaming child-session rows
+      // get one extra timed run (min-of-(passes+1), see streamExtra
+      // below), so their minima are drawn from a deeper sample than
+      // every other row's min-of-passes. Declaring the affected set in
+      // the artifact keeps cross-round comparisons honest — a
+      // BenchDiff consumer can see which rows mix protocols instead of
+      // inferring it from this file's prose.
+      val extraJson = streamExtra.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       // the total is what the acceptance gate reads — keep it at full
       // 3-decimal precision even when per-query values degrade
       val tot = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
-      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"errors":$errJson,"extra_pass_rows":$extraJson,"sf":"$sfDir"}"""
     }
     // "_"-prefixed entries are separately-timed SHARED-MEMO builds,
     // not declared queries — they appear in the detail map (and count
@@ -228,14 +228,9 @@ object Bench {
       Files.writeString(Paths.get("bench.json"),
         render(snapshot, failed)(_.toString) + "\n")
     }
-    // Streaming CHILD-SESSION rows (RocksDB / transformWithState
-    // providers) carry provider-startup variance the min-of-passes
-    // protocol under-samples — their history oscillates on unchanged
-    // code (r12: q_stream_rocksdb 1.36 → 2.12 s). Exactly these rows
-    // get ONE extra timed run, so their reported minimum is
-    // min-of-(passes+1) while every other row stays untouched.
-    val streamExtra = Seq("q_stream_rocksdb", "q_stream_tws",
-      "q_stream_tws_list", "q_stream_sink")
+    // The declared-above streamExtra rows' one extra timed run: their
+    // reported minimum is min-of-(passes+1) while every other row
+    // stays untouched.
     ordered.filter(o => streamExtra.contains(o._1))
       .foreach { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -10,26 +10,9 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // Same engine posture as Bench: footer-metadata answers for
-      // unfiltered count/min/max (exact-only rewrite).
-      .config("spark.sql.parquet.aggregatePushdown", "true")
-      // Bucketed tables are read AS bucketed even when no join needs
-      // their distribution: the planner's auto-disable would also drop
-      // BUCKET PRUNING, which q_text_bm25_serve's term-IN postings
-      // lookup depends on (the inverted-index access path).
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-        "false")
-      // Bucketed/partitioned-table queries (q_join_bucket, q_join_dpp)
-      // need a writable catalog location that never pollutes the repo
-      // working tree; fresh per JVM, removed on exit (TempWarehouse).
-      .config("spark.sql.warehouse.dir", TempWarehouse.dir())
-      .getOrCreate()
+    // Shared engine posture (EngineSession — one definition for every
+    // runner, so no entry point can drop an execution-affecting flag).
+    val spark = EngineSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

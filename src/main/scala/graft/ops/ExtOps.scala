@@ -852,7 +852,24 @@ object ExtOps {
     Tables.derived(s, d, "substr_exact_spans") {
       import s.implicits._
       val wd = Window.partitionBy($"doc_id").orderBy($"pos")
-      val ch = t(s, d, "documents")
+      // The gid encoding (doc_id·2^20 + pos) is only injective while
+      // every doc is shorter than 2^20 chars — past that, gids ALIAS
+      // across documents and silently merge distinct equivalence
+      // classes (wrong spans, no error). Enforce the cap at the scan:
+      // an oversized doc raises with the fix spelled out instead of
+      // corrupting labels. raise_error keeps the check lazy (one
+      // length() per doc row, no extra action).
+      val guarded = t(s, d, "documents")
+        .select($"doc_id",
+          when(length($"text") < lit(1 << 20), $"text")
+            .otherwise(raise_error(format_string(
+              "[graft] substrExactSpans: doc %s has %s chars >= 2^20 - " +
+                "the gid encoding (doc_id * 2^20 + pos) would alias " +
+                "across documents; switch the class label to a " +
+                "(doc_id, pos) struct (see the scaladoc) or length-cap " +
+                "the corpus first", $"doc_id", length($"text"))))
+            .as("text"))
+      val ch = guarded
         .select($"doc_id", posexplode(split($"text", "")))
         .where($"col" =!= "") // engine-version-proof trailing-empty guard
         .select($"doc_id", $"pos",

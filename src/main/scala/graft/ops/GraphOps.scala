@@ -41,7 +41,7 @@ object GraphOps {
     * fan-out at cap²/2 ≈ 500k pairs instead of degree². The cap
     * MECHANISM (not the default) is what the spec asserts, at cap=1
     * and cap=2 where it provably bites. */
-  private val JaccardCap = 1 << 16
+  private[graft] val JaccardCap = 1 << 16
 
   /** Keep at most `cap` suppliers per customer, selected in hash
     * order (xxhash64 of the supplier id, id tiebreak) — deterministic
@@ -450,6 +450,60 @@ object GraphOps {
         .transform(Tables.ck)
     }
 
+  /** The 8-round synchronous LPA labeling of the [[ccEdges]] fixture
+    * graph, memoized per (session, dir): q_graph_lpa's census and
+    * q_graph_modularity's quality grade are projections of ONE
+    * labeling (the ccStarLabels sharing pattern) — a multi-query
+    * harness runs the 8-round loop once, and the modularity oracle
+    * re-derives the labels independently so the sharing itself is
+    * differentially checked. */
+  private def lpaLabelsDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.derived(s, d, "lpa_labels_8") {
+      import s.implicits._
+      val e0 = ccEdges(s, d)
+      lpaLabels(
+        e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst"))), 8)
+        .transform(Tables.ck)
+    }
+
+  /** NEWMAN MODULARITY (Newman & Girvan 2004) of a labeling over an
+    * UNDIRECTED edge set `und = (u, v)` (each edge once, u ≠ v):
+    * Q = Σ_c (e_c/m − (d_c/2m)²) — the one number that says whether a
+    * community labeling beats random edge placement. Computed through
+    * the EXACT-integer identity Q = (4m·Σe_c − Σd_c²) / (4m²): Σe_c
+    * (total intra-community edges), m, and Σd_c² are integer
+    * sufficient statistics — the squares accumulate in DECIMAL(38,0),
+    * the q_graph_assortativity overflow treatment (BIGINT wraps once
+    * Σd_c² > 2^63 on hub-heavy graphs; decimal is exact to 10^38 and
+    * still partial-aggregable) — and only the final one-division
+    * closed form is double, written operation-identically in the
+    * oracle. Scale: two keyed label joins + one keyed degree sum +
+    * two scalar aggregates; the 1-row combine rides the whitelisted
+    * tiny-broadcast cross join. */
+  private[graft] def modularityQ(und: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame, method: String)
+      : org.apache.spark.sql.DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val sym = und.unionByName(und.select($"v".as("u"), $"u".as("v")))
+    val deg = sym.groupBy($"u").agg(count(lit(1)).as("dg"))
+    val dsum = deg.join(labels.select($"node".as("u"), $"lab"), "u")
+      .groupBy($"lab").agg(sum($"dg").as("dc"))
+      .agg(sum($"dc".cast("decimal(19,0)") * $"dc".cast("decimal(19,0)"))
+        .as("sd2"),
+        count(lit(1)).as("n_communities"))
+    val intra = und
+      .join(labels.select($"node".as("u"), $"lab".as("lu")), "u")
+      .join(labels.select($"node".as("v"), $"lab".as("lv")), "v")
+      .agg(count(lit(1)).as("m"),
+        sum(when($"lu" === $"lv", 1L).otherwise(0L)).as("intra"))
+    intra.crossJoin(broadcast(dsum))
+      .select(lit(method).as("method"), $"n_communities",
+        $"m".as("n_edges"),
+        (floor((lit(4.0) * $"m" * $"intra" - $"sd2".cast("double"))
+          / (lit(4.0) * $"m" * $"m") * 1e6 + 0.5) / 1e6).as("modularity"))
+  }
+
   /** `rounds` peel iterations toward the K-CORE of a SYMMETRIC edge
     * set: each round drops every node whose degree in the CURRENT
     * subgraph is < k, then restricts the edges to surviving endpoints.
@@ -721,7 +775,91 @@ object GraphOps {
     s.table(name)
   }
 
+  /** The symmetrized trade graph with a DETERMINISTIC INTEGER edge
+    * weight: w(c,s) = min l_quantity over the orders the pair shares
+    * (the "cheapest observed lot" — any deterministic integer works;
+    * quantity keeps it data-derived). One keyed aggregate over the
+    * same orders⋈lineitem scan as [[tradeEdges]], memoized +
+    * materialized because the SSSP loop re-reads it every round. */
+  private[graft] def tradeEdgesWgt(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.derived(s, d, "trade_edges_wgt") {
+      import s.implicits._
+      val e0 = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
+                concat(lit("s"), $"l_suppkey".cast("string")).as("dst"),
+                $"l_quantity".cast("long").as("q"))
+        .groupBy($"src", $"dst").agg(min($"q").as("w"))
+        .transform(Tables.ck)
+      e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    }
+
+  /** `rounds` Bellman–Ford relaxations over a weighted symmetric edge
+    * set `(src, dst, w)` from the 1-row `seed` — distributed
+    * single-source shortest paths, the weighted kernel
+    * [[bfsFrontiers]] (hop counts) cannot express. Per round: ONE
+    * broadcast of the |reached|-bounded distance table onto the edges
+    * (the bfsFrontiers regime split verbatim — SHUFFLE_HASH +
+    * src-bucketed edges past a few hundred million reached nodes) +
+    * one partial-aggregable min keyed on the node; the carry-over
+    * union keeps settled nodes without re-deriving them. FIXED round
+    * count with zero driver actions (the q_graph_kcore discipline):
+    * relaxation is monotone (distances only decrease, reached set
+    * only grows), so once a round changes nothing the table IS the
+    * exact shortest-path distances and every further round is the
+    * identity — fixed-round correctness only needs rounds ≥ the max
+    * EDGE COUNT of any shortest path, which OpsSpec asserts by
+    * comparing `rounds` and `rounds+1` on the fixture (plus a
+    * driver-side Dijkstra recount). Each round lazily checkpoints:
+    * the distance table is referenced twice per round (relax join +
+    * carry-over union) — unchecked, the unroll doubles per round.
+    * Distances are exact BIGINT sums of integer weights — no float
+    * anywhere, both engines agree bit-for-bit. */
+  private[graft] def ssspDist(edges: org.apache.spark.sql.DataFrame,
+      seed: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    var dist = seed.select(col("node"), lit(0L).as("dist"))
+      .transform(Tables.ck)
+    for (_ <- 1 to rounds) {
+      dist = edges
+        .join(broadcast(dist.select(col("node").as("src"), col("dist"))),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .transform(Tables.ck)
+    }
+    dist
+  }
+
+  /** Fixed SSSP round count: covers the max shortest-path edge count
+    * on every fixture SF with headroom (measured ≤ 6 at sf0.1 — low
+    * weights make many-hop detours pay on this graph); OpsSpec
+    * asserts rounds ≡ rounds+1 on the real fixture so a regenerated
+    * deeper graph fails the spec, not the differential. */
+  private[graft] val SsspRounds = 8
+
   val queries: Map[String, Q] = Map(
+    // WEIGHTED SINGLE-SOURCE SHORTEST PATHS (bounded-round
+    // Bellman–Ford) over the quantity-weighted trade graph from the
+    // q_graph_bfs hub seed — the classic weighted kernel next to the
+    // unweighted BFS row: BFS answers "how many hops", SSSP answers
+    // "at what cost", and on a trade graph the min-quantity weight
+    // reads as the cheapest routing. See [[ssspDist]] for the
+    // per-round shape, the monotone-fixpoint argument, and the
+    // exact-integer claim; [[SsspRounds]] rounds unrolled as ONE lazy
+    // plan. Output: every reached node with its exact distance
+    // (reached = the seed's component; unreached nodes emit no row in
+    // both engines).
+    "q_graph_sssp" -> ((s, d) => {
+      import s.implicits._
+      val seed = tradeDeg(s, d).select($"src".as("node"), $"d".as("dg"))
+        .orderBy($"dg".desc, $"node").limit(1).select($"node")
+      ssspDist(tradeEdgesWgt(s, d), seed, SsspRounds)
+        .orderBy($"node")
+    }),
+
     // PageRank over the symmetrized trade graph. Every node has degree
     // ≥ 1 by construction, so no dangling-mass term is needed and
     // total rank stays 1.
@@ -1102,12 +1240,30 @@ object GraphOps {
     // community census (label, size), largest first.
     "q_graph_lpa" -> ((s, d) => {
       import s.implicits._
-      val e0 = ccEdges(s, d)
-      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-      lpaLabels(edges, 8)
+      lpaLabelsDf(s, d)
         .groupBy($"lbl").agg(count(lit(1)).as("n_nodes"))
         .select($"lbl".as("community"), $"n_nodes")
         .orderBy($"n_nodes".desc, $"community")
+    }),
+
+    // NEWMAN MODULARITY of the LPA communities, with the CC labels as
+    // the null baseline — the number that says whether q_graph_lpa's
+    // labels are any GOOD (LPA always emits labels; only Q says they
+    // beat random placement). Two rows, one per labeling, both off the
+    // family-shared memos ([[lpaLabelsDf]], [[ccStarLabels]]) over the
+    // same [[ccEdges]] graph: the CC row is the coarsest possible
+    // labeling (every edge intra by definition — Σe_c = m, so
+    // Q_cc = 1 − Σd_c²/4m², the connectivity ceiling), and LPA must
+    // land close to it from 8 rounds of local votes. See
+    // [[modularityQ]] for the exact-integer identity and the
+    // DECIMAL(38,0) overflow treatment.
+    "q_graph_modularity" -> ((s, d) => {
+      import s.implicits._
+      val und = ccEdges(s, d).select($"src".as("u"), $"dst".as("v"))
+      modularityQ(und, ccStarLabels(s, d), "cc")
+        .unionByName(modularityQ(und,
+          lpaLabelsDf(s, d).select($"node", $"lbl".as("lab")), "lpa"))
+        .orderBy($"method")
     }),
 
     // Degree-distribution summary of the symmetrized trade graph,
@@ -1384,6 +1540,33 @@ object GraphOps {
       SELECT src AS node, count(*) AS dg FROM e12
       GROUP BY src
       ORDER BY node"""
+    // The identical Bellman–Ford rounds unrolled from one per-round
+    // template (the kcore/pagerank move), so the Spark loop and the
+    // oracle can never drift on the relaxation formula. MATERIALIZED:
+    // each round reads the previous distance table twice (relax +
+    // carry-over) — un-materialized the chain expands 2^rounds scans.
+    val ssspCte = (i: Int) => s""",
+      d$i AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+          SELECT e.dst AS node, p.dist + e.w AS dist
+          FROM edges e JOIN d${i - 1} p ON e.src = p.node
+          UNION ALL SELECT node, dist FROM d${i - 1})
+        GROUP BY node)"""
+    val ssspSql = s"""
+      WITH e0 AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               CAST(MIN(l_quantity) AS BIGINT) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2),
+      edges AS (SELECT src, dst, w FROM e0
+                UNION ALL SELECT dst, src, w FROM e0),
+      deg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY src),
+      d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM
+               (SELECT node FROM deg ORDER BY dg DESC, node LIMIT 1))""" +
+      (1 to SsspRounds).map(ssspCte).mkString + s"""
+      SELECT node, dist FROM d$SsspRounds
+      ORDER BY node"""
     // The identical 8 synchronous LPA rounds unrolled from one
     // per-round template (the kcore/pagerank move): neighbor votes +
     // one self-vote, argmax by (count DESC, label ASC) via the same
@@ -1413,10 +1596,54 @@ object GraphOps {
       SELECT lbl AS community, count(*) AS n_nodes FROM l8
       GROUP BY lbl
       ORDER BY n_nodes DESC, community"""
+    // Both labelings re-derived independently (exact closure for cc,
+    // the same 8 unrolled LPA rounds), then the identical
+    // exact-integer modularity algebra: HUGEINT Σd_c² mirrors Spark's
+    // DECIMAL(38,0) (both exact), and the one double division is
+    // written operation-for-operation identically.
+    val modTail = (lbl: String, tag: String) => s""",
+      dsum_$tag AS (
+        SELECT SUM(CAST(dc AS HUGEINT) * CAST(dc AS HUGEINT)) AS sd2,
+               count(*) AS nc
+        FROM (SELECT l.lab, SUM(d.dg) AS dc
+              FROM deg d JOIN $lbl l ON d.node = l.node GROUP BY l.lab)),
+      intra_$tag AS (
+        SELECT count(*) AS m,
+               SUM(CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END) AS intra
+        FROM e00 e JOIN $lbl a ON e.src = a.node
+                   JOIN $lbl b ON e.dst = b.node)"""
+    val modRow = (tag: String) => s"""
+      SELECT '$tag' AS method, nc AS n_communities, m AS n_edges,
+             FLOOR((4.0 * m * intra - CAST(sd2 AS DOUBLE))
+               / (4.0 * m * m) * 1e6 + 0.5) / 1e6 AS modularity
+      FROM intra_$tag, dsum_$tag"""
+    val modularitySql = """
+      WITH RECURSIVE e00 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_totalprice > 450000 AND l_quantity >= 47),
+      edges AS (SELECT src, dst FROM e00 UNION ALL SELECT dst, src FROM e00),
+      deg AS (SELECT src AS node, count(*) AS dg FROM edges GROUP BY src),
+      reach(id, mm) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.mm FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id AS node, MIN(mm) AS lab FROM reach GROUP BY id),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges)""" +
+      (1 to 8).map(lpaCte).mkString + """,
+      lcom AS (SELECT node, lbl AS lab FROM l8)""" +
+      modTail("comp", "cc") + modTail("lcom", "lpa") + """
+      SELECT * FROM (""" + modRow("cc") + """
+      UNION ALL""" + modRow("lpa") + """)
+      ORDER BY method"""
     Map(
       "q_graph_pagerank" -> pagerankSql,
       "q_graph_pagerank_part" -> pagerankSql,
       "q_graph_lpa" -> lpaSql,
+      "q_graph_sssp" -> ssspSql,
+      "q_graph_modularity" -> modularitySql,
 
       "q_graph_triangles" -> """
       WITH e AS (

@@ -673,6 +673,53 @@ object TextOps {
         .limit(20)
     }),
 
+    // INCREMENTAL POSTINGS MAINTENANCE — the nightly index-refresh
+    // shape next to q_dedup_incremental's batch dedup: a persisted
+    // BASE postings table ([[bm25BasePostings]]: raw (term, doc, tf)
+    // rows for the corpus MINUS the incoming batch, built once) is
+    // merged with the new batch's postings (tokenize the BATCH only),
+    // and the global statistics are REFRESHED from the merged postings
+    // — df per term = posting count, doc length = Σ tf per doc (every
+    // occurrence lands in exactly one term's tf), avgdl/n from the
+    // refreshed lengths — then served with q_text_bm25_serve's exact
+    // micro-nat algebra. Why this beats a rebuild at 100 TB: the
+    // rebuild's dominant cost is re-TOKENIZING the full corpus text;
+    // the refresh tokenizes only the batch and pays keyed aggregates
+    // over the (much smaller) postings for the stat refresh — the
+    // standard Lucene-segment/serving-index economics. Correctness is
+    // the equality-to-full-rebuild law made literal: base ∪ batch =
+    // exactly the full corpus postings (disjoint doc sets), refreshed
+    // stats = full stats, so the oracle IS the from-scratch
+    // recomputation, and OpsSpec additionally pins merged-serve ≡
+    // q_text_bm25_serve row-for-row.
+    "q_text_bm25_incr" -> ((s, d) => {
+      import s.implicits._
+      val batch = t(s, d, "documents").where($"doc_id" % 5 === 0)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      // Referenced three times below (lengths, query-term filter via
+      // tf, df via tf) — materialize the merge once.
+      val merged = bm25BasePostings(s, d).unionByName(batch)
+        .transform(Tables.ck)
+      val dl = merged.groupBy($"doc_id").agg(sum($"tf").as("len"))
+      val stats = dl.agg(count(lit(1)).as("n"), avg($"len" * 1.0).as("avgdl"))
+      val tf = merged.where($"term".isin("fast", "small", "data"))
+      val dfp = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfp), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select($"doc_id",
+          round(log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+            * $"tf" * 2.2
+            / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"len" / $"avgdl"))
+            * 1e6).cast("long").as("c_micro"))
+        .groupBy($"doc_id").agg(sum($"c_micro").as("sc"))
+        .select($"doc_id",
+          (floor($"sc" / 1e6 * 1e4 + 0.5) / 1e4).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+    }),
+
     "q_text_bm25" -> ((s, d) => {
       import s.implicits._
       val tok = t(s, d, "documents")
@@ -826,7 +873,39 @@ object TextOps {
     // shingles keep only genuinely duplicated passages. The verified
     // output is exact, so the oracle brute-forces shingle Jaccard
     // within (lang) blocks and must match row-for-row.
-    "q_dedup_minhash" -> ((s, d) => minhashPairs(s, d, BucketCap)),
+    "q_dedup_minhash" -> ((s, d) => {
+      import s.implicits._
+      minhashPairsDf(s, d).orderBy($"doc_a", $"doc_b")
+    }),
+
+    // END-TO-END FUZZY DEDUP — the composition every production corpus
+    // dedup terminates in (SlimPajama / RefinedWeb shape): the
+    // VERIFIED near-dup pair graph (the exact q_dedup_minhash output,
+    // shared memo) collapsed to connected components, keep-lowest-id
+    // survivor per cluster, per-cluster size census. Pairs alone don't
+    // dedup a corpus: A~B and B~C must drop B AND C even when A~C
+    // never verified — that transitive collapse is this row. The CC
+    // engine is the SAME large-star/small-star kernel as q_graph_cc
+    // ([[GraphOps.ccStar]]: O(log |V|) rounds, linear edges, no
+    // broadcast requirement — converged labels are provably the
+    // component minima, so the survivor IS the label); unlike
+    // q_dedup_cluster's label-blocked union-find, minhash components
+    // can span language-internal blocks of unbounded size, which is
+    // exactly the unblocked-CC regime ccStar exists for. At 100 TB:
+    // the pair graph is near-dup-sized (≪ corpus), each star round is
+    // one keyed agg + one same-key join, and the census is one keyed
+    // count. Output: one row per multi-member cluster — survivor
+    // (= min doc_id), member count, dropped count.
+    "q_dedup_minhash_cluster" -> ((s, d) => {
+      import s.implicits._
+      val edges = minhashPairsDf(s, d)
+        .select($"doc_a".as("u"), $"doc_b".as("v"))
+      GraphOps.ccStar(edges)._1
+        .groupBy($"lab").agg(count(lit(1)).as("n_members"))
+        .select($"lab".as("survivor"), $"n_members",
+          ($"n_members" - 1).as("n_dropped"))
+        .orderBy($"survivor")
+    }),
 
     // INCREMENTAL near-dup dedup — the production shape corpus-level
     // self-dedup (q_dedup_minhash) never exercises: an incoming batch
@@ -1081,6 +1160,27 @@ object TextOps {
     s.table(name)
   }
 
+  /** q_text_bm25_incr's persisted BASE postings: raw (term, doc_id,
+    * tf) rows for the corpus EXCLUDING the incoming batch (doc_id ≡ 0
+    * mod 5 — stand-in for "tonight's ingest"), written ONCE per
+    * (warehouse, dir). Deliberately RAW — no denormalized idf/norm
+    * (those are the statistics an append invalidates; q_text_bm25_incr
+    * refreshes them from the merged postings, which is the whole
+    * point of the row). tf per (term, doc) is append-stable: a new
+    * doc's rows never change an old doc's. */
+  private[graft] def bm25BasePostings(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val name = "graft_bm25_base_" + d.replaceAll("[^A-Za-z0-9_]", "_")
+    LayoutOps.ensureTable(s, name) {
+      t(s, d, "documents").where($"doc_id" % 5 =!= 0)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").saveAsTable(name)
+    }
+    s.table(name)
+  }
+
   private def classifyScoredPlan(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -1150,6 +1250,25 @@ object TextOps {
   private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession,
       d: String, bucketCap: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    minhashPairsRaw(s, d, bucketCap).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The verified near-dup pair graph at the production cap, memoized
+    * + materialized per (session, dir): q_dedup_minhash emits it
+    * ordered, and q_dedup_minhash_cluster feeds the SAME pair set into
+    * connected components — one LSH+verify pass serves both rows when
+    * they run back to back (Bench's q_dedup_ family window keeps the
+    * memo alive), and the two differentials check the shared pass from
+    * two independent oracles (pair-exact and closure-exact). */
+  private[graft] def minhashPairsDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.derived(s, d, "minhash_pairs") {
+      minhashPairsRaw(s, d, BucketCap).transform(Tables.ck)
+    }
+
+  private def minhashPairsRaw(s: org.apache.spark.sql.SparkSession,
+      d: String, bucketCap: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     val words = t(s, d, "documents")
       .select($"doc_id", $"lang", split($"text", " ").as("w"))
     // Shingles are hashed to 64-bit longs immediately: signature
@@ -1192,7 +1311,6 @@ object TextOps {
         $"inter" / (size($"tok_a") + size($"tok_b") - $"inter"))
       .where($"jac" >= 0.6)
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** q_dedup_containment body — exact prefix-filter containment
@@ -1582,6 +1700,38 @@ object TextOps {
       ORDER BY n DESC, sym
       LIMIT 30"""
 
+  /** Full-corpus BM25 recomputed from raw text with the serve path's
+    * exact algebra (denormalized idf/norm, micro-nat contributions) —
+    * shared by q_text_bm25_serve (persisted-vs-fresh drift check) and
+    * q_text_bm25_incr (merged-vs-rebuilt equality check). */
+  private val bm25ServeSql: String = """
+      WITH tok AS (
+        SELECT doc_id, u.w AS term FROM documents,
+               UNNEST(string_split(text, ' ')) AS u(w)),
+      dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n, AVG(len * 1.0) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             WHERE term IN ('fast', 'small', 'data')
+             GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      post AS (
+        SELECT tf.doc_id, tf.tf,
+               ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+               len / avgdl AS norm
+        FROM tf JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats),
+      sc AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(round(idf * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * norm)) * 1e6) AS BIGINT))
+                 AS BIGINT) AS sc
+        FROM post GROUP BY doc_id)
+      SELECT doc_id, FLOOR(sc / 1e6 * 1e4 + 0.5) / 1e4 AS bm25
+      FROM sc
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20"""
+
   val oracle: Map[String, String] = Map(
     "q_text_bpetrain" -> bpeTrainSql,
     "q_text_bpeapply" -> bpeApplySql,
@@ -1838,33 +1988,13 @@ object TextOps {
     // the raw corpus with the build's algebra — persisted-vs-fresh
     // drift fails the differential — then scores with the identical
     // per-contribution micro-nat rounding.
-    "q_text_bm25_serve" -> """
-      WITH tok AS (
-        SELECT doc_id, u.w AS term FROM documents,
-               UNNEST(string_split(text, ' ')) AS u(w)),
-      dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
-      stats AS (SELECT count(*) AS n, AVG(len * 1.0) AS avgdl FROM dl),
-      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-             WHERE term IN ('fast', 'small', 'data')
-             GROUP BY doc_id, term),
-      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-      post AS (
-        SELECT tf.doc_id, tf.tf,
-               ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf,
-               len / avgdl AS norm
-        FROM tf JOIN df ON tf.term = df.term
-        JOIN dl ON tf.doc_id = dl.doc_id
-        CROSS JOIN stats),
-      sc AS (
-        SELECT doc_id,
-               CAST(SUM(CAST(round(idf * tf * 2.2
-                 / (tf + 1.2 * (0.25 + 0.75 * norm)) * 1e6) AS BIGINT))
-                 AS BIGINT) AS sc
-        FROM post GROUP BY doc_id)
-      SELECT doc_id, FLOOR(sc / 1e6 * 1e4 + 0.5) / 1e4 AS bm25
-      FROM sc
-      ORDER BY bm25 DESC, doc_id
-      LIMIT 20""",
+    "q_text_bm25_serve" -> bm25ServeSql,
+
+    // THE SAME full-corpus recomputation is the incremental row's
+    // oracle on purpose: base-postings ∪ batch-postings with
+    // refreshed idf/norm must equal the from-scratch index exactly —
+    // the merged-index-≡-rebuilt-index law IS the differential.
+    "q_text_bm25_incr" -> bm25ServeSql,
 
     "q_text_coverage" -> """
       WITH cnt AS (
@@ -2202,6 +2332,40 @@ object TextOps {
         FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE jac >= 0.6
       ORDER BY doc_a, doc_b""",
+
+    // The same brute-force pair derivation, then the EXACT transitive
+    // closure (the q_graph_cc oracle shape) — cluster membership,
+    // survivor = component minimum, census re-derived independently of
+    // the engine's large-star/small-star loop.
+    "q_dedup_minhash_cluster" -> """
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      sh AS (
+        SELECT doc_id, lang,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      tk AS (
+        SELECT doc_id, lang, list(DISTINCT shingle) AS tok
+        FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang),
+      pr AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / (len(a.tok) + len(b.tok)
+                 - len(list_intersect(a.tok, b.tok))) >= 0.6),
+      edges AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+      reach(id, m) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.m FROM reach r JOIN edges e ON e.u = r.id),
+      comp AS (SELECT id, MIN(m) AS lab FROM reach GROUP BY id)
+      SELECT lab AS survivor, count(*) AS n_members,
+             count(*) - 1 AS n_dropped
+      FROM comp GROUP BY lab
+      ORDER BY survivor""",
 
     // Brute-force exact shingle-set CONTAINMENT within (lang) blocks:
     // inter / min(|A|,|B|), pair oriented contained → container

@@ -56,6 +56,17 @@ object BenchDiff {
           extra.mkString(", "))
       sys.exit(1)
     }
+    // Mixed-sampling annotation (Bench's extra_pass_rows field): these
+    // rows' minima are min-of-(passes+1) while everything else is
+    // min-of-passes — surface the set so a mover there is read against
+    // the right protocol.
+    val extraRe = "\"extra_pass_rows\"\\s*:\\s*\\[([^\\]]*)\\]".r
+    val newText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(args(1))))
+    extraRe.findFirstMatchIn(newText).foreach { m =>
+      println("extra-pass rows (min-of-(passes+1) protocol): " +
+        m.group(1).replace("\"", ""))
+    }
     val common = a.keySet & b.keySet
     val added = (b.keySet -- a.keySet).toSeq.sorted
     val removed = (a.keySet -- b.keySet).toSeq.sorted

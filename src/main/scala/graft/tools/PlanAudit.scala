@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+
 
 /** Dev-only audit: prints one line per declared query flagging the
   * physical-plan patterns that become bottlenecks at cluster scale —
@@ -13,8 +13,8 @@ import org.apache.spark.sql.SparkSession
   * shipped plan may funnel all rows through one task. Any new flag
   * is a regression.
   *
-  * Expected soft flags (audited 174 queries; everything else is
-  * clean) — BNLJ with a deliberately tiny broadcast side:
+  * Expected soft flags (audited 300 queries at round 14; everything
+  * else is clean) — BNLJ with a deliberately tiny broadcast side:
   *    q_join_cross (5x6 cartesian semantics), q_join_fuzzy (20-row
   *    distinct dim), q_join_skew_salt (dim x salt replication),
   *    q_sim_cosine_topk / q_sim_knn_join / q_sim_ann_ivf /
@@ -51,26 +51,35 @@ import org.apache.spark.sql.SparkSession
   * high-water mark), q_sim_hardneg (≤20-row query batch),
   * q_sim_hybrid (1-row corpus stats + query-term scalar),
   * q_text_dsir (1-row normalizer totals). r13: q_sim_maxsim (4-row
-  * query-token-subvector batch vs the streamed corpus).
+  * query-token-subvector batch vs the streamed corpus). r14:
+  * q_sim_ann_serve (5-probe × 8-centroid serve-time routing),
+  * q_sim_serve_recall (the serve path's routing + 5-probe
+  * brute-force ground truth), q_graph_modularity / q_text_bm25_incr
+  * (1-row sufficient-statistic combines).
   */
 object PlanAudit {
 
   /** Every query allowed to plan a BroadcastNestedLoopJoin — all in
     * the deliberately-tiny-broadcast class (1-row scalar totals,
     * ≤32-row grids/batches/triangles), each documented at its query
-    * site. Audited 290 queries at round 13. */
+    * site. Audited 300 queries at round 14 (43 whitelisted flags,
+    * everything else clean). */
   val BnljWhitelist: Set[String] = Set(
     "q_agg_chisq", "q_agg_mutualinfo", "q_dedup_ngram",
-    "q_dedup_semdedup", "q_graph_hits", "q_join_cross", "q_join_fuzzy",
+    "q_dedup_semdedup", "q_graph_hits", "q_graph_modularity",
+    "q_join_cross", "q_join_fuzzy",
     "q_join_skew_salt", "q_pipe_benford", "q_pipe_curriculum",
     "q_pipe_drift", "q_pipe_elo", "q_pipe_freshness",
     "q_pipe_oversample", "q_pipe_survival", "q_pipe_targetenc",
     "q_pipe_temperature", "q_pipe_tokenbudget", "q_pipe_zorder",
-    "q_sim_ann_ivf", "q_sim_cosine_topk", "q_sim_hardneg",
+    "q_sim_ann_ivf", "q_sim_ann_serve", "q_sim_cosine_topk",
+    "q_sim_hardneg",
     "q_sim_hybrid", "q_sim_kmeans", "q_sim_knn_join", "q_sim_maxsim",
     "q_sim_mmr",
     "q_sim_pairs", "q_sim_pca", "q_sim_range", "q_sim_recall",
-    "q_sink_dsv2", "q_text_bm25", "q_text_dsir", "q_text_jsd",
+    "q_sim_serve_recall",
+    "q_sink_dsv2", "q_text_bm25", "q_text_bm25_incr", "q_text_dsir",
+    "q_text_jsd",
     "q_text_kneserney", "q_text_pmi", "q_text_tfidf", "q_win_ntile")
 
   /** Single-task window detector, shared with DistRankSpec so the
@@ -91,19 +100,7 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-        "false")
-      // Same writable, repo-clean catalog location Verify/Bench use —
-      // without it the bucketed/partitioned-table queries
-      // (q_join_bucket, q_join_dpp) would write spark-warehouse/ into
-      // whatever cwd the audit runs from.
-      .config("spark.sql.warehouse.dir", graft.TempWarehouse.dir())
-      .getOrCreate()
+    val spark = graft.EngineSession.builder("local[8]", "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var globalWindows = List.empty[String]
     var errored = List.empty[String]

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+
 
 /** Dev tool: dump join/exchange operator counts for named queries —
   * the .explain feedback loop the build process uses to keep plans
@@ -8,14 +8,7 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-        "false")
-      .config("spark.sql.warehouse.dir", graft.TempWarehouse.dir())
-      .getOrCreate()
+    val spark = graft.EngineSession.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq

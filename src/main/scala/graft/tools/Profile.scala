@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+
 
 /** Dev-only micro-profiler: times one named query N times (after a
   * table warm-up) so plan-vs-data costs are separable. Not part of the
@@ -14,15 +14,7 @@ object Profile {
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-        "false")
-      .config("spark.sql.warehouse.dir", graft.TempWarehouse.dir())
+    val spark = graft.EngineSession.builder(s"local[$cpus]", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Tables.names.foreach { n =>

@@ -3016,4 +3016,234 @@ class OpsSpec extends GraftSuite {
       assert(h >= n / 3.0 - 1e-9, s"$s0: harmonic ≥ n_reached/3")
     }
   }
+
+  test("q_dedup_minhash_cluster: union-find recount + survivor laws") {
+    import org.apache.spark.sql.functions._
+    // Independent cluster resolution: a driver-side union-find over
+    // the engine's verified pair list (the pair list itself is
+    // differentially oracled by q_dedup_minhash) — a from-first-
+    // principles CC implementation sharing nothing with ccStar.
+    val pairs = ops.TextOps.minhashPairsDf(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain verified near-dup pairs")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val members = nodes.groupBy(find)
+    // Union always roots at the smaller id, so find(x) IS the cluster
+    // minimum — the keep-lowest-id survivor.
+    members.foreach { case (lab, ms) =>
+      assert(lab === ms.min, "survivor must be the cluster minimum")
+    }
+    val expect = members.toSeq
+      .map { case (lab, ms) => (lab, ms.length.toLong, ms.length - 1L) }
+      .sortBy(_._1)
+    val got = q("q_dedup_minhash_cluster", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect, s"got $got\nexpected $expect")
+    // Every dropped doc keeps a cluster-mate at Jaccard ≥ 0.6: every
+    // pair-graph node has ≥ 1 verified edge, and edges never leave a
+    // cluster — so the drop is justified by a retained near-dup path.
+    val survivors = got.map(_._1).toSet
+    val dropped = nodes.toSet -- survivors
+    assert(dropped.forall(d => pairs.exists(p => p._1 == d || p._2 == d)),
+      "every dropped doc must appear in a verified pair")
+    assert(got.forall { case (_, n, dr) => dr == n - 1 && n >= 2 },
+      "census law: clusters have >= 2 members, drops = members - 1")
+  }
+
+  test("q_graph_sssp: Dijkstra recount and round sufficiency") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val edf = ops.GraphOps.tradeEdgesWgt(spark, sf0001)
+    val e = edf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val adj = e.groupBy(_._1).map { case (k, vs) => k -> vs.map(v => (v._2, v._3)) }
+    // Same seed derivation as the query: max degree, node tie-break
+    // (degree over the symmetrized distinct pair list = tradeDeg).
+    val seed = adj.toSeq.map { case (n, vs) => (n, vs.length) }
+      .sortBy { case (n, dg) => (-dg, n) }.head._1
+    // Textbook Dijkstra — a different ALGORITHM than the query's
+    // Bellman–Ford rounds, so agreement checks the relaxation loop
+    // from outside its own fixed-round frame.
+    val dist = scala.collection.mutable.Map(seed -> 0L)
+    val done = scala.collection.mutable.Set.empty[String]
+    val pq = scala.collection.mutable.PriorityQueue((0L, seed))(
+      Ordering.by((t: (Long, String)) => -t._1))
+    while (pq.nonEmpty) {
+      val (dv, v) = pq.dequeue()
+      if (!done(v)) {
+        done += v
+        for ((w, wt) <- adj.getOrElse(v, Array.empty[(String, Long)]))
+          if (dv + wt < dist.getOrElse(w, Long.MaxValue)) {
+            dist(w) = dv + wt
+            pq.enqueue((dv + wt, w))
+          }
+      }
+    }
+    val expect = dist.toSeq.sortBy(_._1)
+    val got = q("q_graph_sssp", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expect, "fixed-round Bellman–Ford must equal Dijkstra")
+    // Round sufficiency made explicit (the q_graph_kcore discipline):
+    // one more round changes nothing on the fixture, so SsspRounds is
+    // at the monotone fixpoint — a regenerated deeper graph fails
+    // HERE, not as an opaque differential mismatch.
+    val seedDf = Seq(seed).toDF("node")
+    val r0 = ops.GraphOps.ssspDist(edf, seedDf, ops.GraphOps.SsspRounds)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val r1 = ops.GraphOps.ssspDist(edf, seedDf, ops.GraphOps.SsspRounds + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(r0 === r1, s"${ops.GraphOps.SsspRounds} rounds must reach the fixpoint")
+  }
+
+  test("q_graph_modularity: hand-computed two-cliques-plus-bridge law") {
+    val s = spark
+    import s.implicits._
+    // Two triangles {a,b,c} and {d,e,f} joined by the bridge c—d:
+    // m = 7; with the triangles as communities e_c = 3 each and
+    // d_c = 2+2+3 = 7 each, so Q = 2·(3/7 − (7/14)²) = 70/196 =
+    // 0.3571428…, half-up on the 1e-6 grid → 0.357143.
+    val und = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d")).toDF("u", "v")
+    val labels = Seq(("a", "a"), ("b", "a"), ("c", "a"),
+      ("d", "d"), ("e", "d"), ("f", "d")).toDF("node", "lab")
+    val row = ops.GraphOps.modularityQ(und, labels, "tri").collect()(0)
+    assert(row.getString(0) === "tri")
+    assert(row.getLong(1) === 2L, "two communities")
+    assert(row.getLong(2) === 7L, "seven edges")
+    assert(row.getDouble(3) === 0.357143)
+    // The all-one-community labeling scores 0 exactly (the modularity
+    // null): Σe_c = m and Σd_c² = (2m)².
+    val one = labels.select($"node", org.apache.spark.sql.functions.lit("x").as("lab"))
+    assert(ops.GraphOps.modularityQ(und, one, "null").collect()(0)
+      .getDouble(3) === 0.0)
+    // Fixture: both declared rows in range; the CC labeling has every
+    // edge intra by definition, so its Q is the connectivity ceiling.
+    val fix = q("q_graph_modularity", sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(fix.map(_._1).toSeq === Seq("cc", "lpa"))
+    fix.foreach { case (m0, qv) =>
+      assert(qv >= -1.0 && qv <= 1.0, s"$m0: Q out of range: $qv")
+    }
+  }
+
+  test("q_sim_serve_recall: driver recount against brute-force top-5") {
+    import org.apache.spark.sql.functions._
+    val emb = ops.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def simf(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      math.floor(acc * 1e4 + 0.5) / 1e4
+    }
+    val byId = emb.toMap
+    val bf = (0L until 5L).map { qid =>
+      qid -> emb.filter(_._1 != qid)
+        .map { case (v, ev) => (v, simf(byId(qid), ev)) }
+        .sortBy { case (v, sm) => (-sm, v) }.take(5).map(_._1).toSet
+    }.toMap
+    val serve = q("q_sim_ann_serve", sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = (0L until 5L).map { qid =>
+      val rows = serve.getOrElse(qid, Array.empty)
+      val hits = rows.filter(r => bf(qid).contains(r._3))
+      val n = hits.length.toLong
+      val rr = if (n == 0) 0.0
+        else math.floor(1.0 / hits.map(_._2).min * 1e6 + 0.5) / 1e6
+      (qid, n, n / 5.0, rr)
+    }
+    val got = q("q_sim_serve_recall", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expect, s"got $got\nexpected $expect")
+    // rr and recall cohere: rr = 0 exactly when nothing was retrieved
+    // from the true top-5, and recall lives on the k=5 grid.
+    got.foreach { case (qid, n, rec, rr) =>
+      assert((rr == 0.0) == (n == 0), s"q$qid: rr/recall incoherent")
+      assert(rec == n / 5.0 && n >= 0 && n <= 5)
+    }
+  }
+
+  test("q_text_bm25_incr: merged index ≡ frozen full index, serve parity") {
+    import org.apache.spark.sql.functions._
+    // Equality-to-full-rebuild at the SERVE level: the incremental row
+    // (base postings ∪ batch, refreshed idf/norm) must reproduce the
+    // frozen full index's serve ranking row-for-row.
+    val incr = q("q_text_bm25_incr", sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val serve = q("q_text_bm25_serve", sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(incr === serve, "merged-index serve must equal frozen-index serve")
+    // And at the POSTINGS level: the persisted base is exactly the
+    // full index minus the batch docs (so base ∪ batch = full).
+    val full = ops.TextOps.bm25Index(spark, sf0001)
+      .select(col("term"), col("doc_id"), col("tf")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val base = ops.TextOps.bm25BasePostings(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(base === full.filter(_._2 % 5 != 0),
+      "base postings must be the full postings minus the batch docs")
+    assert(full.exists(_._2 % 5 == 0), "batch must be non-empty")
+  }
+
+  test("q_graph_butterfly/jaccard: no fixture customer exceeds the neighbor cap") {
+    import org.apache.spark.sql.functions._
+    // The queries cap per-customer supplier lists (capNeighbors at
+    // JaccardCap) while their oracles join the UNCAPPED edge list:
+    // the differential is byte-identical only while no customer
+    // exceeds the cap. Assert that explicitly, per fixture, with a
+    // readable failure — a regenerated hub-heavy fixture fails HERE
+    // instead of as an opaque hash mismatch.
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val maxDeg = ops.Tables.t(spark, d, "orders")
+        .join(ops.Tables.t(spark, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+        .groupBy(col("c")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect()(0).getLong(0)
+      assert(maxDeg <= ops.GraphOps.JaccardCap,
+        s"fixture $d has a customer with $maxDeg distinct suppliers — above " +
+          s"capNeighbors' cap ${ops.GraphOps.JaccardCap}; " +
+          "q_graph_butterfly/q_graph_jaccard oracles join the uncapped " +
+          "list, so either mirror the cap in the oracle SQL or raise the cap")
+    }
+  }
+
+  test("substrExactSpans: a doc at the 2^20 gid cap fails loudly") {
+    val s = spark
+    import s.implicits._
+    // The gid encoding doc_id·2^20 + pos aliases across docs once a
+    // doc reaches 2^20 chars — the guard must turn that into a loud
+    // error at the scan, never silently-merged span classes.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_substr_guard").toString
+    val big = "ab" * (1 << 19) // exactly 2^20 chars — at the cap
+    Seq((0L, big, "en", "src0", big.length.toLong),
+        (1L, "short doc", "en", "src0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val ex = intercept[Exception] {
+      q("q_dedup_substr_exact", dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("2^20")),
+      s"guard must name the gid cap; got: ${messages(ex).mkString(" | ")}")
+  }
 }

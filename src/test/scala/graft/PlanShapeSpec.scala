@@ -620,19 +620,25 @@ class PlanShapeSpec extends GraftSuite {
     // The serve plan must read the MATERIALIZED index table...
     assert(p.contains("graft_ann_ivf_"),
       s"probe must scan the persisted index table:\n$p")
-    // ...and rebuild nothing: the build pass's centroid-dot column
-    // (cdot) and its argmax window exist only at write time, and the
-    // one float_dot in the plan is the query·candidate probe score.
+    // ...and the probe batch must arrive from OUTSIDE it (r14): probes
+    // read the base embeddings table, so the only index access is the
+    // partition-pruned candidate join — the r13 shape selected probes
+    // by filtering the index itself, which read every cell's files.
+    assert(p.contains("embeddings.parquet"),
+      s"probe batch must come from outside the index:\n$p")
+    // ...and rebuild nothing: the build pass's corpus-wide centroid
+    // assignment (its cdot column / per-vector argmax) exists only at
+    // write time. The serve plan's own dots are (a) the 5-probe × 8-
+    // centroid ROUTING (qdot — per-query work every IVF serve pays,
+    // bounded by the batch) and (b) the query·candidate score; both
+    // carry the probe vector qe, the corpus-assignment dot does not
+    // exist. AQE's toString prints Final+Initial sections, so check
+    // SHAPES, not occurrences.
     assert(!p.contains("cdot"),
-      s"assignment work leaked into the serve plan:\n$p")
-    // AQE's toString prints the probe Project in both its Final and
-    // Initial sections, so count SHAPES, not occurrences: every
-    // float_dot in the plan must be the query·candidate probe (dot
-    // against qe) — the build pass's centroid dot (against ce) must
-    // not appear.
+      s"corpus assignment work leaked into the serve plan:\n$p")
     val dots = p.linesIterator.filter(_.contains("float_dot")).toSeq
     assert(dots.nonEmpty && dots.forall(_.contains("qe#")),
-      s"only the probe dot may appear in the serve plan:\n$p")
+      s"every serve-plan dot must involve the probe vector qe:\n$p")
     // Cell partition pruning: the probe side's partition filter is the
     // dynamic subquery over the query batch's cells.
     assert(p.contains("dynamicpruning"),

@@ -15,21 +15,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SparkTestBase {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // Identical engine posture to Verify/Bench via the shared builder
+    // (EngineSession): a test session with a different posture could
+    // pass a plan pin the real runners violate, or vice versa.
+    val s = EngineSession.builder("local[4]", "4")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      // Static conf: bucketed-table tests need a writable catalog
-      // location that never pollutes the repo working tree.
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // Same posture as Verify/Bench: keep bucketed scans bucketed so
-      // bucket pruning stays available (q_text_bm25_serve pin).
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-        "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
