@@ -1065,6 +1065,31 @@ object TextOps {
         .orderBy($"lang")
     }),
 
+    // UNIGRAM-LM TOKENIZER TRAINING (Kudo, ACL 2018 — the
+    // SentencePiece unigram model, the second published tokenizer
+    // family next to the BPE trilogy): seed vocabulary = all
+    // substrings (len ≤ 4) of the vocabulary-collapsed word table
+    // with frequency-derived costs, then 2 EM rounds of (E: VITERBI
+    // segmentation of every word under the current piece costs — a
+    // shortest-path DP over the word's position DAG, run as the SAME
+    // bounded-round relaxation as q_graph_sssp with (word, pos)
+    // nodes; piece-usage census from the argmin paths; M: piece cost
+    // = −ln(usage share), integer micro-nats). Output: the trained
+    // vocabulary's top-30 pieces by weighted usage with their final
+    // costs — the artifact a unigram tokenizer ships. Determinism:
+    // costs round to the micro-nat grid per piece BEFORE any DP sum,
+    // so dp values are exact BIGINT and the tight-edge test (dp[j] +
+    // cost = dp[i]) is exact equality; path ties break to the
+    // smallest predecessor (longest piece), mirrored in the oracle.
+    // At 100 TB everything runs on the DISTINCT-WORD table (Heaps'
+    // law — the q_text_bpetrain trade): the corpus pays one tokenize
+    // + word census; DP/backtrack rounds are vocabulary-scale keyed
+    // joins with the piece-cost table broadcast. See [[unigramLm]]
+    // for the loop; OpsSpec pins a full driver-side EM recount, the
+    // char-mass conservation law, and the word-length-≤-8 fixture
+    // bound the unroll depends on (readable failure on regeneration).
+    "q_text_unigram_lm" -> ((s, d) => unigramLm(s, d, UlmEmRounds)),
+
     // DSIR — Data Selection via Importance Resampling (Xie et al.
     // 2023, NeurIPS, arXiv:2302.03169), the published answer to "pick
     // the raw-web documents that look most like a trusted target
@@ -1158,6 +1183,120 @@ object TextOps {
         .write.bucketBy(8, "term").mode("overwrite").saveAsTable(name)
     }
     s.table(name)
+  }
+
+  /** Max piece length of the unigram-LM seed vocabulary. */
+  private[graft] val UlmPieceLen = 4
+
+  /** Viterbi unroll depth = max word length the DP reaches. The
+    * fixture's longest word is 8 chars on every SF; a regenerated
+    * longer word would leave its end position unreached (the word
+    * silently vanishing from the census), so OpsSpec asserts the
+    * bound with a readable failure — the butterfly-cap pattern. */
+  private[graft] val UlmMaxWordLen = 8
+
+  /** EM rounds for q_text_unigram_lm — fixed so the oracle's
+    * generated CTE chain unrolls the identical computation. */
+  private[graft] val UlmEmRounds = 2
+
+  /** q_text_unigram_lm body — see the queries-map entry for the
+    * algorithm. `rounds` parameterized for the spec's driver recount.
+    *
+    * Checkpoint discipline (the bpetrain lesson): the word table, the
+    * edge table, each DP round, and each census are lazily
+    * checkpointed — every DP round reads the previous round twice
+    * (relax join + carry-over union) and the backtrack re-reads the
+    * converged dp on both endpoints, so an unchecked unroll doubles
+    * per stage. Zero driver actions in the whole loop. */
+  private[graft] def unigramLm(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val words = t(s, d, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+      .transform(Tables.ck)
+    // Seed: every substring occurrence (len ≤ UlmPieceLen), weighted
+    // by word frequency; cost = −ln(share) in integer micro-nats.
+    val occ = words.select($"word", $"wc", explode(expr(
+      s"flatten(transform(sequence(1, length(word)), i -> " +
+        s"transform(sequence(1, least($UlmPieceLen, length(word) - i + 1)), " +
+        s"l -> substring(word, i, l))))")).as("piece"))
+    val seedTot = occ.agg(sum($"wc").as("tot"))
+    var cost = occ.groupBy($"piece").agg(sum($"wc").as("n"))
+      .crossJoin(broadcast(seedTot))
+      .select($"piece", round(-log($"n" / $"tot") * 1e6).cast("long").as("cm"))
+      .transform(Tables.ck)
+    // Segmentation DAG, built once: edge (j → i) carries the piece
+    // word[j+1 .. i] (1-based substring), i − j ≤ UlmPieceLen.
+    val edges = words.select($"word", $"wc", explode(expr(
+      s"flatten(transform(sequence(0, length(word) - 1), j -> " +
+        s"transform(sequence(j + 1, least(j + $UlmPieceLen, length(word))), " +
+        s"i -> struct(j AS j, i AS i, " +
+        s"substring(word, j + 1, i - j) AS piece))))")).as("e"))
+      .select($"word", $"wc", $"e.j".as("j"), $"e.i".as("i"),
+        $"e.piece".as("piece"))
+      .transform(Tables.ck)
+    var usage: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to rounds) {
+      // Edges costed under the CURRENT vocabulary (inner join: a
+      // pruned piece's edges drop, but every word's previous Viterbi
+      // path stays feasible — its pieces all have usage ≥ wc > 0).
+      val ec = edges.join(broadcast(cost), Seq("piece"))
+        .select($"word", $"wc", $"j", $"i", $"piece", $"cm")
+        .transform(Tables.ck)
+      // Forward relaxation to the DP fixpoint: positions strictly
+      // increase, so UlmMaxWordLen rounds settle every node — the
+      // q_graph_sssp kernel on (word, pos) nodes.
+      var dp = words.select($"word", lit(0).as("pos"), lit(0L).as("dp"))
+        .transform(Tables.ck)
+      for (_ <- 1 to UlmMaxWordLen) {
+        dp = ec.join(dp.select($"word", $"pos".as("j"), $"dp"),
+            Seq("word", "j"))
+          .select($"word", $"i".as("pos"), ($"dp" + $"cm").as("dp"))
+          .unionByName(dp)
+          .groupBy($"word", $"pos").agg(min($"dp").as("dp"))
+          .transform(Tables.ck)
+      }
+      // Tight edges (exact BIGINT equality), deterministic argmin:
+      // smallest predecessor j per (word, i) = longest piece.
+      val tight = ec
+        .join(dp.select($"word", $"pos".as("j"), $"dp".as("dpj")),
+          Seq("word", "j"))
+        .join(dp.select($"word", $"pos".as("i"), $"dp".as("dpi")),
+          Seq("word", "i"))
+        .where($"dpj" + $"cm" === $"dpi")
+      val chosen = tight
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"word", $"i").orderBy($"j")))
+        .where($"rn" === 1)
+        .select($"word", $"wc", $"j", $"i", $"piece")
+        .transform(Tables.ck)
+      // Walk each word back from its end position, emitting one piece
+      // per step; a walk reaching 0 finds no further edge and drops.
+      var cur = words.select($"word", length($"word").as("pos"))
+        .transform(Tables.ck)
+      var picks = Vector.empty[org.apache.spark.sql.DataFrame]
+      for (_ <- 1 to UlmMaxWordLen) {
+        val step = cur
+          .join(chosen.withColumnRenamed("i", "pos"), Seq("word", "pos"))
+          .transform(Tables.ck)
+        picks :+= step.select($"word", $"wc", $"piece")
+        cur = step.select($"word", $"j".as("pos")).where($"pos" > 0)
+      }
+      usage = picks.reduce(_ unionByName _)
+        .groupBy($"piece").agg(sum($"wc").as("usage"))
+        .transform(Tables.ck)
+      val tot = usage.agg(sum($"usage").as("tot"))
+      cost = usage.crossJoin(broadcast(tot))
+        .select($"piece",
+          round(-log($"usage" / $"tot") * 1e6).cast("long").as("cm"))
+        .transform(Tables.ck)
+    }
+    usage.join(cost, Seq("piece"))
+      .select($"piece", $"usage", $"cm".as("cost_micro"))
+      .orderBy($"usage".desc, $"piece")
+      .limit(30)
   }
 
   /** q_text_bm25_incr's persisted BASE postings: raw (term, doc_id,
@@ -1700,6 +1839,93 @@ object TextOps {
       ORDER BY n DESC, sym
       LIMIT 30"""
 
+  /** The identical unigram-LM EM unrolled as generated CTEs (the
+    * kcore/pagerank/sssp move, at tokenizer scale): seed costs, then
+    * per EM round the costed edge table, [[UlmMaxWordLen]] DP
+    * relaxation CTEs, the tight-edge/argmin backtrack chain, the
+    * usage census, and the refreshed costs — every formula generated
+    * from one template so Spark's loop and the oracle can't drift.
+    * MATERIALIZED on every multiply-referenced table (each DP round
+    * reads its predecessor twice; the converged dp is read on both
+    * edge endpoints). */
+  private def unigramLmSql(rounds: Int): String = {
+    val P = UlmPieceLen
+    val L = UlmMaxWordLen
+    def dpCte(r: Int, k: Int) = s""",
+      dp${r}_$k AS MATERIALIZED (
+        SELECT word, pos, MIN(dp) AS dp FROM (
+          SELECT e.word, e.i AS pos, p.dp + e.cm AS dp
+          FROM ec$r e JOIN dp${r}_${k - 1} p
+            ON e.word = p.word AND e.j = p.pos
+          UNION ALL SELECT word, pos, dp FROM dp${r}_${k - 1})
+        GROUP BY word, pos)"""
+    def walkCte(r: Int, k: Int) = s""",
+      pk${r}_$k AS MATERIALIZED (
+        SELECT c.word, c.wc, c.piece, c.j
+        FROM wk${r}_${k - 1} w JOIN chosen$r c
+          ON c.word = w.word AND c.i = w.pos),
+      wk${r}_$k AS (SELECT word, j AS pos FROM pk${r}_$k WHERE j > 0)"""
+    def emRound(r: Int) = s""",
+      ec$r AS MATERIALIZED (
+        SELECT e.word, e.wc, e.j, e.i, e.piece, c.cm
+        FROM edges e JOIN c${r - 1} c USING (piece)),
+      dp${r}_0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS dp FROM wt)""" +
+      (1 to L).map(dpCte(r, _)).mkString + s""",
+      tight$r AS (
+        SELECT e.word, e.wc, e.j, e.i, e.piece FROM ec$r e
+        JOIN dp${r}_$L a ON a.word = e.word AND a.pos = e.j
+        JOIN dp${r}_$L b ON b.word = e.word AND b.pos = e.i
+        WHERE a.dp + e.cm = b.dp),
+      chosen$r AS MATERIALIZED (
+        SELECT word, wc, j, i, piece FROM (
+          SELECT word, wc, j, i, piece,
+                 row_number() OVER (PARTITION BY word, i ORDER BY j) AS rn
+          FROM tight$r) WHERE rn = 1),
+      wk${r}_0 AS (SELECT word, len(word) AS pos FROM wt)""" +
+      (1 to L).map(walkCte(r, _)).mkString + s""",
+      usage$r AS MATERIALIZED (
+        SELECT piece, SUM(wc) AS usage FROM (
+          """ + (1 to L).map(k => s"SELECT piece, wc FROM pk${r}_$k")
+        .mkString("\n          UNION ALL ") + s""")
+        GROUP BY piece),
+      c$r AS (
+        SELECT piece,
+               CAST(round(-ln(usage / (SELECT SUM(usage) FROM usage$r))
+                 * 1e6) AS BIGINT) AS cm
+        FROM usage$r)"""
+    s"""
+      WITH wt AS (
+        SELECT w AS word, count(*) AS wc FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w),
+      occ AS (
+        SELECT word, wc,
+               substring(word, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece
+        FROM wt,
+             LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) i,
+             LATERAL (SELECT unnest(range(1,
+               least($P, len(word) - i.i + 1) + 1)) AS l) l),
+      c0 AS (
+        SELECT piece,
+               CAST(round(-ln(SUM(wc) / (SELECT SUM(wc) FROM occ)) * 1e6)
+                 AS BIGINT) AS cm
+        FROM occ GROUP BY piece),
+      edges AS MATERIALIZED (
+        SELECT word, wc, CAST(j.j AS INT) AS j, CAST(i.i AS INT) AS i,
+               substring(word, CAST(j.j AS INT) + 1,
+                         CAST(i.i - j.j AS INT)) AS piece
+        FROM wt,
+             LATERAL (SELECT unnest(range(0, len(word))) AS j) j,
+             LATERAL (SELECT unnest(range(j.j + 1,
+               least(j.j + $P, len(word)) + 1)) AS i) i)""" +
+      (1 to rounds).map(emRound).mkString + s"""
+      SELECT u.piece, CAST(u.usage AS BIGINT) AS usage,
+             c.cm AS cost_micro
+      FROM usage$rounds u JOIN c$rounds c USING (piece)
+      ORDER BY usage DESC, piece
+      LIMIT 30"""
+  }
+
   /** Full-corpus BM25 recomputed from raw text with the serve path's
     * exact algebra (denormalized idf/norm, micro-nat contributions) —
     * shared by q_text_bm25_serve (persisted-vs-fresh drift check) and
@@ -1995,6 +2221,8 @@ object TextOps {
     // refreshed idf/norm must equal the from-scratch index exactly —
     // the merged-index-≡-rebuilt-index law IS the differential.
     "q_text_bm25_incr" -> bm25ServeSql,
+
+    "q_text_unigram_lm" -> unigramLmSql(UlmEmRounds),
 
     "q_text_coverage" -> """
       WITH cnt AS (

@@ -55,14 +55,15 @@ package graft.tools
   * q_sim_ann_serve (5-probe × 8-centroid serve-time routing),
   * q_sim_serve_recall (the serve path's routing + 5-probe
   * brute-force ground truth), q_graph_modularity / q_text_bm25_incr
-  * (1-row sufficient-statistic combines).
+  * (1-row sufficient-statistic combines; q_text_unigram_lm's 1-row
+  * normalizer combines plan BNLJ-free off the checkpointed census).
   */
 object PlanAudit {
 
   /** Every query allowed to plan a BroadcastNestedLoopJoin — all in
     * the deliberately-tiny-broadcast class (1-row scalar totals,
     * ≤32-row grids/batches/triangles), each documented at its query
-    * site. Audited 300 queries at round 14 (43 whitelisted flags,
+    * site. Audited 301 queries at round 14 (43 whitelisted flags,
     * everything else clean). */
   val BnljWhitelist: Set[String] = Set(
     "q_agg_chisq", "q_agg_mutualinfo", "q_dedup_ngram",

@@ -3223,6 +3223,87 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_text_unigram_lm: full driver-side EM recount + conservation") {
+    import org.apache.spark.sql.functions._
+    // Independent reimplementation of the whole training loop (seed →
+    // Viterbi E-step with the same smallest-predecessor tie-break →
+    // usage census → M-step) in plain Scala over the collected word
+    // table — array DP, no DataFrames, nothing shared with the
+    // engine's relaxation/backtrack machinery.
+    val P = ops.TextOps.UlmPieceLen
+    val wc = ops.Tables.t(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var cost: Map[String, Long] = {
+      val occ = wc.toSeq.flatMap { case (w, c) =>
+        for (i <- 0 until w.length; l <- 1 to math.min(P, w.length - i))
+          yield (w.substring(i, i + l), c)
+      }
+      val tot = occ.map(_._2).sum.toDouble
+      occ.groupBy(_._1).map { case (p, xs) =>
+        p -> math.round(-math.log(xs.map(_._2).sum / tot) * 1e6)
+      }
+    }
+    var usage: Map[String, Long] = Map.empty
+    for (_ <- 1 to ops.TextOps.UlmEmRounds) {
+      val u = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, c) <- wc) {
+        val n = w.length
+        val dp = Array.fill(n + 1)(Long.MaxValue)
+        dp(0) = 0L
+        for (i <- 1 to n; j <- math.max(0, i - P) until i)
+          cost.get(w.substring(j, i)).foreach { cm =>
+            if (dp(j) != Long.MaxValue && dp(j) + cm < dp(i)) dp(i) = dp(j) + cm
+          }
+        var pos = n
+        while (pos > 0) {
+          val j = (math.max(0, pos - P) until pos).find { j0 =>
+            cost.get(w.substring(j0, pos)).exists(cm =>
+              dp(j0) != Long.MaxValue && dp(j0) + cm == dp(pos))
+          }.getOrElse(fail(s"no tight edge into ($w, $pos)"))
+          u(w.substring(j, pos)) += c
+          pos = j
+        }
+      }
+      usage = u.toMap
+      val tot = usage.values.sum.toDouble
+      cost = usage.map { case (p, n0) =>
+        p -> math.round(-math.log(n0 / tot) * 1e6)
+      }
+    }
+    // Char-mass conservation — the structural law Viterbi segmentation
+    // guarantees: every char of every word occurrence lands in exactly
+    // one emitted piece.
+    val charMass = wc.map { case (w, c) => w.length * c }.sum
+    assert(usage.map { case (p, n0) => p.length * n0 }.sum === charMass,
+      "piece usage must conserve total word char mass")
+    val expect = usage.toSeq.map { case (p, n0) => (p, n0, cost(p)) }
+      .sortBy { case (p, n0, _) => (-n0, p) }.take(30)
+    val got = q("q_text_unigram_lm", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect, s"got $got\nexpected $expect")
+  }
+
+  test("q_text_unigram_lm: fixture word length within the DP unroll") {
+    import org.apache.spark.sql.functions._
+    // The engine unrolls UlmMaxWordLen DP/backtrack rounds; a longer
+    // word's end position would go unreached and the word silently
+    // vanish from the census. Pin the fixture bound with a readable
+    // failure (the butterfly-cap pattern).
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val maxLen = ops.Tables.t(spark, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(max(length(col("w")))).collect()(0).getInt(0)
+      assert(maxLen <= ops.TextOps.UlmMaxWordLen,
+        s"fixture $d has a $maxLen-char word, above q_text_unigram_lm's " +
+          s"DP unroll depth ${ops.TextOps.UlmMaxWordLen} — raise " +
+          "UlmMaxWordLen (and the oracle unroll) to cover it")
+    }
+  }
+
   test("substrExactSpans: a doc at the 2^20 gid cap fails loudly") {
     val s = spark
     import s.implicits._

@@ -138,7 +138,13 @@ class ShinglesSpec extends GraftSuite {
   }
 
   test("q_dedup_minhash plan builds signatures with minhash_sig") {
-    val plan = q("q_dedup_minhash", SparkTestBase.sf0001)
+    // Pin the BUILDER's plan (the parameterized body), not the
+    // declared query's: since r14 the declared rows read the verified
+    // pair set through a memoized localCheckpoint (shared with
+    // q_dedup_minhash_cluster), whose materialized RDD hides the
+    // construction plan — the kernels must appear where the pairs are
+    // actually built.
+    val plan = ops.TextOps.minhashPairs(spark, SparkTestBase.sf0001, 1000)
       .queryExecution.executedPlan.toString
     assert(plan.contains("minhash_sig"))
     assert(plan.contains("sorted_intersect_count"))
