@@ -695,6 +695,64 @@ object SimOps {
         .orderBy($"q_id", $"rank")
     }),
 
+    // INCREMENTAL IVF INDEX MAINTENANCE — q_text_bm25_incr's sibling
+    // on the vector side (together they close the nightly
+    // index-refresh shape for both index families): a persisted BASE
+    // IVF index built on the corpus MINUS an incoming batch
+    // (vec_id ≡ 9 mod 10 — the batch; centroids 0-7 are all in the
+    // base by construction), the batch assigned to cells at append
+    // time (|batch| × 8 broadcast centroid dots — the only new
+    // assignment work; the corpus is never reassigned), merged, and
+    // served through the identical external-probe path as
+    // q_sim_ann_serve. IVF appends are cheap BECAUSE coarse centroids
+    // are frozen: cell assignment is a pure function of the vector,
+    // so base ∪ assigned-batch ≡ the from-scratch index exactly —
+    // the equality-to-full-rebuild law IS the differential (the
+    // oracle recomputes the whole index from raw embeddings). At
+    // 10^9 vectors: the base table's cell partitions are immutable,
+    // the batch appends into its |batch| cells, and a probe's
+    // partition pruning is unchanged. OpsSpec pins merged assignment
+    // ≡ full annIndex assignment and serve parity with
+    // q_sim_ann_serve.
+    "q_sim_ann_incr" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      // cid stays LONG like the persisted index's cell column, so the
+      // appended batch unions type-exactly onto the base.
+      val cents = emb.where($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      // Append-time assignment of the BATCH only (same r4 grid + cid
+      // tie-break as the base build, so merged ≡ rebuilt provably).
+      val wa = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+      val batch = emb.where($"vec_id" % 10 === 9)
+        .crossJoin(broadcast(cents))
+        .withColumn("cdot",
+          floor(dot($"embedding", $"ce") * 1e4 + 0.5) / 1e4)
+        .withColumn("rn", row_number().over(wa)).where($"rn" === 1)
+        .select($"vec_id", $"label", $"embedding", $"cid".as("cell"))
+      val merged = annBaseIndex(s, d)
+        .select($"vec_id", $"label", $"embedding", $"cell")
+        .unionByName(batch)
+      // The q_sim_ann_serve external-probe serve path, on the merged
+      // index.
+      val wq = Window.partitionBy($"q_id").orderBy($"qdot".desc, $"cid")
+      val qs = emb.where($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qdot", floor(dot($"qe", $"ce") * 1e4 + 0.5) / 1e4)
+        .withColumn("rn", row_number().over(wq)).where($"rn" === 1)
+        .select($"q_id", $"cid".as("qcell"), $"qe")
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      merged.join(broadcast(qs), $"cell" === $"qcell")
+        .where($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", $"cell",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 5)
+        .select($"q_id", $"rank", $"vec_id", $"cell", $"sim")
+        .orderBy($"q_id", $"rank")
+    }),
+
     // RETRIEVAL-QUALITY EVAL OF THE PERSISTED SERVE PATH — recall@5 +
     // reciprocal rank of q_sim_ann_serve's MATERIALIZED-index results
     // against the brute-force top-5 ground truth, per probe (MRR =
@@ -818,6 +876,32 @@ object SimOps {
         .select($"vec_id".as("cid"), $"embedding".as("ce"))
       val w = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
       emb.crossJoin(broadcast(cents))
+        .withColumn("cdot",
+          floor(dot($"embedding", $"ce") * 1e4 + 0.5) / 1e4)
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"vec_id", $"label", $"embedding", $"cid".as("cell"))
+        .write.partitionBy("cell").mode("overwrite").saveAsTable(name)
+    }
+    s.table(name)
+  }
+
+  /** q_sim_ann_incr's persisted BASE IVF index: the annIndex
+    * assignment restricted to the corpus MINUS the incoming batch
+    * (vec_id ≡ 9 mod 10), written ONCE per (warehouse, dir) as a
+    * cell-partitioned managed table. Centroids stay the full
+    * vec_id < 8 set (all in the base — 0-7 ≢ 9 mod 10), so append
+    * assignment is the same pure function the base build used. */
+  private[graft] def annBaseIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val name = "graft_ann_base_" + d.replaceAll("[^A-Za-z0-9_]", "_")
+    LayoutOps.ensureTable(s, name) {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+      emb.where($"vec_id" % 10 =!= 9)
+        .crossJoin(broadcast(cents))
         .withColumn("cdot",
           floor(dot($"embedding", $"ce") * 1e4 + 0.5) / 1e4)
         .withColumn("rn", row_number().over(w)).where($"rn" === 1)
@@ -1111,6 +1195,15 @@ object SimOps {
     // argmax uses the identical grid + tie-break as the build, so a
     // probe's computed cell equals its recomputed assignment here.
     "q_sim_ann_serve" -> (annServeCtes + """
+      SELECT q_id, rank, vec_id, cell, sim FROM serve
+      ORDER BY q_id, rank"""),
+
+    // THE SAME full-corpus index recomputation is the incremental
+    // row's oracle on purpose: base-index ∪ assigned-batch must equal
+    // the from-scratch assignment exactly (frozen centroids make cell
+    // assignment a pure function) — the merged-≡-rebuilt law IS the
+    // differential.
+    "q_sim_ann_incr" -> (annServeCtes + """
       SELECT q_id, rank, vec_id, cell, sim FROM serve
       ORDER BY q_id, rank"""),
 

@@ -3223,6 +3223,29 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_sim_ann_incr: merged index ≡ rebuilt index + serve parity") {
+    import org.apache.spark.sql.functions._
+    // Serve parity: the merged (base ∪ appended-batch) index must
+    // reproduce the full-index serve path row-for-row.
+    def rows(name: String) = q(name, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getAs[Number](3).longValue, r.getDouble(4))).toSeq
+    assert(rows("q_sim_ann_incr") === rows("q_sim_ann_serve"),
+      "merged-index serve must equal full-index serve")
+    // Assignment level: the persisted base is exactly the full
+    // assignment minus the batch (frozen centroids ⇒ cell assignment
+    // is a pure function of the vector).
+    val full = ops.SimOps.annIndex(spark, sf0001)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    val base = ops.SimOps.annBaseIndex(spark, sf0001)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    assert(base === full.filter(_._1 % 10 != 9),
+      "base index must be the full assignment minus the batch vectors")
+    assert(full.exists(_._1 % 10 == 9), "batch must be non-empty")
+  }
+
   test("q_text_unigram_lm: full driver-side EM recount + conservation") {
     import org.apache.spark.sql.functions._
     // Independent reimplementation of the whole training loop (seed →
