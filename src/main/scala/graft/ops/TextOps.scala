@@ -1091,6 +1091,51 @@ object TextOps {
     // regeneration).
     "q_text_unigram_lm" -> ((s, d) => unigramLm(s, d, UlmEmRounds)),
 
+    // FROZEN UNIGRAM-TOKENIZER SERVE — the FOURTH build/serve split
+    // (ANN, BM25, BPE, and now the unigram LM): the final piece-cost
+    // table of a training run over the corpus EXCLUDING the incoming
+    // batch (doc_id ≥ 300 — the production timeline: the tokenizer
+    // was frozen before today's data arrived) is persisted ONCE
+    // ([[ulmVocab]]); the declared query tokenizes the batch
+    // (doc_id < 300) under the frozen costs, with CHAR-FALLBACK for
+    // words the frozen vocabulary cannot segment (a genuinely
+    // possible OOV — unlike batch ⊂ training-corpus setups where
+    // every word provably keeps its own training path). The serve
+    // segmentation is FULLY MAP-SIDE: the vocabulary broadcasts as a
+    // 1-row piece→cost MAP (the dictionary shape real tokenizer
+    // serving uses), edges/DP/walk are per-word expressions, and the
+    // only shuffles are the batch word census and the per-lang
+    // rollup. Per lang: word/token/OOV census + fertility (the
+    // q_text_bpe_serve columns, so the two frozen tokenizers are
+    // directly comparable). The oracle RETRAINS the filtered chain —
+    // frozen-vs-fresh drift fails the differential.
+    "q_text_unigram_serve" -> ((s, d) => {
+      import s.implicits._
+      val bt = t(s, d, "documents").where($"doc_id" < 300)
+        .select($"lang", explode(split($"text", " ")).as("word"))
+        .where($"word" =!= "")
+        .groupBy($"lang", $"word").agg(count(lit(1)).as("wc"))
+      val vm = ulmVocab(s, d)
+        .agg(map_from_entries(collect_list(struct($"piece", $"cm")))
+          .as("vm"))
+      bt.crossJoin(broadcast(vm))
+        .withColumn("es", expr(UlmServeEdgesSql))
+        .withColumn("dp", expr(UlmDpSql))
+        .withColumn("reached",
+          expr(s"element_at(dp, length(word) + 1) < ${UlmSentinel}L"))
+        .select($"lang", $"wc",
+          when($"reached", expr(s"size(($UlmWalkSql))"))
+            .otherwise(length($"word")).as("ntok"),
+          (!$"reached").cast("long").as("oov"))
+        .groupBy($"lang").agg(
+          sum($"wc").as("n_words"),
+          sum($"wc" * $"ntok").as("n_tokens"),
+          sum($"wc" * $"oov").as("oov_words"),
+          (floor(sum($"wc" * $"ntok") * 1.0 / sum($"wc") * 1e4 + 0.5)
+            / 1e4).as("fertility"))
+        .orderBy($"lang")
+    }),
+
     // DSIR — Data Selection via Importance Resampling (Xie et al.
     // 2023, NeurIPS, arXiv:2302.03169), the published answer to "pick
     // the raw-web documents that look most like a trusted target
@@ -1212,7 +1257,26 @@ object TextOps {
   private[graft] def unigramLm(s: org.apache.spark.sql.SparkSession,
       d: String, rounds: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val words = t(s, d, "documents")
+    val (usage, cost) = unigramTrain(s, d, rounds, 0L)
+    usage.join(broadcast(cost), Seq("piece"))
+      .select($"piece", $"usage", $"cm".as("cost_micro"))
+      .orderBy($"usage".desc, $"piece")
+      .limit(30)
+  }
+
+  /** The unigram-LM training loop, returning the final (usage, cost)
+    * pair. `minDoc` restricts the TRAINING corpus to doc_id ≥ minDoc
+    * (0 = everything): q_text_unigram_lm trains on the full corpus;
+    * q_text_unigram_serve's frozen artifact trains on the corpus
+    * MINUS the incoming batch — the production timeline (the
+    * tokenizer was frozen before today's data arrived), and what
+    * makes serve-side OOV a real possibility rather than a dead
+    * branch. */
+  private[graft] def unigramTrain(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int, minDoc: Long)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val words = t(s, d, "documents").where($"doc_id" >= minDoc)
       .select(explode(split($"text", " ")).as("word"))
       .where($"word" =!= "")
       .groupBy($"word").agg(count(lit(1)).as("wc"))
@@ -1267,21 +1331,36 @@ object TextOps {
           round(-log($"usage" / $"tot") * 1e6).cast("long").as("cm"))
         .transform(Tables.ck)
     }
-    usage.join(broadcast(cost), Seq("piece"))
-      .select($"piece", $"usage", $"cm".as("cost_micro"))
-      .orderBy($"usage".desc, $"piece")
-      .limit(30)
+    (usage, cost)
   }
+
+  /** q_text_unigram_serve's frozen tokenizer artifact: the final
+    * piece-cost table of a unigram training run over the corpus
+    * EXCLUDING the serve batch (doc_id ≥ 300), persisted ONCE per
+    * (warehouse, dir). */
+  private[graft] def ulmVocab(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val name = "graft_ulm_vocab_" + d.replaceAll("[^A-Za-z0-9_]", "_")
+    LayoutOps.ensureTable(s, name) {
+      unigramTrain(s, d, UlmEmRounds, 300L)._2
+        .write.mode("overwrite").saveAsTable(name)
+    }
+    s.table(name)
+  }
+
+  /** Unreachable-position sentinel for the expression-level DP: real
+    * path costs stay ≤ ~10^9 micro-nats (≤ 8 edges × ≤ ~30 nats), so
+    * reached ⟺ dp < sentinel, a sentinel path can never tie a real
+    * one, and sentinel + cm cannot overflow. */
+  private[graft] val UlmSentinel = 1000000000000000L
 
   /** The per-word Viterbi table as one expression: dp[p+1] = min cost
     * to reach position p (exact BIGINT — costs are micro-nat
     * integers), built left to right over the word's gathered edge
     * list `es`. Unreachable positions (possible after M-step pruning
-    * strands a mid-piece position) carry a 10^15 sentinel — edge
-    * sums stay ≤ ~10^9, so a sentinel path can never tie a real one
-    * and the walk's exact-equality tight test cannot cross into
-    * unreachable territory. */
-  private val UlmDpSql: String = """
+    * strands a mid-piece position, or under a frozen vocabulary that
+    * never saw the word) carry the [[UlmSentinel]]. */
+  private val UlmDpSql: String = s"""
     aggregate(
       sequence(1, length(word)),
       array(cast(0 as bigint)),
@@ -1289,7 +1368,21 @@ object TextOps {
         array_min(transform(
           filter(es, e -> e.i = k),
           e -> element_at(dp, e.j + 1) + e.cm)),
-        cast(1000000000000000 as bigint)))))"""
+        cast($UlmSentinel as bigint)))))"""
+
+  /** q_text_unigram_serve's edge builder: the word's segmentation
+    * edges COSTED BY MAP LOOKUP against the broadcast 1-row
+    * piece→cost dictionary `vm` (pieces outside the frozen
+    * vocabulary drop) — the fully map-side serve shape, no per-word
+    * gather shuffle. */
+  private val UlmServeEdgesSql: String = s"""
+    filter(
+      flatten(transform(sequence(0, length(word) - 1), j ->
+        transform(sequence(j + 1, least(j + $UlmPieceLen, length(word))),
+          i -> named_struct('j', j, 'i', i,
+            'cm', element_at(vm, substring(word, j + 1, i - j)),
+            'piece', substring(word, j + 1, i - j))))),
+      e -> e.cm is not null)"""
 
   /** The argmin backtrack as one expression: from pos = len(word),
     * repeatedly take the TIGHT edge (dp[j] + cm = dp[i], exact BIGINT
@@ -1853,55 +1946,80 @@ object TextOps {
       ORDER BY n DESC, sym
       LIMIT 30"""
 
-  /** The identical unigram-LM EM unrolled as generated CTEs (the
-    * kcore/pagerank/sssp move, at tokenizer scale): seed costs, then
-    * per EM round the costed edge table, [[UlmMaxWordLen]] DP
-    * relaxation CTEs, the tight-edge/argmin backtrack chain, the
-    * usage census, and the refreshed costs — every formula generated
-    * from one template so Spark's loop and the oracle can't drift.
-    * MATERIALIZED on every multiply-referenced table (each DP round
-    * reads its predecessor twice; the converged dp is read on both
-    * edge endpoints). */
-  private def unigramLmSql(rounds: Int): String = {
-    val P = UlmPieceLen
+  /** Segmentation-edge CTE template: all (j → i) piece edges of the
+    * words in `src` (a table with a `word` column). */
+  private def ulmEdgesCte(name: String, src: String): String = s""",
+      $name AS MATERIALIZED (
+        SELECT word, CAST(j.j AS INT) AS j, CAST(i.i AS INT) AS i,
+               substring(word, CAST(j.j AS INT) + 1,
+                         CAST(i.i - j.j AS INT)) AS piece
+        FROM $src,
+             LATERAL (SELECT unnest(range(0, len(word))) AS j) j,
+             LATERAL (SELECT unnest(range(j.j + 1,
+               least(j.j + $UlmPieceLen, len(word)) + 1)) AS i) i)"""
+
+  /** Viterbi DP + argmin backtrack CTE chain over a costed edge table
+    * `ec` for the words in `wordsSrc`: [[UlmMaxWordLen]] relaxation
+    * CTEs (reached positions only — an unreachable position is simply
+    * absent), the exact tight-edge/smallest-predecessor chooser, the
+    * walk, and the pooled pick rows `pks<tag>` (word, piece — one row
+    * per path step). MATERIALIZED on every multiply-referenced table. */
+  private def ulmDpWalkCtes(tag: String, ec: String,
+      wordsSrc: String): String = {
     val L = UlmMaxWordLen
-    def dpCte(r: Int, k: Int) = s""",
-      dp${r}_$k AS MATERIALIZED (
+    def dpCte(k: Int) = s""",
+      dp${tag}_$k AS MATERIALIZED (
         SELECT word, pos, MIN(dp) AS dp FROM (
           SELECT e.word, e.i AS pos, p.dp + e.cm AS dp
-          FROM ec$r e JOIN dp${r}_${k - 1} p
+          FROM $ec e JOIN dp${tag}_${k - 1} p
             ON e.word = p.word AND e.j = p.pos
-          UNION ALL SELECT word, pos, dp FROM dp${r}_${k - 1})
+          UNION ALL SELECT word, pos, dp FROM dp${tag}_${k - 1})
         GROUP BY word, pos)"""
-    def walkCte(r: Int, k: Int) = s""",
-      pk${r}_$k AS MATERIALIZED (
-        SELECT c.word, c.wc, c.piece, c.j
-        FROM wk${r}_${k - 1} w JOIN chosen$r c
+    def walkCte(k: Int) = s""",
+      pk${tag}_$k AS MATERIALIZED (
+        SELECT c.word, c.piece, c.j
+        FROM wk${tag}_${k - 1} w JOIN chosen$tag c
           ON c.word = w.word AND c.i = w.pos),
-      wk${r}_$k AS (SELECT word, j AS pos FROM pk${r}_$k WHERE j > 0)"""
+      wk${tag}_$k AS (SELECT word, j AS pos FROM pk${tag}_$k WHERE j > 0)"""
+    s""",
+      dp${tag}_0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS dp
+                     FROM $wordsSrc)""" +
+      (1 to L).map(dpCte).mkString + s""",
+      tight$tag AS (
+        SELECT e.word, e.j, e.i, e.piece FROM $ec e
+        JOIN dp${tag}_$L a ON a.word = e.word AND a.pos = e.j
+        JOIN dp${tag}_$L b ON b.word = e.word AND b.pos = e.i
+        WHERE a.dp + e.cm = b.dp),
+      chosen$tag AS MATERIALIZED (
+        SELECT word, j, i, piece FROM (
+          SELECT word, j, i, piece,
+                 row_number() OVER (PARTITION BY word, i ORDER BY j) AS rn
+          FROM tight$tag) WHERE rn = 1),
+      wk${tag}_0 AS (SELECT word, len(word) AS pos FROM $wordsSrc)""" +
+      (1 to L).map(walkCte).mkString + s""",
+      pks$tag AS (
+        """ + (1 to L).map(k => s"SELECT word, piece FROM pk${tag}_$k")
+      .mkString("\n        UNION ALL ") + ")"
+  }
+
+  /** The unigram-LM TRAINING chain as generated CTEs (the
+    * kcore/pagerank/sssp move, at tokenizer scale): word census
+    * (optionally doc-filtered — the serve oracle retrains on the
+    * corpus minus the batch), seed costs, then per EM round the
+    * costed edges, the [[ulmDpWalkCtes]] Viterbi chain, the usage
+    * census, and refreshed costs — every formula generated from one
+    * template so Spark's loop and the oracle can't drift. Ends at
+    * `usage<rounds>` / `c<rounds>`. */
+  private def ulmTrainCtes(rounds: Int, docWhere: String): String = {
     def emRound(r: Int) = s""",
       ec$r AS MATERIALIZED (
-        SELECT e.word, e.wc, e.j, e.i, e.piece, c.cm
-        FROM edges e JOIN c${r - 1} c USING (piece)),
-      dp${r}_0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS dp FROM wt)""" +
-      (1 to L).map(dpCte(r, _)).mkString + s""",
-      tight$r AS (
-        SELECT e.word, e.wc, e.j, e.i, e.piece FROM ec$r e
-        JOIN dp${r}_$L a ON a.word = e.word AND a.pos = e.j
-        JOIN dp${r}_$L b ON b.word = e.word AND b.pos = e.i
-        WHERE a.dp + e.cm = b.dp),
-      chosen$r AS MATERIALIZED (
-        SELECT word, wc, j, i, piece FROM (
-          SELECT word, wc, j, i, piece,
-                 row_number() OVER (PARTITION BY word, i ORDER BY j) AS rn
-          FROM tight$r) WHERE rn = 1),
-      wk${r}_0 AS (SELECT word, len(word) AS pos FROM wt)""" +
-      (1 to L).map(walkCte(r, _)).mkString + s""",
+        SELECT e.word, e.j, e.i, e.piece, c.cm
+        FROM edges e JOIN c${r - 1} c USING (piece))""" +
+      ulmDpWalkCtes(r.toString, s"ec$r", "wt") + s""",
       usage$r AS MATERIALIZED (
-        SELECT piece, SUM(wc) AS usage FROM (
-          """ + (1 to L).map(k => s"SELECT piece, wc FROM pk${r}_$k")
-        .mkString("\n          UNION ALL ") + s""")
-        GROUP BY piece),
+        SELECT p.piece, SUM(w.wc) AS usage
+        FROM pks$r p JOIN wt w USING (word)
+        GROUP BY p.piece),
       c$r AS (
         SELECT piece,
                CAST(round(-ln(usage / (SELECT SUM(usage) FROM usage$r))
@@ -1910,7 +2028,8 @@ object TextOps {
     s"""
       WITH wt AS (
         SELECT w AS word, count(*) AS wc FROM (
-          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          SELECT unnest(string_split(text, ' ')) AS w
+          FROM documents $docWhere)
         WHERE w <> '' GROUP BY w),
       occ AS (
         SELECT word, wc,
@@ -1918,27 +2037,53 @@ object TextOps {
         FROM wt,
              LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) i,
              LATERAL (SELECT unnest(range(1,
-               least($P, len(word) - i.i + 1) + 1)) AS l) l),
+               least($UlmPieceLen, len(word) - i.i + 1) + 1)) AS l) l),
       c0 AS (
         SELECT piece,
                CAST(round(-ln(SUM(wc) / (SELECT SUM(wc) FROM occ)) * 1e6)
                  AS BIGINT) AS cm
-        FROM occ GROUP BY piece),
-      edges AS MATERIALIZED (
-        SELECT word, wc, CAST(j.j AS INT) AS j, CAST(i.i AS INT) AS i,
-               substring(word, CAST(j.j AS INT) + 1,
-                         CAST(i.i - j.j AS INT)) AS piece
-        FROM wt,
-             LATERAL (SELECT unnest(range(0, len(word))) AS j) j,
-             LATERAL (SELECT unnest(range(j.j + 1,
-               least(j.j + $P, len(word)) + 1)) AS i) i)""" +
-      (1 to rounds).map(emRound).mkString + s"""
+        FROM occ GROUP BY piece)""" + ulmEdgesCte("edges", "wt") +
+      (1 to rounds).map(emRound).mkString
+  }
+
+  private def unigramLmSql(rounds: Int): String =
+    ulmTrainCtes(rounds, "") + s"""
       SELECT u.piece, CAST(u.usage AS BIGINT) AS usage,
              c.cm AS cost_micro
       FROM usage$rounds u JOIN c$rounds c USING (piece)
       ORDER BY usage DESC, piece
       LIMIT 30"""
-  }
+
+  /** q_text_unigram_serve oracle: RETRAIN the frozen artifact's chain
+    * (corpus minus the batch — frozen-vs-fresh drift fails the
+    * differential, the bpe_serve convention), then segment the batch
+    * words under the final costs with the same Viterbi chain; words
+    * with no reachable end position fall back to char count (OOV). */
+  private def unigramServeSql(rounds: Int): String =
+    ulmTrainCtes(rounds, "WHERE doc_id >= 300") + s""",
+      bt AS (
+        SELECT lang, w AS word, count(*) AS wc FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id < 300)
+        WHERE w <> '' GROUP BY lang, w),
+      bw AS (SELECT DISTINCT word FROM bt)""" +
+      ulmEdgesCte("edgesb", "bw") + s""",
+      ecs AS MATERIALIZED (
+        SELECT e.word, e.j, e.i, e.piece, c.cm
+        FROM edgesb e JOIN c$rounds c USING (piece))""" +
+      ulmDpWalkCtes("s", "ecs", "bw") + s""",
+      nt AS (SELECT word, CAST(count(*) AS INT) AS ntok
+             FROM pkss GROUP BY word)
+      SELECT b.lang, CAST(SUM(b.wc) AS BIGINT) AS n_words,
+             CAST(SUM(b.wc * COALESCE(nt.ntok, len(b.word))) AS BIGINT)
+               AS n_tokens,
+             CAST(SUM(CASE WHEN nt.ntok IS NULL THEN b.wc ELSE 0 END)
+               AS BIGINT) AS oov_words,
+             FLOOR(SUM(b.wc * COALESCE(nt.ntok, len(b.word))) * 1.0
+               / SUM(b.wc) * 1e4 + 0.5) / 1e4 AS fertility
+      FROM bt b LEFT JOIN nt USING (word)
+      GROUP BY b.lang
+      ORDER BY b.lang"""
 
   /** Full-corpus BM25 recomputed from raw text with the serve path's
     * exact algebra (denormalized idf/norm, micro-nat contributions) —
@@ -2237,6 +2382,7 @@ object TextOps {
     "q_text_bm25_incr" -> bm25ServeSql,
 
     "q_text_unigram_lm" -> unigramLmSql(UlmEmRounds),
+    "q_text_unigram_serve" -> unigramServeSql(UlmEmRounds),
 
     "q_text_coverage" -> """
       WITH cnt AS (

@@ -56,16 +56,17 @@ package graft.tools
   * q_sim_serve_recall (the serve path's routing + 5-probe
   * brute-force ground truth), q_sim_ann_incr (batch-assignment +
   * probe-routing centroid batches), q_graph_modularity /
-  * q_text_bm25_incr (1-row sufficient-statistic combines;
-  * q_text_unigram_lm's 1-row normalizer combines plan BNLJ-free off
-  * the checkpointed census).
+  * q_text_bm25_incr (1-row sufficient-statistic combines),
+  * q_text_unigram_serve (the broadcast 1-row piece→cost dictionary
+  * map; q_text_unigram_lm's own 1-row normalizer combines plan
+  * BNLJ-free off the checkpointed census).
   */
 object PlanAudit {
 
   /** Every query allowed to plan a BroadcastNestedLoopJoin — all in
     * the deliberately-tiny-broadcast class (1-row scalar totals,
     * ≤32-row grids/batches/triangles), each documented at its query
-    * site. Audited 302 queries at round 14 (44 whitelisted flags,
+    * site. Audited 303 queries at round 14 (45 whitelisted flags,
     * everything else clean). */
   val BnljWhitelist: Set[String] = Set(
     "q_agg_chisq", "q_agg_mutualinfo", "q_dedup_ngram",
@@ -83,7 +84,8 @@ object PlanAudit {
     "q_sim_serve_recall",
     "q_sink_dsv2", "q_text_bm25", "q_text_bm25_incr", "q_text_dsir",
     "q_text_jsd",
-    "q_text_kneserney", "q_text_pmi", "q_text_tfidf", "q_win_ntile")
+    "q_text_kneserney", "q_text_pmi", "q_text_tfidf",
+    "q_text_unigram_serve", "q_win_ntile")
 
   /** Single-task window detector, shared with DistRankSpec so the
     * audit gate and the spec can never disagree on what "global

@@ -3246,19 +3246,42 @@ class OpsSpec extends GraftSuite {
     assert(full.exists(_._1 % 10 == 9), "batch must be non-empty")
   }
 
-  test("q_text_unigram_lm: full driver-side EM recount + conservation") {
-    import org.apache.spark.sql.functions._
-    // Independent reimplementation of the whole training loop (seed →
-    // Viterbi E-step with the same smallest-predecessor tie-break →
-    // usage census → M-step) in plain Scala over the collected word
-    // table — array DP, no DataFrames, nothing shared with the
-    // engine's relaxation/backtrack machinery.
+  /** Viterbi-segment `w` under piece costs `cost` (exact BIGINT DP,
+    * smallest-predecessor ties — the engine's tie-break): Some(pieces
+    * on the argmin path) or None when the end is unreachable. */
+  private def ulmSegment(w: String,
+      cost: Map[String, Long]): Option[Seq[String]] = {
     val P = ops.TextOps.UlmPieceLen
-    val wc = ops.Tables.t(spark, sf0001, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .where(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = w.length
+    val dp = Array.fill(n + 1)(Long.MaxValue)
+    dp(0) = 0L
+    for (i <- 1 to n; j <- math.max(0, i - P) until i)
+      cost.get(w.substring(j, i)).foreach { cm =>
+        if (dp(j) != Long.MaxValue && dp(j) + cm < dp(i)) dp(i) = dp(j) + cm
+      }
+    if (dp(n) == Long.MaxValue) None
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = n
+      while (pos > 0) {
+        val j = (math.max(0, pos - P) until pos).find { j0 =>
+          cost.get(w.substring(j0, pos)).exists(cm =>
+            dp(j0) != Long.MaxValue && dp(j0) + cm == dp(pos))
+        }.get
+        out += w.substring(j, pos)
+        pos = j
+      }
+      Some(out.toSeq)
+    }
+  }
+
+  /** Independent driver-side unigram-LM EM (seed → Viterbi E-step →
+    * census → M-step) over a word-count map — plain Scala array DP,
+    * nothing shared with the engine's expression machinery. Returns
+    * (final usage, final cost). */
+  private def ulmDriverTrain(wc: Map[String, Long], rounds: Int)
+      : (Map[String, Long], Map[String, Long]) = {
+    val P = ops.TextOps.UlmPieceLen
     var cost: Map[String, Long] = {
       val occ = wc.toSeq.flatMap { case (w, c) =>
         for (i <- 0 until w.length; l <- 1 to math.min(P, w.length - i))
@@ -3270,33 +3293,34 @@ class OpsSpec extends GraftSuite {
       }
     }
     var usage: Map[String, Long] = Map.empty
-    for (_ <- 1 to ops.TextOps.UlmEmRounds) {
+    for (_ <- 1 to rounds) {
       val u = scala.collection.mutable.Map.empty[String, Long]
         .withDefaultValue(0L)
-      for ((w, c) <- wc) {
-        val n = w.length
-        val dp = Array.fill(n + 1)(Long.MaxValue)
-        dp(0) = 0L
-        for (i <- 1 to n; j <- math.max(0, i - P) until i)
-          cost.get(w.substring(j, i)).foreach { cm =>
-            if (dp(j) != Long.MaxValue && dp(j) + cm < dp(i)) dp(i) = dp(j) + cm
-          }
-        var pos = n
-        while (pos > 0) {
-          val j = (math.max(0, pos - P) until pos).find { j0 =>
-            cost.get(w.substring(j0, pos)).exists(cm =>
-              dp(j0) != Long.MaxValue && dp(j0) + cm == dp(pos))
-          }.getOrElse(fail(s"no tight edge into ($w, $pos)"))
-          u(w.substring(j, pos)) += c
-          pos = j
-        }
-      }
+      for ((w, c) <- wc; p <- ulmSegment(w, cost)
+        .getOrElse(fail(s"training word $w unsegmentable"))) u(p) += c
       usage = u.toMap
       val tot = usage.values.sum.toDouble
       cost = usage.map { case (p, n0) =>
         p -> math.round(-math.log(n0 / tot) * 1e6)
       }
     }
+    (usage, cost)
+  }
+
+  private def wordCounts(d: String, pred: org.apache.spark.sql.Column)
+      : Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    ops.Tables.t(spark, d, "documents").where(pred)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("q_text_unigram_lm: full driver-side EM recount + conservation") {
+    import org.apache.spark.sql.functions._
+    val wc = wordCounts(sf0001, lit(true))
+    val (usage, cost) = ulmDriverTrain(wc, ops.TextOps.UlmEmRounds)
     // Char-mass conservation — the structural law Viterbi segmentation
     // guarantees: every char of every word occurrence lands in exactly
     // one emitted piece.
@@ -3308,6 +3332,59 @@ class OpsSpec extends GraftSuite {
     val got = q("q_text_unigram_lm", sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === expect, s"got $got\nexpected $expect")
+  }
+
+  test("q_text_unigram_serve: frozen-vocab recount + census laws") {
+    import org.apache.spark.sql.functions._
+    // Retrain the frozen artifact driver-side (corpus minus the
+    // batch), segment every batch word under the frozen costs with
+    // char fallback, and recount the per-lang census.
+    val (_, frozen) =
+      ulmDriverTrain(wordCounts(sf0001, col("doc_id") >= 300),
+        ops.TextOps.UlmEmRounds)
+    val batch = ops.Tables.t(spark, sf0001, "documents")
+      .where(col("doc_id") < 300)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = batch.groupBy(_._1).toSeq.map { case (lang, ws) =>
+      val rows = ws.map { case (_, w, c) =>
+        val seg = ulmSegment(w, frozen)
+        (c, seg.map(_.length).getOrElse(w.length).toLong,
+          if (seg.isEmpty) c else 0L)
+      }
+      val nw = rows.map(_._1).sum
+      val nt = rows.map { case (c, k, _) => c * k }.sum
+      (lang, nw, nt, rows.map(_._3).sum,
+        math.floor(nt * 1.0 / nw * 1e4 + 0.5) / 1e4)
+    }.sortBy(_._1)
+    val got = q("q_text_unigram_serve", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === expect, s"got $got\nexpected $expect")
+  }
+
+  test("q_text_unigram_serve: OOV char fallback genuinely fires") {
+    val s = spark
+    import s.implicits._
+    // Crafted fixture: training docs (doc_id >= 300) never contain the
+    // char 'z', the batch does — the frozen vocabulary cannot segment
+    // "zz", so the serve row must take the char-fallback branch.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ulm_oov").toString
+    Seq((300L, "ab ab ba", "en", "src0", 8L),
+        (301L, "abba baab", "en", "src0", 9L),
+        (0L, "ab zz", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val row = q("q_text_unigram_serve", dir).collect()(0)
+    assert(row.getString(0) === "en")
+    assert(row.getLong(1) === 2L, "two batch word occurrences")
+    assert(row.getLong(3) === 1L, "the unseen-char word must be OOV")
+    // n_tokens = tokens("ab") + char-fallback(2 for "zz") ≥ 3.
+    assert(row.getLong(2) >= 3L && row.getLong(2) <= 4L)
   }
 
   test("q_text_unigram_lm: fixture word length within the DP unroll") {
