@@ -833,11 +833,14 @@ object GraphOps {
     dist
   }
 
-  /** Fixed SSSP round count: covers the max shortest-path edge count
-    * on every fixture SF with headroom (measured ≤ 6 at sf0.1 — low
-    * weights make many-hop detours pay on this graph); OpsSpec
-    * asserts rounds ≡ rounds+1 on the real fixture so a regenerated
-    * deeper graph fails the spec, not the differential. */
+  /** Fixed SSSP round count: covers the max min-cost-path edge count
+    * on every fixture SF (measured driver-side via hop-tie-broken
+    * Dijkstra: 3 / 5 / 7 rounds needed at sf0.001 / 0.01 / 0.1 — low
+    * weights make many-hop detours pay on this graph, so the bound
+    * GROWS with density, unlike the BFS radius); 8 leaves one round
+    * of headroom, and OpsSpec asserts rounds ≡ rounds+1 on the real
+    * fixture so a regenerated deeper graph fails the spec, not the
+    * differential. */
   private[graft] val SsspRounds = 8
 
   val queries: Map[String, Q] = Map(
