@@ -3403,6 +3403,38 @@ class OpsSpec extends GraftSuite {
     assert(got === expect, s"got $got\nexpected $expect")
   }
 
+  test("q_text_unigram_lm law: equals driver EM on random corpora") {
+    val s = spark
+    import s.implicits._
+    // Random small-alphabet corpora through the full declared query —
+    // sweeps the count-tie and dp-tie shapes (equal frequencies →
+    // equal micro-nat costs → tight-edge ties) the fixture's 31-word
+    // vocabulary can't guarantee.
+    (0 until 2).foreach { k =>
+      val rng = new scala.util.Random(32452843L * (k + 1))
+      val alpha = "ab"
+      def word() = (0 until (rng.nextInt(6) + 1))
+        .map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      val docs = (0 until 12).map { i =>
+        (i.toLong, (0 until (rng.nextInt(5) + 2)).map(_ => word())
+          .mkString(" "), "en", "src0", 1L)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_ulm_prop$k").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val wc = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val (usage, cost) = ulmDriverTrain(wc, ops.TextOps.UlmEmRounds)
+      val expect = usage.toSeq.map { case (p, n0) => (p, n0, cost(p)) }
+        .sortBy { case (p, n0, _) => (-n0, p) }.take(30)
+      val got = q("q_text_unigram_lm", dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === expect, s"case $k: got $got\nexpected $expect")
+    }
+  }
+
   test("q_text_unigram_serve: OOV char fallback genuinely fires") {
     val s = spark
     import s.implicits._

@@ -471,6 +471,53 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("ssspDist law: equals Dijkstra on random weighted graphs at the fixpoint") {
+    val s = spark
+    import s.implicits._
+    // Random connected-ish weighted symmetric graphs through the
+    // production relaxation core, vs an independent driver Dijkstra.
+    // Sweeps cheap-many-hop-detour shapes and unreachable fragments
+    // the trade fixture can't: the kernel must agree on the REACHED
+    // set as well as every distance, at rounds = |V| (≥ any shortest
+    // path's edge count, so the fixed-round loop is provably at its
+    // monotone fixpoint).
+    (0 until 3).foreach { k =>
+      val rng = new scala.util.Random(15485863L * (k + 1))
+      val n = 10
+      val nodes = (0 until n).map(i => f"v$i%02d")
+      val undirected = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        if rng.nextDouble() < 0.25
+      } yield (nodes(i), nodes(j), (rng.nextInt(9) + 1).toLong)).distinct
+      if (undirected.nonEmpty) {
+        val sym = undirected ++ undirected.map(e => (e._2, e._1, e._3))
+        val adj = sym.groupBy(_._1)
+          .map { case (u, es) => u -> es.map(e => (e._2, e._3)) }
+        val seed = nodes.find(adj.contains).get
+        val got = ops.GraphOps
+          .ssspDist(sym.toDF("src", "dst", "w"), Seq(seed).toDF("node"), n)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        val dist = scala.collection.mutable.Map(seed -> 0L)
+        val done = scala.collection.mutable.Set.empty[String]
+        val pq = scala.collection.mutable.PriorityQueue((0L, seed))(
+          Ordering.by((t: (Long, String)) => -t._1))
+        while (pq.nonEmpty) {
+          val (dv, v) = pq.dequeue()
+          if (!done(v)) {
+            done += v
+            for ((w0, wt) <- adj.getOrElse(v, Seq.empty))
+              if (dv + wt < dist.getOrElse(w0, Long.MaxValue)) {
+                dist(w0) = dv + wt
+                pq.enqueue((dv + wt, w0))
+              }
+          }
+        }
+        assert(got === dist.toMap, s"case $k: Bellman-Ford fixpoint " +
+          "must equal Dijkstra, including the reached set")
+      }
+    }
+  }
+
   test("substrExactSpans law: equals brute force on random planted corpora") {
     val s = spark
     import s.implicits._
