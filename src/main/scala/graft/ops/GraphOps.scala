@@ -863,6 +863,46 @@ object GraphOps {
         .orderBy($"node")
     }),
 
+    // PERSONALIZED PAGERANK (random walk with restart) from the
+    // q_graph_bfs hub seed — the "importance RELATIVE TO this node"
+    // scoring behind related-entity recommendation and local
+    // community seeds, which global PageRank structurally can't give
+    // (its teleport spreads to every node; PPR's restarts all land on
+    // the seed): r ← 0.15·e_seed + 0.85·AᵀD⁻¹r, 5 fixed iterations
+    // from r₀ = e_seed. The rank table stays SPARSE — only nodes the
+    // walk has reached carry rows, so early iterations move frontier-
+    // sized data (the BFS shape), not |V|. Teleport is added OUTSIDE
+    // the aggregate as one scalar term on the seed row (the
+    // q_graph_pagerank convention: the only cross-engine float risk
+    // stays the summation-order class both engines already share),
+    // via a full-outer join against the 1-row seed so round 1 — where
+    // the seed has no in-mass — still emits its restart row. Total
+    // mass is exactly 1 every round (0.15 + 0.85·1, no dangling
+    // nodes) — the OpsSpec conservation law. Top-20 by rounded rank.
+    "q_graph_ppr" -> ((s, d) => {
+      import s.implicits._
+      val edges = tradeEdgesW(s, d)
+      val seed = tradeDeg(s, d).select($"src".as("node"), $"d".as("dg"))
+        .orderBy($"dg".desc, $"node").limit(1)
+        .select($"node").transform(Tables.ck)
+      var r = seed.select($"node", lit(1.0).as("r"))
+        .transform(Tables.ck)
+      for (_ <- 1 to Iters) {
+        r = edges.join(broadcast(r), $"src" === $"node")
+          .groupBy($"dst").agg(sum($"r" / $"d").as("sw"))
+          .select($"dst".as("node"), $"sw")
+          .join(broadcast(seed.select($"node", lit(0.15).as("tp"))),
+            Seq("node"), "full_outer")
+          .select($"node",
+            (coalesce(lit(0.85) * $"sw", lit(0.0))
+              + coalesce($"tp", lit(0.0))).as("r"))
+          .transform(Tables.ck)
+      }
+      r.select($"node", (floor($"r" * 1e6 + 0.5) / 1e6).as("ppr"))
+        .orderBy($"ppr".desc, $"node")
+        .limit(20)
+    }),
+
     // PageRank over the symmetrized trade graph. Every node has degree
     // ≥ 1 by construction, so no dangling-mass term is needed and
     // total rank stays 1.
@@ -1599,6 +1639,33 @@ object GraphOps {
       SELECT lbl AS community, count(*) AS n_nodes FROM l8
       GROUP BY lbl
       ORDER BY n_nodes DESC, community"""
+    // PPR unrolled from one per-iteration template: the same
+    // sparse-rank full-outer-teleport algebra, operation-for-
+    // operation.
+    val pprCte = (k: Int) => s""",
+      p${k + 1} AS MATERIALIZED (
+        SELECT COALESCE(a.node, s.node) AS node,
+               COALESCE(0.85 * a.sw, 0) + COALESCE(s.tp, 0) AS r
+        FROM (SELECT e.dst AS node, SUM(p$k.r / deg.d) AS sw
+              FROM edges e JOIN p$k ON e.src = p$k.node
+              JOIN deg ON deg.src = e.src
+              GROUP BY e.dst) a
+        FULL OUTER JOIN (SELECT node, 0.15 AS tp FROM seed) s
+          ON a.node = s.node)"""
+    val pprSql = s"""
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      seed AS (SELECT src AS node FROM deg ORDER BY d DESC, src LIMIT 1),
+      p0 AS (SELECT node, 1.0 AS r FROM seed)""" +
+      (0 until Iters).map(pprCte).mkString + s"""
+      SELECT node, FLOOR(r * 1e6 + 0.5) / 1e6 AS ppr
+      FROM p$Iters
+      ORDER BY ppr DESC, node
+      LIMIT 20"""
     // Both labelings re-derived independently (exact closure for cc,
     // the same 8 unrolled LPA rounds), then the identical
     // exact-integer modularity algebra: HUGEINT Σd_c² mirrors Spark's
@@ -1647,6 +1714,7 @@ object GraphOps {
       "q_graph_lpa" -> lpaSql,
       "q_graph_sssp" -> ssspSql,
       "q_graph_modularity" -> modularitySql,
+      "q_graph_ppr" -> pprSql,
 
       "q_graph_triangles" -> """
       WITH e AS (

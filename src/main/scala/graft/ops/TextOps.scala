@@ -1136,6 +1136,50 @@ object TextOps {
         .orderBy($"lang")
     }),
 
+    // HELD-OUT PERPLEXITY of the frozen unigram LM — the tokenizer/LM
+    // quality number papers actually report, and a TRUE held-out eval
+    // by construction: the vocabulary was trained on doc_id ≥ 300
+    // ([[ulmVocab]]) and is evaluated on doc_id < 300, which the
+    // training never saw. Per word the negative log-likelihood is the
+    // Viterbi minimum (the standard Viterbi approximation to the
+    // unigram marginal), already an exact micro-nat BIGINT from the
+    // dp table; per lang: word/OOV census, token count, the EXACT
+    // integer NLL total, and per-token perplexity
+    // exp(nats/token) — the only floating step, last. OOV words are
+    // excluded from the likelihood (reported in n_oov) — charging
+    // them would need an explicit smoothing model; the census makes
+    // the exclusion auditable. Same fully-map-side serve shape as
+    // q_text_unigram_serve (broadcast dictionary, per-word
+    // expressions, two shuffles).
+    "q_text_unigram_ppl" -> ((s, d) => {
+      import s.implicits._
+      val bt = t(s, d, "documents").where($"doc_id" < 300)
+        .select($"lang", explode(split($"text", " ")).as("word"))
+        .where($"word" =!= "")
+        .groupBy($"lang", $"word").agg(count(lit(1)).as("wc"))
+      val vm = ulmVocab(s, d)
+        .agg(map_from_entries(collect_list(struct($"piece", $"cm")))
+          .as("vm"))
+      bt.crossJoin(broadcast(vm))
+        .withColumn("es", expr(UlmServeEdgesSql))
+        .withColumn("dp", expr(UlmDpSql))
+        .withColumn("nll", expr("element_at(dp, length(word) + 1)"))
+        .withColumn("reached", $"nll" < UlmSentinel)
+        .withColumn("ntok",
+          when($"reached", expr(s"size(($UlmWalkSql))")).otherwise(lit(0)))
+        .groupBy($"lang").agg(
+          sum($"wc").as("n_words"),
+          sum(when($"reached", lit(0L)).otherwise($"wc")).as("n_oov"),
+          sum(when($"reached", $"wc" * $"ntok").otherwise(lit(0L)))
+            .as("n_tokens"),
+          sum(when($"reached", $"wc" * $"nll").otherwise(lit(0L)))
+            .as("nll_micro"))
+        .select($"lang", $"n_words", $"n_oov", $"n_tokens", $"nll_micro",
+          (floor(exp($"nll_micro" / 1e6 / $"n_tokens") * 1e4 + 0.5) / 1e4)
+            .as("ppl"))
+        .orderBy($"lang")
+    }),
+
     // DSIR — Data Selection via Importance Resampling (Xie et al.
     // 2023, NeurIPS, arXiv:2302.03169), the published answer to "pick
     // the raw-web documents that look most like a trusted target
@@ -2054,12 +2098,14 @@ object TextOps {
       ORDER BY usage DESC, piece
       LIMIT 30"""
 
-  /** q_text_unigram_serve oracle: RETRAIN the frozen artifact's chain
+  /** Shared frozen-vocab serve chain: RETRAIN the frozen artifact
     * (corpus minus the batch — frozen-vs-fresh drift fails the
     * differential, the bpe_serve convention), then segment the batch
-    * words under the final costs with the same Viterbi chain; words
-    * with no reachable end position fall back to char count (OOV). */
-  private def unigramServeSql(rounds: Int): String =
+    * words under the final costs with the same Viterbi chain. Ends
+    * with `nt` (word → token count; reached words only — an
+    * unreachable word has no walk rows, so it is simply absent).
+    * q_text_unigram_serve and q_text_unigram_ppl share it verbatim. */
+  private def ulmServeChain(rounds: Int): String =
     ulmTrainCtes(rounds, "WHERE doc_id >= 300") + s""",
       bt AS (
         SELECT lang, w AS word, count(*) AS wc FROM (
@@ -2073,7 +2119,12 @@ object TextOps {
         FROM edgesb e JOIN c$rounds c USING (piece))""" +
       ulmDpWalkCtes("s", "ecs", "bw") + s""",
       nt AS (SELECT word, CAST(count(*) AS INT) AS ntok
-             FROM pkss GROUP BY word)
+             FROM pkss GROUP BY word)"""
+
+  /** q_text_unigram_serve oracle: the shared chain + the census with
+    * char fallback for unreachable (OOV) words. */
+  private def unigramServeSql(rounds: Int): String =
+    ulmServeChain(rounds) + """
       SELECT b.lang, CAST(SUM(b.wc) AS BIGINT) AS n_words,
              CAST(SUM(b.wc * COALESCE(nt.ntok, len(b.word))) AS BIGINT)
                AS n_tokens,
@@ -2084,6 +2135,30 @@ object TextOps {
       FROM bt b LEFT JOIN nt USING (word)
       GROUP BY b.lang
       ORDER BY b.lang"""
+
+  /** q_text_unigram_ppl oracle: the shared chain + per-word Viterbi
+    * NLL (the dp value at the word's end position) rolled up to the
+    * per-lang exact micro-nat total and the per-token perplexity. */
+  private def unigramPplSql(rounds: Int): String =
+    ulmServeChain(rounds) + s""",
+      wn AS (SELECT d.word, d.dp AS nll
+             FROM dps_$UlmMaxWordLen d JOIN bw ON d.word = bw.word
+             WHERE d.pos = len(d.word)),
+      roll AS (
+        SELECT b.lang, CAST(SUM(b.wc) AS BIGINT) AS n_words,
+               CAST(SUM(CASE WHEN w.nll IS NULL THEN b.wc ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               CAST(SUM(CASE WHEN w.nll IS NULL THEN 0
+                 ELSE b.wc * nt.ntok END) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN w.nll IS NULL THEN 0
+                 ELSE b.wc * w.nll END) AS BIGINT) AS nll_micro
+        FROM bt b LEFT JOIN wn w USING (word) LEFT JOIN nt USING (word)
+        GROUP BY b.lang)
+      SELECT lang, n_words, n_oov, n_tokens, nll_micro,
+             FLOOR(exp(nll_micro / 1e6 / n_tokens) * 1e4 + 0.5) / 1e4
+               AS ppl
+      FROM roll
+      ORDER BY lang"""
 
   /** Full-corpus BM25 recomputed from raw text with the serve path's
     * exact algebra (denormalized idf/norm, micro-nat contributions) —
@@ -2383,6 +2458,7 @@ object TextOps {
 
     "q_text_unigram_lm" -> unigramLmSql(UlmEmRounds),
     "q_text_unigram_serve" -> unigramServeSql(UlmEmRounds),
+    "q_text_unigram_ppl" -> unigramPplSql(UlmEmRounds),
 
     "q_text_coverage" -> """
       WITH cnt AS (

@@ -58,16 +58,16 @@ package graft.tools
   * (batch-assignment / probe-routing centroid batches and the
   * 5-probe ground-truth scan), q_graph_modularity /
   * q_text_bm25_incr (1-row sufficient-statistic combines),
-  * q_text_unigram_serve (the broadcast 1-row piece→cost dictionary
-  * map; q_text_unigram_lm's own 1-row normalizer combines plan
-  * BNLJ-free off the checkpointed census).
+  * q_text_unigram_serve / q_text_unigram_ppl (the broadcast 1-row
+  * piece→cost dictionary map; q_text_unigram_lm's own 1-row
+  * normalizer combines plan BNLJ-free off the checkpointed census).
   */
 object PlanAudit {
 
   /** Every query allowed to plan a BroadcastNestedLoopJoin — all in
     * the deliberately-tiny-broadcast class (1-row scalar totals,
     * ≤32-row grids/batches/triangles), each documented at its query
-    * site. Audited 304 queries at round 14 (46 whitelisted flags,
+    * site. Audited 306 queries at round 14 (47 whitelisted flags,
     * everything else clean). */
   val BnljWhitelist: Set[String] = Set(
     "q_agg_chisq", "q_agg_mutualinfo", "q_dedup_ngram",
@@ -87,7 +87,7 @@ object PlanAudit {
     "q_sink_dsv2", "q_text_bm25", "q_text_bm25_incr", "q_text_dsir",
     "q_text_jsd",
     "q_text_kneserney", "q_text_pmi", "q_text_tfidf",
-    "q_text_unigram_serve", "q_win_ntile")
+    "q_text_unigram_ppl", "q_text_unigram_serve", "q_win_ntile")
 
   /** Single-task window detector, shared with DistRankSpec so the
     * audit gate and the spec can never disagree on what "global

@@ -3223,6 +3223,77 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_graph_ppr: driver recount, mass conservation, seed restart floor") {
+    import org.apache.spark.sql.functions._
+    // Independent power iteration over the collected graph with the
+    // identical update (scale by 0.85, add the restart at the seed).
+    val e = ops.GraphOps.tradeEdges(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val deg = e.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val seed = deg.toSeq.sortBy { case (n, d0) => (-d0, n) }.head._1
+    var r = Map(seed -> 1.0)
+    for (_ <- 1 to 5) {
+      val nxt = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      for ((u, v) <- e; ru <- r.get(u)) nxt(v) += ru / deg(u)
+      val scaled = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      nxt.foreach { case (n, v) => scaled(n) = 0.85 * v }
+      scaled(seed) += 0.15
+      r = scaled.toMap
+    }
+    // Structural laws: total mass exactly 1 (no dangling nodes), and
+    // the seed keeps at least its own restart probability.
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, "PPR mass must be 1")
+    assert(r(seed) >= 0.15 - 1e-12, "seed keeps its restart mass")
+    val expect = r.toSeq
+      .map { case (n, v) => (n, math.floor(v * 1e6 + 0.5) / 1e6) }
+      .sortBy { case (n, v) => (-v, n) }.take(20)
+    val got = q("q_graph_ppr", sf0001).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    assert(got.length === 20)
+    got.zip(expect).foreach { case ((_, gv), (_, ev)) =>
+      assert(math.abs(gv - ev) < 2e-6, s"ppr drifted: $gv vs $ev")
+    }
+    assert(got.map(_._1).toSet === expect.map(_._1).toSet,
+      "top-20 membership must match the recount")
+  }
+
+  test("q_text_unigram_ppl: frozen-vocab NLL recount") {
+    import org.apache.spark.sql.functions._
+    // The Viterbi path's piece costs sum exactly to the dp minimum, so
+    // the per-word NLL recounts from the segmentation helper; the
+    // per-lang rollup and the final exp mirror the query's algebra on
+    // identical exact-integer operands.
+    val (_, frozen) =
+      ulmDriverTrain(wordCounts(sf0001, col("doc_id") >= 300),
+        ops.TextOps.UlmEmRounds)
+    val batch = ops.Tables.t(spark, sf0001, "documents")
+      .where(col("doc_id") < 300)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = batch.groupBy(_._1).toSeq.map { case (lang, ws) =>
+      var nw = 0L; var noov = 0L; var ntok = 0L; var nll = 0L
+      for ((_, w, c) <- ws) {
+        nw += c
+        ulmSegment(w, frozen) match {
+          case Some(ps) =>
+            ntok += c * ps.length
+            nll += c * ps.map(frozen).sum
+          case None => noov += c
+        }
+      }
+      (lang, nw, noov, ntok, nll,
+        math.floor(math.exp(nll / 1e6 / ntok) * 1e4 + 0.5) / 1e4)
+    }.sortBy(_._1)
+    val got = q("q_text_unigram_ppl", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expect, s"got $got\nexpected $expect")
+  }
+
   test("q_sim_ann_nprobe: recall monotone in probe width + cost recount") {
     import org.apache.spark.sql.functions._
     // Candidate-set inclusion ⇒ a ground-truth member in the candidate
