@@ -817,13 +817,22 @@ object GraphOps {
     * Distances are exact BIGINT sums of integer weights — no float
     * anywhere, both engines agree bit-for-bit. */
   private[graft] def ssspDist(edges: org.apache.spark.sql.DataFrame,
-      seed: org.apache.spark.sql.DataFrame, rounds: Int)
-      : org.apache.spark.sql.DataFrame = {
+      seed: org.apache.spark.sql.DataFrame, rounds: Int,
+      broadcastDist: Boolean = true): org.apache.spark.sql.DataFrame = {
+    // The bfsFrontiers regime split, mechanically present (not just
+    // documented): the |reached|-bounded distance table BROADCASTS
+    // while it fits an executor; past that the keyed variant
+    // SHUFFLE_HASH-hints the relax join (the hint survives AQE
+    // re-planning) and pairs with src-bucketed edges so the |E| side
+    // stays exchange-free — the co-partitioned PageRank shape.
+    // Strategy agreement is pinned in OpsSpec.
+    def side(df: org.apache.spark.sql.DataFrame) =
+      if (broadcastDist) broadcast(df) else df.hint("shuffle_hash")
     var dist = seed.select(col("node"), lit(0L).as("dist"))
       .transform(Tables.ck)
     for (_ <- 1 to rounds) {
       dist = edges
-        .join(broadcast(dist.select(col("node").as("src"), col("dist"))),
+        .join(side(dist.select(col("node").as("src"), col("dist"))),
           Seq("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .unionByName(dist)

@@ -3104,6 +3104,13 @@ class OpsSpec extends GraftSuite {
     val r1 = ops.GraphOps.ssspDist(edf, seedDf, ops.GraphOps.SsspRounds + 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(r0 === r1, s"${ops.GraphOps.SsspRounds} rounds must reach the fixpoint")
+    // Regime-split agreement (the kcore/bfsFrontiers discipline): the
+    // keyed SHUFFLE_HASH variant — the shape that survives a distance
+    // table too big to broadcast — must compute the identical result.
+    val keyed = ops.GraphOps
+      .ssspDist(edf, seedDf, ops.GraphOps.SsspRounds, broadcastDist = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(keyed === r0, "broadcast and keyed relaxation must agree")
   }
 
   test("q_graph_modularity: hand-computed two-cliques-plus-bridge law") {
