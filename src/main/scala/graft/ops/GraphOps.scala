@@ -825,7 +825,10 @@ object GraphOps {
     // SHUFFLE_HASH-hints the relax join (the hint survives AQE
     // re-planning) and pairs with src-bucketed edges so the |E| side
     // stays exchange-free — the co-partitioned PageRank shape.
-    // Strategy agreement is pinned in OpsSpec.
+    // Strategy agreement is pinned in OpsSpec; measured in
+    // tools/SsspScale (sf0.1: 3.40 vs 3.34 s — TIED, round latency
+    // dominates at fixture scale, so the keyed form costs nothing
+    // here while being the one that survives giant distance tables).
     def side(df: org.apache.spark.sql.DataFrame) =
       if (broadcastDist) broadcast(df) else df.hint("shuffle_hash")
     var dist = seed.select(col("node"), lit(0L).as("dist"))
