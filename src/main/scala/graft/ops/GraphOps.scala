@@ -413,6 +413,60 @@ object GraphOps {
     lbl
   }
 
+  /** The distinct canonical co-purchase edge set (parts sharing an
+    * order at l_quantity ≥ 45, p1 < p2), memoized + materialized once
+    * per (session, dir): q_graph_triangles references it five times
+    * (degree + orient + the 3-way triangle join) and q_graph_ktruss
+    * peels the same graph — ONE definition so the threshold can never
+    * drift between the two rows (derived is first-build-wins, so a
+    * drifted second copy would silently never run). */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.derived(s, d, "copurchase_edges") {
+      import s.implicits._
+      val li = t(s, d, "lineitem").filter($"l_quantity" >= 45)
+        .select($"l_orderkey", $"l_partkey")
+      li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+        .distinct()
+        .transform(Tables.ck)
+    }
+
+  /** `rounds` triangle-support peel iterations toward the 4-TRUSS of
+    * a CANONICAL (u < v) edge set: each round enumerates the current
+    * subgraph's triangles with one ordered wedge self-join (a < b < c;
+    * all keyed equi-joins — the q_graph_triangles shape without the
+    * orientation, since support needs every edge's count), censuses
+    * per-edge support (each triangle credits its 3 edges;
+    * partial-aggregable), and keeps edges with support ≥ 2. Edges in
+    * no triangle are absent from the census and drop. Monotone, so a
+    * fixed unroll ≥ the peel depth is exact (the kcore argument);
+    * every round lazily checkpoints (the triangle join reads the
+    * round's edge set three times, the census three more). */
+  private[graft] def ktrussEdges(edges0: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    var e = edges0.transform(Tables.ck)
+    for (_ <- 1 to rounds) {
+      val tri = Tables.ck(e.as("e1")
+        .join(e.as("e2"),
+          col("e2.u") === col("e1.u") && col("e2.v") > col("e1.v"))
+        .join(e.as("e3"),
+          col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"),
+          col("e2.v").as("c")))
+      e = tri.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(tri.select(col("a").as("u"), col("c").as("v")))
+        .unionByName(tri.select(col("b").as("u"), col("c").as("v")))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("s"))
+        .where(col("s") >= 2)
+        .select(col("u"), col("v"))
+        .transform(Tables.ck)
+    }
+    e
+  }
+
   /** The DIRECTED half of the sparse CC fixture graph, shared by BOTH
     * declared CC algorithms (q_graph_cc / q_graph_cc_star) and their
     * oracles' edge CTE: high-value (o_totalprice > 450000),
@@ -971,6 +1025,34 @@ object GraphOps {
         .limit(20)
     }),
 
+    // 4-TRUSS of the co-purchase graph by TRIANGLE-SUPPORT PEELING
+    // (Cohen 2008 — the k-truss, the triangle-grade dense-subgraph
+    // kernel next to q_graph_kcore's degree grade): iteratively drop
+    // every edge in fewer than k−2 = 2 triangles of the CURRENT
+    // subgraph; what survives is the cohesive core where every tie is
+    // multiply witnessed — on a near-dup/co-purchase graph, the
+    // community seed degree alone can't find (a hub has high degree
+    // with zero triangles). FIXED 5-round unroll as one lazy plan
+    // (the q_graph_kcore discipline): peeling is monotone, so
+    // fixed-round correctness only needs rounds ≥ the peel depth —
+    // measured 2/3/3 at sf0.001/0.01/0.1, and OpsSpec asserts
+    // rounds ≡ rounds+1 plus a full driver-side peel recount. Per
+    // round: one ordered wedge self-join (a<b<c triangle enumeration
+    // on canonical edges — all keyed equi-joins), a 3-way
+    // edge-support census (partial-aggregable), and the HAVING cut;
+    // edges in no triangle drop by absence from the census. Output:
+    // each 4-truss member with its in-truss degree. Non-vacuous at
+    // every fixture SF (6 / 110 / 1596 surviving edges).
+    "q_graph_ktruss" -> ((s, d) => {
+      import s.implicits._
+      val truss = ktrussEdges(copurchaseEdges(s, d)
+        .select($"p1".as("u"), $"p2".as("v")), rounds = 5)
+      truss.select($"u".as("n")).unionByName(truss.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("dg"))
+        .select($"n".as("node"), $"dg")
+        .orderBy($"node")
+    }),
+
     // Triangle counting over the high-volume co-purchase graph (parts
     // that appear in the same order, both at l_quantity >= 45): the
     // canonical two-round MapReduce graph kernel, here as one
@@ -992,21 +1074,7 @@ object GraphOps {
     // wedge (v,w) at u closed by v→w.
     "q_graph_triangles" -> ((s, d) => {
       import s.implicits._
-      // Distinct canonical edges, memoized + materialized once: the
-      // orientation references the edge set twice (degree + orient)
-      // and the triangle join three more times; without the
-      // checkpoint the unrolled plan would rebuild the lineitem
-      // self-join per reference.
-      val e = Tables.derived(s, d, "copurchase_edges") {
-        val li = t(s, d, "lineitem").filter($"l_quantity" >= 45)
-          .select($"l_orderkey", $"l_partkey")
-        li.as("a").join(li.as("b"),
-            $"a.l_orderkey" === $"b.l_orderkey" &&
-              $"a.l_partkey" < $"b.l_partkey")
-          .select($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
-          .distinct()
-          .transform(Tables.ck)
-      }
+      val e = copurchaseEdges(s, d)
       val deg = e.select($"p1".as("n")).unionByName(e.select($"p2".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("dg"))
       // Orient toward the higher-(degree, id) endpoint; carry the
@@ -1651,6 +1719,34 @@ object GraphOps {
       SELECT lbl AS community, count(*) AS n_nodes FROM l8
       GROUP BY lbl
       ORDER BY n_nodes DESC, community"""
+    // The identical 5 peel rounds unrolled from one template (the
+    // kcore move): ordered wedge triangles, 3-way support census,
+    // HAVING cut. MATERIALIZED — each round reads its edge set six
+    // times (3 join sides + 3 census branches).
+    val ktrussCte = (r: Int) => s""",
+      t$r AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e${r - 1} e1
+        JOIN e${r - 1} e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN e${r - 1} e3 ON e3.u = e1.v AND e3.v = e2.v),
+      e$r AS MATERIALIZED (
+        SELECT u, v FROM (
+          SELECT a AS u, b AS v FROM t$r
+          UNION ALL SELECT a, c FROM t$r
+          UNION ALL SELECT b, c FROM t$r)
+        GROUP BY u, v
+        HAVING count(*) >= 2)"""
+    val ktrussSql = """
+      WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45)""" +
+      (1 to 5).map(ktrussCte).mkString + """
+      SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5)
+      GROUP BY node
+      ORDER BY node"""
     // PPR unrolled from one per-iteration template: the same
     // sparse-rank full-outer-teleport algebra, operation-for-
     // operation.
@@ -1727,6 +1823,7 @@ object GraphOps {
       "q_graph_sssp" -> ssspSql,
       "q_graph_modularity" -> modularitySql,
       "q_graph_ppr" -> pprSql,
+      "q_graph_ktruss" -> ktrussSql,
 
       "q_graph_triangles" -> """
       WITH e AS (

@@ -3230,6 +3230,58 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_graph_ktruss: driver peel recount + round sufficiency") {
+    import org.apache.spark.sql.functions._
+    // Independent set-based peel to the exact fixpoint over the
+    // collected co-purchase graph.
+    val li = ops.Tables.t(spark, sf0001, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_partkey"))
+    var edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey"), col("b.l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var changed = true
+    while (changed) {
+      val adj = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      for ((u, v) <- edges) {
+        adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+        adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+      }
+      val keep = edges.filter { case (u, v) =>
+        (adj(u) & adj(v)).size >= 2
+      }
+      changed = keep != edges
+      edges = keep
+    }
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((u, v) <- edges) { deg(u) += 1; deg(v) += 1 }
+    val expect = deg.toSeq.sortBy(_._1)
+    val got = q("q_graph_ktruss", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expect, s"got $got\nexpected $expect")
+    assert(got.nonEmpty, "the fixture 4-truss must be non-empty")
+    // Round sufficiency (the kcore discipline): one more round changes
+    // nothing, so the fixed unroll is at the monotone fixpoint.
+    val s = spark
+    import s.implicits._
+    val e0 = edges // already at fixpoint — rebuild from raw for the law
+    val raw = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val r5 = ops.GraphOps.ktrussEdges(raw, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r6 = ops.GraphOps.ktrussEdges(raw, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r5 === r6, "5 peel rounds must reach the fixpoint")
+    assert(r5 === e0, "engine fixpoint must equal the driver peel")
+  }
+
   test("q_graph_ppr: driver recount, mass conservation, seed restart floor") {
     import org.apache.spark.sql.functions._
     // Independent power iteration over the collected graph with the
