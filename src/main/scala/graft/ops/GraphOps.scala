@@ -899,6 +899,26 @@ object GraphOps {
     dist
   }
 
+  /** One PPR update round — see the q_graph_ppr comment for the
+    * union-teleport derivation and why a full-outer teleport join is
+    * a plan defect (unbroadcastable, hint silently dropped).
+    * Extracted so PlanShapeSpec can pin the UNCHECKPOINTED round plan
+    * (the per-round `Tables.ck` hides the loop body from the declared
+    * query's executed plan — the ShinglesSpec lesson): exactly one
+    * BroadcastHashJoin, one keyed exchange, zero sort-merge joins,
+    * zero dropped hints. */
+  private[graft] def pprStep(edges: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame, seed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    edges.join(broadcast(r), col("src") === col("node"))
+      .select(col("dst").as("node"), (col("r") / col("d")).as("sw"),
+        lit(0.0).as("tp"))
+      .unionByName(
+        seed.select(col("node"), lit(0.0).as("sw"), lit(0.15).as("tp")))
+      .groupBy(col("node"))
+      .agg(sum(col("sw")).as("sw"), max(col("tp")).as("tp"))
+      .select(col("node"), (lit(0.85) * col("sw") + col("tp")).as("r"))
+
   /** Fixed SSSP round count: covers the max min-cost-path edge count
     * on every fixture SF (measured driver-side via hop-tie-broken
     * Dijkstra: 3 / 5 / 7 rounds needed at sf0.001 / 0.01 / 0.1 — low
@@ -937,14 +957,25 @@ object GraphOps {
     // the seed): r ← 0.15·e_seed + 0.85·AᵀD⁻¹r, 5 fixed iterations
     // from r₀ = e_seed. The rank table stays SPARSE — only nodes the
     // walk has reached carry rows, so early iterations move frontier-
-    // sized data (the BFS shape), not |V|. Teleport is added OUTSIDE
-    // the aggregate as one scalar term on the seed row (the
-    // q_graph_pagerank convention: the only cross-engine float risk
-    // stays the summation-order class both engines already share),
-    // via a full-outer join against the 1-row seed so round 1 — where
-    // the seed has no in-mass — still emits its restart row. Total
-    // mass is exactly 1 every round (0.15 + 0.85·1, no dangling
-    // nodes) — the OpsSpec conservation law. Top-20 by rounded rank.
+    // sized data (the BFS shape), not |V|. Teleport enters by UNION
+    // into the pre-aggregation stream: the seed's restart row rides
+    // the same keyed aggregate as the edge contributions, in a
+    // separate `tp` column so the algebra stays 0.85·Σ(r/d) + tp —
+    // bit-identical to the full-outer formulation the oracle keeps
+    // (the extra sw=0.0 union term is IEEE-exact over non-negative
+    // partials; max(tp) picks the one restart row). A full-outer join
+    // against the seed would be WRONG here at the plan level: Spark
+    // cannot broadcast either side of a full outer join, silently
+    // drops the hint (HintErrorLogger), and plans a per-round
+    // shuffle join of the rank table against one row — the r14
+    // verdict defect. The union shape needs zero joins for the
+    // teleport: one broadcast relax join + one partial-aggregable
+    // keyed aggregate per round, pinned in PlanShapeSpec (no
+    // sort-merge join, no dropped hint anywhere in the loop). Round 1
+    // — where the seed has no in-mass — still emits its restart row
+    // because the union row exists regardless. Total mass is exactly
+    // 1 every round (0.15 + 0.85·1, no dangling nodes) — the OpsSpec
+    // conservation law. Top-20 by rounded rank.
     "q_graph_ppr" -> ((s, d) => {
       import s.implicits._
       val edges = tradeEdgesW(s, d)
@@ -953,17 +984,7 @@ object GraphOps {
         .select($"node").transform(Tables.ck)
       var r = seed.select($"node", lit(1.0).as("r"))
         .transform(Tables.ck)
-      for (_ <- 1 to Iters) {
-        r = edges.join(broadcast(r), $"src" === $"node")
-          .groupBy($"dst").agg(sum($"r" / $"d").as("sw"))
-          .select($"dst".as("node"), $"sw")
-          .join(broadcast(seed.select($"node", lit(0.15).as("tp"))),
-            Seq("node"), "full_outer")
-          .select($"node",
-            (coalesce(lit(0.85) * $"sw", lit(0.0))
-              + coalesce($"tp", lit(0.0))).as("r"))
-          .transform(Tables.ck)
-      }
+      for (_ <- 1 to Iters) r = pprStep(edges, r, seed).transform(Tables.ck)
       r.select($"node", (floor($"r" * 1e6 + 0.5) / 1e6).as("ppr"))
         .orderBy($"ppr".desc, $"node")
         .limit(20)
@@ -1747,9 +1768,14 @@ object GraphOps {
         SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5)
       GROUP BY node
       ORDER BY node"""
-    // PPR unrolled from one per-iteration template: the same
-    // sparse-rank full-outer-teleport algebra, operation-for-
-    // operation.
+    // PPR unrolled from one per-iteration template. The oracle keeps
+    // the full-outer-teleport FORMULATION (natural in set SQL); the
+    // engine unions the restart row into the pre-aggregation stream
+    // instead (Spark cannot broadcast a full outer join — see the
+    // query comment). The two shapes are value-IDENTICAL, not merely
+    // close: per node both compute 0.85·Σ(r/d) + tp, the union's
+    // extra sw=0.0 term is IEEE-exact over the non-negative partials,
+    // so the differential is unchanged by the plan fix.
     val pprCte = (k: Int) => s""",
       p${k + 1} AS MATERIALIZED (
         SELECT COALESCE(a.node, s.node) AS node,

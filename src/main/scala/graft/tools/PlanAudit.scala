@@ -7,6 +7,12 @@ package graft.tools
   * CartesianProduct, BroadcastNestedLoopJoin, and a Window with no
   * PARTITION BY (all-data-to-one-task).
   *
+  * Since round 15 the sweep also captures REJECTED join hints
+  * (HintErrorLogger WARNs via [[HintAudit]]) — a hint the engine
+  * drops means the documented plan is not the executed plan (the r14
+  * q_graph_ppr full-outer-broadcast defect); ANY dropped hint is a
+  * HARD failure, no whitelist.
+  *
   * GlobalWindow is a HARD failure (exit 1): since round 7 the two
   * contractual total orders (q_win_ntile, q_pipe_curriculum) compute
   * exact ranks via DistRank's two-pass distributed form, so no
@@ -67,8 +73,8 @@ object PlanAudit {
   /** Every query allowed to plan a BroadcastNestedLoopJoin — all in
     * the deliberately-tiny-broadcast class (1-row scalar totals,
     * ≤32-row grids/batches/triangles), each documented at its query
-    * site. Audited 306 queries at round 14 (47 whitelisted flags,
-    * everything else clean). */
+    * site. (Counts are printed by the audit run itself — a
+    * hand-written number here went stale two rounds running.) */
   val BnljWhitelist: Set[String] = Set(
     "q_agg_chisq", "q_agg_mutualinfo", "q_dedup_ngram",
     "q_dedup_semdedup", "q_graph_hits", "q_graph_modularity",
@@ -113,17 +119,33 @@ object PlanAudit {
     var errored = List.empty[String]
     var bnljFlagged = Set.empty[String]
     var cartesians = List.empty[String]
+    var droppedHints = List.empty[(String, String)]
+    var audited = 0
+    var clean = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        // Plan construction runs inside the hint-warning capture: a
+        // join-strategy hint Spark REJECTS (e.g. broadcast on a full
+        // outer join) leaves no trace in the executed plan — the only
+        // mechanical signal is the HintErrorLogger WARN, and a
+        // dropped hint means the documented plan is not the executed
+        // plan (the r14 q_graph_ppr defect class). No whitelist: the
+        // engine has no legitimate rejected hint.
+        val (p, hintWarns) = HintAudit.capture(
+          fn(spark, sfDir).queryExecution.executedPlan.toString)
         val flags = Seq(
           "CartesianProduct" -> p.contains("CartesianProduct"),
           "BroadcastNestedLoopJoin" -> p.contains("BroadcastNestedLoopJoin"),
           "GlobalWindow" -> hasGlobalWindow(p),
+          "DroppedHint" -> hintWarns.nonEmpty,
         ).collect { case (f, true) => f }
         if (flags.contains("GlobalWindow")) globalWindows ::= name
         if (flags.contains("CartesianProduct")) cartesians ::= name
         if (flags.contains("BroadcastNestedLoopJoin")) bnljFlagged += name
+        if (hintWarns.nonEmpty)
+          droppedHints ::= (name, hintWarns.head.take(120))
+        audited += 1
+        if (flags.isEmpty) clean += 1
         println(s"[audit] $name: ${if (flags.isEmpty) "clean" else flags.mkString(",")}")
       } catch { case e: Throwable =>
         // An erroring query's plan was NEVER checked — that must fail
@@ -133,6 +155,11 @@ object PlanAudit {
       }
     }
     spark.stop()
+    // Counts computed at runtime — never hand-written (they rotted in
+    // prose two rounds running).
+    println(s"[audit] audited $audited queries: $clean clean, " +
+      s"${bnljFlagged.size} BNLJ-flagged (whitelist ${BnljWhitelist.size}), " +
+      s"${droppedHints.size} dropped-hint, ${errored.size} errored")
     // The BNLJ gate cuts both ways: an unlisted flag is a new
     // accidental nested-loop join; a listed query that stopped
     // flagging means the whitelist is stale and must shrink (so the
@@ -140,7 +167,12 @@ object PlanAudit {
     val bnljNew = (bnljFlagged -- BnljWhitelist).toList
     val bnljStale = (BnljWhitelist -- bnljFlagged -- errored).toList
     if (globalWindows.nonEmpty || errored.nonEmpty || cartesians.nonEmpty ||
-        bnljNew.nonEmpty || bnljStale.nonEmpty) {
+        bnljNew.nonEmpty || bnljStale.nonEmpty || droppedHints.nonEmpty) {
+      if (droppedHints.nonEmpty) System.err.println(
+        s"[audit] FAIL: join hints REJECTED by the engine (documented " +
+          s"plan != executed plan) in " +
+          droppedHints.sortBy(_._1).map { case (n, w) => s"$n ($w)" }
+            .mkString("; "))
       if (globalWindows.nonEmpty) System.err.println(
         s"[audit] FAIL: global (single-task) window in ${globalWindows.sorted.mkString(", ")}")
       if (errored.nonEmpty) System.err.println(

@@ -242,6 +242,55 @@ class PlanShapeSpec extends GraftSuite {
       s"only the rank side + dst agg may exchange (saw $exchanges):\n$p")
   }
 
+  test("q_graph_ppr round: broadcast relax join, ONE keyed exchange, " +
+      "no shuffle join, no dropped hint (r14 verdict #1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // One pprStep as the loop runs it (the per-round ck hides the
+    // body from the declared query's plan — pin the builder).
+    val edges = (1 to 50).map(i => (s"n$i", s"n${i % 7}", 3L))
+      .toDF("src", "dst", "d").localCheckpoint()
+    val seed = Seq("n1").toDF("node").localCheckpoint()
+    val r = seed.select($"node", lit(1.0).as("r")).localCheckpoint()
+    val (step, warns) = tools.HintAudit.capture {
+      val st = ops.GraphOps.pprStep(edges, r, seed)
+      st.collect() // finalize AQE so the pin is the runtime plan
+      st
+    }
+    // The r14 defect signature: broadcast(full_outer teleport join)
+    // is silently rejected and every round plans a shuffle join of
+    // the rank table against one row. The union-teleport shape must
+    // plan hint-drop-free.
+    assert(warns.isEmpty, s"teleport must not cost a dropped hint: $warns")
+    val p = step.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"relax join must broadcast the sparse rank table:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join anywhere in the round:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"only the keyed teleport+contribution aggregate may exchange " +
+        s"(saw $exchanges):\n$p")
+  }
+
+  test("HintAudit catches a planted broadcast(full_outer) — the gate " +
+      "class that finds documented-plan != executed-plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val a = Seq((1, "x")).toDF("k", "va")
+    val b = Seq((1, "y")).toDF("k", "vb")
+    val (_, warns) = tools.HintAudit.capture {
+      a.join(broadcast(b), Seq("k"), "full_outer")
+        .queryExecution.executedPlan.toString
+    }
+    assert(warns.nonEmpty,
+      "Spark rejects broadcast on full outer joins; the capture must " +
+        "surface the HintErrorLogger WARN (PlanAudit exits 1 on it)")
+    assert(warns.exists(_.toLowerCase.contains("not supported")),
+      warns.toString)
+  }
+
   test("q_graph_triangles: wedge and closing joins stay keyed equi-joins") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
