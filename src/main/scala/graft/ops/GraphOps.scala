@@ -531,7 +531,13 @@ object GraphOps {
     * Σd_c² > 2^63 on hub-heavy graphs; decimal is exact to 10^38 and
     * still partial-aggregable) — and only the final one-division
     * closed form is double, written operation-identically in the
-    * oracle. Scale: two keyed label joins + one keyed degree sum +
+    * oracle. Overflow-behavior asymmetry past the cap (ADVICE r14,
+    * purely theoretical — reaching it needs ~5·10^18 edges): Spark's
+    * non-ANSI DECIMAL(38,0) sum yields silent NULL (modularity goes
+    * NULL) while DuckDB's HUGEINT errors at ~1.7·10^38 — the same
+    * documented asymmetry as q_graph_assortativity's BIGINT
+    * treatment; a production run at that scale enables ANSI mode so
+    * both sides fail loudly. Scale: two keyed label joins + one keyed degree sum +
     * two scalar aggregates; the 1-row combine rides the whitelisted
     * tiny-broadcast cross join. */
   private[graft] def modularityQ(und: org.apache.spark.sql.DataFrame,
@@ -849,54 +855,118 @@ object GraphOps {
       e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst"), $"w"))
     }
 
-  /** `rounds` Bellman–Ford relaxations over a weighted symmetric edge
-    * set `(src, dst, w)` from the 1-row `seed` — distributed
-    * single-source shortest paths, the weighted kernel
+  /** `rounds` FRONTIER-DELTA Bellman–Ford relaxations over a weighted
+    * symmetric edge set `(src, dst, w)` from the 1-row `seed` —
+    * distributed single-source shortest paths, the weighted kernel
     * [[bfsFrontiers]] (hop counts) cannot express. Per round: ONE
-    * broadcast of the |reached|-bounded distance table onto the edges
-    * (the bfsFrontiers regime split verbatim — SHUFFLE_HASH +
-    * src-bucketed edges past a few hundred million reached nodes) +
-    * one partial-aggregable min keyed on the node; the carry-over
-    * union keeps settled nodes without re-deriving them. FIXED round
-    * count with zero driver actions (the q_graph_kcore discipline):
-    * relaxation is monotone (distances only decrease, reached set
-    * only grows), so once a round changes nothing the table IS the
-    * exact shortest-path distances and every further round is the
-    * identity — fixed-round correctness only needs rounds ≥ the max
-    * EDGE COUNT of any shortest path, which OpsSpec asserts by
-    * comparing `rounds` and `rounds+1` on the fixture (plus a
-    * driver-side Dijkstra recount). Each round lazily checkpoints:
-    * the distance table is referenced twice per round (relax join +
-    * carry-over union) — unchecked, the unroll doubles per round.
-    * Distances are exact BIGINT sums of integer weights — no float
-    * anywhere, both engines agree bit-for-bit. */
+    * broadcast of the FRONTIER (nodes whose distance improved last
+    * round — not the whole reached set) onto the edges + one
+    * partial-aggregable min keyed on the node; the carry-over union
+    * keeps settled nodes without re-deriving them, and a second
+    * broadcast anti-ish join (new-vs-prev, keep null-or-smaller)
+    * derives the next frontier.
+    *
+    * Frontier-only relaxation is EXACTLY round-equivalent to relaxing
+    * the full reached set (not just fixpoint-equivalent): if a node
+    * u's distance did not change in round k, every candidate
+    * `dist(u) + w(u,v)` it could offer in round k+1 was already
+    * offered in round k and min-folded into dist_k(v), and distances
+    * are monotone non-increasing — so dropping u from round k+1
+    * changes nothing, by induction every round's table is identical
+    * to the full-relaxation table, and the unrolled full-relaxation
+    * oracle is unchanged. What changes is the COST: late rounds join
+    * |frontier| rows against the edges instead of |reached| — at
+    * 100× scale that is the difference between `rounds` full-table
+    * relaxations and `rounds` shrinking ones (tools/SsspScale prints
+    * the per-round frontier vs reached counts — measured at sf0.1:
+    * frontiers 679 / 999 / 14868 / 819 / 9912 / 63 / 438 / 0 against
+    * a reached set that saturates at 15999 by round 3 and would
+    * otherwise re-relax in full for rounds 4-8).
+    *
+    * FIXED round count with zero driver actions (the q_graph_kcore
+    * discipline): relaxation is monotone (distances only decrease,
+    * reached set only grows), so once a round changes nothing the
+    * table IS the exact shortest-path distances (the frontier is then
+    * empty and every further round is the identity for free) —
+    * fixed-round correctness only needs rounds ≥ the max EDGE COUNT
+    * of any shortest path, which OpsSpec asserts by comparing
+    * `rounds` and `rounds+1` on the fixture at sf0.001 AND sf0.01
+    * (plus a driver-side Dijkstra recount and a random-graph
+    * Dijkstra-equality law). Each round's distance table lazily
+    * checkpoints: it is referenced three times (carry-over union,
+    * prev side of the frontier join, next round's carry-over) —
+    * unchecked, the unroll multiplies per round; the frontier itself
+    * is NOT checkpointed (referenced once, derived from two
+    * checkpointed tables by one broadcast join — recompute is
+    * cheaper than a materialization round). Distances are exact
+    * BIGINT sums of integer weights — no float anywhere, both
+    * engines agree bit-for-bit. */
   private[graft] def ssspDist(edges: org.apache.spark.sql.DataFrame,
       seed: org.apache.spark.sql.DataFrame, rounds: Int,
       broadcastDist: Boolean = true): org.apache.spark.sql.DataFrame = {
     // The bfsFrontiers regime split, mechanically present (not just
-    // documented): the |reached|-bounded distance table BROADCASTS
+    // documented): the frontier-bounded distance table BROADCASTS
     // while it fits an executor; past that the keyed variant
-    // SHUFFLE_HASH-hints the relax join (the hint survives AQE
-    // re-planning) and pairs with src-bucketed edges so the |E| side
-    // stays exchange-free — the co-partitioned PageRank shape.
-    // Strategy agreement is pinned in OpsSpec; measured in
-    // tools/SsspScale (sf0.1: 3.40 vs 3.34 s — TIED, round latency
-    // dominates at fixture scale, so the keyed form costs nothing
-    // here while being the one that survives giant distance tables).
+    // SHUFFLE_HASH-hints the relax and frontier joins (the hint
+    // survives AQE re-planning) and pairs with src-bucketed edges so
+    // the |E| side stays exchange-free — the co-partitioned PageRank
+    // shape. Strategy agreement is pinned in OpsSpec; measured in
+    // tools/SsspScale.
     def side(df: org.apache.spark.sql.DataFrame) =
       if (broadcastDist) broadcast(df) else df.hint("shuffle_hash")
     var dist = seed.select(col("node"), lit(0L).as("dist"))
       .transform(Tables.ck)
+    var frontier = dist
     for (_ <- 1 to rounds) {
-      dist = edges
-        .join(side(dist.select(col("node").as("src"), col("dist"))),
+      val next = edges
+        .join(side(frontier.select(col("node").as("src"), col("dist"))),
           Seq("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .unionByName(dist)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .transform(Tables.ck)
+      // Next round's frontier: newly reached or strictly improved.
+      // Broadcasting/hinting the PREV side keeps the join the same
+      // regime as the relax join (left outer builds right — always a
+      // supported broadcast side, unlike full outer).
+      frontier = next
+        .join(side(dist.select(col("node"), col("dist").as("prev"))),
+          Seq("node"), "left_outer")
+        .where(col("prev").isNull || col("dist") < col("prev"))
+        .select(col("node"), col("dist"))
+      dist = next
     }
     dist
+  }
+
+  /** Per-round frontier/reached sizes of [[ssspDist]]'s frontier-delta
+    * relaxation — the measurement behind the scaladoc's shrinking-
+    * frontier claim, driver-side (dev tools/specs only; the declared
+    * query runs zero driver actions). Returns (round, |frontier|,
+    * |reached|) per round. */
+  private[graft] def ssspFrontierSizes(edges: org.apache.spark.sql.DataFrame,
+      seed: org.apache.spark.sql.DataFrame, rounds: Int)
+      : Seq[(Int, Long, Long)] = {
+    var dist = seed.select(col("node"), lit(0L).as("dist"))
+      .transform(Tables.ck)
+    var frontier = dist
+    (1 to rounds).map { i =>
+      val next = edges
+        .join(broadcast(frontier.select(col("node").as("src"), col("dist"))),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .transform(Tables.ck)
+      frontier = next
+        .join(broadcast(dist.select(col("node"), col("dist").as("prev"))),
+          Seq("node"), "left_outer")
+        .where(col("prev").isNull || col("dist") < col("prev"))
+        .select(col("node"), col("dist"))
+        .transform(Tables.ck)
+      dist = next
+      (i, frontier.count(), dist.count())
+    }
   }
 
   /** One PPR update round — see the q_graph_ppr comment for the

@@ -37,6 +37,15 @@ object SsspScale {
     }
     println(s"SSSPSCALE strategies agree: ${results(true) == results(false)}" +
       s" (${results(true).size} reached nodes)")
+    // The frontier-delta claim, measured: per-round |frontier| vs
+    // |reached| — late-round relax-join input must SHRINK while the
+    // reached set saturates (r14 verdict task 4).
+    graft.ops.GraphOps.ssspFrontierSizes(
+        graft.ops.GraphOps.tradeEdgesWgt(spark, d), seed,
+        graft.ops.GraphOps.SsspRounds)
+      .foreach { case (i, f, r) =>
+        println(s"SSSPSCALE round $i: frontier=$f reached=$r")
+      }
     spark.stop()
   }
 }

@@ -3282,6 +3282,43 @@ class OpsSpec extends GraftSuite {
     assert(r5 === e0, "engine fixpoint must equal the driver peel")
   }
 
+  test("sssp/ktruss round sufficiency at sf0.01 — the differential's " +
+      "own SF (ADVICE r14)") {
+    import org.apache.spark.sql.functions._
+    // The DuckDB oracle unrolls the IDENTICAL fixed round count, so
+    // an under-converged regenerated fixture at the gate SF would
+    // pass the differential silently — only this law catches it (the
+    // sf0.001 laws alone leave the sf0.01 gate unguarded; the
+    // UlmMaxWordLen/JaccardCap two-SF pattern).
+    val d = "/root/testdata/sf0.01"
+    val edf = ops.GraphOps.tradeEdgesWgt(spark, d)
+    val seed = ops.GraphOps.tradeDeg(spark, d)
+      .select(col("src").as("node"), col("d").as("dg"))
+      .orderBy(col("dg").desc, col("node")).limit(1).select(col("node"))
+      .localCheckpoint()
+    val r0 = ops.GraphOps.ssspDist(edf, seed, ops.GraphOps.SsspRounds)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val r1 = ops.GraphOps.ssspDist(edf, seed, ops.GraphOps.SsspRounds + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(r0 === r1,
+      s"${ops.GraphOps.SsspRounds} relaxation rounds must reach the " +
+        s"sf0.01 fixpoint (measured need: 5)")
+    val li = ops.Tables.t(spark, d, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val raw = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val k5 = ops.GraphOps.ktrussEdges(raw, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k6 = ops.GraphOps.ktrussEdges(raw, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k5 === k6,
+      "5 peel rounds must reach the sf0.01 fixpoint (measured need: 3)")
+  }
+
   test("q_graph_ppr: driver recount, mass conservation, seed restart floor") {
     import org.apache.spark.sql.functions._
     // Independent power iteration over the collected graph with the
