@@ -30,6 +30,27 @@ object SimOps {
                   b: org.apache.spark.sql.Column) =
     graft.functions.FloatDot.dotF(a, b)
 
+  // ---- product quantization (q_sim_ann_pq / q_sim_ann_ivfpq) ---------
+  // ONE definition of the PQ geometry and the subspace slicing, shared
+  // by the standalone ADC row and the composed IVF+PQ index so the
+  // code assignment can never drift between them (the copurchaseEdges
+  // discipline): the 64-dim space splits into M=4 subspaces of 16
+  // dims; each subspace's 8-entry codebook is the first 8 corpus
+  // vectors' subvectors (the deterministic q_sim_ann_ivf centroid
+  // convention).
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 8
+
+  /** Per-(vector, subspace) PQ subvectors `(vec_id, m, sv)` — M
+    * slices of SubDim dims, the q_sim_maxsim slicing expression. */
+  private def pqSubs(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), " +
+          s"t -> slice(embedding, t * $PqSubDim + 1, $PqSubDim))"))
+      .as(Seq("m", "sv")))
+
   // ---- random-hyperplane LSH (q_sim_ann_lsh) -------------------------
   // H sign bits over deterministic hyperplanes. Components use the
   // repo's cross-engine md5-60bit formula (SURVEY §2.9): uniformly in
@@ -399,13 +420,9 @@ object SimOps {
     // tie-stable; ranking uses the rounded ADC score + vec_id.
     "q_sim_ann_pq" -> ((s, d) => {
       import s.implicits._
-      val M = 4; val SubDim = 16; val K = 8
       val emb = t(s, d, "embeddings")
-      val subs = emb.select($"vec_id", explode(array((0 until M).map(m =>
-          struct(lit(m).as("m"),
-            slice($"embedding", m * SubDim + 1, SubDim).as("sv"))): _*)).as("e"))
-        .select($"vec_id", $"e.m".as("m"), $"e.sv".as("sv"))
-      val cents = subs.where($"vec_id" < K)
+      val subs = pqSubs(emb)
+      val cents = subs.where($"vec_id" < PqK)
         .select($"vec_id".cast("int").as("cid"), $"m".as("cm"), $"sv".as("cv"))
       val scored = subs.join(broadcast(cents), $"m" === $"cm")
         .select($"vec_id", $"m", $"cid",
@@ -849,6 +866,93 @@ object SimOps {
         .orderBy($"q_id")
     }),
 
+    // IVF+PQ COMPOSED SERVE (Jégou et al., TPAMI 2011 — the FAISS
+    // IndexIVFPQ production shape, the r14 verdict's #1 missing
+    // piece): both halves existed as separate rows — IVF routing
+    // with partition pruning (q_sim_ann_serve) and PQ-ADC scoring
+    // (q_sim_ann_pq) — and this row is their composition, which is
+    // where the memory story actually lives: route each external
+    // probe to its coarse cell (8 broadcast centroid dots + argmax,
+    // identical r4 grid/tie-break to the index build, so the probed
+    // cell provably equals a persisted assignment), prune the
+    // PERSISTED codes-only index ([[ivfpqIndex]]) to that cell's
+    // partition, and score every candidate as the sum of M=4 ADC
+    // lookups against the probe's precomputed 8×4 query-dot table —
+    // zero candidate embeddings read, zero assignment work at serve
+    // time. At 10^9 vectors the scan per probe is |cell|·4 small
+    // ints; the 160-row qd table and the 5-row routing broadcast.
+    // Ranking on the r4-rounded ADC sum + vec_id (the q_sim_ann_pq
+    // convention). Retrieval-quality cost of the code approximation
+    // is the sibling eval row q_sim_ivfpq_recall.
+    "q_sim_ann_ivfpq" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where($"vec_id" < 8)
+        .select($"vec_id".cast("int").as("cid"), $"embedding".as("ce"))
+      val wq = Window.partitionBy($"q_id").orderBy($"qdot".desc, $"cid")
+      val route = emb.where($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qdot", floor(dot($"qe", $"ce") * 1e4 + 0.5) / 1e4)
+        .withColumn("rn", row_number().over(wq)).where($"rn" === 1)
+        .select($"q_id", $"cid".as("qcell"))
+      val cbook = pqSubs(emb).where($"vec_id" < PqK)
+        .select($"vec_id".cast("int").as("cid"), $"m".as("cm"),
+          $"sv".as("cv"))
+      val qd = pqSubs(emb.where($"vec_id" < 5))
+        .join(broadcast(cbook), $"m" === $"cm")
+        .select($"vec_id".as("qq"), $"m".as("qm"), $"cid".as("qcid"),
+          (floor(dot($"sv", $"cv") * 1e6 + 0.5) / 1e6).as("qdp"))
+      val w = Window.partitionBy($"q_id").orderBy($"adc_sim".desc, $"vec_id")
+      ivfpqIndex(s, d).join(broadcast(route), $"cell" === $"qcell")
+        .where($"vec_id" =!= $"q_id")
+        .join(broadcast(qd),
+          $"q_id" === $"qq" && $"m" === $"qm" && $"code" === $"qcid")
+        .groupBy($"q_id", $"vec_id", $"cell")
+        .agg((floor(sum($"qdp") * 10000 + 0.5) / 10000).as("adc_sim"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 5)
+        .select($"q_id", $"rank", $"vec_id", $"cell", $"adc_sim")
+        .orderBy($"q_id", $"rank")
+    }),
+
+    // RETRIEVAL-QUALITY EVAL OF THE COMPOSED IVF+PQ PATH — recall@5 +
+    // reciprocal rank of q_sim_ann_ivfpq against the brute-force
+    // exact top-5, per probe (the q_sim_serve_recall pattern applied
+    // to the codes-only index). This is the second loss dial a
+    // FAISS-shaped deployment publishes: q_sim_serve_recall prices
+    // the CELL PRUNING (what nprobe=1 misses), this row prices
+    // pruning PLUS the 8-entry code approximation (what ADC re-ranks
+    // wrongly INSIDE the probed cell) — per probe, hits(ivfpq) ≤
+    // hits(exact serve) is a theorem (same candidate set, exact
+    // rescoring dominates; the OpsSpec law), so the delta between
+    // the two rows isolates the quantization loss.
+    "q_sim_ivfpq_recall" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+      val wb = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      val bf = emb.crossJoin(broadcast(qs)).where($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
+        .withColumn("rn", row_number().over(wb)).where($"rn" <= 5)
+        .select($"q_id", $"vec_id")
+      val serve = queries("q_sim_ann_ivfpq")(s, d)
+        .select($"q_id", $"rank", $"vec_id")
+      val hits = serve.join(bf, Seq("q_id", "vec_id"), "left_semi")
+      qs.select($"q_id")
+        .join(hits.groupBy($"q_id")
+          .agg(count(lit(1)).as("h"), min($"rank").as("first_hit")),
+          Seq("q_id"), "left")
+        .select($"q_id",
+          coalesce($"h", lit(0L)).as("n_hits"),
+          (coalesce($"h", lit(0L)) / 5.0).as("recall_at_5"),
+          (floor(coalesce(lit(1.0) / $"first_hit", lit(0.0)) * 1e6 + 0.5)
+            / 1e6).as("rr"))
+        .orderBy($"q_id")
+    }),
+
     // ONE NN-DESCENT REFINEMENT ROUND (Dong et al., WWW'11) over the
     // LSH-cell kNN baseline ([[cellKnn]], the exact edges
     // q_sim_cluster builds its graph from): a neighbor of my neighbor
@@ -967,6 +1071,53 @@ object SimOps {
     s.table(name)
   }
 
+  /** The COMPOSED IVF+PQ index (the FAISS IndexIVFPQ production
+    * shape): per vector, its coarse IVF cell (the identical
+    * r4-grid/cid-tie-break assignment as [[annIndex]]) and its M PQ
+    * codes (the identical r6-grid/cid-tie-break assignment as
+    * q_sim_ann_pq), persisted ONCE per (warehouse, fixture dir) as a
+    * managed table `(vec_id, m, code, cell)` PARTITIONED BY cell —
+    * the inverted list stores the CODES, not the vectors. That
+    * absence is the whole memory story: at 10^9 vectors the serve
+    * path scans a pruned cell partition of 4 small ints per vector
+    * (≈4 B/vector with byte codes in production) instead of 256 B of
+    * float32 — the reason IVF+PQ serves from RAM when IVF-with-
+    * vectors cannot — and candidate scoring never touches an
+    * embedding at all (ADC lookup sums against the probe's
+    * precomputed 8×M table). Embeddings round-trip parquet as exact
+    * float32, so the oracle recomputing both assignments from the
+    * raw table sees bit-identical vectors. */
+  private[graft] def ivfpqIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val name = "graft_ann_ivfpq_" + d.replaceAll("[^A-Za-z0-9_]", "_")
+    LayoutOps.ensureTable(s, name) {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where($"vec_id" < 8)
+        .select($"vec_id".cast("int").as("cid"), $"embedding".as("ce"))
+      val wc = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+      val cells = emb.crossJoin(broadcast(cents))
+        .withColumn("cdot",
+          floor(dot($"embedding", $"ce") * 1e4 + 0.5) / 1e4)
+        .withColumn("rn", row_number().over(wc)).where($"rn" === 1)
+        .select($"vec_id", $"cid".cast("long").as("cell"))
+      val subs = pqSubs(emb)
+      val cbook = subs.where($"vec_id" < PqK)
+        .select($"vec_id".cast("int").as("cid"), $"m".as("cm"),
+          $"sv".as("cv"))
+      val wp = Window.partitionBy($"vec_id", $"m")
+        .orderBy($"dp".desc, $"cid")
+      val codes = subs.join(broadcast(cbook), $"m" === $"cm")
+        .select($"vec_id", $"m", $"cid",
+          (floor(dot($"sv", $"cv") * 1e6 + 0.5) / 1e6).as("dp"))
+        .withColumn("rn", row_number().over(wp)).where($"rn" === 1)
+        .select($"vec_id", $"m", $"cid".as("code"))
+      codes.join(cells, "vec_id")
+        .write.partitionBy("cell").mode("overwrite").saveAsTable(name)
+    }
+    s.table(name)
+  }
+
   /** Directed within-LSH-cell 3-NN list (va, vb, sim) — the one
     * candidate pass shared by q_sim_cluster's graph build and
     * q_sim_nndescent's refinement baseline (memoized via
@@ -1073,6 +1224,54 @@ object SimOps {
                  row_number() OVER (PARTITION BY q_id
                    ORDER BY sim DESC, vec_id) AS rank
           FROM probed) WHERE rank <= 5)"""
+
+  /** Shared IVF+PQ oracle prefix: [[annServeCtes]](1)'s routing/cell
+    * recompute plus the full PQ code recompute (the q_sim_ann_pq
+    * algebra verbatim: r6 subspace grid, cid tie-break) and the ADC
+    * serve, ending in the `ivfpq` CTE — q_sim_ann_ivfpq and
+    * q_sim_ivfpq_recall both extend it so serve and eval can never
+    * drift on the index algebra. The WHOLE persisted index (cells
+    * AND codes) is recomputed from the raw embeddings table, so a
+    * drift between the persisted artifact and a fresh build fails
+    * the differential. */
+  private val ivfpqCtes = annServeCtes(1) + s""",
+      subs AS (
+        SELECT vec_id, m,
+               list_slice(embedding, m * $PqSubDim + 1,
+                          m * $PqSubDim + $PqSubDim) AS sv
+        FROM embeddings CROSS JOIN
+          (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m)),
+      cbook AS (
+        SELECT vec_id AS cid, m AS cm, sv AS cv FROM subs
+        WHERE vec_id < $PqK),
+      pqscored AS (
+        SELECT s.vec_id, s.m, c.cid,
+               FLOOR(list_sum(list_transform(list_zip(s.sv, c.cv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS dp
+        FROM subs s JOIN cbook c ON s.m = c.cm),
+      codes AS (
+        SELECT vec_id, m, cid AS code FROM (
+          SELECT vec_id, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY dp DESC, cid) AS rn
+          FROM pqscored) WHERE rn = 1),
+      qd AS (SELECT vec_id AS qq, m AS qm, cid AS qcid, dp AS qdp
+             FROM pqscored WHERE vec_id < 5),
+      adc AS (
+        SELECT q.q_id, v.vec_id, v.cell,
+               FLOOR(SUM(d.qdp) * 10000 + 0.5) / 10000 AS adc_sim
+        FROM cells v
+        JOIN qs q ON v.cell = q.qcell AND v.vec_id <> q.q_id
+        JOIN codes co ON co.vec_id = v.vec_id
+        JOIN qd d ON d.qq = q.q_id AND d.qm = co.m AND d.qcid = co.code
+        GROUP BY q.q_id, v.vec_id, v.cell),
+      ivfpq AS (
+        SELECT q_id, rank, vec_id, cell, adc_sim FROM (
+          SELECT q_id, vec_id, cell, adc_sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc_sim DESC, vec_id) AS rank
+          FROM adc) WHERE rank <= 5)"""
 
   /** q_sim_cluster oracle: identical LSH cells (same hyperplane
     * literals), identical within-cell 3-NN cut, then the q_graph_lpa
@@ -1288,6 +1487,38 @@ object SimOps {
       SELECT n.q_id, n.n_candidates, COALESCE(h, 0) AS n_hits,
              COALESCE(h, 0) / 5.0 AS recall_at_5
       FROM ncand n LEFT JOIN hits USING (q_id)
+      ORDER BY q_id"""),
+
+    // The composed index fully re-derived (cells AND codes) from raw
+    // embeddings via the shared prefix.
+    "q_sim_ann_ivfpq" -> (ivfpqCtes + """
+      SELECT q_id, rank, vec_id, cell, adc_sim FROM ivfpq
+      ORDER BY q_id, rank"""),
+
+    // The q_sim_serve_recall comparison, hits drawn from the ADC
+    // serve instead of the exact-sim serve.
+    "q_sim_ivfpq_recall" -> (ivfpqCtes + """,
+      bfall AS (
+        SELECT q.q_id, e.vec_id,
+               FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.q_id),
+      bf AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id) AS rn
+          FROM bfall) WHERE rn <= 5),
+      hits AS (
+        SELECT s.q_id, count(*) AS h, MIN(s.rank) AS first_hit
+        FROM ivfpq s JOIN bf USING (q_id, vec_id)
+        GROUP BY s.q_id)
+      SELECT q.q_id, COALESCE(h, 0) AS n_hits,
+             COALESCE(h, 0) / 5.0 AS recall_at_5,
+             FLOOR(COALESCE(1.0 / first_hit, 0) * 1e6 + 0.5) / 1e6 AS rr
+      FROM (SELECT DISTINCT q_id FROM qs) q LEFT JOIN hits USING (q_id)
       ORDER BY q_id"""),
 
     // THE SAME full-corpus index recomputation is the incremental

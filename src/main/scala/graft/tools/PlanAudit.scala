@@ -83,8 +83,8 @@ object PlanAudit {
     "q_pipe_drift", "q_pipe_elo", "q_pipe_freshness",
     "q_pipe_oversample", "q_pipe_survival", "q_pipe_targetenc",
     "q_pipe_temperature", "q_pipe_tokenbudget", "q_pipe_zorder",
-    "q_sim_ann_incr", "q_sim_ann_ivf", "q_sim_ann_nprobe",
-    "q_sim_ann_serve",
+    "q_sim_ann_incr", "q_sim_ann_ivf", "q_sim_ann_ivfpq",
+    "q_sim_ann_nprobe", "q_sim_ann_serve", "q_sim_ivfpq_recall",
     "q_sim_cosine_topk", "q_sim_hardneg",
     "q_sim_hybrid", "q_sim_kmeans", "q_sim_knn_join", "q_sim_maxsim",
     "q_sim_mmr",

@@ -3184,6 +3184,63 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_sim_ann_ivfpq: full driver recount (cells, codes, ADC) + " +
+      "quantization loss bounded by exact serve") {
+    import org.apache.spark.sql.functions._
+    val emb = ops.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val byId = emb.toMap
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def sub(v: Array[Float], m: Int) = v.slice(m * 16, m * 16 + 16)
+    // Coarse cell: argmax r4 centroid dot, cid tie-break — the
+    // annIndex/ivfpqIndex build rule re-derived independently.
+    def cellOf(v: Array[Float]): Long = (0 until 8)
+      .map(c => (c, r4(dotd(v, byId(c.toLong)))))
+      .sortBy { case (c, dp) => (-dp, c) }.head._1.toLong
+    // PQ code per subspace: argmax r6 subvector dot, cid tie-break.
+    def codeOf(v: Array[Float], m: Int): Int = (0 until 8)
+      .map(c => (c, r6(dotd(sub(v, m), sub(byId(c.toLong), m)))))
+      .sortBy { case (c, dp) => (-dp, c) }.head._1
+    val expect = (0L until 5L).flatMap { qid =>
+      val qv = byId(qid)
+      val qcell = cellOf(qv)
+      val qd = (0 until 4).map(m => (0 until 8)
+        .map(c => c -> r6(dotd(sub(qv, m), sub(byId(c.toLong), m))))
+        .toMap)
+      emb.filter { case (v, ev) => v != qid && cellOf(ev) == qcell }
+        .map { case (v, ev) =>
+          val adc = (0 until 4).map(m => qd(m)(codeOf(ev, m))).sum
+          (v, math.floor(adc * 10000 + 0.5) / 10000)
+        }
+        .sortBy { case (v, a) => (-a, v) }.take(5).zipWithIndex
+        .map { case ((v, a), i) => (qid, i + 1, v, qcell, a) }
+    }
+    val got = q("q_sim_ann_ivfpq", sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getAs[Number](3).longValue(), r.getDouble(4))).toSeq
+    assert(got === expect, s"got $got\nexpected $expect")
+    // Quantization loss is one-sided (the q_sim_ivfpq_recall law):
+    // serve and ivfpq rank the SAME pruned candidate set, serve by
+    // the exact sim the ground truth uses — so per probe the ADC
+    // re-ranking can only lose ground-truth hits, never gain them.
+    val exact = q("q_sim_serve_recall", sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adcr = q("q_sim_ivfpq_recall", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    adcr.foreach { case (qid, n, rec, rr) =>
+      assert(n <= exact(qid),
+        s"q$qid: ADC hits $n must not exceed exact-serve hits ${exact(qid)}")
+      assert((rr == 0.0) == (n == 0) && rec == n / 5.0)
+    }
+  }
+
   test("q_text_bm25_incr: merged index ≡ frozen full index, serve parity") {
     import org.apache.spark.sql.functions._
     // Equality-to-full-rebuild at the SERVE level: the incremental row
