@@ -3113,6 +3113,42 @@ class OpsSpec extends GraftSuite {
     assert(keyed === r0, "broadcast and keyed relaxation must agree")
   }
 
+  test("q_graph_louvain: micro-graph move recount + Q non-decreasing " +
+      "at two SFs") {
+    val s = spark
+    import s.implicits._
+    // Two triangles {a,b,c}/{d,e,f} with bridge c—d and c MIS-labeled
+    // into d's community: the sweep must move exactly c (exact gain
+    // 2m²ΔQ = 2·7·(2−1) − 3·(4−10+3) = 23 > 0; every other node's
+    // best move grades ≤ 0) — lifting Q from 24/196 = 0.122449 to
+    // the known two-triangle optimum 70/196 = 0.357143.
+    val und = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d")).toDF("u", "v")
+    val bad = Seq(("a", "A"), ("b", "A"), ("c", "D"),
+      ("d", "D"), ("e", "D"), ("f", "D")).toDF("node", "lab")
+    val swept = ops.GraphOps.louvainSweep(und, bad).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(swept === Map("a" -> "A", "b" -> "A", "c" -> "A",
+      "d" -> "D", "e" -> "D", "f" -> "D"),
+      s"exactly c must move: $swept")
+    val q0 = ops.GraphOps.modularityQ(und, bad, "bad")
+      .collect()(0).getDouble(3)
+    val q1 = ops.GraphOps
+      .modularityQ(und, ops.GraphOps.louvainSweep(und, bad), "fix")
+      .collect()(0).getDouble(3)
+    assert(q0 === 0.122449 && q1 === 0.357143, s"Q $q0 -> $q1")
+    // The declared row's improvement claim, MEASURED on the real
+    // fixture at both local SFs (synchronous sweeps carry no
+    // per-sweep improvement theorem — this is the law that keeps the
+    // row honest if a regenerated fixture ever oscillates).
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val rows = q("q_graph_louvain", d).collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(rows("louvain") >= rows("lpa") && rows("lpa") >= 0.0,
+        s"$d: Q must not decrease: $rows")
+    }
+  }
+
   test("q_graph_modularity: hand-computed two-cliques-plus-bridge law") {
     val s = spark
     import s.implicits._
