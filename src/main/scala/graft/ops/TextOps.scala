@@ -898,13 +898,45 @@ object TextOps {
     // (= min doc_id), member count, dropped count.
     "q_dedup_minhash_cluster" -> ((s, d) => {
       import s.implicits._
-      val edges = minhashPairsDf(s, d)
-        .select($"doc_a".as("u"), $"doc_b".as("v"))
-      GraphOps.ccStar(edges)._1
+      minhashCcLabels(s, d)
         .groupBy($"lab").agg(count(lit(1)).as("n_members"))
         .select($"lab".as("survivor"), $"n_members",
           ($"n_members" - 1).as("n_dropped"))
         .orderBy($"survivor")
+    }),
+
+    // POST-DEDUP CORPUS MATERIALIZATION AUDIT — the actual output an
+    // ingest pipeline writes after q_dedup_minhash_cluster names the
+    // survivors (r14 verdict missing #3): drop every non-survivor
+    // cluster member from `documents` (untouched singletons keep
+    // themselves — they never enter the pair graph, so absence from
+    // the labeling means KEEP), and census per language what the cut
+    // cost — kept/dropped documents and kept/dropped whitespace-token
+    // mass, the number a pretraining-mix owner reads before signing
+    // off the dedup. One keyed left join of the corpus against the
+    // shared component labeling ([[minhashCcLabels]] — the same memo
+    // the cluster row censuses, so survivor semantics can't drift)
+    // plus one partial-aggregable per-lang census; at 100 TB the
+    // dropped set is near-dup-sized (≪ corpus) and broadcastable,
+    // and the corpus-side scan touches (doc_id, lang, token count)
+    // only. Oracle composes the cluster row's exact closure with the
+    // same LEFT JOIN census.
+    "q_dedup_apply" -> ((s, d) => {
+      import s.implicits._
+      val dropped = minhashCcLabels(s, d)
+        .where($"node" =!= $"lab")
+        .select($"node".as("doc_id"), lit(1).as("dr"))
+      t(s, d, "documents")
+        .select($"doc_id", $"lang",
+          size(split($"text", " ")).cast("long").as("ntok"))
+        .join(broadcast(dropped), Seq("doc_id"), "left")
+        .groupBy($"lang").agg(
+          sum(when($"dr".isNull, 1L).otherwise(0L)).as("kept_docs"),
+          sum(when($"dr".isNotNull, 1L).otherwise(0L)).as("dropped_docs"),
+          sum(when($"dr".isNull, $"ntok").otherwise(0L)).as("kept_tokens"),
+          sum(when($"dr".isNotNull, $"ntok").otherwise(0L))
+            .as("dropped_tokens"))
+        .orderBy($"lang")
     }),
 
     // INCREMENTAL near-dup dedup — the production shape corpus-level
@@ -1554,6 +1586,23 @@ object TextOps {
       d: String): org.apache.spark.sql.DataFrame =
     Tables.derived(s, d, "minhash_pairs") {
       minhashPairsRaw(s, d, BucketCap).transform(Tables.ck)
+    }
+
+  /** The CONVERGED component labels `(node, lab)` of the verified
+    * near-dup pair graph, memoized per (session, dir): survivor =
+    * component minimum = `lab`. Both terminal dedup rows are
+    * projections of this ONE labeling — q_dedup_minhash_cluster's
+    * cluster census and q_dedup_apply's per-lang corpus cut — so a
+    * multi-query harness runs the ccStar loop once (the ccStarLabels
+    * sharing pattern) and the two oracles re-derive the closure
+    * independently, differentially checking the share. */
+  private def minhashCcLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.derived(s, d, "minhash_cc_labels") {
+      import s.implicits._
+      GraphOps.ccStar(minhashPairsDf(s, d)
+        .select($"doc_a".as("u"), $"doc_b".as("v")))._1
+        .transform(Tables.ck)
     }
 
   private def minhashPairsRaw(s: org.apache.spark.sql.SparkSession,
@@ -2830,6 +2879,50 @@ object TextOps {
              count(*) - 1 AS n_dropped
       FROM comp GROUP BY lab
       ORDER BY survivor""",
+
+    // The cluster row's exact closure composed with the corpus cut:
+    // non-survivors (id <> component minimum) drop; docs absent from
+    // the closure are untouched singletons and keep.
+    "q_dedup_apply" -> """
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      sh AS (
+        SELECT doc_id, lang,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      tk AS (
+        SELECT doc_id, lang, list(DISTINCT shingle) AS tok
+        FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang),
+      pr AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / (len(a.tok) + len(b.tok)
+                 - len(list_intersect(a.tok, b.tok))) >= 0.6),
+      edges AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+      reach(id, m) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.m FROM reach r JOIN edges e ON e.u = r.id),
+      comp AS (SELECT id, MIN(m) AS lab FROM reach GROUP BY id),
+      dropped AS (SELECT id FROM comp WHERE id <> lab)
+      SELECT d.lang,
+             CAST(SUM(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS kept_docs,
+             CAST(SUM(CASE WHEN dr.id IS NULL THEN 0 ELSE 1 END)
+               AS BIGINT) AS dropped_docs,
+             CAST(SUM(CASE WHEN dr.id IS NULL
+               THEN len(string_split(d.text, ' ')) ELSE 0 END)
+               AS BIGINT) AS kept_tokens,
+             CAST(SUM(CASE WHEN dr.id IS NULL
+               THEN 0 ELSE len(string_split(d.text, ' ')) END)
+               AS BIGINT) AS dropped_tokens
+      FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.id
+      GROUP BY d.lang
+      ORDER BY d.lang""",
 
     // Brute-force exact shingle-set CONTAINMENT within (lang) blocks:
     // inter / min(|A|,|B|), pair oriented contained → container

@@ -3017,6 +3017,29 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_dedup_apply: census conserves the corpus; dropped mass " +
+      "equals the cluster row's") {
+    import org.apache.spark.sql.functions._
+    val docs = ops.Tables.t(spark, sf0001, "documents")
+    val rows = q("q_dedup_apply", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // Conservation: every document and every token lands in exactly
+    // one of kept/dropped — the census can't lose or invent corpus.
+    assert(rows.map(r => r._2 + r._3).sum === docs.count())
+    val totTok = docs
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(r => r._4 + r._5).sum === totTok)
+    // Composition with the declared cluster row: the docs this row
+    // drops are exactly the clusters' non-survivors.
+    val clusterDropped = q("q_dedup_minhash_cluster", sf0001).collect()
+      .map(_.getLong(2)).sum
+    assert(rows.map(_._3).sum === clusterDropped,
+      "per-lang dropped docs must sum to the cluster census's n_dropped")
+    assert(clusterDropped > 0, "fixture must drop at least one doc")
+  }
+
   test("q_dedup_minhash_cluster: union-find recount + survivor laws") {
     import org.apache.spark.sql.functions._
     // Independent cluster resolution: a driver-side union-find over
