@@ -142,6 +142,12 @@ object Bench {
     // declared in the artifact (extra_pass_rows, see render).
     val streamExtra = Seq("q_stream_rocksdb", "q_stream_tws",
       "q_stream_tws_list", "q_stream_sink")
+    // Completed full sweeps so far — declared in the artifact as
+    // n_windows (r14 verdict What's-wrong #3: minima are monotone
+    // non-increasing in sample count, so cross-round ratios must
+    // carry their sampling depth; a close-time merge of several
+    // window files SUMS the counts). BenchDiff prints both sides'.
+    var sweepsDone = 0
     def render(results: Seq[(String, Double)], errors: Set[String])
         (fmt: Double => String): String = {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -161,7 +167,7 @@ object Bench {
       // the total is what the acceptance gate reads — keep it at full
       // 3-decimal precision even when per-query values degrade
       val tot = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
-      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"errors":$errJson,"extra_pass_rows":$extraJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"errors":$errJson,"extra_pass_rows":$extraJson,"n_windows":$sweepsDone,"sf":"$sfDir"}"""
     }
     // "_"-prefixed entries are separately-timed SHARED-MEMO builds,
     // not declared queries — they appear in the detail map (and count
@@ -220,6 +226,7 @@ object Bench {
           name.startsWith(f) && next.startsWith(f))
         if (!sameFamily) ops.Tables.resetDerived(spark)
       }
+      sweepsDone += 1
       // Full precision to the plain file after each pass; the stdout
       // line below stays COMPACT: the driver keeps only the last
       // ~2000 chars of stdout (BENCH_r02's "tail" is exactly 2000

@@ -1212,6 +1212,29 @@ object TextOps {
         .orderBy($"lang")
     }),
 
+    // TOKENIZER VOCABULARY DRIFT AUDIT — the retrain-decision number
+    // (r14 verdict missing #5): with a frozen tokenizer artifact
+    // persisted ([[ulmVocab]], trained corpus-MINUS-batch) and
+    // today's data in hand, should you retrain? This row compares the
+    // FROZEN vocabulary against a RETRAIN on corpus+batch
+    // ([[ulmRetrainVocab]]) on the three axes that decide: symbol
+    // overlap (how much of the vocabulary survives a retrain —
+    // retraining invalidates every downstream artifact keyed on piece
+    // ids), per-lang OOV delta on the batch (what the frozen vocab
+    // cannot segment that a retrain could), and per-lang fertility
+    // delta (tokens/word — the compression a retrain buys). Both
+    // vocabularies serve the SAME batch through the identical
+    // map-side dictionary path as q_text_unigram_serve; the overlap
+    // legs are three 1-row scalars on the whitelisted tiny-broadcast
+    // cross join. Self-drift is zero by construction (the OpsSpec
+    // law: frozen-vs-frozen yields delta 0 and overlap = |vocab|).
+    // At 100 TB: two vocabulary-scale broadcasts over one batch scan
+    // + the keyed 5-row census join — the retrain leg's EM is the
+    // only training-scale work, which is exactly the cost the audit
+    // exists to decide on.
+    "q_text_vocab_drift" -> ((s, d) =>
+      vocabDrift(s, d, ulmVocab(s, d), ulmRetrainVocab(s, d))),
+
     // DSIR — Data Selection via Importance Resampling (Xie et al.
     // 2023, NeurIPS, arXiv:2302.03169), the published answer to "pick
     // the raw-web documents that look most like a trusted target
@@ -1422,6 +1445,78 @@ object TextOps {
         .write.mode("overwrite").saveAsTable(name)
     }
     s.table(name)
+  }
+
+  /** q_text_vocab_drift's retrained-on-corpus+batch vocabulary: the
+    * identical EM chain as [[ulmVocab]] with the doc filter open
+    * (minDoc = 0 — today's batch included), memoized per (session,
+    * dir). Deliberately NOT persisted as a table: the retrain is the
+    * candidate the audit evaluates, not an artifact anything serves
+    * from yet. */
+  private def ulmRetrainVocab(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.derived(s, d, "ulm_vocab_retrain") {
+      unigramTrain(s, d, UlmEmRounds, 0L)._2.transform(Tables.ck)
+    }
+
+  /** q_text_vocab_drift's comparison kernel over two piece-cost
+    * vocabularies: serve the doc_id < 300 batch under each (the
+    * q_text_unigram_serve map-side dictionary path, verbatim), join
+    * the per-lang censuses, and append the vocabulary-level overlap
+    * scalars. Extracted so the self-drift-is-zero law can run it
+    * frozen-vs-frozen. */
+  private[graft] def vocabDrift(s: org.apache.spark.sql.SparkSession,
+      d: String, frozen: org.apache.spark.sql.DataFrame,
+      retrain: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    def serveCensus(vocab: org.apache.spark.sql.DataFrame, tag: String) = {
+      val bt = t(s, d, "documents").where($"doc_id" < 300)
+        .select($"lang", explode(split($"text", " ")).as("word"))
+        .where($"word" =!= "")
+        .groupBy($"lang", $"word").agg(count(lit(1)).as("wc"))
+      val vm = vocab
+        .agg(map_from_entries(collect_list(struct($"piece", $"cm")))
+          .as("vm"))
+      bt.crossJoin(broadcast(vm))
+        .withColumn("es", expr(UlmServeEdgesSql))
+        .withColumn("dp", expr(UlmDpSql))
+        .withColumn("reached",
+          expr(s"element_at(dp, length(word) + 1) < ${UlmSentinel}L"))
+        .select($"lang", $"wc",
+          when($"reached", expr(s"size(($UlmWalkSql))"))
+            .otherwise(length($"word")).as("ntok"),
+          (!$"reached").cast("long").as("oov"))
+        .groupBy($"lang").agg(
+          sum($"wc").as(s"n_words_$tag"),
+          sum($"wc" * $"oov").as(s"oov_$tag"),
+          (floor(sum($"wc" * $"ntok") * 1.0 / sum($"wc") * 1e4 + 0.5)
+            / 1e4).as(s"fert_$tag"))
+    }
+    // Shared-piece COST drift in exact micro-nats — the axis that
+    // moves even when membership and segmentations are stable (the
+    // fixture's vocabulary is saturated: both trainings keep the
+    // same piece set, so membership overlap alone would be a
+    // permanently-degenerate output; the usage-share shift the batch
+    // causes is the real, always-present signal).
+    val shared = frozen.select($"piece", $"cm".as("cmf"))
+      .join(retrain.select($"piece", $"cm".as("cmr")), "piece")
+      .agg(count(lit(1)).as("shared_pieces"),
+        max(abs($"cmf" - $"cmr")).as("max_cost_shift_micro"),
+        sum(abs($"cmf" - $"cmr")).as("total_cost_shift_micro"))
+    val nf = frozen.agg(count(lit(1)).as("frozen_pieces"))
+    val nr = retrain.agg(count(lit(1)).as("retrain_pieces"))
+    serveCensus(frozen, "frozen")
+      .join(serveCensus(retrain, "retrain"), "lang")
+      .crossJoin(broadcast(nf)).crossJoin(broadcast(nr))
+      .crossJoin(broadcast(shared))
+      .select($"lang", $"n_words_frozen".as("n_words"),
+        $"oov_frozen", $"oov_retrain", $"fert_frozen", $"fert_retrain",
+        (floor(($"fert_retrain" - $"fert_frozen") * 1e4 + 0.5) / 1e4)
+          .as("fert_delta"),
+        $"frozen_pieces", $"retrain_pieces", $"shared_pieces",
+        $"max_cost_shift_micro", $"total_cost_shift_micro")
+      .orderBy($"lang")
   }
 
   /** Unreachable-position sentinel for the expression-level DP: real
@@ -2103,44 +2198,51 @@ object TextOps {
     * census, and refreshed costs — every formula generated from one
     * template so Spark's loop and the oracle can't drift. Ends at
     * `usage<rounds>` / `c<rounds>`. */
-  private def ulmTrainCtes(rounds: Int, docWhere: String): String = {
+  private def ulmTrainCtes(rounds: Int, docWhere: String,
+      p: String = ""): String = {
+    // `p` prefixes every CTE name (and the dp tags) so TWO training
+    // chains can share one statement — q_text_vocab_drift trains the
+    // frozen (doc-filtered) and retrained (full) vocabularies side by
+    // side. p = "" reproduces the historical names byte-for-byte.
+    // NOTE: no leading WITH — callers prepend it (and a comma when
+    // chaining a second instance).
     def emRound(r: Int) = s""",
-      ec$r AS MATERIALIZED (
+      ${p}ec$r AS MATERIALIZED (
         SELECT e.word, e.j, e.i, e.piece, c.cm
-        FROM edges e JOIN c${r - 1} c USING (piece))""" +
-      ulmDpWalkCtes(r.toString, s"ec$r", "wt") + s""",
-      usage$r AS MATERIALIZED (
-        SELECT p.piece, SUM(w.wc) AS usage
-        FROM pks$r p JOIN wt w USING (word)
-        GROUP BY p.piece),
-      c$r AS (
+        FROM ${p}edges e JOIN ${p}c${r - 1} c USING (piece))""" +
+      ulmDpWalkCtes(p + r.toString, s"${p}ec$r", s"${p}wt") + s""",
+      ${p}usage$r AS MATERIALIZED (
+        SELECT pp.piece, SUM(w.wc) AS usage
+        FROM pks$p$r pp JOIN ${p}wt w USING (word)
+        GROUP BY pp.piece),
+      ${p}c$r AS (
         SELECT piece,
-               CAST(round(-ln(usage / (SELECT SUM(usage) FROM usage$r))
+               CAST(round(-ln(usage / (SELECT SUM(usage) FROM ${p}usage$r))
                  * 1e6) AS BIGINT) AS cm
-        FROM usage$r)"""
+        FROM ${p}usage$r)"""
     s"""
-      WITH wt AS (
+      ${p}wt AS (
         SELECT w AS word, count(*) AS wc FROM (
           SELECT unnest(string_split(text, ' ')) AS w
           FROM documents $docWhere)
         WHERE w <> '' GROUP BY w),
-      occ AS (
+      ${p}occ AS (
         SELECT word, wc,
                substring(word, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece
-        FROM wt,
+        FROM ${p}wt,
              LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) i,
              LATERAL (SELECT unnest(range(1,
                least($UlmPieceLen, len(word) - i.i + 1) + 1)) AS l) l),
-      c0 AS (
+      ${p}c0 AS (
         SELECT piece,
-               CAST(round(-ln(SUM(wc) / (SELECT SUM(wc) FROM occ)) * 1e6)
+               CAST(round(-ln(SUM(wc) / (SELECT SUM(wc) FROM ${p}occ)) * 1e6)
                  AS BIGINT) AS cm
-        FROM occ GROUP BY piece)""" + ulmEdgesCte("edges", "wt") +
+        FROM ${p}occ GROUP BY piece)""" + ulmEdgesCte(s"${p}edges", s"${p}wt") +
       (1 to rounds).map(emRound).mkString
   }
 
   private def unigramLmSql(rounds: Int): String =
-    ulmTrainCtes(rounds, "") + s"""
+    "\n      WITH" + ulmTrainCtes(rounds, "") + s"""
       SELECT u.piece, CAST(u.usage AS BIGINT) AS usage,
              c.cm AS cost_micro
       FROM usage$rounds u JOIN c$rounds c USING (piece)
@@ -2155,7 +2257,7 @@ object TextOps {
     * unreachable word has no walk rows, so it is simply absent).
     * q_text_unigram_serve and q_text_unigram_ppl share it verbatim. */
   private def ulmServeChain(rounds: Int): String =
-    ulmTrainCtes(rounds, "WHERE doc_id >= 300") + s""",
+    "\n      WITH" + ulmTrainCtes(rounds, "WHERE doc_id >= 300") + s""",
       bt AS (
         SELECT lang, w AS word, count(*) AS wc FROM (
           SELECT lang, unnest(string_split(text, ' ')) AS w
@@ -2208,6 +2310,67 @@ object TextOps {
                AS ppl
       FROM roll
       ORDER BY lang"""
+
+  /** q_text_vocab_drift oracle: BOTH vocabularies retrained from raw
+    * text in one statement (frozen = the doc_id ≥ 300 chain, retrain
+    * = the full chain; CTE name prefixes f_/r_ via [[ulmTrainCtes]]),
+    * the batch segmented under each with the shared Viterbi chain,
+    * per-lang censuses joined, overlap scalars appended. */
+  private def vocabDriftSql(rounds: Int): String =
+    "\n      WITH" + ulmTrainCtes(rounds, "WHERE doc_id >= 300", "f_") +
+      "," + ulmTrainCtes(rounds, "", "r_") + s""",
+      bt AS (
+        SELECT lang, w AS word, count(*) AS wc FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id < 300)
+        WHERE w <> '' GROUP BY lang, w),
+      bw AS (SELECT DISTINCT word FROM bt)""" +
+      ulmEdgesCte("edgesb", "bw") + s""",
+      ecf AS MATERIALIZED (
+        SELECT e.word, e.j, e.i, e.piece, c.cm
+        FROM edgesb e JOIN f_c$rounds c USING (piece))""" +
+      ulmDpWalkCtes("fb", "ecf", "bw") + s""",
+      ntf AS (SELECT word, CAST(count(*) AS INT) AS ntok
+              FROM pksfb GROUP BY word),
+      ecr AS MATERIALIZED (
+        SELECT e.word, e.j, e.i, e.piece, c.cm
+        FROM edgesb e JOIN r_c$rounds c USING (piece))""" +
+      ulmDpWalkCtes("rb", "ecr", "bw") + s""",
+      ntr AS (SELECT word, CAST(count(*) AS INT) AS ntok
+              FROM pksrb GROUP BY word),
+      cnf AS (
+        SELECT b.lang, CAST(SUM(b.wc) AS BIGINT) AS n_words,
+               CAST(SUM(CASE WHEN nt.ntok IS NULL THEN b.wc ELSE 0 END)
+                 AS BIGINT) AS oov_frozen,
+               FLOOR(SUM(b.wc * COALESCE(nt.ntok, len(b.word))) * 1.0
+                 / SUM(b.wc) * 1e4 + 0.5) / 1e4 AS fert_frozen
+        FROM bt b LEFT JOIN ntf nt USING (word) GROUP BY b.lang),
+      cnr AS (
+        SELECT b.lang,
+               CAST(SUM(CASE WHEN nt.ntok IS NULL THEN b.wc ELSE 0 END)
+                 AS BIGINT) AS oov_retrain,
+               FLOOR(SUM(b.wc * COALESCE(nt.ntok, len(b.word))) * 1.0
+                 / SUM(b.wc) * 1e4 + 0.5) / 1e4 AS fert_retrain
+        FROM bt b LEFT JOIN ntr nt USING (word) GROUP BY b.lang),
+      nfp AS (SELECT CAST(count(*) AS BIGINT) AS frozen_pieces
+              FROM f_c$rounds),
+      nrp AS (SELECT CAST(count(*) AS BIGINT) AS retrain_pieces
+              FROM r_c$rounds),
+      ovp AS (SELECT CAST(count(*) AS BIGINT) AS shared_pieces,
+                     CAST(MAX(ABS(f.cm - r.cm)) AS BIGINT)
+                       AS max_cost_shift_micro,
+                     CAST(SUM(ABS(f.cm - r.cm)) AS BIGINT)
+                       AS total_cost_shift_micro
+              FROM f_c$rounds f JOIN r_c$rounds r USING (piece))
+      SELECT a.lang, a.n_words, a.oov_frozen, b.oov_retrain,
+             a.fert_frozen, b.fert_retrain,
+             FLOOR((b.fert_retrain - a.fert_frozen) * 1e4 + 0.5) / 1e4
+               AS fert_delta,
+             frozen_pieces, retrain_pieces, shared_pieces,
+             max_cost_shift_micro, total_cost_shift_micro
+      FROM cnf a JOIN cnr b USING (lang)
+      CROSS JOIN nfp CROSS JOIN nrp CROSS JOIN ovp
+      ORDER BY a.lang"""
 
   /** Full-corpus BM25 recomputed from raw text with the serve path's
     * exact algebra (denormalized idf/norm, micro-nat contributions) —
@@ -2508,6 +2671,7 @@ object TextOps {
     "q_text_unigram_lm" -> unigramLmSql(UlmEmRounds),
     "q_text_unigram_serve" -> unigramServeSql(UlmEmRounds),
     "q_text_unigram_ppl" -> unigramPplSql(UlmEmRounds),
+    "q_text_vocab_drift" -> vocabDriftSql(UlmEmRounds),
 
     "q_text_coverage" -> """
       WITH cnt AS (

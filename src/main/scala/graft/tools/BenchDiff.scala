@@ -67,6 +67,19 @@ object BenchDiff {
       println("extra-pass rows (min-of-(passes+1) protocol): " +
         m.group(1).replace("\"", ""))
     }
+    // Sampling-depth annotation (r14 verdict What's-wrong #3): minima
+    // are monotone non-increasing in window count, so a ratio between
+    // files with different n_windows partly measures SAMPLING, not
+    // the engine. Print both sides so the consumer reads ratios in
+    // context; "?" = a pre-r15 file that didn't declare it.
+    val winRe = "\"n_windows\"\\s*:\\s*(\\d+)".r
+    def windows(path: String): String = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)))
+      winRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("?")
+    }
+    println(s"sampling windows: old=${windows(args(0))} " +
+      s"new=${windows(args(1))} (minima deepen with window count)")
     val common = a.keySet & b.keySet
     val added = (b.keySet -- a.keySet).toSeq.sorted
     val removed = (a.keySet -- b.keySet).toSeq.sorted

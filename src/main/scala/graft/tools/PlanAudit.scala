@@ -93,7 +93,8 @@ object PlanAudit {
     "q_sink_dsv2", "q_text_bm25", "q_text_bm25_incr", "q_text_dsir",
     "q_text_jsd",
     "q_text_kneserney", "q_text_pmi", "q_text_tfidf",
-    "q_text_unigram_ppl", "q_text_unigram_serve", "q_win_ntile")
+    "q_text_unigram_ppl", "q_text_unigram_serve", "q_text_vocab_drift",
+    "q_win_ntile")
 
   /** Single-task window detector, shared with DistRankSpec so the
     * audit gate and the spec can never disagree on what "global

@@ -3017,6 +3017,35 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_text_vocab_drift: self-drift is zero; the real retrain " +
+      "shifts costs (non-vacuous)") {
+    // Frozen-vs-frozen through the SAME kernel must read as zero
+    // drift on every axis — the law that pins the comparison's
+    // plumbing (a join/rounding bug would show up as phantom drift).
+    val frozen = ops.TextOps.ulmVocab(spark, sf0001)
+    val self = ops.TextOps.vocabDrift(spark, sf0001, frozen, frozen)
+      .collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getAs[Long]("oov_frozen") === r.getAs[Long]("oov_retrain"))
+      assert(r.getAs[Double]("fert_delta") === 0.0)
+      assert(r.getAs[Long]("shared_pieces") ===
+        r.getAs[Long]("frozen_pieces"))
+      assert(r.getAs[Long]("max_cost_shift_micro") === 0L)
+      assert(r.getAs[Long]("total_cost_shift_micro") === 0L)
+    }
+    // And the declared frozen-vs-retrain row must carry real signal:
+    // the fixture vocabulary is saturated (membership stable), so
+    // the batch's usage-share shift is the axis that must be > 0.
+    val got = q("q_text_vocab_drift", sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("total_cost_shift_micro") > 0L,
+        "adding the batch must shift piece costs")
+      assert(r.getAs[Long]("shared_pieces") > 0L)
+    }
+  }
+
   test("q_dedup_apply: census conserves the corpus; dropped mass " +
       "equals the cluster row's") {
     import org.apache.spark.sql.functions._
