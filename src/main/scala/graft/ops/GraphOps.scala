@@ -922,10 +922,12 @@ object GraphOps {
     * [[bfsFrontiers]] (hop counts) cannot express. Per round: ONE
     * broadcast of the FRONTIER (nodes whose distance improved last
     * round — not the whole reached set) onto the edges + one
-    * partial-aggregable min keyed on the node; the carry-over union
-    * keeps settled nodes without re-deriving them, and a second
-    * broadcast anti-ish join (new-vs-prev, keep null-or-smaller)
-    * derives the next frontier.
+    * partial-aggregable keyed aggregate; the carry-over union keeps
+    * settled nodes without re-deriving them, and the SAME aggregate
+    * emits the next frontier for free — a second null-skipping
+    * `min(old)` over the carried rows recovers each node's
+    * before-round distance, so "newly reached or strictly improved"
+    * is a filter on the round's own output, never a second join.
     *
     * Frontier-only relaxation is EXACTLY round-equivalent to relaxing
     * the full reached set (not just fixpoint-equivalent): if a node
@@ -953,15 +955,13 @@ object GraphOps {
     * of any shortest path, which OpsSpec asserts by comparing
     * `rounds` and `rounds+1` on the fixture at sf0.001 AND sf0.01
     * (plus a driver-side Dijkstra recount and a random-graph
-    * Dijkstra-equality law). Each round's distance table lazily
-    * checkpoints: it is referenced three times (carry-over union,
-    * prev side of the frontier join, next round's carry-over) —
-    * unchecked, the unroll multiplies per round; the frontier itself
-    * is NOT checkpointed (referenced once, derived from two
-    * checkpointed tables by one broadcast join — recompute is
-    * cheaper than a materialization round). Distances are exact
-    * BIGINT sums of integer weights — no float anywhere, both
-    * engines agree bit-for-bit. */
+    * Dijkstra-equality law). Each round's state table lazily
+    * checkpoints: it is referenced twice (the frontier filter and
+    * the carry-over union) — unchecked, the unroll doubles per
+    * round; the frontier itself is a projection of the checkpointed
+    * state, nothing extra to materialize. Distances are exact BIGINT
+    * sums of integer weights — no float anywhere, both engines agree
+    * bit-for-bit. */
   private[graft] def ssspDist(edges: org.apache.spark.sql.DataFrame,
       seed: org.apache.spark.sql.DataFrame, rounds: Int,
       broadcastDist: Boolean = true): org.apache.spark.sql.DataFrame = {
@@ -975,29 +975,34 @@ object GraphOps {
     // tools/SsspScale.
     def side(df: org.apache.spark.sql.DataFrame) =
       if (broadcastDist) broadcast(df) else df.hint("shuffle_hash")
-    var dist = seed.select(col("node"), lit(0L).as("dist"))
+    // State = (node, dist, prev): prev is the node's distance BEFORE
+    // the round (null when the round first reached it), derived FOR
+    // FREE inside the round's one keyed aggregate — carried rows
+    // contribute their old distance to a null-skipping min, relaxed
+    // rows contribute null — so the frontier (prev null or strictly
+    // improved) is a FILTER on the checkpointed state, not a second
+    // join. The round keeps the r13/r14 shape's exact cost (one
+    // relax join + one keyed agg) while the relax join's input
+    // shrinks from |reached| to |frontier|.
+    var state = seed.select(col("node"), lit(0L).as("dist"),
+        lit(null).cast("long").as("prev"))
       .transform(Tables.ck)
-    var frontier = dist
     for (_ <- 1 to rounds) {
-      val next = edges
-        .join(side(frontier.select(col("node").as("src"), col("dist"))),
-          Seq("src"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-        .unionByName(dist)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .transform(Tables.ck)
-      // Next round's frontier: newly reached or strictly improved.
-      // Broadcasting/hinting the PREV side keeps the join the same
-      // regime as the relax join (left outer builds right — always a
-      // supported broadcast side, unlike full outer).
-      frontier = next
-        .join(side(dist.select(col("node"), col("dist").as("prev"))),
-          Seq("node"), "left_outer")
+      val frontier = state
         .where(col("prev").isNull || col("dist") < col("prev"))
         .select(col("node"), col("dist"))
-      dist = next
+      state = edges
+        .join(side(frontier.select(col("node").as("src"), col("dist"))),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"),
+          lit(null).cast("long").as("old"))
+        .unionByName(state.select(col("node"), col("dist"),
+          col("dist").as("old")))
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"), min(col("old")).as("prev"))
+        .transform(Tables.ck)
     }
-    dist
+    state.select(col("node"), col("dist"))
   }
 
   /** Per-round frontier/reached sizes of [[ssspDist]]'s frontier-delta
@@ -1008,25 +1013,26 @@ object GraphOps {
   private[graft] def ssspFrontierSizes(edges: org.apache.spark.sql.DataFrame,
       seed: org.apache.spark.sql.DataFrame, rounds: Int)
       : Seq[(Int, Long, Long)] = {
-    var dist = seed.select(col("node"), lit(0L).as("dist"))
+    var state = seed.select(col("node"), lit(0L).as("dist"),
+        lit(null).cast("long").as("prev"))
       .transform(Tables.ck)
-    var frontier = dist
     (1 to rounds).map { i =>
-      val next = edges
-        .join(broadcast(frontier.select(col("node").as("src"), col("dist"))),
-          Seq("src"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-        .unionByName(dist)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .transform(Tables.ck)
-      frontier = next
-        .join(broadcast(dist.select(col("node"), col("dist").as("prev"))),
-          Seq("node"), "left_outer")
+      val frontier = state
         .where(col("prev").isNull || col("dist") < col("prev"))
         .select(col("node"), col("dist"))
+      state = edges
+        .join(broadcast(frontier.select(col("node").as("src"), col("dist"))),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"),
+          lit(null).cast("long").as("old"))
+        .unionByName(state.select(col("node"), col("dist"),
+          col("dist").as("old")))
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"), min(col("old")).as("prev"))
         .transform(Tables.ck)
-      dist = next
-      (i, frontier.count(), dist.count())
+      (i,
+        state.where(col("prev").isNull || col("dist") < col("prev")).count(),
+        state.count())
     }
   }
 
@@ -1106,7 +1112,13 @@ object GraphOps {
     // — where the seed has no in-mass — still emits its restart row
     // because the union row exists regardless. Total mass is exactly
     // 1 every round (0.15 + 0.85·1, no dangling nodes) — the OpsSpec
-    // conservation law. Top-20 by rounded rank.
+    // conservation law. Top-20 by rounded rank. Accepted float-risk
+    // class (ADVICE r14): unrounded doubles propagate through 5
+    // iterations of order-dependent summation before the single
+    // 1e-6 rounding, the same class q_graph_pagerank carries — if a
+    // regenerated fixture ever lands a value within an ulp of a
+    // 0.5e-6 grid boundary, the fix is per-iteration micro-grid
+    // rounding on BOTH sides (the micro-nat kernel move).
     "q_graph_ppr" -> ((s, d) => {
       import s.implicits._
       val edges = tradeEdgesW(s, d)

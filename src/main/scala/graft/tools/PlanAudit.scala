@@ -67,6 +67,11 @@ package graft.tools
   * q_text_unigram_serve / q_text_unigram_ppl (the broadcast 1-row
   * piece→cost dictionary map; q_text_unigram_lm's own 1-row
   * normalizer combines plan BNLJ-free off the checkpointed census).
+  * r15: q_sim_ann_ivfpq / q_sim_ivfpq_recall (probe routing +
+  * brute-force ground-truth batches, the ann-serve class),
+  * q_graph_louvain (the 1-row |E| scalar + modularityQ's 1-row
+  * combines), q_text_vocab_drift (two 1-row dictionary maps + three
+  * 1-row overlap scalars).
   */
 object PlanAudit {
 
@@ -78,7 +83,7 @@ object PlanAudit {
   val BnljWhitelist: Set[String] = Set(
     "q_agg_chisq", "q_agg_mutualinfo", "q_dedup_ngram",
     "q_dedup_semdedup", "q_graph_hits", "q_graph_modularity",
-    "q_join_cross", "q_join_fuzzy",
+    "q_graph_louvain", "q_join_cross", "q_join_fuzzy",
     "q_join_skew_salt", "q_pipe_benford", "q_pipe_curriculum",
     "q_pipe_drift", "q_pipe_elo", "q_pipe_freshness",
     "q_pipe_oversample", "q_pipe_survival", "q_pipe_targetenc",
