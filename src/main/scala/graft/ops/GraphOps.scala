@@ -625,6 +625,23 @@ object GraphOps {
         when($"gain" > 0, $"c").otherwise($"c0").as("lab"))
   }
 
+  /** The post-sweep Louvain labeling of the [[ccEdges]] graph
+    * (LPA-seeded [[louvainSweep]]), memoized per (session, dir): the
+    * grade row (q_graph_louvain) and the contraction row
+    * (q_graph_louvain_contract) are projections of ONE sweep — the
+    * ccStarLabels/lpaLabelsDf sharing pattern — and both oracles
+    * re-derive the sweep independently, so the share itself is
+    * differentially checked. */
+  private def louvainLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.derived(s, d, "louvain_labels") {
+      import s.implicits._
+      louvainSweep(
+        ccEdges(s, d).select($"src".as("u"), $"dst".as("v")),
+        lpaLabelsDf(s, d).select($"node", $"lbl".as("lab")))
+        .transform(Tables.ck)
+    }
+
   /** `rounds` peel iterations toward the K-CORE of a SYMMETRIC edge
     * set: each round drops every node whose degree in the CURRENT
     * subgraph is < k, then restricts the edges to surviving endpoints.
@@ -1574,8 +1591,35 @@ object GraphOps {
       val und = ccEdges(s, d).select($"src".as("u"), $"dst".as("v"))
       val lpa = lpaLabelsDf(s, d).select($"node", $"lbl".as("lab"))
       modularityQ(und, lpa, "lpa")
-        .unionByName(modularityQ(und, louvainSweep(und, lpa), "louvain"))
+        .unionByName(modularityQ(und, louvainLabels(s, d), "louvain"))
         .orderBy($"method")
+    }),
+
+    // LOUVAIN PHASE 2 — COMMUNITY-GRAPH CONTRACTION (Blondel et al.
+    // 2008's aggregation step, completing the method's level
+    // structure: local moves, then CONTRACT and recurse): collapse
+    // the post-sweep partition ([[louvainLabels]], the memo the grade
+    // row shares) into the weighted community graph — one row per
+    // community pair (c_lo ≤ c_hi) with w = inter-community edge
+    // count; c_lo = c_hi rows are the self-loops carrying each
+    // community's intra mass. This artifact IS what makes multi-level
+    // Louvain tractable at 100 TB: the next level's sweep runs on a
+    // |communities|-sized graph, not |V| — and the published
+    // invariance (Q of the flat partition on G equals Q of the
+    // singleton partition on the contracted self-looped G') is the
+    // OpsSpec law, recomputed driver-side from this row's own output
+    // against the declared grade row. Two keyed label joins + one
+    // keyed count — contraction costs one aggregate.
+    "q_graph_louvain_contract" -> ((s, d) => {
+      import s.implicits._
+      val und = ccEdges(s, d).select($"src".as("u"), $"dst".as("v"))
+      val lv = louvainLabels(s, d)
+      und.join(lv.select($"node".as("u"), $"lab".as("cu")), "u")
+        .join(lv.select($"node".as("v"), $"lab".as("cv")), "v")
+        .select(least($"cu", $"cv").as("c_lo"),
+          greatest($"cu", $"cv").as("c_hi"))
+        .groupBy($"c_lo", $"c_hi").agg(count(lit(1)).as("w"))
+        .orderBy($"c_lo", $"c_hi")
     }),
 
     // Degree-distribution summary of the symmetrized trade graph,
@@ -2015,7 +2059,7 @@ object GraphOps {
     // comparison — HUGEINT products mirroring Spark's DECIMAL(38,0),
     // same (gain DESC, c) tie-break — and both labelings graded
     // through the shared modularity algebra.
-    val louvainSql = """
+    val louvainChain = """
       WITH e00 AS (
         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                         's' || CAST(l_suppkey AS VARCHAR) AS dst
@@ -2045,20 +2089,31 @@ object GraphOps {
         JOIN vol va ON va.c = cur.c0
         JOIN vol vb ON vb.c = k.c
         CROSS JOIN mm),
-      lv AS (
+      lv AS MATERIALIZED (
         SELECT node, CASE WHEN gain > 0 THEN c ELSE c0 END AS lab FROM (
           SELECT node, c, c0, gain,
                  row_number() OVER (PARTITION BY node
                    ORDER BY gain DESC, c) AS rn
-          FROM gains) WHERE rn = 1)""" +
+          FROM gains) WHERE rn = 1)"""
+    val louvainSql = louvainChain +
       modTail("lcom", "lpa") + modTail("lv", "louvain") + """
       SELECT * FROM (""" + modRow("lpa") + """
       UNION ALL""" + modRow("louvain") + """)
       ORDER BY method"""
+    // The identical chain through the sweep, then the contraction:
+    // both endpoints re-labeled, canonical (c_lo ≤ c_hi) pair census
+    // — self-loop rows carry each community's intra-edge mass.
+    val louvainContractSql = louvainChain + """
+      SELECT c_lo, c_hi, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT LEAST(a.lab, b.lab) AS c_lo, GREATEST(a.lab, b.lab) AS c_hi
+        FROM e00 e JOIN lv a ON e.src = a.node JOIN lv b ON e.dst = b.node)
+      GROUP BY c_lo, c_hi
+      ORDER BY c_lo, c_hi"""
     Map(
       "q_graph_pagerank" -> pagerankSql,
       "q_graph_pagerank_part" -> pagerankSql,
       "q_graph_louvain" -> louvainSql,
+      "q_graph_louvain_contract" -> louvainContractSql,
       "q_graph_lpa" -> lpaSql,
       "q_graph_sssp" -> ssspSql,
       "q_graph_modularity" -> modularitySql,

@@ -3201,6 +3201,38 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_graph_louvain_contract: edge conservation + Q invariant " +
+      "under contraction (the Blondel level-recursion identity)") {
+    val rows = q("q_graph_louvain_contract", sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lo, hi, w) =>
+      assert(lo <= hi && w > 0, s"canonical pair with positive weight")
+    }
+    // Conservation: every undirected edge lands in exactly one
+    // community pair — Σw must equal the grade row's edge count.
+    val grade = q("q_graph_louvain", sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getDouble(3)))).toMap
+    val m = rows.map(_._3).sum
+    assert(m === grade("louvain")._1, "contraction must conserve edges")
+    // The phase-2 identity that makes Louvain recursive: Q of the
+    // flat partition on G equals Q of the SINGLETON partition on the
+    // contracted self-looped G' — recomputed here from this row's
+    // own output with the modularityQ algebra (intra = self-loops,
+    // d'_c = 2·w(c,c) + Σ inter weights), same rounding.
+    val intra = rows.filter(r => r._1 == r._2).map(_._3).sum
+    val vol = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    rows.foreach { case (a, b, w) =>
+      if (a == b) vol(a) += 2 * w else { vol(a) += w; vol(b) += w }
+    }
+    val sd2 = vol.values.map(v => BigInt(v) * BigInt(v)).sum
+    val q2 = math.floor((4.0 * m * intra - sd2.toDouble)
+      / (4.0 * m * m) * 1e6 + 0.5) / 1e6
+    assert(q2 === grade("louvain")._2,
+      s"contracted-singleton Q $q2 must equal the flat partition's Q")
+  }
+
   test("q_graph_modularity: hand-computed two-cliques-plus-bridge law") {
     val s = spark
     import s.implicits._

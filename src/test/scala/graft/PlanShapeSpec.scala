@@ -693,4 +693,29 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("dynamicpruning"),
       s"probe must prune index partitions by the batch's cells:\n$p")
   }
+
+  test("q_sim_ann_ivfpq: serve scans CODES only (no vectors), prunes " +
+      "partitions, rebuilds nothing") {
+    val df = q("q_sim_ann_ivfpq", sf0001)
+    df.collect() // materialize so AQE finalizes the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_ann_ivfpq_"),
+      s"serve must scan the persisted composed index:\n$p")
+    // THE IVF+PQ memory story, pinned at the plan level: the index
+    // scan reads (vec_id, m, code, cell) and NOTHING else — no
+    // embedding column ever leaves the pruned partition, candidate
+    // scoring is pure ADC lookup sums.
+    val idxScans = p.linesIterator
+      .filter(_.contains("graft_ann_ivfpq_")).toSeq
+    assert(idxScans.nonEmpty &&
+      idxScans.forall(!_.contains("embedding")),
+      s"the codes-only index scan must not read vectors:\n$p")
+    // Routing + qd table dots all carry probe-side vectors; the
+    // build pass's corpus assignment (cdot) must not exist at serve.
+    assert(!p.contains("cdot"),
+      s"corpus assignment work leaked into the serve plan:\n$p")
+    // Cell partition pruning over the batch's routed cells.
+    assert(p.contains("dynamicpruning"),
+      s"serve must prune index partitions by the batch's cells:\n$p")
+  }
 }
