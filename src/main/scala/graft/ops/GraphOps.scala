@@ -565,49 +565,77 @@ object GraphOps {
   }
 
   /** ONE deterministic Louvain local-move sweep (Blondel et al. 2008,
-    * phase-1 step, synchronous/distributed form): every node
+    * phase-1 step, synchronous/distributed form) over a WEIGHTED
+    * undirected edge list `(u, v, w)` — self-loop rows (u = v)
+    * permitted, carrying contracted intra mass: every node
     * evaluates, AGAINST THE INPUT PARTITION, the exact modularity
     * gain of moving to each neighboring community and takes the best
     * strictly-positive move; ties break to the lexicographically
     * smallest target. The gain is compared through the exact-integer
-    * identity 2m²·ΔQ(i: a→b) = 2m·(k_{i,b} − k_{i,a}) −
-    * d_i·(vol_b − vol_a + d_i) (k = node→community edge count,
-    * vol = community degree volume INCLUDING i, all integer
+    * identity 2W²·ΔQ(i: a→b) = 2W·(k_{i,b} − k_{i,a}) −
+    * d_i·(vol_b − vol_a + d_i) (k = node→community edge WEIGHT over
+    * non-self edges — a node's self-loop rides along wherever it
+    * moves, so it cancels out of every gain comparison; d = weighted
+    * degree with self-loops counting 2w, the handshake convention;
+    * vol = community degree volume INCLUDING i; W = Σw, all integer
     * sufficient statistics) — products in DECIMAL(38,0) mirroring
     * HUGEINT, the modularityQ overflow treatment, so the argmax and
     * the > 0 cut are bit-exact in both engines and no float ever
-    * orders a move.
+    * orders a move. On a simple graph with w ≡ 1 every sum equals
+    * the old count and this is EXACTLY the level-1 algebra
+    * (q_graph_louvain's oracle still counts); with the contracted
+    * self-looped weights it is level 2 (q_graph_louvain_l2).
     *
     * Synchronous sweeps (unlike the sequential original) have no
     * per-sweep improvement THEOREM — two adjacent movers can in
-    * principle chase each other's old community — so the law is
-    * MEASURED, not assumed: OpsSpec asserts Q(after) ≥ Q(input) on
-    * the real fixture at two SFs plus a hand-computed
-    * wrong-community micro-graph (0.122449 → 0.357143); published
-    * distributed Louvain (e.g. Ghosh et al., IPDPS'18) runs exactly
-    * this shape with tie-breaking. Scale: two keyed aggregates
-    * (degree, node→community counts), two keyed label joins, one
-    * per-node argmax window (never global), one 1-row |E| scalar on
-    * the whitelisted tiny-broadcast cross join — every piece
+    * principle chase each other's old community (from a SINGLETON
+    * seed the pairwise gains are symmetric, so a 2-cycle swap
+    * relabels both singletons and preserves the partition; longer
+    * chases can genuinely reshape it) — so the law is MEASURED, not
+    * assumed: OpsSpec asserts Q(after) ≥ Q(input) on the real
+    * fixture at two SFs plus a hand-computed wrong-community
+    * micro-graph (0.122449 → 0.357143); published distributed
+    * Louvain (e.g. Ghosh et al., IPDPS'18) runs exactly this shape
+    * with tie-breaking. Scale: two keyed aggregates (degree,
+    * node→community weights), two keyed label joins, one per-node
+    * argmax window (never global), one 1-row ΣW scalar on the
+    * whitelisted tiny-broadcast cross join — every piece
     * partial-aggregable or keyed on the node. */
   private[graft] def louvainSweep(und: org.apache.spark.sql.DataFrame,
-      labels: org.apache.spark.sql.DataFrame)
+      labels: org.apache.spark.sql.DataFrame,
+      descOnly: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val s = und.sparkSession
     import s.implicits._
     val dec = "decimal(19,0)"
-    val sym = und.unionByName(und.select($"v".as("u"), $"u".as("v")))
-    val deg = sym.groupBy($"u").agg(count(lit(1)).as("dg"))
+    val nonself = und.where($"u" =!= $"v")
+    val sym = nonself
+      .unionByName(nonself.select($"v".as("u"), $"u".as("v"), $"w"))
+    val deg = sym.select($"u", $"w")
+      .unionByName(und.where($"u" === $"v")
+        .select($"u", (lit(2) * $"w").as("w")))
+      .groupBy($"u").agg(sum($"w").as("dg"))
       .select($"u".as("node"), $"dg")
     val vol = deg.join(labels, "node")
       .groupBy($"lab").agg(sum($"dg").as("vol"))
-    val kic = sym.join(labels.select($"node".as("v"), $"lab".as("c")), "v")
-      .groupBy($"u", $"c").agg(count(lit(1)).as("k"))
+    // descOnly = the published distributed symmetry-break (e.g.
+    // Ghosh et al., IPDPS'18's coloring/ordering family): a node may
+    // only move toward a LEXICOGRAPHICALLY SMALLER community id, so
+    // two adjacent movers can never chase each other's old label in
+    // a 2-cycle. Used by the level-2 sweep, where the singleton seed
+    // makes pairwise gains exactly symmetric and unrestricted
+    // synchronous moves measurably over-merge.
+    val kicAll = sym
+      .join(labels.select($"node".as("v"), $"lab".as("c")), "v")
+      .groupBy($"u", $"c").agg(sum($"w").as("k"))
       .select($"u".as("node"), $"c", $"k")
+    val kic = if (descOnly) kicAll.where($"c" < $"node") else kicAll
     val cur = labels.select($"node", $"lab".as("c0"))
-    val kia = kic.join(cur, "node").where($"c" === $"c0")
+    // k_{i,a} always comes from the UNRESTRICTED counts: the own-
+    // community term must survive the descOnly candidate filter.
+    val kia = kicAll.join(cur, "node").where($"c" === $"c0")
       .select($"node", $"k".as("ka"))
-    val mRow = und.agg(count(lit(1)).as("m"))
+    val mRow = und.agg(sum($"w").as("m"))
     val gains = kic.join(cur, "node")
       .join(kia, Seq("node"), "left")
       .join(deg, "node")
@@ -620,9 +648,16 @@ object GraphOps {
           - $"dg".cast(dec) * ($"vb" - $"va" + $"dg").cast(dec))
           .as("gain"))
     val w = Window.partitionBy($"node").orderBy($"gain".desc, $"c")
-    gains.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+    val best = gains.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
       .select($"node",
         when($"gain" > 0, $"c").otherwise($"c0").as("lab"))
+    // Self-loop-only nodes (isolated contracted communities) have no
+    // non-self edges, hence no gains rows — they keep their label.
+    // Vacuous on a simple graph (every labeled node has a neighbor).
+    best.unionByName(labels
+      .join(best.select($"node"), Seq("node"), "left_anti")
+      .select($"node", $"lab"))
   }
 
   /** The post-sweep Louvain labeling of the [[ccEdges]] graph
@@ -637,8 +672,28 @@ object GraphOps {
     Tables.derived(s, d, "louvain_labels") {
       import s.implicits._
       louvainSweep(
-        ccEdges(s, d).select($"src".as("u"), $"dst".as("v")),
+        ccEdges(s, d).select($"src".as("u"), $"dst".as("v"),
+          lit(1L).as("w")),
         lpaLabelsDf(s, d).select($"node", $"lbl".as("lab")))
+        .transform(Tables.ck)
+    }
+
+  /** The contracted weighted community graph (c_lo ≤ c_hi, w) of the
+    * post-sweep partition — the q_graph_louvain_contract census,
+    * memoized because the level-2 sweep (q_graph_louvain_l2) runs ON
+    * this artifact: both rows must see the identical contraction and
+    * a multi-query run pays the two label joins once. */
+  private def louvainContractDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.derived(s, d, "louvain_contract") {
+      import s.implicits._
+      val lv = louvainLabels(s, d)
+      ccEdges(s, d).select($"src".as("u"), $"dst".as("v"))
+        .join(lv.select($"node".as("u"), $"lab".as("cu")), "u")
+        .join(lv.select($"node".as("v"), $"lab".as("cv")), "v")
+        .select(least($"cu", $"cv").as("c_lo"),
+          greatest($"cu", $"cv").as("c_hi"))
+        .groupBy($"c_lo", $"c_hi").agg(count(lit(1)).as("w"))
         .transform(Tables.ck)
     }
 
@@ -1612,14 +1667,82 @@ object GraphOps {
     // keyed count — contraction costs one aggregate.
     "q_graph_louvain_contract" -> ((s, d) => {
       import s.implicits._
+      louvainContractDf(s, d).orderBy($"c_lo", $"c_hi")
+    }),
+
+    // LOUVAIN LEVEL 2 — THE RECURSION ACTUALLY RUN (Blondel et al.
+    // 2008's full loop: local moves, contract, local moves AGAIN on
+    // the contracted graph, adopt the level only while Q improves —
+    // the method's own termination rule): the weighted
+    // [[louvainSweep]] over the contracted self-looped community
+    // graph ([[louvainContractDf]], the memo the contraction row
+    // declares), seeded from the SINGLETON partition, with the
+    // descOnly symmetry-break — from a singleton seed pairwise gains
+    // are exactly symmetric, and the unrestricted synchronous sweep
+    // measurably over-merges through move cycles (measured sf0.01:
+    // Q 0.762972 → 0.754957) — then the ADOPTION GATE: the swept
+    // partition is kept only if it strictly beats the singleton
+    // partition on G', decided by the EXACT integer comparison
+    // 4W·intra − Σvol² (same denominator ⇒ no double ever orders the
+    // decision; the 1-row scalar collects driver-side, the pagerank
+    // move), else level 2 ≡ level 1 and the recursion terminates.
+    // Adopted labels compose back onto V (node → c1 → c2) and grade
+    // through the SAME [[modularityQ]] on the ORIGINAL graph next to
+    // the level-1 grade — the level-recursion identity (Q invariant
+    // under contraction) makes grading the composed flat partition
+    // on G and the level-2 partition on G' the same number, so no
+    // weighted modularity variant is needed, and it also makes
+    // Q(l2) ≥ Q(l1) a THEOREM here (gate construction), not a
+    // measured hope. Scale: every gate/sweep aggregate is
+    // |communities|-sized, not |V| — only the final composition join
+    // and the grade touch node-scale tables, and both are keyed.
+    "q_graph_louvain_l2" -> ((s, d) => {
+      import s.implicits._
+      val dec38 = "decimal(38,0)"
       val und = ccEdges(s, d).select($"src".as("u"), $"dst".as("v"))
-      val lv = louvainLabels(s, d)
-      und.join(lv.select($"node".as("u"), $"lab".as("cu")), "u")
-        .join(lv.select($"node".as("v"), $"lab".as("cv")), "v")
-        .select(least($"cu", $"cv").as("c_lo"),
-          greatest($"cu", $"cv").as("c_hi"))
-        .groupBy($"c_lo", $"c_hi").agg(count(lit(1)).as("w"))
-        .orderBy($"c_lo", $"c_hi")
+      val gp = louvainContractDf(s, d)
+      val seed = gp.select($"c_lo".as("node"))
+        .unionByName(gp.select($"c_hi".as("node"))).distinct()
+        .select($"node", $"node".as("lab"))
+      val l2 = louvainSweep(
+        gp.select($"c_lo".as("u"), $"c_hi".as("v"), $"w"), seed,
+        descOnly = true).transform(Tables.ck)
+      // Exact-integer adoption stats, all on the contracted graph.
+      val gdeg = gp.where($"c_lo" =!= $"c_hi")
+        .select($"c_lo".as("node"), $"w")
+        .unionByName(gp.where($"c_lo" =!= $"c_hi")
+          .select($"c_hi".as("node"), $"w"))
+        .unionByName(gp.where($"c_lo" === $"c_hi")
+          .select($"c_lo".as("node"), (lit(2) * $"w").as("w")))
+        .groupBy($"node").agg(sum($"w").as("dg"))
+      val s1 = gp.agg(
+        sum(when($"c_lo" === $"c_hi", $"w").otherwise(0L)).as("intra1"),
+        sum($"w").as("bw"))
+      val d1 = gdeg.agg(
+        sum($"dg".cast(dec38) * $"dg".cast(dec38)).as("sd21"))
+      val d2 = gdeg.join(l2, "node")
+        .groupBy($"lab").agg(sum($"dg").as("dc"))
+        .agg(sum($"dc".cast(dec38) * $"dc".cast(dec38)).as("sd22"))
+      val s2 = gp
+        .join(l2.select($"node".as("c_lo"), $"lab".as("la")), "c_lo")
+        .join(l2.select($"node".as("c_hi"), $"lab".as("lb")), "c_hi")
+        .agg(sum(when($"la" === $"lb", $"w").otherwise(0L)).as("intra2"))
+      val adopt = s1.crossJoin(broadcast(d1)).crossJoin(broadcast(s2))
+        .crossJoin(broadcast(d2))
+        .select(((lit(4).cast(dec38) * $"bw".cast(dec38)
+            * $"intra2".cast(dec38) - $"sd22") >
+          (lit(4).cast(dec38) * $"bw".cast(dec38)
+            * $"intra1".cast(dec38) - $"sd21")).as("adopt"))
+        .collect()(0).getBoolean(0)
+      val l2labs =
+        if (adopt)
+          louvainLabels(s, d).select($"node", $"lab".as("c1"))
+            .join(l2.select($"node".as("c1"), $"lab"), "c1")
+            .select($"node", $"lab")
+        else louvainLabels(s, d)
+      modularityQ(und, louvainLabels(s, d), "louvain")
+        .unionByName(modularityQ(und, l2labs, "louvain_l2"))
+        .orderBy($"method")
     }),
 
     // Degree-distribution summary of the symmetrized trade graph,
@@ -2109,11 +2232,89 @@ object GraphOps {
         FROM e00 e JOIN lv a ON e.src = a.node JOIN lv b ON e.dst = b.node)
       GROUP BY c_lo, c_hi
       ORDER BY c_lo, c_hi"""
+    // The identical chain through the sweep and contraction, then the
+    // WEIGHTED descOnly sweep re-derived on the contracted graph
+    // (same HUGEINT gain identity with Σw in place of counts,
+    // self-loops feeding degrees at 2w and excluded from k,
+    // candidates restricted to c < node), the exact-integer adoption
+    // gate, adopted labels composed back onto V, both partitions
+    // graded on the ORIGINAL graph.
+    val louvainL2Sql = louvainChain + """,
+      gp AS MATERIALIZED (
+        SELECT LEAST(a.lab, b.lab) AS c_lo, GREATEST(a.lab, b.lab) AS c_hi,
+               count(*) AS w
+        FROM e00 e JOIN lv a ON e.src = a.node JOIN lv b ON e.dst = b.node
+        GROUP BY 1, 2),
+      gsym AS (
+        SELECT c_lo AS u, c_hi AS v, w FROM gp WHERE c_lo <> c_hi
+        UNION ALL
+        SELECT c_hi, c_lo, w FROM gp WHERE c_lo <> c_hi),
+      gdeg AS (
+        SELECT node, SUM(w) AS dg FROM (
+          SELECT u AS node, w FROM gsym
+          UNION ALL
+          SELECT c_lo, 2 * w FROM gp WHERE c_lo = c_hi)
+        GROUP BY node),
+      gseed AS (SELECT node, node AS lab FROM gdeg),
+      gvol AS (SELECT l.lab AS c, SUM(d.dg) AS vol
+               FROM gdeg d JOIN gseed l ON d.node = l.node GROUP BY 1),
+      gkic AS MATERIALIZED (
+        SELECT e.u AS node, l.lab AS c, SUM(e.w) AS k
+        FROM gsym e JOIN gseed l ON e.v = l.node GROUP BY 1, 2),
+      gm AS (SELECT SUM(w) AS m FROM gp),
+      ggains AS (
+        SELECT k.node, k.c, cur.c0,
+               CAST(2 AS HUGEINT) * gm.m * (k.k - COALESCE(ka.k, 0))
+                 - CAST(d.dg AS HUGEINT) * (vb.vol - va.vol + d.dg)
+                 AS gain
+        FROM gkic k
+        JOIN (SELECT node, lab AS c0 FROM gseed) cur ON cur.node = k.node
+        LEFT JOIN gkic ka ON ka.node = k.node AND ka.c = cur.c0
+        JOIN gdeg d ON d.node = k.node
+        JOIN gvol va ON va.c = cur.c0
+        JOIN gvol vb ON vb.c = k.c
+        CROSS JOIN gm
+        WHERE k.c < k.node),
+      gbest AS (
+        SELECT node, CASE WHEN gain > 0 THEN c ELSE c0 END AS lab FROM (
+          SELECT node, c, c0, gain,
+                 row_number() OVER (PARTITION BY node
+                   ORDER BY gain DESC, c) AS rn
+          FROM ggains) WHERE rn = 1),
+      gl2 AS MATERIALIZED (
+        SELECT node, lab FROM gbest
+        UNION ALL
+        SELECT s.node, s.lab FROM gseed s
+        WHERE NOT EXISTS (SELECT 1 FROM gbest b WHERE b.node = s.node)),
+      gs1 AS (SELECT SUM(CASE WHEN c_lo = c_hi THEN w ELSE 0 END) AS intra1
+              FROM gp),
+      gd1 AS (SELECT SUM(CAST(dg AS HUGEINT) * CAST(dg AS HUGEINT)) AS sd21
+              FROM gdeg),
+      gd2 AS (SELECT SUM(CAST(dc AS HUGEINT) * CAST(dc AS HUGEINT)) AS sd22
+              FROM (SELECT l.lab, SUM(d.dg) AS dc
+                    FROM gdeg d JOIN gl2 l ON d.node = l.node
+                    GROUP BY l.lab)),
+      gs2 AS (SELECT SUM(CASE WHEN a.lab = b.lab THEN w ELSE 0 END) AS intra2
+              FROM gp JOIN gl2 a ON gp.c_lo = a.node
+                      JOIN gl2 b ON gp.c_hi = b.node),
+      gate AS (SELECT (CAST(4 AS HUGEINT) * gm.m * gs2.intra2 - gd2.sd22)
+                    > (CAST(4 AS HUGEINT) * gm.m * gs1.intra1 - gd1.sd21)
+                 AS adopt
+               FROM gm, gs1, gd1, gs2, gd2),
+      composed AS MATERIALIZED (
+        SELECT n.node,
+               CASE WHEN gate.adopt THEN g.lab ELSE n.lab END AS lab
+        FROM lv n JOIN gl2 g ON n.lab = g.node CROSS JOIN gate)""" +
+      modTail("lv", "louvain") + modTail("composed", "louvain_l2") + """
+      SELECT * FROM (""" + modRow("louvain") + """
+      UNION ALL""" + modRow("louvain_l2") + """)
+      ORDER BY method"""
     Map(
       "q_graph_pagerank" -> pagerankSql,
       "q_graph_pagerank_part" -> pagerankSql,
       "q_graph_louvain" -> louvainSql,
       "q_graph_louvain_contract" -> louvainContractSql,
+      "q_graph_louvain_l2" -> louvainL2Sql,
       "q_graph_lpa" -> lpaSql,
       "q_graph_sssp" -> ssspSql,
       "q_graph_modularity" -> modularitySql,

@@ -41,6 +41,9 @@ object SimOps {
   private val PqM = 4
   private val PqSubDim = 16
   private val PqK = 8
+  // Refine shortlist depth (q_sim_ivfpq_refine): top-R ADC candidates
+  // get exact rescoring. Shared with the oracle via string interp.
+  private val RefineR = 10
 
   /** Per-(vector, subspace) PQ subvectors `(vec_id, m, sv)` — M
     * slices of SubDim dims, the q_sim_maxsim slicing expression. */
@@ -916,6 +919,74 @@ object SimOps {
         .orderBy($"q_id", $"rank")
     }),
 
+    // MULTI-PROBE DIAL-POINT EVAL FOR THE COMPOSED INDEX (nprobe=2
+    // over IVF+PQ) — q_sim_ann_nprobe's sibling on the codes-only
+    // path: each probe routes to its TWO nearest cells, candidates
+    // come from both pruned partitions of the persisted codes table,
+    // and the row reports per probe what the second partition buys —
+    // distinct candidates scanned (the cost; still 4 small ints per
+    // candidate, never a vector) vs ADC-top-5 hits into the
+    // brute-force exact top-5. Honesty note the exact-scoring
+    // sibling doesn't need: with exact rescoring, recall is PROVABLY
+    // monotone in nprobe (candidate-set inclusion — the
+    // q_sim_ann_nprobe law); with ADC scoring it is NOT a theorem
+    // (an added coarse-coded candidate can out-score and displace a
+    // true neighbor), which is precisely why a deployment measures
+    // this table instead of assuming the dial only goes up. The
+    // spec law is therefore the COST recount (candidates =
+    // probed-cell populations, driver-recomputed) plus coherence,
+    // not monotonicity.
+    "q_sim_ivfpq_nprobe" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where($"vec_id" < 8)
+        .select($"vec_id".cast("int").as("cid"), $"embedding".as("ce"))
+      val probes = emb.where($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+      val wq = Window.partitionBy($"q_id").orderBy($"qdot".desc, $"cid")
+      val route = probes.crossJoin(broadcast(cents))
+        .withColumn("qdot", floor(dot($"qe", $"ce") * 1e4 + 0.5) / 1e4)
+        .withColumn("rn", row_number().over(wq)).where($"rn" <= 2)
+        .select($"q_id", $"cid".as("qcell"))
+      val cbook = pqSubs(emb).where($"vec_id" < PqK)
+        .select($"vec_id".cast("int").as("cid"), $"m".as("cm"),
+          $"sv".as("cv"))
+      val qd = pqSubs(emb.where($"vec_id" < 5))
+        .join(broadcast(cbook), $"m" === $"cm")
+        .select($"vec_id".as("qq"), $"m".as("qm"), $"cid".as("qcid"),
+          (floor(dot($"sv", $"cv") * 1e6 + 0.5) / 1e6).as("qdp"))
+      // Candidate code rows from the two probed partitions;
+      // referenced twice (cost census + ADC scoring) — materialize.
+      val cand = ivfpqIndex(s, d)
+        .join(broadcast(route), $"cell" === $"qcell")
+        .where($"vec_id" =!= $"q_id")
+        .transform(Tables.ck)
+      val ncand = cand.select($"q_id", $"vec_id").distinct()
+        .groupBy($"q_id").agg(count(lit(1)).as("n_candidates"))
+      val w = Window.partitionBy($"q_id").orderBy($"adc_sim".desc, $"vec_id")
+      val top5 = cand
+        .join(broadcast(qd),
+          $"q_id" === $"qq" && $"m" === $"qm" && $"code" === $"qcid")
+        .groupBy($"q_id", $"vec_id")
+        .agg((floor(sum($"qdp") * 10000 + 0.5) / 10000).as("adc_sim"))
+        .withColumn("rank", row_number().over(w)).where($"rank" <= 5)
+        .select($"q_id", $"vec_id")
+      val wb = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      val bf = emb.crossJoin(broadcast(probes))
+        .where($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
+        .withColumn("rn", row_number().over(wb)).where($"rn" <= 5)
+        .select($"q_id", $"vec_id")
+      val hits = top5.join(broadcast(bf), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("h"))
+      ncand.join(broadcast(hits), Seq("q_id"), "left")
+        .select($"q_id", $"n_candidates",
+          coalesce($"h", lit(0L)).as("n_hits"),
+          (coalesce($"h", lit(0L)) / 5.0).as("recall_at_5"))
+        .orderBy($"q_id")
+    }),
+
     // RETRIEVAL-QUALITY EVAL OF THE COMPOSED IVF+PQ PATH — recall@5 +
     // reciprocal rank of q_sim_ann_ivfpq against the brute-force
     // exact top-5, per probe (the q_sim_serve_recall pattern applied
@@ -950,6 +1021,187 @@ object SimOps {
           (coalesce($"h", lit(0L)) / 5.0).as("recall_at_5"),
           (floor(coalesce(lit(1.0) / $"first_hit", lit(0.0)) * 1e6 + 0.5)
             / 1e6).as("rr"))
+        .orderBy($"q_id")
+    }),
+
+    // EXACT RE-RANKING REFINE STAGE OVER THE COMPOSED INDEX — the
+    // FAISS IndexRefineFlat production shape (Jégou et al. TPAMI'11
+    // §V-E: ADC shortlist, then exact re-ranking of the shortlist
+    // only): serve from the codes-only index exactly as
+    // q_sim_ann_ivfpq does (nprobe=1 route, ADC lookup sums), keep
+    // the top-R=10 ADC candidates per probe, rescore ONLY those with
+    // the exact float dot against the probe, re-cut to top-5, and
+    // report per probe what the rescoring pass buys: rows rescored
+    // (the cost) vs hits into the brute-force exact top-5. Unlike
+    // the nprobe dial (NOT monotone under ADC), this dial carries a
+    // THEOREM: ADC-top-5 ⊆ ADC-top-10 = shortlist, and under the
+    // shared (sim desc, vec_id) total order every true-top-5 member
+    // of the shortlist outranks every non-member, so refined hits =
+    // |shortlist ∩ exact-top-5| ≥ ADC-only hits (q_sim_ivfpq_recall)
+    // — the OpsSpec law asserts BOTH the equality (via a full driver
+    // ADC recount) and the dominance (via the sibling row's output).
+    // Cost shape at 10^9 vectors: the ADC pass scans the pruned
+    // cell's 4-small-int codes untouched; the refine leg joins the
+    // ≤R·|probes|-row shortlist (broadcast) against ONE pass over
+    // the embeddings scan — the batch-serve amortization of
+    // production's R point lookups — and only then touches R=10
+    // vectors' worth of floats per probe downstream.
+    "q_sim_ivfpq_refine" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where($"vec_id" < 8)
+        .select($"vec_id".cast("int").as("cid"), $"embedding".as("ce"))
+      val probes = emb.where($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+      val wq = Window.partitionBy($"q_id").orderBy($"qdot".desc, $"cid")
+      val route = probes.crossJoin(broadcast(cents))
+        .withColumn("qdot", floor(dot($"qe", $"ce") * 1e4 + 0.5) / 1e4)
+        .withColumn("rn", row_number().over(wq)).where($"rn" === 1)
+        .select($"q_id", $"cid".as("qcell"))
+      val cbook = pqSubs(emb).where($"vec_id" < PqK)
+        .select($"vec_id".cast("int").as("cid"), $"m".as("cm"),
+          $"sv".as("cv"))
+      val qd = pqSubs(emb.where($"vec_id" < 5))
+        .join(broadcast(cbook), $"m" === $"cm")
+        .select($"vec_id".as("qq"), $"m".as("qm"), $"cid".as("qcid"),
+          (floor(dot($"sv", $"cv") * 1e6 + 0.5) / 1e6).as("qdp"))
+      val wa = Window.partitionBy($"q_id").orderBy($"adc_sim".desc, $"vec_id")
+      // ADC shortlist off the persisted codes-only index; referenced
+      // twice (cost census + exact rescoring) — materialize.
+      val shortlist = ivfpqIndex(s, d)
+        .join(broadcast(route), $"cell" === $"qcell")
+        .where($"vec_id" =!= $"q_id")
+        .join(broadcast(qd),
+          $"q_id" === $"qq" && $"m" === $"qm" && $"code" === $"qcid")
+        .groupBy($"q_id", $"vec_id")
+        .agg((floor(sum($"qdp") * 10000 + 0.5) / 10000).as("adc_sim"))
+        .withColumn("rn", row_number().over(wa)).where($"rn" <= RefineR)
+        .select($"q_id", $"vec_id")
+        .transform(Tables.ck)
+      val nresc = shortlist.groupBy($"q_id")
+        .agg(count(lit(1)).as("n_rescored"))
+      val wr = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      val ref5 = emb.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(probes), "q_id")
+        .select($"q_id", $"vec_id",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
+        .withColumn("rn", row_number().over(wr)).where($"rn" <= 5)
+        .select($"q_id", $"vec_id")
+      val wb = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      val bf = emb.crossJoin(broadcast(probes))
+        .where($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
+        .withColumn("rn", row_number().over(wb)).where($"rn" <= 5)
+        .select($"q_id", $"vec_id")
+      val hits = ref5.join(broadcast(bf), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("h"))
+      nresc.join(broadcast(hits), Seq("q_id"), "left")
+        .select($"q_id", $"n_rescored",
+          coalesce($"h", lit(0L)).as("n_hits"),
+          (coalesce($"h", lit(0L)) / 5.0).as("recall_at_5"))
+        .orderBy($"q_id")
+    }),
+
+    // RESIDUAL-ENCODED PQ — the ablation that decides the codebook
+    // form (Jégou et al. TPAMI'11 §III: FAISS IndexIVFPQ encodes
+    // r = x − c_cell, not x, because within-cell offsets are what the
+    // 8-entry codebook must approximate once routing has already
+    // spent the coarse geometry): codes are argmin-L2 assignments of
+    // residual subvectors against a RESIDUAL codebook (the first-8
+    // convention applied to residuals), and MIPS ADC uses the exact
+    // bilinear split q·x = q·c_cell + q·r — the first term is the
+    // ROUTING dot the probe already paid (r4 grid, reused), the
+    // second is 4 lookup sums of RAW query subvectors against the
+    // residual codebook. Per probe the row reports raw-ADC hits
+    // (the persisted-index sibling, via q_sim_ivfpq_recall) next to
+    // residual-ADC hits into the exact top-5 — the measured verdict
+    // on whether residual encoding buys recall at the same 4-code
+    // budget. The verdict is HONESTLY NEGATIVE here (measured
+    // sf0.01: deltas −2/0/−1/−1/−2) and the row documents exactly
+    // why: the engine's deterministic first-K codebook convention
+    // COLLIDES with the centroid set (vec_id < 8 are the coarse
+    // centroids, so several "residual codebook" entries are the
+    // near-zero residuals of centroids in their own cells — wasted
+    // capacity), which is the ablation-grade argument for why
+    // production residual PQ always TRAINS its codebook (k-means on
+    // residuals) while raw PQ can sometimes ride untrained
+    // conventions. Numeric discipline: residuals materialize as float32
+    // via exact double-sub-then-round (both engines produce the
+    // identical f32), the L2 assignment runs through the three-dot
+    // identity ‖r−c‖² = r·r − 2 r·c + c·c so every inner loop stays
+    // on the codegen'd FloatDot path, dist on the r6 grid with cid
+    // tie-break. Scale: same shape as the raw family — code
+    // assignment is M·K dots per vector map-side, serve scans only
+    // the probed cell's 4 small ints, the eval's brute-force leg is
+    // the whitelisted ground-truth scan.
+    "q_sim_ivfpq_res" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where($"vec_id" < 8)
+        .select($"vec_id".cast("int").as("cid"), $"embedding".as("ce"))
+      val probes = emb.where($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+      val wq = Window.partitionBy($"q_id").orderBy($"qdot".desc, $"cid")
+      val route = probes.crossJoin(broadcast(cents))
+        .withColumn("qdot", floor(dot($"qe", $"ce") * 1e4 + 0.5) / 1e4)
+        .withColumn("rn", row_number().over(wq)).where($"rn" === 1)
+        .select($"q_id", $"cid".as("qcell"), $"qdot".as("qcd"))
+      val wc = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+      val rcells = emb.crossJoin(broadcast(cents))
+        .withColumn("cdot", floor(dot($"embedding", $"ce") * 1e4 + 0.5) / 1e4)
+        .withColumn("rn", row_number().over(wc)).where($"rn" === 1)
+        .select($"vec_id", $"cid".as("cell"),
+          zip_with($"embedding", $"ce",
+            (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+            .as("rv"))
+      val rsubs = rcells.select($"vec_id", $"cell", posexplode(expr(
+          s"transform(sequence(0, ${PqM - 1}), " +
+            s"t -> slice(rv, t * $PqSubDim + 1, $PqSubDim))"))
+          .as(Seq("m", "sv")))
+        .withColumn("svv", dot($"sv", $"sv"))
+      val rcb = rsubs.where($"vec_id" < PqK)
+        .select($"vec_id".cast("int").as("cid"), $"m".as("cm"),
+          $"sv".as("cv"), $"svv".as("cvcv"))
+      val wp = Window.partitionBy($"vec_id", $"m")
+        .orderBy($"dist".asc, $"cid")
+      val rcodes = rsubs.join(broadcast(rcb), $"m" === $"cm")
+        .select($"vec_id", $"cell", $"m", $"cid",
+          (floor((($"svv" - lit(2) * dot($"sv", $"cv")) + $"cvcv")
+            * 1e6 + 0.5) / 1e6).as("dist"))
+        .withColumn("rn", row_number().over(wp)).where($"rn" === 1)
+        .select($"vec_id", $"cell", $"m", $"cid".as("code"))
+      val rqd = pqSubs(emb.where($"vec_id" < 5))
+        .join(broadcast(rcb), $"m" === $"cm")
+        .select($"vec_id".as("qq"), $"m".as("qm"), $"cid".as("qcid"),
+          (floor(dot($"sv", $"cv") * 1e6 + 0.5) / 1e6).as("qdp"))
+      val w5 = Window.partitionBy($"q_id").orderBy($"adc_sim".desc, $"vec_id")
+      val rtop = rcodes.join(broadcast(route), $"cell" === $"qcell")
+        .where($"vec_id" =!= $"q_id")
+        .join(broadcast(rqd),
+          $"q_id" === $"qq" && $"m" === $"qm" && $"code" === $"qcid")
+        .groupBy($"q_id", $"vec_id", $"qcd")
+        .agg(sum($"qdp").as("rsum"))
+        .select($"q_id", $"vec_id",
+          (floor(($"qcd" + $"rsum") * 10000 + 0.5) / 10000).as("adc_sim"))
+        .withColumn("rn", row_number().over(w5)).where($"rn" <= 5)
+        .select($"q_id", $"vec_id")
+      val wb = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      val bf = emb.crossJoin(broadcast(probes))
+        .where($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
+        .withColumn("rn", row_number().over(wb)).where($"rn" <= 5)
+        .select($"q_id", $"vec_id")
+      val rhits = rtop.join(broadcast(bf), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("rh"))
+      queries("q_sim_ivfpq_recall")(s, d)
+        .select($"q_id", $"n_hits".as("n_hits_adc"))
+        .join(broadcast(rhits), Seq("q_id"), "left")
+        .select($"q_id", $"n_hits_adc",
+          coalesce($"rh", lit(0L)).as("n_hits_res"),
+          (coalesce($"rh", lit(0L)) / 5.0).as("recall_res"),
+          (coalesce($"rh", lit(0L)) - $"n_hits_adc").as("delta_hits"))
         .orderBy($"q_id")
     }),
 
@@ -1234,7 +1486,7 @@ object SimOps {
     * AND codes) is recomputed from the raw embeddings table, so a
     * drift between the persisted artifact and a fresh build fails
     * the differential. */
-  private val ivfpqCtes = annServeCtes(1) + s""",
+  private def ivfpqCtes(nprobe: Int): String = annServeCtes(nprobe) + s""",
       subs AS (
         SELECT vec_id, m,
                list_slice(embedding, m * $PqSubDim + 1,
@@ -1491,13 +1743,13 @@ object SimOps {
 
     // The composed index fully re-derived (cells AND codes) from raw
     // embeddings via the shared prefix.
-    "q_sim_ann_ivfpq" -> (ivfpqCtes + """
+    "q_sim_ann_ivfpq" -> (ivfpqCtes(1) + """
       SELECT q_id, rank, vec_id, cell, adc_sim FROM ivfpq
       ORDER BY q_id, rank"""),
 
     // The q_sim_serve_recall comparison, hits drawn from the ADC
     // serve instead of the exact-sim serve.
-    "q_sim_ivfpq_recall" -> (ivfpqCtes + """,
+    "q_sim_ivfpq_recall" -> (ivfpqCtes(1) + """,
       bfall AS (
         SELECT q.q_id, e.vec_id,
                FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
@@ -1519,6 +1771,180 @@ object SimOps {
              COALESCE(h, 0) / 5.0 AS recall_at_5,
              FLOOR(COALESCE(1.0 / first_hit, 0) * 1e6 + 0.5) / 1e6 AS rr
       FROM (SELECT DISTINCT q_id FROM qs) q LEFT JOIN hits USING (q_id)
+      ORDER BY q_id"""),
+
+    // The shared template's adc CTE re-cut at shortlist depth R,
+    // exact rescoring of the shortlist rows only, then the same
+    // independent ground truth.
+    "q_sim_ivfpq_refine" -> (ivfpqCtes(1) + s""",
+      shortlist AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc_sim DESC, vec_id) AS rn
+          FROM adc) WHERE rn <= $RefineR),
+      nresc AS (
+        SELECT q_id, CAST(count(*) AS BIGINT) AS n_rescored
+        FROM shortlist GROUP BY q_id),
+      resc AS (
+        SELECT s.q_id, s.vec_id,
+               FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN qs q ON q.q_id = s.q_id),
+      ref5 AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id) AS rn
+          FROM resc) WHERE rn <= 5),
+      bfall AS (
+        SELECT q.q_id, e.vec_id,
+               FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.q_id),
+      bf AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id) AS rn
+          FROM bfall) WHERE rn <= 5),
+      hits AS (
+        SELECT r.q_id, count(*) AS h
+        FROM ref5 r JOIN bf USING (q_id, vec_id)
+        GROUP BY r.q_id)
+      SELECT n.q_id, n.n_rescored, COALESCE(h, 0) AS n_hits,
+             COALESCE(h, 0) / 5.0 AS recall_at_5
+      FROM nresc n LEFT JOIN hits USING (q_id)
+      ORDER BY q_id"""),
+
+    // The raw chain (for the sibling's hits) plus the residual chain
+    // fully re-derived: f32 residuals via exact double-sub-then-
+    // round, argmin-L2 codes through the same three-dot identity,
+    // MIPS ADC = routing dot + residual lookup sums.
+    "q_sim_ivfpq_res" -> (ivfpqCtes(1) + s""",
+      rcells AS MATERIALIZED (
+        SELECT v.vec_id, v.cell,
+               list_transform(list_zip(v.embedding, c.ce),
+                 p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)
+                   AS FLOAT)) AS rv
+        FROM cells v JOIN cents c ON v.cell = c.cid),
+      rsv AS MATERIALIZED (
+        SELECT vec_id, cell, m,
+               list_slice(rv, m * $PqSubDim + 1,
+                          m * $PqSubDim + $PqSubDim) AS sv,
+               list_sum(list_transform(
+                 list_slice(rv, m * $PqSubDim + 1,
+                            m * $PqSubDim + $PqSubDim),
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS svv
+        FROM rcells CROSS JOIN
+          (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m)),
+      rcb AS (
+        SELECT vec_id AS cid, m AS cm, sv AS cv, svv AS cvcv
+        FROM rsv WHERE vec_id < $PqK),
+      rdist AS (
+        SELECT s.vec_id, s.cell, s.m, c.cid,
+               FLOOR(((s.svv - 2 * list_sum(list_transform(
+                   list_zip(s.sv, c.cv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 + c.cvcv) * 1e6 + 0.5) / 1e6 AS dist
+        FROM rsv s JOIN rcb c ON s.m = c.cm),
+      rcodes AS (
+        SELECT vec_id, cell, m, cid AS code FROM (
+          SELECT vec_id, cell, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY dist ASC, cid) AS rn
+          FROM rdist) WHERE rn = 1),
+      rqd AS (
+        SELECT s.vec_id AS qq, s.m AS qm, c.cid AS qcid,
+               FLOOR(list_sum(list_transform(list_zip(s.sv, c.cv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS qdp
+        FROM subs s JOIN rcb c ON s.m = c.cm WHERE s.vec_id < 5),
+      qcds AS (
+        SELECT q.q_id, q.qcell, d2.cdot AS qcd
+        FROM qs q JOIN dots d2
+          ON d2.vec_id = q.q_id AND d2.cid = q.qcell),
+      radc AS (
+        SELECT q.q_id, v.vec_id,
+               FLOOR((q.qcd + SUM(d.qdp)) * 10000 + 0.5) / 10000
+                 AS adc_sim
+        FROM rcodes v
+        JOIN qcds q ON v.cell = q.qcell AND v.vec_id <> q.q_id
+        JOIN rqd d ON d.qq = q.q_id AND d.qm = v.m AND d.qcid = v.code
+        GROUP BY q.q_id, v.vec_id, q.qcd),
+      rtop AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc_sim DESC, vec_id) AS rn
+          FROM radc) WHERE rn <= 5),
+      bfall AS (
+        SELECT q.q_id, e.vec_id,
+               FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.q_id),
+      bf AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id) AS rn
+          FROM bfall) WHERE rn <= 5),
+      hits AS (
+        SELECT s.q_id, count(*) AS h
+        FROM ivfpq s JOIN bf USING (q_id, vec_id)
+        GROUP BY s.q_id),
+      rhits AS (
+        SELECT r.q_id, count(*) AS rh
+        FROM rtop r JOIN bf USING (q_id, vec_id)
+        GROUP BY r.q_id)
+      SELECT q.q_id, COALESCE(h, 0) AS n_hits_adc,
+             COALESCE(rh, 0) AS n_hits_res,
+             COALESCE(rh, 0) / 5.0 AS recall_res,
+             COALESCE(rh, 0) - COALESCE(h, 0) AS delta_hits
+      FROM (SELECT DISTINCT q_id FROM qs) q
+      LEFT JOIN hits USING (q_id) LEFT JOIN rhits USING (q_id)
+      ORDER BY q_id"""),
+
+    // The shared IVF+PQ template at probe width 2: the prefix's adc/
+    // ivfpq CTEs already pool candidates from every probed cell, so
+    // only the cost census and the independent ground truth are new.
+    "q_sim_ivfpq_nprobe" -> (ivfpqCtes(2) + """,
+      ncand AS (
+        SELECT q_id, CAST(count(DISTINCT vec_id) AS BIGINT)
+          AS n_candidates
+        FROM (SELECT q.q_id, v.vec_id
+              FROM cells v JOIN qs q
+                ON v.cell = q.qcell AND v.vec_id <> q.q_id)
+        GROUP BY q_id),
+      prb AS (SELECT vec_id AS q_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 5),
+      bfall AS (
+        SELECT q.q_id, e.vec_id,
+               FLOOR((list_sum(list_transform(list_zip(e.embedding, q.qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM embeddings e CROSS JOIN prb q
+        WHERE e.vec_id <> q.q_id),
+      bf AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id) AS rn
+          FROM bfall) WHERE rn <= 5),
+      hits AS (
+        SELECT s.q_id, count(*) AS h
+        FROM ivfpq s JOIN bf USING (q_id, vec_id)
+        GROUP BY s.q_id)
+      SELECT n.q_id, n.n_candidates, COALESCE(h, 0) AS n_hits,
+             COALESCE(h, 0) / 5.0 AS recall_at_5
+      FROM ncand n LEFT JOIN hits USING (q_id)
       ORDER BY q_id"""),
 
     // THE SAME full-corpus index recomputation is the incremental

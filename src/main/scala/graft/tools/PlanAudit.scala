@@ -83,13 +83,15 @@ object PlanAudit {
   val BnljWhitelist: Set[String] = Set(
     "q_agg_chisq", "q_agg_mutualinfo", "q_dedup_ngram",
     "q_dedup_semdedup", "q_graph_hits", "q_graph_modularity",
-    "q_graph_louvain", "q_join_cross", "q_join_fuzzy",
+    "q_graph_louvain", "q_graph_louvain_l2", "q_join_cross",
+    "q_join_fuzzy",
     "q_join_skew_salt", "q_pipe_benford", "q_pipe_curriculum",
     "q_pipe_drift", "q_pipe_elo", "q_pipe_freshness",
     "q_pipe_oversample", "q_pipe_survival", "q_pipe_targetenc",
     "q_pipe_temperature", "q_pipe_tokenbudget", "q_pipe_zorder",
     "q_sim_ann_incr", "q_sim_ann_ivf", "q_sim_ann_ivfpq",
-    "q_sim_ann_nprobe", "q_sim_ann_serve", "q_sim_ivfpq_recall",
+    "q_sim_ann_nprobe", "q_sim_ann_serve", "q_sim_ivfpq_nprobe",
+    "q_sim_ivfpq_recall", "q_sim_ivfpq_refine", "q_sim_ivfpq_res",
     "q_sim_cosine_topk", "q_sim_hardneg",
     "q_sim_hybrid", "q_sim_kmeans", "q_sim_knn_join", "q_sim_maxsim",
     "q_sim_mmr",

@@ -3169,6 +3169,7 @@ class OpsSpec extends GraftSuite {
       "at two SFs") {
     val s = spark
     import s.implicits._
+    import org.apache.spark.sql.functions.lit
     // Two triangles {a,b,c}/{d,e,f} with bridge c—d and c MIS-labeled
     // into d's community: the sweep must move exactly c (exact gain
     // 2m²ΔQ = 2·7·(2−1) − 3·(4−10+3) = 23 > 0; every other node's
@@ -3176,9 +3177,10 @@ class OpsSpec extends GraftSuite {
     // the known two-triangle optimum 70/196 = 0.357143.
     val und = Seq(("a", "b"), ("a", "c"), ("b", "c"),
       ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d")).toDF("u", "v")
+    val undW = und.withColumn("w", lit(1L))
     val bad = Seq(("a", "A"), ("b", "A"), ("c", "D"),
       ("d", "D"), ("e", "D"), ("f", "D")).toDF("node", "lab")
-    val swept = ops.GraphOps.louvainSweep(und, bad).collect()
+    val swept = ops.GraphOps.louvainSweep(undW, bad).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(swept === Map("a" -> "A", "b" -> "A", "c" -> "A",
       "d" -> "D", "e" -> "D", "f" -> "D"),
@@ -3186,7 +3188,7 @@ class OpsSpec extends GraftSuite {
     val q0 = ops.GraphOps.modularityQ(und, bad, "bad")
       .collect()(0).getDouble(3)
     val q1 = ops.GraphOps
-      .modularityQ(und, ops.GraphOps.louvainSweep(und, bad), "fix")
+      .modularityQ(und, ops.GraphOps.louvainSweep(undW, bad), "fix")
       .collect()(0).getDouble(3)
     assert(q0 === 0.122449 && q1 === 0.357143, s"Q $q0 -> $q1")
     // The declared row's improvement claim, MEASURED on the real
@@ -3231,6 +3233,99 @@ class OpsSpec extends GraftSuite {
       / (4.0 * m * m) * 1e6 + 0.5) / 1e6
     assert(q2 === grade("louvain")._2,
       s"contracted-singleton Q $q2 must equal the flat partition's Q")
+  }
+
+  test("q_graph_louvain_l2: weighted-sweep driver recount + measured " +
+      "Q non-decreasing at two SFs + weighted micro-graph") {
+    val s = spark
+    import s.implicits._
+    // Hand-computed contracted micro — the two-triangle contraction
+    // {A self-loop 3, D self-loop 3, A—D w=1}: merging the triangle
+    // communities is provably bad (2W²ΔQ = 2·7·1 − 7·7 = −35 < 0),
+    // so the weighted sweep from singletons must move nothing.
+    val micro = Seq(("A", "A", 3L), ("D", "D", 3L), ("A", "D", 1L))
+      .toDF("u", "v", "w")
+    val mseed = Seq(("A", "A"), ("D", "D")).toDF("node", "lab")
+    val mres = ops.GraphOps.louvainSweep(micro, mseed).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mres === Map("A" -> "A", "D" -> "D"),
+      s"merging the triangles must grade negative: $mres")
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val rows = q("q_graph_louvain_l2", d).collect()
+        .map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val (nc1, m1, ql1) = rows("louvain")
+      val (nc2, m2, ql2) = rows("louvain_l2")
+      assert(m1 === m2, s"$d: both grades see the same edge count")
+      assert(ql2 >= ql1, s"$d: level 2 must not degrade Q: $rows")
+      assert(nc2 <= nc1, s"$d: a local-move sweep from singletons on " +
+        s"G' can only merge communities")
+      // Full driver recount from the contraction census ALONE (the
+      // level-recursion identity): singleton-seeded weighted gains
+      // reduce to 2W·k_cb − d_c·d_b (k over non-self edges, d with
+      // self-loops at 2w), candidates restricted to c < node (the
+      // descOnly symmetry-break), argmax with (gain desc, c)
+      // tie-break, move iff > 0; then the exact-integer adoption
+      // gate 4W·intra − Σvol², then Q of the adopted partition from
+      // gp's own sufficient statistics — must equal the engine's l2
+      // grade.
+      val gp = q("q_graph_louvain_contract", d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val deg = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      gp.foreach { case (a, b, w) =>
+        if (a == b) deg(a) += 2 * w else { deg(a) += w; deg(b) += w }
+      }
+      val bigW = gp.map(_._3).sum
+      val nonself = gp.filter(t => t._1 != t._2)
+      val sym = nonself ++ nonself.map(t => (t._2, t._1, t._3))
+      val k = sym.groupBy(t => (t._1, t._2))
+        .map { case (key, xs) => key -> xs.map(_._3).sum }
+      val swept = deg.keys.toSeq.map { n =>
+        val cands = k.collect {
+          case ((u, c), kw) if u == n && c < n => (c, kw)
+        }.toSeq
+        if (cands.isEmpty) n -> n
+        else {
+          val scored = cands.map { case (c, kw) =>
+            (c, BigInt(2) * BigInt(bigW) * BigInt(kw)
+              - BigInt(deg(n)) * BigInt(deg(c)))
+          }.sortWith((x, y) =>
+            x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
+          val (c, g) = scored.head
+          n -> (if (g > 0) c else n)
+        }
+      }.toMap
+      def stats(lab: Map[String, String]): (BigInt, Long, Long) = {
+        val intra = gp.filter { case (a, b, _) => lab(a) == lab(b) }
+          .map(_._3).sum
+        val vol = scala.collection.mutable.Map.empty[String, BigInt]
+          .withDefaultValue(BigInt(0))
+        deg.foreach { case (c, dg) => vol(lab(c)) += dg }
+        val sd2 = vol.values.map(v => v * v).sum
+        (BigInt(4) * BigInt(bigW) * BigInt(intra) - sd2,
+          intra, vol.size.toLong)
+      }
+      val ident = deg.keys.map(n => n -> n).toMap
+      val (n2s, _, _) = stats(swept)
+      val (n1s, _, _) = stats(ident)
+      val adopted = if (n2s > n1s) swept else ident
+      val (num, intra, ncRe) = stats(adopted)
+      val sd2 = BigInt(4) * BigInt(bigW) * BigInt(intra) - num
+      val qRe = math.floor((4.0 * bigW * intra - sd2.toDouble)
+        / (4.0 * bigW * bigW) * 1e6 + 0.5) / 1e6
+      assert(qRe === ql2,
+        s"$d: driver weighted-sweep recount Q $qRe must equal the " +
+          s"engine's level-2 grade $ql2")
+      assert(ncRe === nc2,
+        s"$d: merged-community census must match")
+      // The adoption gate makes level-2 ≥ level-1 a THEOREM; a
+      // rejected level 2 must surface as exactly the level-1 grade.
+      if (n2s <= n1s) {
+        assert(ql2 === ql1 && nc2 === nc1,
+          s"$d: a rejected level 2 must carry the level-1 grade")
+      }
+    }
   }
 
   test("q_graph_modularity: hand-computed two-cliques-plus-bridge law") {
@@ -3358,6 +3453,164 @@ class OpsSpec extends GraftSuite {
       assert(n <= exact(qid),
         s"q$qid: ADC hits $n must not exceed exact-serve hits ${exact(qid)}")
       assert((rr == 0.0) == (n == 0) && rec == n / 5.0)
+    }
+  }
+
+  test("q_sim_ivfpq_nprobe: probed-cell-population cost recount + " +
+      "candidate-superset vs nprobe=1") {
+    import org.apache.spark.sql.functions._
+    val emb = ops.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val byId = emb.toMap
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def cellOf(v: Array[Float]): Int = (0 until 8)
+      .map(c => (c, r4(dotd(v, byId(c.toLong)))))
+      .sortBy { case (c, dp) => (-dp, c) }.head._1
+    val cells = emb.map { case (v, ev) => v -> cellOf(ev) }.toMap
+    val pop = cells.values.groupBy(identity).map { case (c, xs) =>
+      c -> xs.size.toLong
+    }
+    val got = q("q_sim_ivfpq_nprobe", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq === (0L until 5L).toSeq)
+    got.foreach { case (qid, nc, h, rec) =>
+      // Cost recount: candidates = the two routed cells' populations
+      // minus the probe itself (the probe lives in exactly one cell).
+      val routed = (0 until 8)
+        .map(c => (c, r4(dotd(byId(qid), byId(c.toLong)))))
+        .sortBy { case (c, dp) => (-dp, c) }.take(2).map(_._1)
+      val expect = routed.map(pop).sum -
+        (if (routed.contains(cells(qid))) 1L else 0L)
+      assert(nc === expect, s"q$qid: candidate census must equal the " +
+        s"probed cells' populations ($expect)")
+      // Strict superset of the single-cell candidate set.
+      assert(nc >= pop(cells(qid)) - 1, s"q$qid: nprobe=2 must scan at " +
+        "least the home cell")
+      assert(h >= 0 && h <= 5 && rec == h / 5.0)
+    }
+  }
+
+  test("q_sim_ivfpq_refine: driver ADC-shortlist recount — refined " +
+      "hits ≡ |shortlist ∩ exact top-5|, dominates ADC-only recall") {
+    import org.apache.spark.sql.functions._
+    val emb = ops.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val byId = emb.toMap
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def sub(v: Array[Float], m: Int): Array[Float] =
+      v.slice(m * 16, m * 16 + 16)
+    def cellOf(v: Array[Float]): Int = (0 until 8)
+      .map(c => (c, r4(dotd(v, byId(c.toLong)))))
+      .sortBy { case (c, dp) => (-dp, c) }.head._1
+    def codeOf(v: Array[Float], m: Int): Int = (0 until 8)
+      .map(c => (c, r6(dotd(sub(v, m), sub(byId(c.toLong), m)))))
+      .sortBy { case (c, dp) => (-dp, c) }.head._1
+    val cells = emb.map { case (v, ev) => v -> cellOf(ev) }.toMap
+    val got = q("q_sim_ivfpq_refine", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq === (0L until 5L).toSeq)
+    // Sibling output for the dominance theorem: ADC-top-5 ⊆ the
+    // shortlist, and under the shared (sim desc, vec_id) total order
+    // refined hits = |shortlist ∩ exact-top-5| ≥ ADC-only hits.
+    val adcHits = q("q_sim_ivfpq_recall", sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (qid, nresc, h, rec) =>
+      val qe = byId(qid)
+      val cand = emb.map(_._1)
+        .filter(v => v != qid && cells(v) == cells(qid))
+      // Full driver ADC recount: each candidate's 4 codes select the
+      // probe's precomputed r6 codebook dots; sum on the r4e4 grid.
+      val shortlist = cand.map { v =>
+        val s = (0 until 4).map(m =>
+          r6(dotd(sub(qe, m), sub(byId(codeOf(byId(v), m).toLong), m)))).sum
+        v -> (math.floor(s * 10000 + 0.5) / 10000)
+      }.sortBy { case (v, s) => (-s, v) }.take(10).map(_._1).toSet
+      val top5 = emb.map(_._1).filter(_ != qid)
+        .map(v => v -> r4(dotd(byId(v), qe)))
+        .sortBy { case (v, s) => (-s, v) }.take(5).map(_._1).toSet
+      assert(nresc === math.min(10, cand.length).toLong,
+        s"q$qid: must rescore exactly min(R, |cell|-self) rows")
+      assert(h === (shortlist & top5).size.toLong,
+        s"q$qid: refined hits must equal |shortlist ∩ exact top-5|")
+      assert(h >= adcHits(qid),
+        s"q$qid: exact rescoring must dominate ADC-only recall")
+      assert(rec == h / 5.0)
+    }
+  }
+
+  test("q_sim_ivfpq_res: full driver residual-code recount — " +
+      "hits equality + delta coherence vs the raw-ADC sibling") {
+    import org.apache.spark.sql.functions._
+    val emb = ops.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val byId = emb.toMap
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cellOf(v: Array[Float]): Int = (0 until 8)
+      .map(c => (c, r4(dotd(v, byId(c.toLong)))))
+      .sortBy { case (c, dp) => (-dp, c) }.head._1
+    val cells = emb.map { case (v, ev) => v -> cellOf(ev) }.toMap
+    // f32 residuals via exact double-sub-then-round (the engine's
+    // zip_with cast chain).
+    val rv = emb.map { case (v, ev) =>
+      val ce = byId(cells(v).toLong)
+      v -> ev.indices.map(i =>
+        (ev(i).toDouble - ce(i).toDouble).toFloat).toArray
+    }.toMap
+    def sub(a: Array[Float], m: Int): Array[Float] =
+      a.slice(m * 16, m * 16 + 16)
+    // Residual codes: argmin-L2 through the three-dot identity on
+    // the r6 grid, cid tie-break.
+    def codeOf(v: Long, m: Int): Int = {
+      val s = sub(rv(v), m)
+      val svv = dotd(s, s)
+      (0 until 8).map { j =>
+        val c = sub(rv(j.toLong), m)
+        (j, r6((svv - 2 * dotd(s, c)) + dotd(c, c)))
+      }.sortBy { case (j, dist) => (dist, j) }.head._1
+    }
+    val got = q("q_sim_ivfpq_res", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq === (0L until 5L).toSeq)
+    got.foreach { case (qid, hAdc, hRes, rec, delta) =>
+      val qe = byId(qid)
+      val qcd = r4(dotd(qe, byId(cells(qid).toLong)))
+      val cand = emb.map(_._1)
+        .filter(v => v != qid && cells(v) == cells(qid))
+      val top5res = cand.map { v =>
+        val rsum = (0 until 4).map(m =>
+          r6(dotd(sub(qe, m), sub(rv(codeOf(v, m).toLong), m)))).sum
+        v -> (math.floor((qcd + rsum) * 10000 + 0.5) / 10000)
+      }.sortBy { case (v, s) => (-s, v) }.take(5).map(_._1).toSet
+      val trueTop5 = emb.map(_._1).filter(_ != qid)
+        .map(v => v -> r4(dotd(byId(v), qe)))
+        .sortBy { case (v, s) => (-s, v) }.take(5).map(_._1).toSet
+      assert(hRes === (top5res & trueTop5).size.toLong,
+        s"q$qid: residual-ADC hits must equal the driver recount")
+      assert(delta === hRes - hAdc && rec == hRes / 5.0,
+        s"q$qid: delta/recall coherence")
     }
   }
 
