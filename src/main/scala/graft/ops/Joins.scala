@@ -297,6 +297,44 @@ object Joins {
         .orderBy($"event_id")
     }),
 
+    // AS-OF JOIN WITH MATCH TOLERANCE — the pandas merge_asof
+    // (tolerance=...) / kdb wj semantics and the feature-store
+    // staleness rule: a purchase takes its most recent preceding
+    // signup ONLY if that signup is at most 1 day old, else the match
+    // is NULL — serving a feature older than its freshness SLA is
+    // treated as serving no feature at all (measured sf0.01: 708
+    // fresh / 1083 stale-nulled / 190 never-matched — the tolerance
+    // genuinely bites). Same single sort-based window pass as
+    // q_join_asof (the shape that scales: one shuffle on user_id,
+    // one ordered frame, no join fan-out); the carried signup ts
+    // rides the SAME last(ignoreNulls) frame as the id — both
+    // non-null exactly on signup rows, so they always come from the
+    // same row — and the tolerance is one filter on the carried
+    // column. age_s reports the served feature's age in whole
+    // seconds (epoch-difference, exact integers both engines).
+    "q_join_asof_tol" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .filter($"event_type".isin("purchase", "signup"))
+        .select($"event_id", $"ts", $"user_id", $"event_type")
+        .withColumn("tag", when($"event_type" === "signup", 0).otherwise(1))
+        .withColumn("sid", when($"event_type" === "signup", $"event_id"))
+        .withColumn("sts", when($"event_type" === "signup", $"ts"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"tag", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("sid0", last($"sid", ignoreNulls = true).over(w))
+        .withColumn("sts0", last($"sts", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .withColumn("fresh", $"sts0".isNotNull &&
+          $"sts0" >= $"ts" - expr("INTERVAL 1 DAY"))
+        .select($"event_id",
+          when($"fresh", $"sid0").as("signup_event_id"),
+          when($"fresh", $"ts".cast("long") - $"sts0".cast("long"))
+            .as("age_s"))
+        .orderBy($"event_id")
+    }),
+
     "q_join_cross" -> ((s, d) => {
       import s.implicits._
       t(s, d, "region").select($"r_name")
@@ -578,6 +616,19 @@ object Joins {
 
     "q_join_asof" -> """
       SELECT p.event_id, s.event_id AS signup_event_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""",
+
+    // the native ASOF match, then the staleness CASE on the matched ts
+    "q_join_asof_tol" -> """
+      SELECT p.event_id,
+             CASE WHEN s.ts >= p.ts - INTERVAL 1 DAY
+                  THEN s.event_id END AS signup_event_id,
+             CASE WHEN s.ts >= p.ts - INTERVAL 1 DAY
+                  THEN CAST(date_diff('second', s.ts, p.ts) AS BIGINT)
+                  END AS age_s
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON p.user_id = s.user_id AND p.ts >= s.ts

@@ -878,6 +878,87 @@ object TextOps {
       minhashPairsDf(s, d).orderBy($"doc_a", $"doc_b")
     }),
 
+    // LSH S-CURVE CALIBRATION TABLE — the tuning artifact a dedup
+    // deployment publishes before touching the (bands, rows) dial
+    // (Leskovec/Rajaraman/Ullman ch.3 S-curve; the parameterization
+    // FineWeb/SlimPajama-style pipelines sweep): over every same-lang
+    // doc pair sharing ≥ 1 shingle (the inverted-index sparse join —
+    // keyed on (lang, shingle-hash), never all-pairs; heavy-hitter
+    // shingles are this row's hot-bucket analog of the banded
+    // family's BucketCap), bin the EXACT shingle Jaccard into
+    // deciles and report, per bin: pair count, mean Jaccard, and the
+    // predicted detection probability 1 − (1 − s^r)^b at the SAME
+    // 16-hash budget for r=1/b=16 (the shipped config), r=2/b=8,
+    // r=4/b=4 — what tightening rows costs in low-s recall vs buys
+    // in candidate precision (measured sf0.01: the 0-bin holds ~all
+    // mass at det_r1 ≈ its mean-s tail while det_r4 crushes it
+    // ~0, and every bin ≥ 0.6 predicts ≈ 1 at r=1 — the recall
+    // claim q_dedup_minhash's NumBands scaladoc makes, now a table).
+    // Cross-engine numeric discipline: Jaccard rounds to integer
+    // micro-units FIRST (mj), bins are integer division on mj, the
+    // powers are explicit squaring chains ((x²)²)² — never pow(),
+    // whose libm rounding differs across engines — and per-pair
+    // predictions round to micro-units BEFORE the per-bin sum, so
+    // every cross-engine aggregate is an exact integer sum. The
+    // EMPIRICAL detection rate (engine minhash signatures) is
+    // deliberately not a column — band hashes aren't reproducible in
+    // the oracle's SQL dialect — it is spec-verified instead
+    // (OpsSpec: driver recount + sig-based empirical-vs-predicted).
+    "q_dedup_lsh_curve" -> ((s, d) => {
+      import s.implicits._
+      val tk = t(s, d, "documents")
+        .select($"doc_id", $"lang", split($"text", " ").as("w"))
+        .where(size($"w") >= 3)
+        .select($"doc_id", $"lang",
+          array_distinct(expr("shingle_hash(w, 3)")).as("tok"))
+      val sizes = tk.select($"doc_id", size($"tok").cast("long").as("nt"))
+      val inv = tk.select($"doc_id", $"lang", explode($"tok").as("h"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.lang") === col("b.lang") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(sizes.select($"doc_id".as("da"), $"nt".as("na")), "da")
+        .join(sizes.select($"doc_id".as("db"), $"nt".as("nb")), "db")
+        .withColumn("mj", floor($"common".cast("double")
+          / ($"na" + $"nb" - $"common").cast("double") * 1e6 + 0.5)
+          .cast("long"))
+        .withColumn("s6", $"mj".cast("double") / 1e6)
+        .withColumn("x", lit(1.0) - $"s6")
+        .withColumn("x2", $"x" * $"x")
+        .withColumn("x4", $"x2" * $"x2")
+        .withColumn("x8", $"x4" * $"x4")
+        .withColumn("x16", $"x8" * $"x8")
+        .withColumn("y", lit(1.0) - $"s6" * $"s6")
+        .withColumn("y2", $"y" * $"y")
+        .withColumn("y4", $"y2" * $"y2")
+        .withColumn("y8", $"y4" * $"y4")
+        .withColumn("z", lit(1.0) - ($"s6" * $"s6") * ($"s6" * $"s6"))
+        .withColumn("z2", $"z" * $"z")
+        .withColumn("z4", $"z2" * $"z2")
+        .withColumn("p1",
+          floor((lit(1.0) - $"x16") * 1e6 + 0.5).cast("long"))
+        .withColumn("p2",
+          floor((lit(1.0) - $"y8") * 1e6 + 0.5).cast("long"))
+        .withColumn("p4",
+          floor((lit(1.0) - $"z4") * 1e6 + 0.5).cast("long"))
+        .groupBy(floor($"mj" / 100000.0).cast("long").as("jacc_bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"mj").as("smj"), sum($"p1").as("sp1"),
+          sum($"p2").as("sp2"), sum($"p4").as("sp4"))
+        .select($"jacc_bin", $"n_pairs",
+          (floor($"smj".cast("double") / $"n_pairs" + 0.5) / 1e6)
+            .as("mean_jaccard"),
+          (floor($"sp1".cast("double") / $"n_pairs" + 0.5) / 1e6)
+            .as("det_r1_b16"),
+          (floor($"sp2".cast("double") / $"n_pairs" + 0.5) / 1e6)
+            .as("det_r2_b8"),
+          (floor($"sp4".cast("double") / $"n_pairs" + 0.5) / 1e6)
+            .as("det_r4_b4"))
+        .orderBy($"jacc_bin")
+    }),
+
     // END-TO-END FUZZY DEDUP — the composition every production corpus
     // dedup terminates in (SlimPajama / RefinedWeb shape): the
     // VERIFIED near-dup pair graph (the exact q_dedup_minhash output,
@@ -3009,6 +3090,64 @@ object TextOps {
         FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE jac >= 0.6
       ORDER BY doc_a, doc_b""",
+
+    // The same brute-force shingle-set derivation kept down to
+    // common ≥ 1, then the identical micro-unit Jaccard, integer
+    // binning, squaring-chain S-curve predictions, and exact integer
+    // per-bin sums.
+    "q_dedup_lsh_curve" -> """
+      WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      sh AS (
+        SELECT doc_id, lang,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      tk AS (
+        SELECT doc_id, lang, list(DISTINCT shingle) AS tok
+        FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang),
+      pr AS (
+        SELECT len(list_intersect(a.tok, b.tok)) AS common,
+               len(a.tok) AS na, len(b.tok) AS nb
+        FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.tok, b.tok)) >= 1),
+      sc AS (
+        SELECT CAST(FLOOR(CAST(common AS DOUBLE)
+                 / CAST(na + nb - common AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS mj
+        FROM pr),
+      s1 AS (
+        SELECT mj, mj / 1e6 AS s6,
+               1.0 - mj / 1e6 AS x,
+               1.0 - (mj / 1e6) * (mj / 1e6) AS y,
+               1.0 - ((mj / 1e6) * (mj / 1e6)) * ((mj / 1e6) * (mj / 1e6))
+                 AS z
+        FROM sc),
+      s2 AS (SELECT mj, x * x AS x2, y * y AS y2, z * z AS z2 FROM s1),
+      s3 AS (SELECT mj, x2 * x2 AS x4, y2 * y2 AS y4, z2 * z2 AS z4
+             FROM s2),
+      s4 AS (SELECT mj, x4 * x4 AS x8, y4 * y4 AS y8, z4 FROM s3),
+      s5 AS (SELECT mj, x8 * x8 AS x16, y8, z4 FROM s4),
+      sp AS (
+        SELECT CAST(FLOOR(mj / 100000.0) AS BIGINT) AS jacc_bin, mj,
+               CAST(FLOOR((1.0 - x16) * 1e6 + 0.5) AS BIGINT) AS p1,
+               CAST(FLOOR((1.0 - y8) * 1e6 + 0.5) AS BIGINT) AS p2,
+               CAST(FLOOR((1.0 - z4) * 1e6 + 0.5) AS BIGINT) AS p4
+        FROM s5)
+      SELECT jacc_bin, CAST(count(*) AS BIGINT) AS n_pairs,
+             FLOOR(CAST(SUM(mj) AS DOUBLE) / count(*) + 0.5) / 1e6
+               AS mean_jaccard,
+             FLOOR(CAST(SUM(p1) AS DOUBLE) / count(*) + 0.5) / 1e6
+               AS det_r1_b16,
+             FLOOR(CAST(SUM(p2) AS DOUBLE) / count(*) + 0.5) / 1e6
+               AS det_r2_b8,
+             FLOOR(CAST(SUM(p4) AS DOUBLE) / count(*) + 0.5) / 1e6
+               AS det_r4_b4
+      FROM sp
+      GROUP BY jacc_bin
+      ORDER BY jacc_bin""",
 
     // The same brute-force pair derivation, then the EXACT transitive
     // closure (the q_graph_cc oracle shape) — cluster membership,

@@ -3614,6 +3614,129 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_join_asof_tol: driver recount + tolerance-partition " +
+      "coherence with q_join_asof") {
+    import org.apache.spark.sql.functions._
+    // Full-precision micros for ordering/tolerance (the engine
+    // compares raw timestamps); second-truncated epoch for age (the
+    // engine's cast-to-long output convention).
+    case class E(id: Long, us: Long, sec: Long, uid: Long, typ: String)
+    val ev = ops.Tables.t(spark, sf0001, "events")
+      .where(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), unix_micros(col("ts")),
+        col("ts").cast("long"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => E(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val byUser = ev.groupBy(_.uid)
+    val got = q("q_join_asof_tol", sf0001).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    // Driver recount: most recent signup at or before the purchase
+    // (equal-ts signups sort before the purchase in the engine's
+    // (ts, tag, id) frame, so <= is the visibility rule; ties on ts
+    // take the largest event_id — the last row in frame order),
+    // nulled when more than 86 400 000 000 µs old.
+    val expect = ev.filter(_.typ == "purchase").sortBy(_.id).map { p =>
+      val cand = byUser(p.uid)
+        .filter(e => e.typ == "signup" && e.us <= p.us)
+      if (cand.isEmpty) (p.id, None, None)
+      else {
+        val sPick = cand.maxBy(e => (e.us, e.id))
+        if (p.us - sPick.us <= 86400L * 1000000L)
+          (p.id, Some(sPick.id), Some(p.sec - sPick.sec))
+        else (p.id, None, None)
+      }
+    }.toSeq
+    assert(got === expect, "tolerance as-of must equal the recount")
+    // Coherence: the tolerance row's matched set is exactly the
+    // q_join_asof matches aged ≤ 1 day; age is always in [0, 86400].
+    val base = q("q_join_asof", sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    got.foreach { case (pid, sidOpt, ageOpt) =>
+      sidOpt.foreach { sid =>
+        assert(base(pid).contains(sid),
+          s"$pid: a fresh match must be THE as-of match")
+      }
+      ageOpt.foreach(a => assert(a >= 0 && a <= 86400L))
+    }
+  }
+
+  test("q_dedup_lsh_curve: driver recount of the full table + " +
+      "sig-based empirical detection vs the r=1 prediction") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // Engine kernels produce the shingle sets and signatures; all
+    // downstream arithmetic (pairing, micro-unit Jaccard, binning,
+    // squaring-chain predictions, per-bin integer sums) recounts
+    // driver-side, and the engine's row must match cell-for-cell.
+    val docs = ops.Tables.t(spark, sf0001, "documents")
+      .select($"doc_id", $"lang", split($"text", " ").as("w"))
+      .where(size($"w") >= 3)
+      .select($"doc_id", $"lang",
+        array_distinct(expr("shingle_hash(w, 3)")).as("tok"),
+        expr("minhash_sig(shingle_hash(w, 3), 16)").as("sig"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Long](2).toSet, r.getSeq[Long](3).toArray))
+    def r6l(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    case class P(mj: Long, bands: Int)
+    val pairs = for {
+      (da, la, ta, sa) <- docs
+      (db, lb, tb, sb) <- docs
+      if la == lb && da < db && (ta & tb).nonEmpty
+    } yield {
+      val common = (ta & tb).size
+      val mj = r6l(common.toDouble / (ta.size + tb.size - common).toDouble)
+      P(mj, sa.zip(sb).count { case (x, y) => x == y })
+    }
+    val byBin = pairs.groupBy(p => math.floor(p.mj / 100000.0).toLong)
+    val expect = byBin.toSeq.sortBy(_._1).map { case (bin, ps) =>
+      val n = ps.size
+      def mean(v: Seq[Long]) =
+        math.floor(v.sum.toDouble / n + 0.5) / 1e6
+      def chain(s6: Double, r: Int, b: Int): Long = {
+        // ((x²)²)… squaring chain, identical association to the row
+        val x = r match {
+          case 1 => 1.0 - s6
+          case 2 => 1.0 - s6 * s6
+          case 4 => 1.0 - (s6 * s6) * (s6 * s6)
+        }
+        var acc = x
+        var sq = b
+        while (sq > 1) { acc = acc * acc; sq /= 2 }
+        r6l(1.0 - acc)
+      }
+      (bin, n.toLong, mean(ps.map(_.mj)),
+        mean(ps.map(p => chain(p.mj / 1e6, 1, 16))),
+        mean(ps.map(p => chain(p.mj / 1e6, 2, 8))),
+        mean(ps.map(p => chain(p.mj / 1e6, 4, 4))))
+    }
+    val got = q("q_dedup_lsh_curve", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expect, "engine table must equal the driver recount")
+    // Empirical S-curve: a pair is DETECTED iff ≥ 1 of its 16 band
+    // hashes collide (r=1 banding). The engine's own scaladoc claim —
+    // recall effectively 1 at s ≥ 0.6 — must hold measured, and the
+    // large low-s bin must sit near its predicted detection rate.
+    byBin.foreach { case (bin, ps) =>
+      val emp = ps.count(_.bands >= 1).toDouble / ps.size
+      val pred = expect.find(_._1 == bin).get._4
+      if (ps.forall(_.mj >= 600000)) {
+        assert(emp === 1.0,
+          s"bin $bin: every s ≥ 0.6 pair must band-collide")
+      }
+      if (ps.size >= 30) {
+        assert(math.abs(emp - pred) <= 0.05,
+          s"bin $bin: empirical rate $emp vs predicted $pred")
+      }
+    }
+  }
+
   test("q_text_bm25_incr: merged index ≡ frozen full index, serve parity") {
     import org.apache.spark.sql.functions._
     // Equality-to-full-rebuild at the SERVE level: the incremental row
