@@ -184,6 +184,67 @@ object ExtOps {
 
     // Quality score per doc: stopword ratio + length credit +
     // distinct-token ratio, aggregated per language.
+    // THE DATASET CARD — the per-language release table a corpus
+    // pipeline actually publishes (Gebru et al. "Datasheets for
+    // Datasets"; the quality table on any HF dataset card), composing
+    // the engine's independent signal families into ONE artifact:
+    // volume (docs + whitespace-token mass), exact-text duplicate
+    // census (non-first occurrence within (lang, text) — the
+    // content-level exact dedup, complementing q_dedup_exact's
+    // (lang, source) survivor semantics), verified NEAR-dup drops
+    // (the SAME converged component labeling q_dedup_apply cuts
+    // with — [[TextOps.minhashCcLabels]], so the card can never
+    // disagree with the dedup rows), the exact Gopher pass census
+    // (rule-for-rule the q_text_gopher predicate), and the mean
+    // quality score (formula-identical to q_text_quality). One
+    // corpus scan computes every per-doc signal side by side, the
+    // near-dup flag rides a broadcast left join (dropped set is
+    // near-dup-sized), and the census is one partial-aggregable
+    // per-lang aggregate — at 100 TB this row costs one pass over
+    // (lang, text) plus the already-memoized pair-graph labeling.
+    // Integer counts everywhere cross-engine-sensitive; the one
+    // averaged double (avg_quality) follows q_text_quality's
+    // established round-then-avg-then-round treatment.
+    "q_pipe_datacard" -> ((s, d) => {
+      import s.implicits._
+      val gstop = "array('the','be','to','of','and','that','have','with')"
+      val wdup = Window.partitionBy($"lang", $"text").orderBy($"doc_id")
+      val dropped = TextOps.minhashCcLabels(s, d)
+        .where($"node" =!= $"lab")
+        .select($"node".as("doc_id"), lit(1).as("nd"))
+      val per = t(s, d, "documents")
+        .select($"doc_id", $"lang", $"text", split($"text", " ").as("w"))
+        .withColumn("rn", row_number().over(wdup))
+        .withColumn("nw", size($"w"))
+        .withColumn("alpha_frac",
+          expr("size(filter(w, x -> x rlike '[A-Za-z]'))") * 1.0 / $"nw")
+        .withColumn("mean_wlen",
+          (length($"text") - ($"nw" - 1)) * 1.0 / $"nw")
+        .withColumn("sym_ratio",
+          expr("size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0))")
+            * 1.0 / $"nw")
+        .withColumn("n_stop",
+          expr(s"size(array_intersect(array_distinct(w), $gstop))"))
+        .withColumn("quality", round(
+          expr(s"size(filter(w, x -> x IN ${inList(StopWords)}))")
+            / $"nw".cast("double") * 0.4 +
+            least($"nw".cast("double"), lit(200.0)) / 200.0 * 0.3 +
+            size(array_distinct($"w")) / $"nw".cast("double") * 0.3, 4))
+        .join(broadcast(dropped), Seq("doc_id"), "left")
+      per.groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"nw".cast("long")).as("token_mass"),
+          sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_exact_dupes"),
+          sum(when($"nd".isNotNull, 1L).otherwise(0L))
+            .as("n_neardup_dropped"),
+          sum(when($"nw" >= 50 && $"nw" <= 100000
+            && $"mean_wlen" >= 3.0 && $"mean_wlen" <= 10.0
+            && $"alpha_frac" >= 0.8 && $"sym_ratio" <= 0.1
+            && $"n_stop" >= 2, 1L).otherwise(0L)).as("n_gopher_pass"),
+          round(avg($"quality"), 4).as("avg_quality"))
+        .orderBy($"lang")
+    }),
+
     "q_text_quality" -> ((s, d) => {
       import s.implicits._
       val perDoc = t(s, d, "documents")
@@ -987,6 +1048,77 @@ object ExtOps {
         FROM scored
         GROUP BY lang, pred_lang
         ORDER BY lang, pred_lang""",
+
+      // The near-dup closure (q_dedup_apply's oracle fragment), the
+      // exact-dup window, the gopher predicate, and the quality
+      // formula — all re-derived in one statement and censused.
+      "q_pipe_datacard" -> s"""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, lang,
+                 unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w
+                   AS shingle
+          FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        tk AS (
+          SELECT doc_id, lang, list(DISTINCT shingle) AS tok
+          FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang),
+        pr AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM tk a JOIN tk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                / (len(a.tok) + len(b.tok)
+                   - len(list_intersect(a.tok, b.tok))) >= 0.6),
+        edges AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+        reach(id, m) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.m FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, MIN(m) AS lab FROM reach GROUP BY id),
+        dropped AS (SELECT id FROM comp WHERE id <> lab),
+        per AS (
+          SELECT d.doc_id, d.lang,
+                 len(string_split(d.text, ' ')) AS nw,
+                 row_number() OVER (PARTITION BY d.lang, d.text
+                   ORDER BY d.doc_id) AS rn,
+                 len(list_filter(string_split(d.text, ' '),
+                     x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                   / len(string_split(d.text, ' ')) AS alpha_frac,
+                 (strlen(d.text) - (len(string_split(d.text, ' ')) - 1))
+                   * 1.0 / len(string_split(d.text, ' ')) AS mean_wlen,
+                 len(regexp_extract_all(d.text, '#|\\.\\.\\.')) * 1.0
+                   / len(string_split(d.text, ' ')) AS sym_ratio,
+                 len(list_intersect(list_distinct(string_split(d.text, ' ')),
+                     ['the','be','to','of','and','that','have','with']))
+                   AS n_stop,
+                 ROUND(
+                   CAST(len(list_filter(string_split(d.text, ' '),
+                     x -> x IN ${inList(StopWords)})) AS DOUBLE)
+                     / len(string_split(d.text, ' ')) * 0.4
+                   + LEAST(CAST(len(string_split(d.text, ' ')) AS DOUBLE),
+                       200.0) / 200.0 * 0.3
+                   + CAST(len(list_distinct(string_split(d.text, ' ')))
+                       AS DOUBLE)
+                     / len(string_split(d.text, ' ')) * 0.3, 4) AS quality,
+                 CASE WHEN dr.id IS NULL THEN 0 ELSE 1 END AS nd
+          FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.id)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS token_mass,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_exact_dupes,
+               CAST(SUM(nd) AS BIGINT) AS n_neardup_dropped,
+               CAST(SUM(CASE WHEN nw >= 50 AND nw <= 100000
+                 AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                 AND alpha_frac >= 0.8 AND sym_ratio <= 0.1
+                 AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gopher_pass,
+               ROUND(AVG(quality), 4) AS avg_quality
+        FROM per
+        GROUP BY lang
+        ORDER BY lang""",
 
       "q_text_quality" -> s"""
         WITH per_doc AS (

@@ -297,6 +297,55 @@ object Joins {
         .orderBy($"event_id")
     }),
 
+    // NEAREST-DIRECTION AS-OF — pandas merge_asof(direction=
+    // 'nearest'): each purchase takes whichever signup is CLOSER in
+    // time, before or after (the attribution-window semantics: which
+    // campaign touch does a conversion belong to), within the same
+    // 1-day tolerance as q_join_asof_tol; ties at equal distance go
+    // to the earlier signup (deterministic). Both candidates come
+    // from the SAME sorted frame pass — backward via
+    // last(ignoreNulls) over the preceding frame, forward via
+    // first(ignoreNulls) over the following frame (same-ts signups
+    // sort before the purchase, so they land in the backward frame
+    // exactly once, never both) — one shuffle on the entity key, two
+    // frames over one sort, no join fan-out. Distances compare in
+    // exact epoch MICROSECONDS (integers both engines; the fixture
+    // has no (user, ts) signup collisions at any SF, spec-pinned).
+    "q_join_asof_near" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .filter($"event_type".isin("purchase", "signup"))
+        .select($"event_id", $"ts", unix_micros($"ts").as("us"),
+          $"user_id", $"event_type")
+        .withColumn("tag", when($"event_type" === "signup", 0).otherwise(1))
+        .withColumn("sid", when($"event_type" === "signup", $"event_id"))
+        .withColumn("sus", when($"event_type" === "signup", $"us"))
+      val ord = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"tag", $"event_id")
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val tol = 86400L * 1000000L
+      ev
+        .withColumn("pid", last($"sid", ignoreNulls = true).over(wb))
+        .withColumn("pus", last($"sus", ignoreNulls = true).over(wb))
+        .withColumn("nid", first($"sid", ignoreNulls = true).over(wf))
+        .withColumn("nus", first($"sus", ignoreNulls = true).over(wf))
+        .filter($"event_type" === "purchase")
+        .withColumn("da", $"us" - $"pus")
+        .withColumn("db", $"nus" - $"us")
+        .withColumn("takeprev",
+          $"pus".isNotNull && ($"nus".isNull || $"da" <= $"db"))
+        .withColumn("cid", when($"takeprev", $"pid").otherwise($"nid"))
+        .withColumn("dist", when($"takeprev", $"da").otherwise($"db"))
+        .withColumn("ok", $"cid".isNotNull && $"dist" <= tol)
+        .select($"event_id",
+          when($"ok", $"cid").as("signup_event_id"),
+          when($"ok", when($"takeprev", lit("prev")).otherwise(lit("next")))
+            .as("direction"),
+          when($"ok", $"dist").as("dist_us"))
+        .orderBy($"event_id")
+    }),
+
     // AS-OF JOIN WITH MATCH TOLERANCE — the pandas merge_asof
     // (tolerance=...) / kdb wj semantics and the feature-store
     // staleness rule: a purchase takes its most recent preceding
@@ -620,6 +669,38 @@ object Joins {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON p.user_id = s.user_id AND p.ts >= s.ts
       ORDER BY p.event_id""",
+
+    // backward + forward native ASOF, nearest pick in exact epoch µs
+    "q_join_asof_near" -> """
+      WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      s AS (SELECT * FROM events WHERE event_type = 'signup'),
+      j AS (
+        SELECT p.event_id, epoch_us(p.ts) AS us,
+               b.event_id AS pid, epoch_us(b.ts) AS pus,
+               f.event_id AS nid, epoch_us(f.ts) AS nus
+        FROM p
+        ASOF LEFT JOIN s b ON p.user_id = b.user_id AND p.ts >= b.ts
+        ASOF LEFT JOIN s f ON p.user_id = f.user_id AND p.ts < f.ts),
+      k AS (
+        SELECT event_id,
+               (pus IS NOT NULL AND (nus IS NULL OR us - pus <= nus - us))
+                 AS takeprev,
+               pid, nid, us - pus AS da, nus - us AS db
+        FROM j),
+      m AS (
+        SELECT event_id,
+               CASE WHEN takeprev THEN pid ELSE nid END AS cid,
+               CASE WHEN takeprev THEN da ELSE db END AS dist,
+               CASE WHEN takeprev THEN 'prev' ELSE 'next' END AS dir
+        FROM k)
+      SELECT event_id,
+             CASE WHEN cid IS NOT NULL AND dist <= 86400000000
+                  THEN cid END AS signup_event_id,
+             CASE WHEN cid IS NOT NULL AND dist <= 86400000000
+                  THEN dir END AS direction,
+             CASE WHEN cid IS NOT NULL AND dist <= 86400000000
+                  THEN CAST(dist AS BIGINT) END AS dist_us
+      FROM m ORDER BY event_id""",
 
     // the native ASOF match, then the staleness CASE on the matched ts
     "q_join_asof_tol" -> """

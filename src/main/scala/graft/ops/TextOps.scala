@@ -1772,7 +1772,7 @@ object TextOps {
     * multi-query harness runs the ccStar loop once (the ccStarLabels
     * sharing pattern) and the two oracles re-derive the closure
     * independently, differentially checking the share. */
-  private def minhashCcLabels(s: org.apache.spark.sql.SparkSession,
+  private[ops] def minhashCcLabels(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.derived(s, d, "minhash_cc_labels") {
       import s.implicits._

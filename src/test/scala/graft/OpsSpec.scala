@@ -3614,6 +3614,107 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("q_join_asof_near: driver recount + superset/agreement " +
+      "coherence with q_join_asof_tol + no-tie fixture pin") {
+    import org.apache.spark.sql.functions._
+    case class E(id: Long, us: Long, uid: Long, typ: String)
+    val ev = ops.Tables.t(spark, sf0001, "events")
+      .where(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), unix_micros(col("ts")), col("user_id"),
+        col("event_type")).collect()
+      .map(r => E(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // Fixture pin for the comment's determinism claim: no two signups
+    // of one user share a timestamp (else both engines' forward-ASOF
+    // tie-break would be unspecified).
+    val sgn = ev.filter(_.typ == "signup")
+    assert(sgn.groupBy(e => (e.uid, e.us)).forall(_._2.size == 1),
+      "fixture grew (user, ts) signup collisions — revisit tie-breaks")
+    val byUser = ev.groupBy(_.uid)
+    val tol = 86400L * 1000000L
+    val got = q("q_join_asof_near", sf0001).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    val expect = ev.filter(_.typ == "purchase").sortBy(_.id).map { p =>
+      val sg = byUser(p.uid).filter(_.typ == "signup")
+      val prev = sg.filter(_.us <= p.us)
+        .sortBy(e => (e.us, e.id)).lastOption
+      val next = sg.filter(_.us > p.us)
+        .sortBy(e => (e.us, e.id)).headOption
+      val takePrev = prev.isDefined &&
+        (next.isEmpty || p.us - prev.get.us <= next.get.us - p.us)
+      val cand = if (takePrev) prev else next
+      cand match {
+        case Some(c) =>
+          val dist = math.abs(p.us - c.us)
+          if (dist <= tol)
+            (p.id, Some(c.id),
+              Some(if (takePrev) "prev" else "next"), Some(dist))
+          else (p.id, None, None, None)
+        case None => (p.id, None, None, None)
+      }
+    }.toSeq
+    assert(got === expect, "nearest as-of must equal the recount")
+    // Coherence: anything q_join_asof_tol matches, nearest matches
+    // too (its chosen distance is ≤ the backward one); and when the
+    // nearest pick is 'prev', it is THE tolerance row's match.
+    val tolRow = q("q_join_asof_tol", sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    got.foreach { case (pid, sidOpt, dirOpt, _) =>
+      tolRow(pid).foreach { tolSid =>
+        assert(sidOpt.isDefined,
+          s"$pid: a fresh backward match implies a nearest match")
+        if (dirOpt.contains("prev"))
+          assert(sidOpt.contains(tolSid),
+            s"$pid: a 'prev' nearest pick must be the as-of-tol match")
+      }
+    }
+  }
+
+  test("q_pipe_datacard: cross-row consistency web — the card must " +
+      "agree with every constituent row + exact-dup recount") {
+    import org.apache.spark.sql.functions._
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val card = q("q_pipe_datacard", d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+        .toMap
+      // Formula-identical constituents: the card's columns must equal
+      // the standalone rows cell-for-cell, per language.
+      val quality = q("q_text_quality", d).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val gopher = q("q_text_gopher", d).collect()
+        .map(r => r.getString(0) -> r.getLong(7)).toMap
+      val apply = q("q_dedup_apply", d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      card.foreach { case (lang, (nd, tm, nx, nnd, ngp, aq)) =>
+        assert(aq === quality(lang),
+          s"$d/$lang: avg_quality must equal q_text_quality's avg_q")
+        assert(ngp === gopher(lang),
+          s"$d/$lang: gopher census must equal q_text_gopher's n_pass_all")
+        assert(nnd === apply(lang)._2,
+          s"$d/$lang: near-dup drops must equal q_dedup_apply's " +
+            "dropped_docs")
+        assert(nd === apply(lang)._1 + apply(lang)._2,
+          s"$d/$lang: doc count must equal kept + dropped")
+        assert(nx >= 0 && nx < nd && tm > 0)
+      }
+      // Exact-dup census recount from the raw corpus.
+      val dup = ops.Tables.t(spark, d, "documents")
+        .select(col("lang"), col("text")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.size - 1)
+        .toSeq.groupBy(_._1._1).view
+        .mapValues(_.map(_._2.toLong).sum).toMap
+      card.foreach { case (lang, (_, _, nx, _, _, _)) =>
+        assert(nx === dup.getOrElse(lang, 0L),
+          s"$d/$lang: exact-dup census must equal the driver recount")
+      }
+    }
+  }
+
   test("q_join_asof_tol: driver recount + tolerance-partition " +
       "coherence with q_join_asof") {
     import org.apache.spark.sql.functions._
