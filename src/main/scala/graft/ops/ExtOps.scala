@@ -867,47 +867,53 @@ object ExtOps {
     * marking needs equality classes of every position's 30-char
     * prefix — nothing longer, which is what bounds the rounds.
     *
-    * The doubling: cls_ℓ(i) identifies the first min(ℓ, doc_end−i)
-    * chars at position i. cls_1 labels single chars (min-gid per
-    * char value — exact for any unicode, no hash anywhere); each
-    * round forms (cls_ℓ(i), cls_ℓ(i+ℓ)) and relabels the pair by
-    * min-gid over its equivalence class. The pos+ℓ lookup is NOT a
-    * self-join: it is lead(cls, ℓ) over the (doc, pos) window — doc
-    * boundaries fall out of the window frame (lead past the end is
-    * null → sentinel −1, so truncated suffixes keep distinct
-    * classes), and every round reuses the SAME doc_id partitioning,
-    * so the per-round cost is one class-keyed aggregate + one
-    * class-keyed join back (both skew-safe: partial aggregation
-    * absorbs hot classes — a min() window over (cls, cls2) would
-    * funnel each hot class through one task). THREE rounds reach
-    * cls_8, and the 30-char class is the 4-way OVERLAP key
-    * (cls_8(i), cls_8(i+8), cls_8(i+16), cls_8(i+22)) — equal iff
-    * chars [i, i+30) equal (the last block overlaps the third by 2:
-    * overlap changes nothing, equality of each 8-block pins its
-    * span). A window key occurring ≥ 2 times anywhere in the corpus
-    * (including twice in one doc — the published tool's semantics;
-    * the windowed sibling demands 2 distinct docs, which implies
-    * this) marks starts; runs of starts ≤ 30 apart coalesce into
-    * maximal spans by one per-doc gaps-and-islands window.
+    * The class construction (k-ary doubling, k = 6 — r15 optimization
+    * round; binary doubling ran the same scheme in 3 relabel rounds):
+    * cls_ℓ(i) identifies the first min(ℓ, doc_end−i) chars at
+    * position i. cls_1 is the char's CODE POINT (ascii() — injective
+    * for any unicode char, no hash, computed map-side with no
+    * shuffle). ONE relabel round then builds cls_6: key every
+    * position on (cls_1(i), …, cls_1(i+5)) and label the equivalence
+    * class by min-gid. The pos+j lookups are NOT self-joins: they are
+    * lead(cls, j) over the (doc, pos) window — doc boundaries fall
+    * out of the window frame (lead past the end is null → sentinel
+    * −1, impossible as a code point, so truncated suffixes keep
+    * distinct classes). The round's cost is one class-keyed aggregate
+    * + one class-keyed join back (both skew-safe: partial aggregation
+    * absorbs hot classes — a min() window over the tuple would funnel
+    * each hot class through one task). The 30-char class is then the
+    * 5-block key (cls_6(i), cls_6(i+6), cls_6(i+12), cls_6(i+18),
+    * cls_6(i+24)) — equal iff chars [i, i+30) equal (the blocks tile
+    * the window exactly; the v29 guard pins every block fully inside
+    * the doc). A window key occurring ≥ 2 times anywhere in the
+    * corpus (including twice in one doc — the published tool's
+    * semantics; the windowed sibling demands 2 distinct docs, which
+    * implies this) marks starts; runs of starts ≤ 30 apart coalesce
+    * into maximal spans by one per-doc gaps-and-islands window.
     *
     * 100 TB accounting: n = corpus chars. Rows shuffled are
-    * O(n · log 30) — 3 doubling rounds + the census joins, every one
-    * keyed on doc_id or a class id, no global sort anywhere (class
-    * labels are min-gids, not ranks, so no total-order pass is ever
-    * needed). That beats the published single-node tool's memory
-    * wall (it holds SA+LCP in RAM) and undercuts full distributed
-    * suffix sorting, which needs log n rounds — window-length
-    * classes cap the doubling at log L. The doc-partitioned window
-    * requires one doc's chars in one task — bounded by the same
-    * 2^20-chars-per-doc cap as the gid encoding (gid = doc_id·2^20 +
-    * pos; fixture max ≈ 600 chars; the Lee et al. pipeline also
-    * length-caps before SA construction) — past that a deployment
-    * swaps gid to a (doc_id, pos) struct label at +8 bytes/row.
-    * Fixture cost: sf0.1 is 1.5M char rows through 3 keyed rounds;
-    * measured scaling (tools/SubstrScale): 150k chars → 2.7 s, 1.5M
-    * chars → 4.0 s — 10× the data for 1.5× the time, i.e. fixed
-    * per-round scheduling dominates at fixture scale and the data
-    * term grows linearly, exactly the O(n·log L) shape claimed. */
+    * O(n · log_k 30) — one 6-long-tuple relabel + the census joins,
+    * every one keyed on doc_id or a class id, no global sort anywhere
+    * (class labels are min-gids/code points, not ranks, so no
+    * total-order pass is ever needed). That beats the published
+    * single-node tool's memory wall (it holds SA+LCP in RAM) and
+    * undercuts full distributed suffix sorting, which needs log n
+    * rounds — window-length classes cap the rounds at log_k L, and
+    * the tuple width k trades per-round shuffle bytes (6 longs vs the
+    * binary scheme's 2, over a third as many rounds) against round
+    * count; k = 6 reaches 30 = 6·5 in one relabel + one 5-block
+    * census. The doc-partitioned window requires one doc's chars in
+    * one task — bounded by the same 2^20-chars-per-doc cap as the gid
+    * encoding (gid = doc_id·2^20 + pos; fixture max ≈ 600 chars; the
+    * Lee et al. pipeline also length-caps before SA construction) —
+    * past that a deployment swaps gid to a (doc_id, pos) struct label
+    * at +8 bytes/row. Fixture cost: sf0.1 is 1.5M char rows; the
+    * 3-round binary doubling measured 150k chars → 2.7 s, 1.5M →
+    * 4.0 s (fixed per-round scheduling dominates at fixture scale),
+    * which is exactly why collapsing rounds pays: this rewrite
+    * measured 6.38 → 3.38 s on the isolated q_dedup_substr_cut bench
+    * row (min-of-3, sf0.1, memo build included; see
+    * OPTIMIZATION_r15.md) with byte-identical spans. */
   private[graft] def substrExactSpans(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.derived(s, d, "substr_exact_spans") {
@@ -935,27 +941,62 @@ object ExtOps {
         .where($"col" =!= "") // engine-version-proof trailing-empty guard
         .select($"doc_id", $"pos",
           ($"doc_id" * (1L << 20) + $"pos").as("gid"), $"col".as("c"))
-      val c0 = ch.join(ch.groupBy($"c").agg(min($"gid").as("cls")), "c")
-        .select($"doc_id", $"pos", $"gid", $"cls")
-      val cls8 = Seq(1, 2, 4).foldLeft(c0) { (cur, off) =>
-        val keyed = cur
-          .withColumn("cls2", coalesce(lead($"cls", off).over(wd), lit(-1L)))
-        Tables.ck(keyed
-          .join(keyed.groupBy($"cls", $"cls2").agg(min($"gid").as("ncls")),
-            Seq("cls", "cls2"))
-          .select($"doc_id", $"pos", $"gid", $"ncls".as("cls")))
-      }
-      val wins = cls8
-        .withColumn("k2", lead($"cls", 8).over(wd))
-        .withColumn("k3", lead($"cls", 16).over(wd))
-        .withColumn("k4", lead($"cls", 22).over(wd))
+      // cls_3 is computed MAP-SIDE, no relabel shuffle: each char's
+      // code point (ascii() returns it for any unicode char) fits 21
+      // bits (max U+10FFFF; +1 keeps 0 free as the past-doc-end
+      // sentinel), so three shifted-or-ed components pack one
+      // position's 3-char prefix into ONE injective long — ≤ 63 bits,
+      // no hash, exact. Injective is all the census needs; the
+      // binary-doubling version's min-gid labels only ever served as
+      // grouping keys, and its cls_1 round paid a groupBy + join-back
+      // (two n-row shuffles) for them.
+      // cls_1 is the character's CODE POINT (ascii() returns it for
+      // any unicode char) — an injective long labeling of single-char
+      // equality classes computed MAP-SIDE, replacing the min-gid
+      // groupBy + join-back round (two n-row shuffles) the binary-
+      // doubling version paid for cls_1. Injective is all the census
+      // needs; min-gid labels only ever served as grouping keys.
+      val c0 = ch.select($"doc_id", $"pos", $"gid",
+        ascii($"c").cast("long").as("cls"))
+      // ONE 6-ary relabel round: key each position on the 6-tuple of
+      // single-char classes (cls_1(i), …, cls_1(i+5)) — all longs, so
+      // the class-keyed aggregate and join back sort/hash cheap
+      // fixed-width keys (a 6-char STRING tuple key measured 9.9 s vs
+      // 3.5 s here: the per-round sorts dominate, and they price the
+      // key; packing 3 code points per long to narrow the key is a
+      // LOSS — the extra window leads it needs, 14 vs 5, cost more
+      // than the narrower keys save, 5.9 s measured). NOT
+      // checkpointed: `keyed` is consumed twice (agg + join back),
+      // but the window's exchange is plan-reused across both readers
+      // and re-running the lead projections is cheaper than
+      // materializing the wide tuple rows (measured +3 s with a ck
+      // here).
+      val tupleCols = (1 to 5).map(j =>
+        coalesce(lead($"cls", j).over(wd), lit(-1L)).as(s"k$j"))
+      val keyed = c0.select(
+        (Seq($"doc_id", $"pos", $"gid", $"cls") ++ tupleCols): _*)
+      val keyNames = Seq("cls", "k1", "k2", "k3", "k4", "k5")
+      val cls6 = Tables.ck(keyed
+        .join(keyed.groupBy(keyNames.map(col): _*)
+          .agg(min($"gid").as("ncls")), keyNames)
+        .select($"doc_id", $"pos", $"gid", $"ncls".as("cls")))
+      // The 30-char class is the 5-block key (cls_6(i), cls_6(i+6),
+      // …, cls_6(i+24)) — equal iff chars [i, i+30) equal (the blocks
+      // tile the window exactly; the v29 guard pins every block fully
+      // inside the doc).
+      val wins = cls6
+        .withColumn("k2", lead($"cls", 6).over(wd))
+        .withColumn("k3", lead($"cls", 12).over(wd))
+        .withColumn("k4", lead($"cls", 18).over(wd))
+        .withColumn("k5", lead($"cls", 24).over(wd))
         .withColumn("v29", lead($"cls", 29).over(wd))
         .where($"v29".isNotNull)
-        .select($"doc_id", $"pos", $"cls", $"k2", $"k3", $"k4")
-      val dup = wins.groupBy($"cls", $"k2", $"k3", $"k4")
+        .select($"doc_id", $"pos", $"cls", $"k2", $"k3", $"k4", $"k5")
+      val dup = wins.groupBy($"cls", $"k2", $"k3", $"k4", $"k5")
         .agg(count(lit(1)).as("cnt")).where($"cnt" >= 2)
-        .select($"cls", $"k2", $"k3", $"k4")
-      val starts = wins.join(dup, Seq("cls", "k2", "k3", "k4"), "left_semi")
+        .select($"cls", $"k2", $"k3", $"k4", $"k5")
+      val starts = wins.join(dup, Seq("cls", "k2", "k3", "k4", "k5"),
+          "left_semi")
         .select($"doc_id", $"pos")
       val w = Window.partitionBy($"doc_id").orderBy($"pos")
       starts

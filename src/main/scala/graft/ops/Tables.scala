@@ -47,6 +47,14 @@ object Tables {
     * modes. */
   def ck(df: DataFrame): DataFrame = {
     val s = df.sparkSession
+    // Dev-only plan-dump aid: a (lazy) checkpoint rewrites the plan to
+    // a LogicalRDD scan immediately, so `explain` on anything built
+    // over a ck'd intermediate stops at `Scan ExistingRDD`. The
+    // explain tools set this to see the full operator tree; no
+    // measured or verified runner ever does (it would change the
+    // execution shape the checkpoints exist for).
+    if (s.conf.getOption("spark.graft.explainNoCk").contains("true"))
+      return df
     val reliable =
       s.conf.getOption("spark.graft.reliableCheckpoint").contains("true") &&
         s.sparkContext.getCheckpointDir.isDefined
