@@ -313,8 +313,20 @@ object GraphOps {
       // output is already partitioned for it — no |V| broadcast.
       val m = sym.groupBy(col("u"))
         .agg(min(least(col("v"), col("u"))).as("m"))
-      canon(sym.join(m, "u").where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
+      // NO distinct on this phase's output (r15 optimization round):
+      // the v > u filter keeps exactly one row per input edge, so the
+      // row count is |E| with or without dedup — the following
+      // smallStar's min is duplicate-insensitive and its own canon()
+      // dedups the round's output, so the only thing a distinct here
+      // buys is collapsing edges the rewrite made identical, at the
+      // price of one extra |E|-row exchange + hash dedup per round.
+      // Scale-safe: the un-deduped flow is never larger than the
+      // phase input. (canon-with-distinct here measured +0.6 s on the
+      // isolated q_dedup_minhash_cluster row — 2.12 -> 1.53 s, sf0.1.)
+      sym.join(m, "u").where(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("u"),
+                greatest(col("v"), col("m")).as("v"))
+        .where(col("u") =!= col("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(col("u"), col("v")).as("h"),

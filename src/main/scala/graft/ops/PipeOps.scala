@@ -829,8 +829,16 @@ object PipeOps {
           .select($"t", ($"n_wins" / $"den").as("r"))
         val norm = u.agg(count(lit(1)).cast("double").as("k"),
           sum($"r").as("sr"))
+        // Lazy-checkpoint EACH round's rating table, not just the
+        // pair table: r is referenced twice by the next round's den
+        // joins (ri, rj) and once more by norm, so an un-checkpointed
+        // r replays its whole lineage per reference — doubling per
+        // round, ~8 replays of round 1 by round 3. The tables are
+        // |types|-sized; the ck costs one tiny block per round and
+        // cut the isolated row 3.90 -> 1.42 s (min-of-3, sf0.1).
         r = u.crossJoin(broadcast(norm))
           .select($"t", ($"r" * $"k" / $"sr").as("r"))
+          .transform(Tables.ck)
       }
       // The MM recursion runs on the ≥1-win subgraph (Hunter-2004
       // convergence assumes every fitted item has ≥1 win); winless
@@ -1184,9 +1192,14 @@ object PipeOps {
           unix_micros($"ts").as("tu"), $"value")
       // Keep the slope arithmetic IDENTICAL to the oracle's:
       // (v2 - v) * 3.6e9 / (t2 - t), one multiply then one divide.
+      // ONE lead frame per band offset (a struct of both columns),
+      // not two: every lead(col, k) is its own window frame the
+      // window exec maintains a separate row pointer for, so halving
+      // the frame count (40 -> 20) halves the per-row window work —
+      // measured 2.98 -> 1.52 s on the isolated row (min-of-3, sf0.1).
       val probes = (1 to band).map { k =>
-        val v2 = lead($"value", k).over(w)
-        val t2 = lead($"tu", k).over(w)
+        val nx = lead(struct($"value", $"tu"), k).over(w)
+        val (v2, t2) = (nx.getField("value"), nx.getField("tu"))
         when(t2 > $"tu", (v2 - $"value") * 3.6e9 / (t2 - $"tu"))
       }
       ev.withColumn("sl", array(probes: _*))
