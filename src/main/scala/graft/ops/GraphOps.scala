@@ -789,11 +789,18 @@ object GraphOps {
       // Checkpoint the DIRECTED half only: the symmetrizing union is a
       // pure map over it (no shuffle), so materializing it too would
       // double the checkpointed bytes for nothing.
+      // Dedup on the LONG key pair and build the string node ids
+      // AFTER the distinct (guide §2.3, narrower shuffle types): the
+      // exchange and both hash-agg phases then work 16-byte long
+      // pairs instead of ~12-char strings, and the concat runs once
+      // per surviving edge instead of once per join row. Same edge
+      // set by construction.
       val e0 = t(s, d, "orders")
         .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
-        .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
-                concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
+        .select($"o_custkey".as("ck"), $"l_suppkey".as("sk"))
         .distinct()
+        .select(concat(lit("c"), $"ck".cast("string")).as("src"),
+                concat(lit("s"), $"sk".cast("string")).as("dst"))
         .transform(Tables.ck)
       e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
     }

@@ -45,6 +45,10 @@ object Joins {
       .distinct()
       .withColumn("c0", floor($"st" / IntervalCellDays))
       .withColumn("c1", floor($"en" / IntervalCellDays))
+      // Both self-join sides explode THIS table; the lazy checkpoint
+      // materializes the distinct once instead of letting each side
+      // replay the lineitem scan + dedup exchange.
+      .transform(Tables.ck)
     val a = li.select($"sk",
       struct($"ok", $"ln", $"st", $"en").as("ida"), $"st".as("sa"),
       $"en".as("ea"), $"c0".as("ca0"),
