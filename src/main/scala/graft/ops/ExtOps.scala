@@ -208,13 +208,21 @@ object ExtOps {
     "q_pipe_datacard" -> ((s, d) => {
       import s.implicits._
       val gstop = "array('the','be','to','of','and','that','have','with')"
-      val wdup = Window.partitionBy($"lang", $"text").orderBy($"doc_id")
       val dropped = TextOps.minhashCcLabels(s, d)
         .where($"node" =!= $"lab")
         .select($"node".as("doc_id"), lit(1).as("nd"))
+      // Exact-dup census WITHOUT the (lang, text) window (r15
+      // optimization round): Σ per (lang, text) group (count − 1) ≡
+      // the old row_number > 1 census for every input (groupBy and
+      // window partitioning group NULLs identically), but the
+      // partial-aggregable groupBy dedups map-side and never SORTS
+      // full text rows — the window shuffled the whole corpus text
+      // through one exchange + sort just to mark non-first rows.
+      val exactDup = t(s, d, "documents")
+        .groupBy($"lang", $"text").agg((count(lit(1)) - 1).as("x"))
+        .groupBy($"lang").agg(sum($"x").as("n_exact_dupes"))
       val per = t(s, d, "documents")
         .select($"doc_id", $"lang", $"text", split($"text", " ").as("w"))
-        .withColumn("rn", row_number().over(wdup))
         .withColumn("nw", size($"w"))
         .withColumn("alpha_frac",
           expr("size(filter(w, x -> x rlike '[A-Za-z]'))") * 1.0 / $"nw")
@@ -234,7 +242,6 @@ object ExtOps {
       per.groupBy($"lang").agg(
           count(lit(1)).as("n_docs"),
           sum($"nw".cast("long")).as("token_mass"),
-          sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_exact_dupes"),
           sum(when($"nd".isNotNull, 1L).otherwise(0L))
             .as("n_neardup_dropped"),
           sum(when($"nw" >= 50 && $"nw" <= 100000
@@ -242,6 +249,9 @@ object ExtOps {
             && $"alpha_frac" >= 0.8 && $"sym_ratio" <= 0.1
             && $"n_stop" >= 2, 1L).otherwise(0L)).as("n_gopher_pass"),
           round(avg($"quality"), 4).as("avg_quality"))
+        .join(exactDup, Seq("lang"))
+        .select($"lang", $"n_docs", $"token_mass", $"n_exact_dupes",
+          $"n_neardup_dropped", $"n_gopher_pass", $"avg_quality")
         .orderBy($"lang")
     }),
 

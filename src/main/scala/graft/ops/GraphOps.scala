@@ -623,13 +623,17 @@ object GraphOps {
     val nonself = und.where($"u" =!= $"v")
     val sym = nonself
       .unionByName(nonself.select($"v".as("u"), $"u".as("v"), $"w"))
-    val deg = sym.select($"u", $"w")
+    // Lazy-checkpoint the twice-referenced intermediates (the elo/
+    // hits discipline): deg feeds vol AND the gains join, vol joins
+    // gains twice (va, vb), kicAll splits into kic and kia — without
+    // the cks each reference replays its aggregate lineage.
+    val deg = Tables.ck(sym.select($"u", $"w")
       .unionByName(und.where($"u" === $"v")
         .select($"u", (lit(2) * $"w").as("w")))
       .groupBy($"u").agg(sum($"w").as("dg"))
-      .select($"u".as("node"), $"dg")
-    val vol = deg.join(labels, "node")
-      .groupBy($"lab").agg(sum($"dg").as("vol"))
+      .select($"u".as("node"), $"dg"))
+    val vol = Tables.ck(deg.join(labels, "node")
+      .groupBy($"lab").agg(sum($"dg").as("vol")))
     // descOnly = the published distributed symmetry-break (e.g.
     // Ghosh et al., IPDPS'18's coloring/ordering family): a node may
     // only move toward a LEXICOGRAPHICALLY SMALLER community id, so
@@ -637,10 +641,10 @@ object GraphOps {
     // a 2-cycle. Used by the level-2 sweep, where the singleton seed
     // makes pairwise gains exactly symmetric and unrestricted
     // synchronous moves measurably over-merge.
-    val kicAll = sym
+    val kicAll = Tables.ck(sym
       .join(labels.select($"node".as("v"), $"lab".as("c")), "v")
       .groupBy($"u", $"c").agg(sum($"w").as("k"))
-      .select($"u".as("node"), $"c", $"k")
+      .select($"u".as("node"), $"c", $"k"))
     val kic = if (descOnly) kicAll.where($"c" < $"node") else kicAll
     val cur = labels.select($"node", $"lab".as("c0"))
     // k_{i,a} always comes from the UNRESTRICTED counts: the own-
