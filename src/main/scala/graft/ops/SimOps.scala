@@ -122,7 +122,12 @@ object SimOps {
         .select(explode(array_distinct(split($"text", " "))).as("term"))
       val tok = docs
         .select($"doc_id", explode(split($"text", " ")).as("term"))
-      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+      // Doc lengths MAP-SIDE (size of the split array ≡ the exploded
+      // term count, incl. the empty-string token of an empty text):
+      // the explode+groupBy form re-tokenized the whole corpus a
+      // second time just to count rows per doc.
+      val dl = docs.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("len"))
       val stats = dl.agg(count(lit(1)).as("n"), avg($"len" * 1.0).as("avgdl"))
       val tf = tok.join(broadcast(qt), "term").where($"doc_id" =!= 0)
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))

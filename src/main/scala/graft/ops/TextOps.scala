@@ -724,7 +724,11 @@ object TextOps {
       import s.implicits._
       val tok = t(s, d, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("term"))
-      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+      // Doc lengths map-side (size(split) ≡ exploded row count): the
+      // explode+groupBy form re-tokenized the corpus a second time
+      // just to count rows per doc — the q_sim_hybrid move.
+      val dl = t(s, d, "documents").select($"doc_id",
+        size(split($"text", " ")).cast("long").as("len"))
       val stats = dl.agg(count(lit(1)).as("n"),
         avg($"len" * 1.0).as("avgdl"))
       val tf = tok.where($"term".isin("fast", "small", "data"))
@@ -1395,7 +1399,11 @@ object TextOps {
     LayoutOps.ensureTable(s, name) {
       val tok = t(s, d, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("term"))
-      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+      // Doc lengths map-side — the q_sim_hybrid move (this is the
+      // one-time index build, but the saved corpus re-tokenize is
+      // free here too).
+      val dl = t(s, d, "documents").select($"doc_id",
+        size(split($"text", " ")).cast("long").as("len"))
       val stats = dl.agg(count(lit(1)).as("n"),
         avg($"len" * 1.0).as("avgdl"))
       val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
