@@ -53,10 +53,25 @@ object GraphOps {
     * shuffle. */
   private[graft] def capNeighbors(e: org.apache.spark.sql.DataFrame,
       cap: Int): org.apache.spark.sql.DataFrame = {
+    // Hot-key special-casing (guide §2.5): only groups OVER the cap
+    // need the rank-by-hash selection — under-cap groups pass through
+    // unranked, so the per-group hash sort is paid exactly where the
+    // cap bites (nowhere at fixture scale, the boilerplate-hub tail
+    // at 100 TB) instead of over every neighbor list. The keyed count
+    // join shares the window's hash(c) partitioning, and ranking a
+    // hot group in isolation picks the identical rows ranking all
+    // groups would (per-group ranks are independent), so the output
+    // is unchanged for every (input, cap) — the cap=1/cap=2 spec laws
+    // cover the biting branch.
+    val cnt = e.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val tagged = e.join(cnt, "c")
+    val small = tagged.where(col("cnt") <= cap).drop("cnt")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c")).orderBy(xxhash64(col("sup")), col("sup"))
-    e.withColumn("rn", row_number().over(w))
+    val capped = tagged.where(col("cnt") > cap).drop("cnt")
+      .withColumn("rn", row_number().over(w))
       .where(col("rn") <= cap).drop("rn")
+    small.unionByName(capped)
   }
 
   /** One PageRank update over a pre-weighted edge table `(src, dst,
