@@ -1192,11 +1192,12 @@ object PipeOps {
           unix_micros($"ts").as("tu"), $"value")
       // Keep the slope arithmetic IDENTICAL to the oracle's:
       // (v2 - v) * 3.6e9 / (t2 - t), one multiply then one divide.
-      // ONE lead frame per band offset (a struct of both columns),
-      // not two: every lead(col, k) is its own window frame the
-      // window exec maintains a separate row pointer for, so halving
-      // the frame count (40 -> 20) halves the per-row window work —
-      // measured 2.98 -> 1.52 s on the isolated row (min-of-3, sf0.1).
+      // ONE lead per band offset (a struct of both columns) instead
+      // of two independent column leads: the physical Window operator
+      // then carries two IDENTICAL lead(struct, k) expressions per
+      // offset (see plans/r15/q_agg_theilsen_{before,after}.txt)
+      // where it previously carried two DIFFERENT ones — measured
+      // 2.98 -> 1.52 s on the isolated row (min-of-3, sf0.1).
       val probes = (1 to band).map { k =>
         val nx = lead(struct($"value", $"tu"), k).over(w)
         val (v2, t2) = (nx.getField("value"), nx.getField("tu"))
