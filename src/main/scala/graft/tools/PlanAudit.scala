@@ -40,7 +40,7 @@ package graft.tools
   * Round-11 additions, same deliberately-tiny-broadcast class (each
   * side documented at the query site): q_agg_chisq / q_agg_mutualinfo
   * (grand total), q_text_kneserney (|bigram types| scalar),
-  * q_pipe_elo (per-round normalizer), q_pipe_targetenc (global
+  * q_pipe_targetenc (global
   * prior), q_graph_hits (per-half-round L1 normalizer),
   * q_pipe_survival (≤31-row day-table triangles — the DistRank
   * offset-triangle pattern), q_sink_dsv2 (1-row manifest totals),
@@ -71,7 +71,11 @@ package graft.tools
   * brute-force ground-truth batches, the ann-serve class),
   * q_graph_louvain (the 1-row |E| scalar + modularityQ's 1-row
   * combines), q_text_vocab_drift (two 1-row dictionary maps + three
-  * 1-row overlap scalars).
+  * 1-row overlap scalars). r15 optimization round REMOVED q_pipe_elo:
+  * its per-round normalizer crossJoin now sits behind the round's
+  * lazy checkpoint (the audited final plan reads the checkpointed
+  * rating RDD), so the row no longer flags — the stale-entry gate
+  * caught the leftover entry, exactly as designed.
   */
 object PlanAudit {
 
@@ -86,7 +90,7 @@ object PlanAudit {
     "q_graph_louvain", "q_graph_louvain_l2", "q_join_cross",
     "q_join_fuzzy",
     "q_join_skew_salt", "q_pipe_benford", "q_pipe_curriculum",
-    "q_pipe_drift", "q_pipe_elo", "q_pipe_freshness",
+    "q_pipe_drift", "q_pipe_freshness",
     "q_pipe_oversample", "q_pipe_survival", "q_pipe_targetenc",
     "q_pipe_temperature", "q_pipe_tokenbudget", "q_pipe_zorder",
     "q_sim_ann_incr", "q_sim_ann_ivf", "q_sim_ann_ivfpq",
