@@ -11,7 +11,14 @@ package graft.tools
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = graft.EngineSession.builder("local[4]", "4").getOrCreate()
+    val b = graft.EngineSession.builder("local[4]", "4")
+    // GRAFT_EXPLAIN_NOCK=true: print THROUGH lazy-checkpoint
+    // boundaries (the ExplainSpans knob, generalized) — for plan
+    // evidence on logic that lives inside a ck'd memo. Dev-only;
+    // never set by a measured or verified runner.
+    if (sys.env.get("GRAFT_EXPLAIN_NOCK").contains("true"))
+      b.config("spark.graft.explainNoCk", "true")
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.drop(1).foreach { name =>
       println(s"=== $name ===")
