@@ -1691,7 +1691,12 @@ object PipeOps {
     import s.implicits._
     val tk = t(s, d, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-    val freq = tk.groupBy($"tok").agg(count(lit(1)).as("nu"))
+    // ck: freq is the |vocab|-sized distinct-token table (Heaps' law)
+    // and feeds BOTH the tot scalar and the scoring join's broadcast —
+    // un-checkpointed, each broadcast build replayed the full
+    // tokenize+count pass (3 corpus scans; now 2 — the freq build and
+    // the probe side, which is the floor for this computation).
+    val freq = Tables.ck(tk.groupBy($"tok").agg(count(lit(1)).as("nu")))
     val tot = freq.agg(sum($"nu").as("n_total"))
     tk.join(broadcast(freq), "tok")
       .crossJoin(broadcast(tot))

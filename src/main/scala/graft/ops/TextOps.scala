@@ -919,16 +919,22 @@ object TextOps {
         .where(size($"w") >= 3)
         .select($"doc_id", $"lang",
           array_distinct(expr("shingle_hash(w, 3)")).as("tok"))
-      val sizes = tk.select($"doc_id", size($"tok").cast("long").as("nt"))
-      val inv = tk.select($"doc_id", $"lang", explode($"tok").as("h"))
+      // Each inv row carries its doc's shingle count: nt is
+      // functionally dependent on doc_id, so max(nt) per pair IS the
+      // doc's size — the two former |docs|-row `sizes` joins each
+      // replayed the tokenize+shingle pass to build their broadcast
+      // side; folding nt into the pair join (+8 bytes/row on an
+      // exchange the join pays anyway) leaves tk with ONE consumer
+      // whose self-join sides share a ReusedExchange.
+      val inv = tk.select($"doc_id", $"lang",
+        size($"tok").cast("long").as("nt"), explode($"tok").as("h"))
       val pairs = inv.as("a").join(inv.as("b"),
           col("a.lang") === col("b.lang") && col("a.h") === col("b.h") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("common"))
+        .agg(count(lit(1)).as("common"),
+          max(col("a.nt")).as("na"), max(col("b.nt")).as("nb"))
       pairs
-        .join(sizes.select($"doc_id".as("da"), $"nt".as("na")), "da")
-        .join(sizes.select($"doc_id".as("db"), $"nt".as("nb")), "db")
         .withColumn("mj", floor($"common".cast("double")
           / ($"na" + $"nb" - $"common").cast("double") * 1e6 + 0.5)
           .cast("long"))
@@ -1695,10 +1701,15 @@ object TextOps {
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val B = 4096
-    val weights = s.range(0, B).toDF("bucket")
-      .select($"bucket",
-        ((($"bucket" * 2654435761L) % 2001L - 1000L).cast("double")
-          / 1000.0).as("wt"))
+    // The weight "table" is a pure function of the bucket id
+    // (wt = ((bucket·2654435761) mod 2001 − 1000)/1000), so it is
+    // computed INLINE on each feature row — the same integer ops and
+    // the same double division the former 4096-row broadcast-joined
+    // range table evaluated, hence bit-identical wt per occurrence
+    // (and the map-side summation order is unchanged: a broadcast
+    // probe preserves streamed-side order). Drops the broadcast build
+    // + per-occurrence hash probe from the hot scan; the oracle keeps
+    // its textual range-table form.
     val feats = t(s, d, "documents")
       .select($"doc_id", $"lang", split($"text", " ").as("w"))
       .select($"doc_id", $"lang",
@@ -1707,7 +1718,10 @@ object TextOps {
             " (a, b) -> concat(a, '_', b))"))).as("term"))
       .select($"doc_id", $"lang",
         (Tables.h60($"term") % B).as("bucket"))
-    feats.join(broadcast(weights), "bucket")
+    feats
+      .select($"doc_id", $"lang",
+        ((($"bucket" * 2654435761L) % 2001L - 1000L).cast("double")
+          / 1000.0).as("wt"))
       .groupBy($"doc_id", $"lang")
       .agg((sum($"wt") / count(lit(1))).as("m"))
       .select($"doc_id", $"lang",
@@ -2078,10 +2092,19 @@ object TextOps {
           " (x, i) -> concat(x, ' ', element_at(w, i + 2)))")).as("g"))
     val grams = uni.unionByName(bi)
       .withColumn("b", pmod(Tables.h60(concat(lit("dsir:"), $"g")), lit(B)))
+    // ONE tokenize+hash pass: `source` is functionally dependent on
+    // doc_id, so keying the per-doc feature counts on (doc_id, source,
+    // b) leaves them identical — and the bucket stats then derive
+    // FROM the (ck'd, ≤ |docs|·B-row) feature table by an exact
+    // integer re-aggregation instead of a SECOND explode+md5 scan of
+    // the corpus (the grams table was referenced by stats AND feat;
+    // un-memoized, each reference replayed the full gram pass).
+    val feat = Tables.ck(grams.groupBy($"doc_id", $"source", $"b")
+      .agg(count(lit(1)).as("c")))
     // Per-bucket occurrence counts under target and raw — ≤ B rows.
-    val stats = grams.groupBy($"b").agg(
-      sum(when($"source" === "src0", 1L).otherwise(0L)).as("tc"),
-      sum(when($"source" =!= "src0", 1L).otherwise(0L)).as("rc"))
+    val stats = feat.groupBy($"b").agg(
+      sum(when($"source" === "src0", $"c").otherwise(0L)).as("tc"),
+      sum(when($"source" =!= "src0", $"c").otherwise(0L)).as("rc"))
     val tot = stats.agg(sum($"tc").as("tt"), sum($"rc").as("rt"))
     // Laplace-smoothed per-bucket log-ratio in integer micro-nats.
     // The ONLY transcendental step — rounded to the 1e-6 grid before
@@ -2093,7 +2116,6 @@ object TextOps {
         (log(($"tc" + 1.0) / ($"tt" + B.toDouble)) -
           log(($"rc" + 1.0) / ($"rt" + B.toDouble))) * 1e6).cast("long"))
       .select($"b", $"r_micro")
-    val feat = grams.groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
     // λ in micro-nats: exact BIGINT dot product, order-independent.
     feat.join(broadcast(ratio), Seq("b"))
       .groupBy($"doc_id").agg(sum($"c" * $"r_micro").as("lam_micro"))
