@@ -116,12 +116,15 @@ object GraphOps {
     *
     * Returns the final ranks and the number of iterations actually
     * run: at most `maxIters`, fewer once the L1 delta falls below
-    * `tol`. Each iteration materializes via eager `localCheckpoint` —
-    * the lineage cut an iterative Spark job needs anyway — so the
-    * delta check is one keyed join + scalar aggregate over the
-    * two |V|-sized checkpointed rank tables, never a recompute of the
-    * iteration chain. The delta read is a metadata-scale driver
-    * scalar (same class as the |V| count), not a data collect. */
+    * `tol`. Each iteration ends in a LAZY `localCheckpoint` — the
+    * lineage cut an iterative Spark job needs anyway — whose blocks
+    * materialize inside the round's delta check, the round's only
+    * explicit action (the ccLabels batching discipline). The check
+    * itself is the union form: a signed per-node sum over the two
+    * |V|-sized checkpointed rank tables, one partial-aggregable
+    * keyed aggregate — no join. The delta read is a metadata-scale
+    * driver scalar (same class as the |V| count), not a data
+    * collect. */
   def pagerank(edgesW: org.apache.spark.sql.DataFrame,
                init: org.apache.spark.sql.DataFrame, n: Long,
                maxIters: Int, tol: Double,
@@ -131,28 +134,35 @@ object GraphOps {
     var it = 0
     var delta = Double.PositiveInfinity
     while (it < maxIters && delta >= tol) {
-      val rNew = rankStep(edgesW, r, n, broadcastRank)
-        .localCheckpoint()
+      // LAZY checkpoint (the ccLabels discipline): the round's delta
+      // check is its ONLY explicit action — the new rank table's
+      // blocks materialize inside it, and the next round's broadcast
+      // build reads them back. The former eager localCheckpoint ran a
+      // separate materialization job per round ON TOP of the delta
+      // job (and of the broadcast build the next round forces
+      // anyway) — one whole job per round for nothing.
+      val rNew = Tables.ck(rankStep(edgesW, r, n, broadcastRank))
       val rPrev = r
       r = rNew
       it += 1
       // The delta gates CONTINUING — after the capped final round it
-      // is never read, so don't pay its job. FULL OUTER on the node:
-      // the degree ≥ 1 precondition makes the vertex sets equal, but
-      // a caller's graph violating it would make an inner join drop
-      // the asymmetric nodes and understate the delta into a
-      // premature exit — coalescing the missing side to 0 charges an
-      // absent node its full |r| instead (conservative: keeps
-      // iterating). Both sides are |V|-sized checkpointed rank
-      // tables, so the non-broadcast join is a bounded keyed merge.
-      // sum over zero rows is SQL NULL (an empty graph) — treat as
-      // converged rather than NPE on the primitive read.
+      // is never read, so don't pay its job (the final table then
+      // materializes inside the caller's own action). UNION form, not
+      // a join (the PPR teleport move applied to the check): each
+      // side contributes a signed rank per node, so Σ|r − r0| is one
+      // partial-aggregable keyed sum + abs — where the former
+      // full-outer join (which Spark can never broadcast — the PPR
+      // hint-drop class) sort-merged two |V| tables per round. An
+      // asymmetric node (degree-0 caller graph) appears on one side
+      // only and is charged its full |r|, exactly as the old
+      // coalesce-to-0 did (conservative: keeps iterating). sum over
+      // zero rows is SQL NULL (an empty graph) — treat as converged
+      // rather than NPE on the primitive read.
       if (it < maxIters) {
-        val deltaRow = rNew
-          .join(rPrev.select(col("node"), col("r").as("r0")),
-            Seq("node"), "full_outer")
-          .agg(sum(abs(coalesce(col("r"), lit(0.0))
-            - coalesce(col("r0"), lit(0.0))))).head
+        val deltaRow = rNew.select(col("node"), col("r").as("v"))
+          .unionByName(rPrev.select(col("node"), (-col("r")).as("v")))
+          .groupBy(col("node")).agg(abs(sum(col("v"))).as("dn"))
+          .agg(sum(col("dn"))).head
         delta = if (deltaRow.isNullAt(0)) 0.0 else deltaRow.getDouble(0)
       }
     }
