@@ -414,14 +414,20 @@ object PipeOps {
     // trade. Output: (stage_id, stage, n_docs, n_tokens), 4 rows.
     "q_pipe_prepfunnel" -> ((s, d) => {
       import s.implicits._
-      val docs = t(s, d, "documents")
+      // Every stage downstream of the scan needs only (doc_id, lang,
+      // ntok, fp) — ck that NARROW projection once (the token array
+      // never leaves the scan), then ck the deduped survivor table:
+      // un-checkpointed, the four stage censuses + caps/budget joins
+      // each replayed the tokenize + fingerprint-window chain
+      // (5 documents scans -> 1, one window pass instead of four).
+      val docs = Tables.ck(t(s, d, "documents")
         .select($"doc_id", $"lang", split($"text", " ").as("w"))
-        .withColumn("ntok", size($"w").cast("long"))
-      val s1 = docs
-        .withColumn("fp", md5(concat_ws(" ", slice($"w", 1, 8))))
+        .select($"doc_id", $"lang", size($"w").cast("long").as("ntok"),
+          md5(concat_ws(" ", slice($"w", 1, 8))).as("fp")))
+      val s1 = Tables.ck(docs
         .withColumn("rn",
           row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
-        .where($"rn" === 1).drop("fp", "rn")
+        .where($"rn" === 1).drop("fp", "rn"))
       val s2 = s1.where($"ntok".between(30, 90))
       val caps = s2.groupBy($"lang")
         .agg(floor(sum($"ntok") * 0.5).as("cap"))
@@ -668,11 +674,16 @@ object PipeOps {
       import s.implicits._
       val b = t(s, d, "documents")
         .select($"lang", floor($"n_chars" / 200).cast("long").as("bucket"))
-      val grid = b.select($"lang").distinct()
-        .crossJoin(b.select($"bucket").distinct())
-      val cnt = grid.join(
-          b.groupBy($"lang", $"bucket").agg(count(lit(1)).as("c0")),
-          Seq("lang", "bucket"), "left")
+      // ONE corpus scan: the grid axes' distinct sets are exactly the
+      // grouped count table's key projections (groupBy preserves the
+      // key set), so both crossJoin sides and the left join read the
+      // ck'd grid-sized c0 instead of each replaying the scan (3
+      // documents scans -> 1).
+      val c0 = Tables.ck(
+        b.groupBy($"lang", $"bucket").agg(count(lit(1)).as("c0")))
+      val grid = c0.select($"lang").distinct()
+        .crossJoin(c0.select($"bucket").distinct())
+      val cnt = grid.join(c0, Seq("lang", "bucket"), "left")
         .select($"lang", $"bucket", coalesce($"c0", lit(0L)).as("c"))
       val tot = cnt.groupBy($"lang")
         .agg(sum($"c").as("t"), count(lit(1)).as("nb"))
@@ -1002,9 +1013,12 @@ object PipeOps {
     // one real pass is the (type, dow) count, map-side combinable.
     "q_agg_chisq" -> ((s, d) => {
       import s.implicits._
-      val o = t(s, d, "events")
+      // ck: the |types×7| contingency grid feeds rt, ct, tt AND the
+      // cell join — un-checkpointed, each reference replayed the
+      // events scan + count pass (4 scans -> 1).
+      val o = Tables.ck(t(s, d, "events")
         .groupBy($"event_type", (dayofweek($"ts") - 1).as("dow"))
-        .agg(count(lit(1)).as("obs"))
+        .agg(count(lit(1)).as("obs")))
       val rt = o.groupBy($"event_type").agg(sum($"obs").as("rtot"))
       val ct = o.groupBy($"dow").agg(sum($"obs").as("ctot"))
       val tt = o.agg(sum($"obs").as("n"))
@@ -1107,9 +1121,12 @@ object PipeOps {
     // rows.
     "q_agg_mutualinfo" -> ((s, d) => {
       import s.implicits._
-      val o = t(s, d, "events")
+      // ck: the |types×7| contingency grid feeds rt, ct, tt AND the
+      // cell join — un-checkpointed, each reference replayed the
+      // events scan + count pass (4 scans -> 1).
+      val o = Tables.ck(t(s, d, "events")
         .groupBy($"event_type", (dayofweek($"ts") - 1).as("dow"))
-        .agg(count(lit(1)).as("obs"))
+        .agg(count(lit(1)).as("obs")))
       val rt = o.groupBy($"event_type").agg(sum($"obs").as("rtot"))
       val ct = o.groupBy($"dow").agg(sum($"obs").as("ctot"))
       val tt = o.agg(sum($"obs").as("n"))
@@ -1389,8 +1406,10 @@ object PipeOps {
     // upsample happens on the write path with no extra shuffle.
     "q_pipe_oversample" -> ((s, d) => {
       import s.implicits._
-      val counts = t(s, d, "documents").groupBy($"lang")
-        .agg(count(lit(1)).as("n_orig"))
+      // ck: the |langs|-row count table feeds mx AND fac — unchecked,
+      // each reference replayed the documents scan (2 scans -> 1).
+      val counts = Tables.ck(t(s, d, "documents").groupBy($"lang")
+        .agg(count(lit(1)).as("n_orig")))
       val mx = counts.agg(max($"n_orig").as("mx"))
       val fac = counts.crossJoin(broadcast(mx))
         .withColumn("factor",

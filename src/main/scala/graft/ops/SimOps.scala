@@ -462,8 +462,13 @@ object SimOps {
     // non-vacuous quality-loss measurement.
     "q_sim_recall" -> ((s, d) => {
       import s.implicits._
-      val bf = queries("q_sim_cosine_topk")(s, d).select($"vec_id", $"sim")
-      val ann = queries("q_sim_ann_lsh")(s, d).select($"vec_id", $"sim")
+      // ck both 10-row rank tables: each feeds the hit semi-join AND
+      // its own avg — un-checkpointed, every reference replayed the
+      // leg's full corpus pass (brute-force dot scan / LSH probe).
+      val bf = Tables.ck(
+        queries("q_sim_cosine_topk")(s, d).select($"vec_id", $"sim"))
+      val ann = Tables.ck(
+        queries("q_sim_ann_lsh")(s, d).select($"vec_id", $"sim"))
       val hits = bf.join(ann.select($"vec_id"), Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
       val bfAvg = bf.agg((floor(avg($"sim") * 1e4 + 0.5) / 1e4).as("bf_avg_sim"))
@@ -562,11 +567,16 @@ object SimOps {
       import s.implicits._
       val emb = t(s, d, "embeddings")
       val q0 = emb.where($"vec_id" === 0).select($"embedding".as("qe"))
-      val shortlist = emb.where($"vec_id" =!= 0)
+      // ck: the 8-row shortlist feeds l, r, p1 and (through pairs/c2/
+      // c3/sel) every later greedy step — un-checkpointed, EACH
+      // reference replayed the full corpus dot-scan + top-8 sort (the
+      // static plan scanned embeddings 28 times); materializing 8
+      // rows once makes every replay a cached-RDD read.
+      val shortlist = Tables.ck(emb.where($"vec_id" =!= 0)
         .crossJoin(broadcast(q0))
         .select($"vec_id", $"embedding",
           (floor(dot($"embedding", $"qe") * 1e4 + 0.5) / 1e4).as("sim"))
-        .orderBy($"sim".desc, $"vec_id").limit(8)
+        .orderBy($"sim".desc, $"vec_id").limit(8))
       val l = shortlist.toDF("vid_a", "emb_a", "sim_a")
       val r = shortlist.toDF("vid_b", "emb_b", "sim_b")
       val pairs = broadcast(l).crossJoin(broadcast(r))
