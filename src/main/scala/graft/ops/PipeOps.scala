@@ -920,13 +920,24 @@ object PipeOps {
         .groupBy(col("a.t").as("t"), col("a.d").as("d"))
         .agg(sum(col("b.c")).as("n_risk"))
       val deaths = Tables.ck(risk.where($"d" > 0))
+      // Zero-factor guard (latent cross-engine divergence found at
+      // sf0.001): at a time where EVERY at-risk user dies (d = n_risk)
+      // the KM factor is exactly 0 and survival is exactly 0 from then
+      // on — but ln(0) ERRORS in DuckDB while Spark's log(0) is NULL
+      // and sum() silently skips it (a wrong nonzero product). Both
+      // sides now flag the all-die factor and emit exact 0.0; where no
+      // such factor exists (every gated SF today) the guarded sum has
+      // the identical inputs, so results are bit-identical.
       deaths.as("a").join(broadcast(deaths.as("b")),
           col("b.t") <= col("a.t"))
         .groupBy(col("a.t").as("t"), col("a.n_risk").as("n_risk"),
           col("a.d").as("n_deaths"))
-        .agg((floor(exp(sum(log(lit(1.0)
-          - col("b.d") * 1.0 / col("b.n_risk")))) * 1e4 + 0.5) / 1e4)
-          .as("survival"))
+        .agg((floor(
+          when(max(when(col("b.d") === col("b.n_risk"), 1).otherwise(0))
+            === 1, lit(0.0))
+          .otherwise(exp(sum(when(col("b.d") =!= col("b.n_risk"),
+            log(lit(1.0) - col("b.d") * 1.0 / col("b.n_risk"))))))
+          * 1e4 + 0.5) / 1e4).as("survival"))
         .orderBy($"t")
     }),
 
@@ -2197,8 +2208,13 @@ object PipeOps {
         GROUP BY a.t, a.d),
       deaths AS (SELECT * FROM risk WHERE d > 0)
       SELECT a.t, a.n_risk, a.d AS n_deaths,
-             FLOOR(EXP(SUM(LN(1.0 - b.d * 1.0 / b.n_risk)))
-               * 1e4 + 0.5) / 1e4 AS survival
+             FLOOR(CASE WHEN MAX(CASE WHEN b.d = b.n_risk
+                                      THEN 1 ELSE 0 END) = 1
+                        THEN 0.0
+                        ELSE EXP(SUM(CASE WHEN b.d <> b.n_risk
+                                          THEN LN(1.0 - b.d * 1.0 / b.n_risk)
+                                     END))
+                   END * 1e4 + 0.5) / 1e4 AS survival
       FROM deaths a JOIN deaths b ON b.t <= a.t
       GROUP BY a.t, a.n_risk, a.d
       ORDER BY a.t""",

@@ -397,6 +397,18 @@ class OpsSpec extends GraftSuite {
       assert(d >= 1L && d <= nRisk)
       assert(sv >= 0.0 && sv <= 1.0)
     }
+    // Zero-factor guard: from the first time where EVERY at-risk user
+    // dies (d = n_risk, KM factor exactly 0), survival is exactly 0 —
+    // the case where DuckDB's ln(0) would error and Spark's NULL log
+    // would silently drop the factor; both sides now special-case it.
+    rows.collectFirst { case (t, nRisk, d, _) if d == nRisk => t }
+      .foreach { tZero =>
+        rows.filter(_._1 >= tZero)
+          .foreach { case (t, _, _, sv) =>
+            assert(sv == 0.0, s"survival at t=$t past all-die time " +
+              s"$tZero must be exactly 0, got $sv")
+          }
+      }
   }
 
   test("q_pipe_ks: detects an injected distribution shift, stays ~0 without one") {
